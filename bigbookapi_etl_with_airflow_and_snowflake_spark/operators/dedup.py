@@ -1,0 +1,70 @@
+"""Deduplication operators — reference D1 generalized to 100 TB scale.
+
+The reference dedups with a driver-side ``seen`` set (huggingface_extract
+.py:81-87 (pyc)): first occurrence wins, and "first" is meaningful because
+the input arrives sorted by last_modified desc. ``dropDuplicates`` keeps an
+*arbitrary* row, so the deterministic form is an explicit row_number window
+— one shuffle on the key, no driver state, scales linearly with executors.
+
+Exact content-dedup (N1) hashes the payload and keeps the min-id row per
+hash: a single hash-aggregate, the cheapest possible distributed dedup —
+map-side partial aggregation halves the shuffle, and the 128-bit md5 keys
+distribute uniformly so no salting is needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keep_first_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence = (),
+) -> DataFrame:
+    """D1 — deterministic keep-first dedup.
+
+    Keeps exactly the row the reference's ``seen``-set loop keeps: the
+    first per ``keys`` under ``order_by`` (reference input order was
+    last_modified desc → ``order_by=[F.desc("last_modified")]``).
+
+    Scale: one hash-shuffle on ``keys``; per-key state is a single row
+    (row_number short-circuits at 1 under whole-stage codegen). Skewed
+    keys are split by AQE skew handling since the window partitions by
+    the same key the shuffle used.
+    """
+    if not order_by:
+        order_by = [F.col(k) for k in keys]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(df: DataFrame, content_cols: Sequence[str], id_col: str) -> DataFrame:
+    """N1 — exact content dedup at scale: keep the min-``id_col`` row per
+    identical ``content_cols`` payload.
+
+    Implemented as groupBy(hash)→min(id) + semi-join back, which Catalyst
+    executes as two stages sharing one shuffle key; for wide payloads the
+    md5 keeps shuffle rows narrow (16 bytes vs the full text).
+    """
+    fingerprint = F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
+    with_fp = df.withColumn("__fp", fingerprint)
+    keep = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return (
+        with_fp.join(keep, ["__fp", id_col], "left_semi")
+        .drop("__fp")
+    )
+
+
+def drop_duplicates(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
+    """Arbitrary-row dedup — Spark's native ``dropDuplicates`` (the
+    non-deterministic fast path; prefer :func:`keep_first_dedup` when the
+    kept row matters)."""
+    return df.dropDuplicates(list(keys) if keys else None)

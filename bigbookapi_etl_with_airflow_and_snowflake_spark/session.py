@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Single place where execution-relevant config lives. Defaults target the
+test harness (``local[$SPARK_GRAFT_CPUS]``, one JVM) but every knob is
+chosen so the same code runs unchanged on a multi-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join strategy)
+- shuffle partitions sized to cores locally; on a real cluster AQE
+  coalesces from the configured ceiling down to useful sizes
+- UTC session timezone so timestamp semantics match the DuckDB oracle
+  and are cluster-location-independent
+- Arrow enabled for any pandas interchange (vectorized UDF path)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bigbookapi-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS or *]`` so tests and
+    bench share one code path; on a cluster, pass ``master=None`` with
+    ``spark.master`` preset in the environment, or an explicit URL.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus != "*" else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
