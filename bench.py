@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the registry's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count + collect of the final
+result) — timings include the full scan→shuffle→result path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigbookapi_etl_with_airflow_and_snowflake_spark import queries as _q
+from bigbookapi_etl_with_airflow_and_snowflake_spark.session import get_spark
+
+# headline set: scan-agg, join-heavy, window, dedup, text, similarity
+BENCH_QUERIES = [
+    "pricing_summary",
+    "shipping_priority",
+    "region_revenue",
+    "join_enrich",
+    "window_running",
+    "dedup_keep_first",
+    "dedup_exact_docs",
+    "sessionize",
+    "tumbling_window",
+    "text_stats",
+    "lang_id",
+    "minhash_band_pairs",
+    "jaccard_pairs",
+    "cosine_topk",
+    "topk_recent_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+
+    # warm the JVM + parquet footer cache so timings measure the queries
+    _q.q_count_audit(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    registry = _q.queries()
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        del rows
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

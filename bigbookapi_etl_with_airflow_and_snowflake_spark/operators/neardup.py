@@ -1,0 +1,205 @@
+"""Near-duplicate detection (SURVEY.md §2.5 N2): n-gram Jaccard,
+MinHash + LSH banding, SimHash.
+
+Scale design
+------------
+- The O(n²) pair space is never materialized: candidate pairs come from
+  an *inverted index* — group by bucket key (shared shingle / MinHash
+  band / SimHash value), collect the colliding ids, and emit in-bucket
+  pairs. One shuffle on the bucket key, pair volume proportional to
+  actual collisions.
+- Expression staging matters: higher-order functions run interpreted
+  (no whole-stage codegen, no common-subexpression elimination), so the
+  token/shingle arrays are bound to real projection columns once per
+  row, never re-derived inside downstream lambdas. This is the
+  difference between O(rows) and O(rows × shingles) regex splits.
+- MinHash values use md5 (engine-portable, uniformly distributed), so
+  signatures computed here match signatures computed by any other system
+  on the same text — the dedup keys are infrastructure-independent, and
+  band keys are uniform → the bucket shuffle is skew-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import bind
+from .text import tokens, word_shingles
+
+
+def _pair_array(ids: Column) -> Column:
+    """All (a, b) pairs with a < b from a sorted id array — generated
+    in-bucket, so pair volume = collisions, not n²."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def _bucket_pairs(keyed: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """Inverted-index candidate pairs: (id_a, id_b) per shared key.
+
+    Input: one (key, id) row per membership. Output keeps one row per
+    (key, pair) — callers dedup or count as their semantics require.
+    """
+    buckets = (
+        keyed.groupBy(key_col)
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
+    return buckets.select(F.explode(_pair_array(F.col("__ids"))).alias("p")).select(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    )
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — distinct word n-grams per doc. One bound
+    shingling expression per row (see functions/expr.py) feeding a
+    single explode."""
+    return df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every doc pair sharing ≥1
+    shingle; keeps pairs with J ≥ threshold.
+
+    Plan: shingle inverted index → in-bucket pairs → count shared
+    shingles per pair → join per-doc shingle counts → J = |∩| /
+    (|A|+|B|−|∩|), an IEEE division of exact ints.
+    Output: (id_a, id_b, jaccard), id_a < id_b.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        _bucket_pairs(sh, "shingle", id_col)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: ``mh{i} = min(md5(shingle ⊕ seed_i))``.
+
+    Computed as ``num_hashes`` min-aggregates over the exploded shingle
+    table: shingling runs once, map-side partial mins shrink the shuffle
+    to one narrow row per (doc, partition), and the doc_id grouping key
+    is unique → skew-free. (An array-expression variant without the
+    shuffle exists, but optimizer project-collapsing re-inlined the
+    shingling per hash — the aggregate form is robust.)
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#seed{i}")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """LSH banding over MinHash signatures → candidate near-dup pairs.
+
+    Bands of ``rows_per_band`` hashes concatenate into bucket keys; the
+    inverted index over band keys yields pairs (computed once — the
+    signature stage is not re-derived per join side). Output: distinct
+    (id_a, id_b), id_a < id_b.
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    n_bands = num_hashes // rows_per_band
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    return _bucket_pairs(bands, "band_key", id_col).distinct()
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash per document — majority vote over token-hash bit vectors.
+
+    Uses ``xxhash64`` (JVM-side, fast, *not* engine-portable — SimHash
+    here is an intra-engine near-dup key, checked rows-only by the
+    driver). The token-hash array is staged once; each bit's majority
+    vote is a size/filter over it.
+    """
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    hashed = toks.select(
+        F.col(id_col),
+        F.transform(F.col("__toks"), lambda t: F.xxhash64(t)).alias("__h"),
+        F.size("__toks").alias("__n"),
+    )
+    one = F.lit(1).cast("long")
+    bit_cols = []
+    for b in range(bits):
+        mask = F.shiftleft(one, b)
+        ones = F.size(F.filter(F.col("__h"), lambda x: x.bitwiseAND(mask) != 0))
+        vote = (ones * 2) > F.col("__n")  # majority of tokens set this bit
+        bit_cols.append(F.when(vote, mask).otherwise(F.lit(0).cast("long")))
+    sim = bit_cols[0]
+    for c in bit_cols[1:]:
+        sim = sim.bitwiseOR(c)
+    return hashed.select(F.col(id_col), sim.alias("simhash"))

@@ -1,0 +1,134 @@
+"""Text-analysis operators (SURVEY.md §2.5 N4) over a document table.
+
+All hot-path logic is built-in ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, no Python in the loop — so a 100 TB documents
+scan stays a single narrow map stage with full predicate/column
+pushdown. Shingling uses higher-order array functions (``transform`` /
+``sequence``) instead of explode-early, keeping the per-doc work
+columnar until the one shuffle that genuinely needs exploded rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny multi-language stopword lists for the n-gram language heuristic.
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is"]
+STOPWORDS_ES = ["el", "la", "de", "y", "que", "en"]
+STOPWORDS_FR = ["le", "la", "de", "et", "que", "les"]
+STOPWORDS_DE = ["der", "die", "das", "und", "ist", "von"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization as a typed array column."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """N4 token counting — size of the whitespace split."""
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` as array<string>.
+
+    The token array is ``bind``-ed so the tokenizer runs once per row —
+    inlined, the regex split would re-run per ``element_at`` (measured
+    26× slower on the documents corpus; see functions/expr.py).
+    """
+    from ..functions import bind
+
+    return bind(tokens(text), lambda t: word_shingles_from_tokens(t, n))
+
+
+def word_shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an already-materialized token
+    array column. One ``sequence`` + ``transform`` expression — no
+    explode, no UDF. Fewer than ``n`` tokens yields an empty array."""
+    starts = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    make = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j) for j in range(n)]
+    )
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] sequence
+    # (and element_at(t, 0) throws under ANSI) — short docs get [].
+    empty = F.array().cast("array<string>")
+    return F.when(
+        F.size(t) >= n, F.array_distinct(F.transform(starts, make))
+    ).otherwise(empty)
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """Number of tokens (with multiplicity) that are in ``words``."""
+    return F.size(F.filter(tokens(text), lambda w: w.isin(*words)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document length/token statistics (quality-signal inputs)."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_obs"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(tokens(t))).alias("n_distinct_tokens"),
+        # IEEE division of exact ints — deterministic across engines
+        (F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / n_tok).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N4 quality scoring — stopword / digit / punctuation ratios.
+
+    Ratios are IEEE divisions of exact integer counts, so values are
+    bit-identical on any engine computing the same counts.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chars = F.length(t)
+    return df.select(
+        F.col(id_col),
+        (stopword_hits(t, STOPWORDS_EN).cast("double") / n_tok).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double") / n_chars
+        ).alias("digit_ratio"),
+        (
+            F.length(F.regexp_replace(t, "[^.,;:!?]", "")).cast("double") / n_chars
+        ).alias("punct_ratio"),
+        (n_tok >= 5).alias("len_ok"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N4 language-ID heuristic — stopword-hit argmax over 4 languages.
+
+    Returns ``lang_guess`` with deterministic tie-breaking (en > es > fr
+    > de by strictly-greater cascade), so any engine computing the same
+    counts gives the same label. 'und' (undetermined) when no list hits.
+    """
+    t = F.col(text_col)
+    en, es, fr, de = (
+        stopword_hits(t, STOPWORDS_EN),
+        stopword_hits(t, STOPWORDS_ES),
+        stopword_hits(t, STOPWORDS_FR),
+        stopword_hits(t, STOPWORDS_DE),
+    )
+    best = F.greatest(en, es, fr, de)
+    guess = (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .when(fr == best, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    return df.select(F.col(id_col), guess.alias("lang_guess"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N4 document fingerprint — md5 of whitespace-normalized lowercase
+    text. md5 is engine-independent, so fingerprints are portable keys
+    for cross-system dedup."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))

@@ -1,0 +1,900 @@
+"""Driver-facing query registry (SURVEY.md §2 coverage).
+
+Every entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with an equivalent DuckDB oracle SQL string (or ``None`` for ops whose
+semantics aren't SQL-expressible engine-independently, e.g. xxhash64-based
+SimHash or numpy-seeded LSH planes — those get rows-only checks).
+
+Hash-parity rules used throughout (the driver compares order-insensitive
+value hashes, so results must be *value-identical*, not just close):
+
+- Sums of fractional doubles go through exact DECIMAL arithmetic
+  (money → DECIMAL(12,2), rates → DECIMAL(4,2)) and cast to DOUBLE at
+  the end: both engines then produce the same exact rational → the same
+  nearest double, independent of aggregation order.
+- ``l_quantity`` is integer-valued, so plain double sums are exact.
+- Averages are ``CAST(exact_sum AS DOUBLE) / COUNT(*)`` — a single IEEE
+  division, deterministic — never engine-native decimal division
+  (rounding scale differs per engine).
+- Ratios are IEEE divisions of exact integer counts.
+- Timestamp arithmetic uses integer microseconds (``unix_micros`` /
+  ``epoch_us``) — no float-seconds round-trips.
+- Every top-k has a total deterministic ordering (unique-key tiebreak).
+- All computed columns are aliased identically in both dialects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import neardup, similarity, text
+from .operators.dedup import exact_dedup, keep_first_dedup
+from .sources.files import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# money / rate decimal casts (exact; see module docstring)
+_MONEY = "decimal(12,2)"
+_RATE = "decimal(4,2)"
+
+_t = read_table
+
+
+def _dec(col: str, typ: str = _MONEY):
+    return F.col(col).cast(typ)
+
+
+# ---------------------------------------------------------------------------
+# A. Reference-parity operators (SURVEY §2.1-2.4) on the driver corpus
+# ---------------------------------------------------------------------------
+
+
+def q_scan_filter_project(spark, sf):
+    """S3+T4: parquet scan with filter+projection pushed down to the scan."""
+    return (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+SQL_SCAN_FILTER_PROJECT = """
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+"""
+
+
+def q_cast_truncate(spark, sf):
+    """T5: lossy integer coercion (int(float(x)) truncation semantics)."""
+    return _t(spark, sf, "orders").select(
+        "o_orderkey", F.floor("o_totalprice").cast("long").alias("total_trunc")
+    )
+
+
+SQL_CAST_TRUNCATE = """
+SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT) AS total_trunc FROM orders
+"""
+
+
+def q_rescale_pct(spark, sf):
+    """T8: scalar arithmetic rescale (reference rating×100)."""
+    return _t(spark, sf, "events").select(
+        "event_id", (F.col("value") * F.lit(100.0)).alias("value_pct")
+    )
+
+
+SQL_RESCALE_PCT = "SELECT event_id, value * 100.0 AS value_pct FROM events"
+
+
+def q_null_default(spark, sf):
+    """T9: falsy→default normalization (coalesce chain)."""
+    e = _t(spark, sf, "events")
+    label = F.when(F.col("value") >= 50, F.col("event_type"))
+    return e.select(
+        "event_id", F.coalesce(label, F.lit("low_value")).alias("label")
+    )
+
+
+SQL_NULL_DEFAULT = """
+SELECT event_id,
+       COALESCE(CASE WHEN value >= 50 THEN event_type END, 'low_value') AS label
+FROM events
+"""
+
+
+def q_null_key_filter(spark, sf):
+    """T11: drop records with missing/empty key."""
+    e = _t(spark, sf, "events")
+    return e.filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & (F.col("event_type") != "")
+    ).select("event_id", "user_id", "event_type")
+
+
+SQL_NULL_KEY_FILTER = """
+SELECT event_id, user_id, event_type FROM events
+WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND event_type <> ''
+"""
+
+
+def q_dedup_keep_first(spark, sf):
+    """D1: deterministic keep-first dedup — latest event per user
+    (reference semantics: first under an explicit ordering)."""
+    e = _t(spark, sf, "events")
+    return keep_first_dedup(
+        e, ["user_id"], [F.desc("ts"), F.desc("event_id")]
+    ).select("user_id", "event_id", "ts", "event_type")
+
+
+SQL_DEDUP_KEEP_FIRST = """
+SELECT user_id, event_id, ts, event_type FROM (
+  SELECT user_id, event_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t WHERE rn = 1
+"""
+
+
+def q_dedup_exact_docs(spark, sf):
+    """N1: exact content dedup at scale (min-id row per identical text)."""
+    return exact_dedup(_t(spark, sf, "documents"), ["text"], "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+SQL_DEDUP_EXACT_DOCS = """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents) t WHERE rn = 1
+"""
+
+
+def q_topk_recent_events(spark, sf):
+    """D3: top-k by timestamp → TakeOrderedAndProject, no full sort."""
+    return (
+        _t(spark, sf, "events")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(100)
+        .select("event_id", "ts", "user_id")
+    )
+
+
+SQL_TOPK_RECENT_EVENTS = """
+SELECT event_id, ts, user_id FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+def q_union_pages(spark, sf):
+    """D4: order-preserving union of page batches (UNION ALL)."""
+    o = _t(spark, sf, "orders")
+    lo = o.filter(F.col("o_totalprice") < 50000).select("o_orderkey", "o_totalprice")
+    hi = o.filter(F.col("o_totalprice") >= 300000).select("o_orderkey", "o_totalprice")
+    return lo.unionByName(hi)
+
+
+SQL_UNION_PAGES = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 50000
+UNION ALL
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 300000
+"""
+
+
+def q_count_audit(spark, sf):
+    """D2: row-count audit (+ distinct-key count)."""
+    return _t(spark, sf, "orders").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+SQL_COUNT_AUDIT = """
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_custkey) AS n_custs FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# B. Relational core (SURVEY §2.5 completions; TPC-H-style)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates.
+
+    Plan check: single shuffle on (returnflag, linestatus) with map-side
+    partial aggregation; all expressions codegen'd."""
+    li = _t(spark, sf, "lineitem")
+    one = F.lit(1).cast(_RATE)
+    price, disc, tax = _dec("l_extendedprice"), _dec("l_discount", _RATE), _dec("l_tax", _RATE)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  SUM(l_quantity) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: 3-way join → group → deterministic top-10.
+
+    Customer (small side) is broadcast; revenue is decimal-exact so the
+    top-10 cut is stable."""
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    one = F.lit(1).cast(_RATE)
+    revenue = F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", _RATE)))
+    bldg_orders = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_orderdate")
+    return (
+        li.join(F.broadcast(bldg_orders), li.l_orderkey == bldg_orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey AS o_orderkey, o_orderdate,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_region_revenue(spark, sf):
+    """TPC-H Q5 shape: 6-table star join → per-nation revenue.
+
+    Dimension chain region→nation→supplier is broadcast end-to-end; the
+    only shuffles are the orders⋈lineitem join and the final group-by."""
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf, "nation")
+    supplier = _t(spark, sf, "supplier")
+    customer = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem")
+    one = F.lit(1).cast(_RATE)
+    dims = (
+        supplier.join(
+            F.broadcast(
+                nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            ),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", _RATE)))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_join_enrich(spark, sf):
+    """Broadcast-dim enrichment join: orders ⋈ customer ⋈ nation ⋈ region
+    → counts and exact revenue per (region, status)."""
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    dims = customer.join(
+        F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "r_name")
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+SQL_JOIN_ENRICH = """
+SELECT r_name, o_orderstatus, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders, customer, nation, region
+WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+GROUP BY r_name, o_orderstatus
+"""
+
+
+def q_semi_join(spark, sf):
+    """Left-semi join (EXISTS): customers having ≥1 order."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_anti_join(spark, sf):
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_rollup_status(spark, sf):
+    """GROUP BY ROLLUP: per-(status, priority) + per-status + grand total."""
+    return (
+        _t(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+SQL_ROLLUP_STATUS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube_flags(spark, sf):
+    """GROUP BY CUBE over lineitem flags."""
+    return (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+SQL_CUBE_FLAGS = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_window_running(spark, sf):
+    """Window frame aggregation: running quantity per supplier.
+
+    ``l_quantity`` is integer-valued → double running sum is exact in
+    any evaluation order."""
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.sum("l_quantity").over(w).alias("running_qty"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT l_orderkey, l_linenumber, l_suppkey,
+  SUM(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+FROM lineitem
+"""
+
+
+def q_window_rank_lag(spark, sf):
+    """Ranking + offset window functions per user event stream."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).alias("rnk"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+SQL_WINDOW_RANK_LAG = """
+SELECT event_id, user_id,
+  RANK() OVER w AS rnk,
+  LAG(event_id) OVER w AS prev_event_id,
+  LEAD(event_id) OVER w AS next_event_id
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_sessionize(spark, sf):
+    """Gap-based sessionization (30-min inactivity) via lag + cumulative
+    sum — integer-microsecond gap arithmetic, engine-exact."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap_us <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1))
+    return (
+        _t(spark, sf, "events")
+        .withColumn("new_sess", new_sess)
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("new_sess").over(wsum).cast("long").alias("session_id"),
+        )
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w <= 1800000000
+         THEN 0 ELSE 1 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id,
+  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM g
+"""
+
+
+def q_tumbling_window(spark, sf):
+    """Batch tumbling-window aggregation (5-min buckets) — the batch
+    analog of the streaming windowed agg in ``streaming/``; integer-µs
+    bucketing so bucket edges are engine-exact."""
+    us = F.unix_micros(F.col("ts"))
+    bucket_us = us - (us % F.lit(300_000_000))
+    return (
+        _t(spark, sf, "events")
+        .withColumn("window_start", F.timestamp_micros(bucket_us))
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_TUMBLING_WINDOW = """
+SELECT make_timestamp(epoch_us(ts) - (epoch_us(ts) % 300000000)) AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_json_extract(spark, sf):
+    """JSON field extraction from a string column (events.props)."""
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_val"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events
+"""
+
+
+def q_asof_join(spark, sf):
+    """As-of join (Spark has no native one): for each purchase, the most
+    recent strictly-earlier view by the same user — expressed as a
+    conditional max over a 1-PRECEDING window on the unioned stream."""
+    e = _t(spark, sf, "events").filter(F.col("event_type").isin("view", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_view = F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    return (
+        e.withColumn("prev_view_ts", prev_view)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "prev_view_ts")
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH ev AS (SELECT event_id, user_id, ts, event_type FROM events
+            WHERE event_type IN ('view', 'purchase')),
+m AS (SELECT event_id, user_id, ts, event_type,
+        MAX(CASE WHEN event_type = 'view' THEN ts END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_ts
+      FROM ev)
+SELECT event_id, user_id, ts, prev_view_ts FROM m WHERE event_type = 'purchase'
+"""
+
+
+def q_pivot_status(spark, sf):
+    """Pivot: order counts per priority × status (missing cells → 0)."""
+    piv = (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in ("F", "O", "P")],
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT o_orderpriority,
+  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_intersect_custkeys(spark, sf):
+    """INTERSECT set op: active high-balance customer keys."""
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.intersect(c)
+
+
+SQL_INTERSECT_CUSTKEYS = """
+SELECT o_custkey AS custkey FROM orders
+INTERSECT
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+"""
+
+
+def q_except_custkeys(spark, sf):
+    """EXCEPT set op: customer keys that never ordered."""
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.subtract(o)
+
+
+SQL_EXCEPT_CUSTKEYS = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# C. LLM-data-pipeline operators (SURVEY §2.5 N1-N5) on documents/embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark, sf):
+    return text.text_stats(_t(spark, sf, "documents"))
+
+
+SQL_TEXT_STATS = r"""
+WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+SELECT doc_id,
+  LENGTH(text) AS n_chars_obs,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_distinct_tokens,
+  CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(toks) AS avg_token_len
+FROM t
+"""
+
+
+def q_text_quality(spark, sf):
+    return text.quality_score(_t(spark, sf, "documents"))
+
+
+SQL_TEXT_QUALITY = r"""
+WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(toks) AS stopword_ratio,
+  CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / LENGTH(text) AS digit_ratio,
+  CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
+  len(toks) >= 5 AS len_ok
+FROM t
+"""
+
+
+def q_lang_id(spark, sf):
+    return text.lang_id(_t(spark, sf, "documents"))
+
+
+SQL_LANG_ID = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+h AS (SELECT doc_id,
+  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS en,
+  len(list_filter(toks, x -> list_contains(['el','la','de','y','que','en'], x))) AS es,
+  len(list_filter(toks, x -> list_contains(['le','la','de','et','que','les'], x))) AS fr,
+  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','von'], x))) AS de
+FROM t)
+SELECT doc_id,
+  CASE WHEN GREATEST(en, es, fr, de) = 0 THEN 'und'
+       WHEN en = GREATEST(en, es, fr, de) THEN 'en'
+       WHEN es = GREATEST(en, es, fr, de) THEN 'es'
+       WHEN fr = GREATEST(en, es, fr, de) THEN 'fr'
+       ELSE 'de' END AS lang_guess
+FROM h
+"""
+
+
+def q_doc_fingerprint(spark, sf):
+    return text.fingerprint(_t(spark, sf, "documents"))
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_jaccard_pairs(spark, sf):
+    """N2: exact n-gram Jaccard near-dup pairs (J ≥ 0.5)."""
+    return neardup.jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
+
+
+SQL_JACCARD_PAIRS = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+"""
+
+
+def q_minhash_signatures(spark, sf):
+    """N2: portable MinHash signatures (md5-based, engine-independent)."""
+    return neardup.minhash_signatures(_t(spark, sf, "documents"))
+
+
+SQL_MINHASH_SIGNATURES = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [] END AS shingles
+       FROM toks)
+SELECT doc_id,
+  list_min(list_transform(shingles, s -> md5(s || '#seed0'))) AS mh0,
+  list_min(list_transform(shingles, s -> md5(s || '#seed1'))) AS mh1,
+  list_min(list_transform(shingles, s -> md5(s || '#seed2'))) AS mh2,
+  list_min(list_transform(shingles, s -> md5(s || '#seed3'))) AS mh3
+FROM sh
+"""
+
+
+def q_minhash_band_pairs(spark, sf):
+    """N2: LSH banding over MinHash signatures → candidate pairs."""
+    return neardup.minhash_band_pairs(_t(spark, sf, "documents"))
+
+
+SQL_MINHASH_BAND_PAIRS = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [] END AS shingles
+       FROM toks),
+sig AS (SELECT doc_id,
+  list_min(list_transform(shingles, s -> md5(s || '#seed0'))) AS mh0,
+  list_min(list_transform(shingles, s -> md5(s || '#seed1'))) AS mh1,
+  list_min(list_transform(shingles, s -> md5(s || '#seed2'))) AS mh2,
+  list_min(list_transform(shingles, s -> md5(s || '#seed3'))) AS mh3
+FROM sh),
+bands AS (
+  SELECT doc_id, '0' || '|' || mh0 || '|' || mh1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, '1' || '|' || mh2 || '|' || mh3 AS band_key FROM sig)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark, sf):
+    """N2: SimHash keys (xxhash64-based — engine-specific; rows-only check)."""
+    return neardup.simhash(_t(spark, sf, "documents"))
+
+
+def q_cosine_topk(spark, sf):
+    """N3: exact brute-force cosine top-5 for 10 probe vectors."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+pairs AS (
+  SELECT q_id, n_id,
+    ROUND(
+      list_sum(list_transform(range(1, len(q_vec) + 1),
+               i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(n_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      6) AS sim
+  FROM q, c WHERE q_id <> n_id),
+r AS (SELECT q_id, n_id, sim,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+      FROM pairs)
+SELECT q_id, n_id, sim FROM r WHERE rnk <= 5
+"""
+
+
+def q_knn_label_vote(spark, sf):
+    """N3: k-NN majority-label classification of the probe vectors."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.knn_label_vote(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+SQL_KNN_LABEL_VOTE = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+pairs AS (
+  SELECT q_id, n_id,
+    ROUND(
+      list_sum(list_transform(range(1, len(q_vec) + 1),
+               i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(n_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      6) AS sim
+  FROM q, c WHERE q_id <> n_id),
+topk AS (SELECT q_id, n_id FROM (
+  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+  FROM pairs) t WHERE rnk <= 5),
+votes AS (SELECT t.q_id, e.label, COUNT(*) AS n_votes
+          FROM topk t JOIN embeddings e ON e.vec_id = t.n_id GROUP BY 1, 2)
+SELECT q_id, label AS pred_label FROM (
+  SELECT q_id, label, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS rnk
+  FROM votes) v WHERE rnk = 1
+"""
+
+
+def q_lsh_topk(spark, sf):
+    """N3 scale path: hyperplane-LSH-bucketed approximate top-k
+    (numpy-seeded planes — not SQL-reproducible; rows-only check,
+    recall vs brute force asserted in tests)."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_multimodal_bytes(spark, sf):
+    """N5: opaque-binary column plumbing — byte length + portable
+    content hash survive a binary round-trip."""
+    from .operators.multimodal import with_byte_metadata
+
+    return with_byte_metadata(
+        _t(spark, sf, "documents"), payload_col="text", id_col="doc_id"
+    )
+
+
+SQL_MULTIMODAL_BYTES = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # A. reference-parity
+    "scan_filter_project": (q_scan_filter_project, SQL_SCAN_FILTER_PROJECT),
+    "cast_truncate": (q_cast_truncate, SQL_CAST_TRUNCATE),
+    "rescale_pct": (q_rescale_pct, SQL_RESCALE_PCT),
+    "null_default": (q_null_default, SQL_NULL_DEFAULT),
+    "null_key_filter": (q_null_key_filter, SQL_NULL_KEY_FILTER),
+    "dedup_keep_first": (q_dedup_keep_first, SQL_DEDUP_KEEP_FIRST),
+    "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
+    "topk_recent_events": (q_topk_recent_events, SQL_TOPK_RECENT_EVENTS),
+    "union_pages": (q_union_pages, SQL_UNION_PAGES),
+    "count_audit": (q_count_audit, SQL_COUNT_AUDIT),
+    # B. relational core
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
+    "join_enrich": (q_join_enrich, SQL_JOIN_ENRICH),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "rollup_status": (q_rollup_status, SQL_ROLLUP_STATUS),
+    "cube_flags": (q_cube_flags, SQL_CUBE_FLAGS),
+    "window_running": (q_window_running, SQL_WINDOW_RUNNING),
+    "window_rank_lag": (q_window_rank_lag, SQL_WINDOW_RANK_LAG),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "pivot_status": (q_pivot_status, SQL_PIVOT_STATUS),
+    "intersect_custkeys": (q_intersect_custkeys, SQL_INTERSECT_CUSTKEYS),
+    "except_custkeys": (q_except_custkeys, SQL_EXCEPT_CUSTKEYS),
+    # C. LLM-data-pipeline
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "minhash_band_pairs": (q_minhash_band_pairs, SQL_MINHASH_BAND_PAIRS),
+    "simhash": (q_simhash, None),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
+    "lsh_topk": (q_lsh_topk, None),
+    "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
