@@ -1,0 +1,11 @@
+"""Structured Streaming operators (SURVEY.md §2.5 N6)."""
+
+from .events import (  # noqa: F401
+    dedup_within_watermark,
+    read_events_stream,
+    run_to_memory,
+    session_window_stats,
+    sliding_window_counts,
+    tumbling_window_counts,
+    user_running_state,
+)

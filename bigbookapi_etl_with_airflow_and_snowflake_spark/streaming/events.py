@@ -1,0 +1,217 @@
+"""Structured Streaming over the events stream (SURVEY.md §2.5 N6).
+
+The reference is batch-only (@daily Airflow DAGs, reference
+dags/bigbookapi.py:51); streaming is the north-star extension. Every
+operator here is the streaming twin of a batch query in ``queries.py``
+(tumbling_window, sessionize, dedup), built on the standard Structured
+Streaming machinery:
+
+- event-time watermarks bound state and admit late data up to the bound
+- tumbling / sliding windows via ``F.window``; session windows via
+  ``F.session_window`` (dynamic gap-merged state)
+- ``dropDuplicatesWithinWatermark`` for at-least-once source dedup
+- ``applyInPandasWithState`` for custom per-key state the built-in
+  aggregates can't express
+
+Scale posture: streaming aggregation state lives in the state store
+partitioned by the grouping key — the same hash partitioning a batch
+shuffle would use — so a 1000-executor cluster splits state evenly
+provided keys are well-distributed (user_id / event_type are). Watermarks
+are the critical knob at scale: without one, windowed state grows
+unboundedly; with one, state is bounded by (watermark horizon × key
+cardinality).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# events table schema with ts already normalized to µs timestamp
+# (the batch path gets this from sources.files.read_table; a stream
+# reader needs it declared up front — no inference on streams).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based streaming source over an events directory (parquet).
+
+    Files appearing in ``path`` become micro-batches; the declared schema
+    keeps the scan inference-free. ``max_files_per_trigger`` throttles
+    batch size (backpressure knob for bursty arrival).
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation per event_type.
+
+    Streaming twin of ``queries.q_tumbling_window``. State per
+    (window, event_type) is dropped once the watermark passes the window
+    end — bounded state at any scale.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window event counts (overlapping windows; each row lands
+    in window/slide buckets)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows per user — gap-based, merged dynamically as events
+    arrive (streaming twin of the batch ``queries.q_sessionize``).
+
+    Session state merges on overlap and closes when the watermark passes
+    (last event + gap); closed sessions emit and free their state.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """At-least-once source dedup: drop repeats of ``keys`` arriving
+    within the watermark horizon. Unlike plain ``dropDuplicates`` on a
+    stream (state grows forever), state here is evicted once the
+    watermark passes — the only dedup that survives unbounded streams.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+# --- custom stateful operator: per-user running profile ----------------
+
+_STATE_SCHEMA = "n_events LONG, sum_value DOUBLE, last_ts TIMESTAMP"
+_OUTPUT_SCHEMA = (
+    "user_id LONG, n_events LONG, sum_value DOUBLE, last_ts TIMESTAMP"
+)
+
+
+def _update_user_state(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch's rows for one user into running state and
+    emit the updated profile. Arrow-batched — one call per (user, batch),
+    not per row."""
+    n, s, last = state.get if state.exists else (0, 0.0, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].fillna(0.0).sum())
+        batch_max = pdf["ts"].max()
+        if last is None or (batch_max is not None and batch_max > last):
+            last = batch_max
+    state.update((n, s, last))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "last_ts": [last]}
+    )
+
+
+def user_running_state(events: DataFrame) -> DataFrame:
+    """Custom stateful op via ``applyInPandasWithState``: per-user running
+    event count / value sum / last-seen timestamp, updated each micro-batch.
+
+    This is the escape hatch for semantics built-in streaming aggregates
+    can't express (model state, decayed counters, fraud scores). State is
+    partitioned by user_id in the state store — linear scale-out.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a stream with an available-now trigger into an in-memory
+    table; returns the batch DataFrame of results (test/verification
+    harness — production sinks are files/Kafka/JDBC)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,138 @@
+"""Streaming operators verified against their batch twins.
+
+The events table is staged as parquet files (ts normalized to µs
+timestamps, split into several files so availableNow produces real
+micro-batches), read back with ``readStream``, drained with an
+available-now trigger into memory, and compared to the identical
+aggregation computed in batch — streaming and batch must agree on
+append-complete data.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.files import read_table
+from bigbookapi_etl_with_airflow_and_snowflake_spark import streaming as S
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    read_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return read_table(spark, sf_dir, "events").cache()
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_window_matches_batch(spark, events_dir, events_batch):
+    stream = S.read_events_stream(spark, events_dir)
+    got = S.run_to_memory(
+        S.tumbling_window_counts(stream, "5 minutes", "10 minutes"), "t_tumble"
+    )
+    want = (
+        events_batch.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+    )
+    got = got.select(
+        "window_start", "event_type", "n_events", F.round("sum_value", 6).alias("sum_value")
+    )
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_sliding_window_matches_batch(spark, events_dir, events_batch):
+    stream = S.read_events_stream(spark, events_dir)
+    got = S.run_to_memory(
+        S.sliding_window_counts(stream, "10 minutes", "5 minutes"), "t_slide"
+    )
+    want = (
+        events_batch.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    cols = ["window_start", "event_type", "n_events"]
+    assert _rows(got, *cols) == _rows(want, *cols)
+    # each event lands in window/slide = 2 overlapping windows
+    assert (
+        got.agg(F.sum("n_events")).first()[0] == 2 * events_batch.count()
+    )
+
+
+def test_session_window_matches_batch(spark, events_dir, events_batch):
+    stream = S.read_events_stream(spark, events_dir)
+    got = S.run_to_memory(
+        S.session_window_stats(stream, "30 minutes", "30 minutes"), "t_sess"
+    )
+    want = (
+        events_batch.groupBy(
+            F.session_window("ts", "30 minutes").alias("sess"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+    cols = ["session_start", "user_id", "n_events"]
+    assert _rows(got, *cols) == _rows(want, *cols)
+    # every event is in exactly one session
+    assert got.agg(F.sum("n_events")).first()[0] == events_batch.count()
+
+
+def test_dedup_within_watermark(spark, events_dir, events_batch, tmp_path):
+    # duplicate the whole stream (simulated at-least-once source), then
+    # dedup on event_id — must recover the original cardinality
+    dup_dir = str(tmp_path / "dup")
+    events_batch.unionByName(events_batch).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(dup_dir)
+    stream = S.read_events_stream(spark, dup_dir)
+    got = S.run_to_memory(
+        S.dedup_within_watermark(stream, ["event_id"], "1 hour"),
+        "t_dedup",
+        output_mode="append",
+    )
+    assert got.count() == events_batch.count()
+    assert got.select("event_id").distinct().count() == events_batch.count()
+
+
+def test_user_running_state(spark, events_dir, events_batch):
+    stream = S.read_events_stream(spark, events_dir)
+    got = S.run_to_memory(
+        S.user_running_state(stream), "t_state", output_mode="update"
+    )
+    # final state per user (last update wins; with one pass a user may
+    # appear once per micro-batch — keep the max-count row)
+    final = (
+        got.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.max("ts").alias("last_ts")
+    )
+    cols = ["user_id", "n_events", "last_ts"]
+    assert _rows(final, *cols) == _rows(want, *cols)
