@@ -1,0 +1,72 @@
+"""Plan-shape assertions: lock the physical-plan properties that matter
+at 100 TB — filters reach the parquet scan, small dimensions broadcast,
+shuffle counts stay minimal, top-k avoids a full sort.
+
+These tests fail when a refactor silently degrades the plan (e.g. a
+broadcast join flips to sort-merge), independent of result correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigbookapi_etl_with_airflow_and_snowflake_spark import queries as Q
+from bigbookapi_etl_with_airflow_and_snowflake_spark.plans.introspect import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    shuffle_count,
+)
+
+
+def test_scan_filter_pushdown(spark, sf_dir):
+    df = Q.q_scan_filter_project(spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    plan = explain_str(df, "formatted")
+    # column pruning: the 16-col lineitem scan must read only what's used
+    assert "ReadSchema" in plan and "l_comment" not in plan
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    df = Q.q_region_revenue(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = explain_str(df, "simple")
+    # the dim chain must NOT shuffle the lineitem fact for the dim join;
+    # shuffles allowed: orders⋈lineitem, customer join, final groupBy
+    assert plan.count("SortMergeJoin") <= 2
+
+
+def test_shipping_priority_broadcasts(spark, sf_dir):
+    df = Q.q_shipping_priority(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = Q.q_topk_recent_events(spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(df, "simple")
+
+
+def test_groupby_has_partial_aggregation(spark, sf_dir):
+    df = Q.q_pricing_summary(spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    # map-side partial agg before the exchange halves the shuffle volume
+    assert "partial" in plan.lower()
+    assert shuffle_count(df) == 1  # one shuffle: the groupBy keys
+
+
+def test_pricing_summary_codegen(spark, sf_dir):
+    plan = explain_str(Q.q_pricing_summary(spark, sf_dir), "codegen")
+    assert "WholeStageCodegen" in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    df = Q.q_cosine_topk(spark, sf_dir)
+    # the candidate (big) side must never shuffle for the scoring join
+    assert has_broadcast_join(df)
+
+
+def test_dedup_exact_single_shuffle_key(spark, sf_dir):
+    df = Q.q_dedup_exact_docs(spark, sf_dir)
+    # groupBy(fp) + semi-join back share the fingerprint shuffle key
+    assert shuffle_count(df) <= 3
