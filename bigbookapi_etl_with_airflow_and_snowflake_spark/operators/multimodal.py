@@ -91,3 +91,96 @@ def extract_features(
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def resize_stub(payload: bytes, width: int, height: int, strict: bool = False) -> bytes:
+    """STUB image resize. The real path decodes with PIL/opencv, resizes,
+    re-encodes — none of which is in this container. The deterministic
+    fake re-samples the payload bytes to width×height by integer striding,
+    preserving the property tests rely on: output length == width*height
+    and identical inputs → identical outputs."""
+    if strict:
+        raise NotImplementedError("image resize requires codec libraries")
+    target = max(1, width * height)
+    if not payload:
+        return bytes(target)
+    n = len(payload)
+    return bytes(payload[(i * n) // target] for i in range(target))
+
+
+def frame_sample_stub(
+    payload: bytes, every_n: int = 10, frame_size: int = 64, strict: bool = False
+) -> list[bytes]:
+    """STUB video frame sampling (every Nth frame). Real path: ffmpeg
+    demux. The fake treats the payload as fixed-size frames and takes
+    every ``every_n``-th chunk — same output shape as the real thing."""
+    if strict:
+        raise NotImplementedError("frame sampling requires ffmpeg")
+    if not payload:
+        return []
+    frames = [
+        payload[i : i + frame_size] for i in range(0, len(payload), frame_size)
+    ]
+    return frames[::every_n]
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    width: int = 32,
+    height: int = 32,
+) -> DataFrame:
+    """Distributed image resize over binary payloads (mapInPandas;
+    decode stubbed). Output: (id, resized binary, n_bytes)."""
+    out_schema = f"{id_col} long, resized binary, n_bytes int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                resize_stub(
+                    p.encode("utf-8") if isinstance(p, str) else (bytes(p) if p is not None else b""),
+                    width,
+                    height,
+                )
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "resized": resized,
+                    "n_bytes": [len(r) for r in resized],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    every_n: int = 10,
+    frame_size: int = 64,
+) -> DataFrame:
+    """Distributed frame sampling: one output row per sampled frame
+    (id, frame_no, frame bytes) — the exploded shape downstream encoders
+    consume. Demux is stubbed; batching/explode plumbing is real."""
+    out_schema = f"{id_col} long, frame_no int, frame binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, frames = [], [], []
+            for rid, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = (
+                    p.encode("utf-8")
+                    if isinstance(p, str)
+                    else (bytes(p) if p is not None else b"")
+                )
+                for i, fr in enumerate(frame_sample_stub(raw, every_n, frame_size)):
+                    ids.append(rid)
+                    frame_nos.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame({id_col: ids, "frame_no": frame_nos, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

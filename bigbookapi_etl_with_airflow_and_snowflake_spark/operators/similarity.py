@@ -106,6 +106,33 @@ def knn_label_vote(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """N2 (embedding variant): exact cosine near-duplicate pairs —
+    all (id_a < id_b) pairs with similarity ≥ ``threshold``.
+
+    This exact form is the correctness oracle; at 100 TB the same
+    semantics run through :func:`lsh_topk`-style bucketing (hyperplane
+    buckets prune the pair space, exact rescore inside buckets) — see
+    ``queries.q_lsh_topk`` for the bucketed path.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    sim = cosine(F.col("vec_a"), F.col("vec_b"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (driver-side, tiny)."""
     import numpy as np

@@ -58,6 +58,20 @@ def word_shingles_from_tokens(t: Column, n: int = 3) -> Column:
     ).otherwise(empty)
 
 
+# BPE-ish pre-tokenization: letter runs, single digits, single
+# non-alnum marks — the split GPT-style byte-pair encoders apply before
+# merging. Pattern is RE2/Java-compatible (portable across engines).
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """N4 token counting, BPE-ish: counts the pre-tokenization pieces a
+    byte-pair encoder would start from (letters runs / digits / marks).
+    An upper bound on real BPE token count, computable JVM-side with no
+    vocab file."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+
+
 def stopword_hits(text: Column, words: list[str]) -> Column:
     """Number of tokens (with multiplicity) that are in ``words``."""
     return F.size(F.filter(tokens(text), lambda w: w.isin(*words)))

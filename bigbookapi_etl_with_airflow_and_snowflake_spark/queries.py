@@ -620,6 +620,177 @@ SELECT o_custkey AS custkey FROM orders
 """
 
 
+def q_promo_revenue(spark, sf):
+    """TPC-H Q14 shape: promo revenue share — lineitem ⋈ part with the
+    part dimension broadcast; two exact decimal sums, one IEEE division."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    one = F.lit(1).cast(_RATE)
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", _RATE))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+SQL_PROMO_REVENUE = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem, part WHERE l_partkey = p_partkey
+"""
+
+
+def q_late_ship_priority(spark, sf):
+    """TPC-H Q4 shape: per-priority counts of orders with ≥1 line shipped
+    >60 days after the order date — non-equi EXISTS as a left-semi join."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.timestamp_add("DAY", F.lit(60), o.o_orderdate)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_orders"))
+    )
+
+
+SQL_LATE_SHIP_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_orders_by_month(spark, sf):
+    """Date-function aggregation: month truncation + exact revenue."""
+    return (
+        _t(spark, sf, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+SQL_ORDERS_BY_MONTH = """
+SELECT date_trunc('month', o_orderdate) AS order_month, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_top_supplier_per_nation(spark, sf):
+    """Aggregate→window composition: each nation's top supplier by
+    exact lineitem revenue (rank-1 with deterministic tiebreak)."""
+    li = _t(spark, sf, "lineitem")
+    sup = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    one = F.lit(1).cast(_RATE)
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", _RATE)))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    enriched = (
+        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+    return (
+        enriched.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("n_name", "s_suppkey", "s_name", "revenue")
+    )
+
+
+SQL_TOP_SUPPLIER_PER_NATION = """
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_suppkey),
+r AS (SELECT n_name, s_suppkey, s_name, revenue,
+        ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey) AS rnk
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation ON s_nationkey = n_nationkey)
+SELECT n_name, s_suppkey, s_name, revenue FROM r WHERE rnk = 1
+"""
+
+
+def q_part_name_words(spark, sf):
+    """String functions + explode (lateral unnest): word frequencies of
+    part names, uppercased, with min/max retail price per word."""
+    p = _t(spark, sf, "part")
+    return (
+        p.select(
+            F.explode(F.split(F.col("p_name"), " ")).alias("word"),
+            "p_retailprice",
+        )
+        .groupBy(F.upper(F.col("word")).alias("word_uc"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+    )
+
+
+SQL_PART_NAME_WORDS = """
+SELECT UPPER(w.word) AS word_uc, COUNT(*) AS n_parts,
+       MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price
+FROM part, UNNEST(string_split(p_name, ' ')) AS w(word)
+GROUP BY 1
+"""
+
+
+def q_token_count_bpe(spark, sf):
+    """N4: BPE-ish pre-tokenization count per document."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", text.bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+SQL_TOKEN_COUNT_BPE = r"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_embedding_neardup(spark, sf):
+    """N2 (embedding variant): exact cosine near-dup pairs, sim ≥ 0.4."""
+    return similarity.embedding_neardup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.4
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ROUND(
+      list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      6) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4
+"""
+
+
 # ---------------------------------------------------------------------------
 # C. LLM-data-pipeline operators (SURVEY §2.5 N1-N5) on documents/embeddings
 # ---------------------------------------------------------------------------
@@ -876,6 +1047,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pivot_status": (q_pivot_status, SQL_PIVOT_STATUS),
     "intersect_custkeys": (q_intersect_custkeys, SQL_INTERSECT_CUSTKEYS),
     "except_custkeys": (q_except_custkeys, SQL_EXCEPT_CUSTKEYS),
+    "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
+    "late_ship_priority": (q_late_ship_priority, SQL_LATE_SHIP_PRIORITY),
+    "orders_by_month": (q_orders_by_month, SQL_ORDERS_BY_MONTH),
+    "top_supplier_per_nation": (q_top_supplier_per_nation, SQL_TOP_SUPPLIER_PER_NATION),
+    "part_name_words": (q_part_name_words, SQL_PART_NAME_WORDS),
     # C. LLM-data-pipeline
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
@@ -885,6 +1061,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_band_pairs": (q_minhash_band_pairs, SQL_MINHASH_BAND_PAIRS),
     "simhash": (q_simhash, None),
+    "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
     "lsh_topk": (q_lsh_topk, None),
