@@ -3,8 +3,9 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed to completion (count + collect of the final
-result) — timings include the full scan→shuffle→result path.
+Each query is executed to completion through the ``noop`` sink — every
+operator runs (scan→shuffle→projection), nothing is collected to the
+Python driver, so timings measure engine work, not driver serialization.
 """
 
 from __future__ import annotations
@@ -52,9 +53,8 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = registry[name]
         t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).collect()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        del rows
 
     total = round(sum(timings.values()), 4)
     print(
