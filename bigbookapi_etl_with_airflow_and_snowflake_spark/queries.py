@@ -565,6 +565,38 @@ SELECT event_id, user_id, ts, prev_view_ts FROM m WHERE event_type = 'purchase'
 """
 
 
+def q_asof_join_generic(spark, sf):
+    """Generic backward as-of join (operators/asof.py): each purchase
+    gets the latest view-at-or-before it per user — one windowed pass,
+    no quadratic range join."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, views, on="ts", by=["user_id"], payload_cols=["view_event_id"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("view_event_id_asof").alias("view_event_id")
+    )
+
+
+SQL_ASOF_JOIN_GENERIC = """
+WITH v AS (SELECT user_id, ts, MAX(event_id) AS view_event_id
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, v.view_event_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 def q_pivot_status(spark, sf):
     """Pivot: order counts per priority × status (missing cells → 0)."""
     piv = (
@@ -1044,6 +1076,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "asof_join_generic": (q_asof_join_generic, SQL_ASOF_JOIN_GENERIC),
     "pivot_status": (q_pivot_status, SQL_PIVOT_STATUS),
     "intersect_custkeys": (q_intersect_custkeys, SQL_INTERSECT_CUSTKEYS),
     "except_custkeys": (q_except_custkeys, SQL_EXCEPT_CUSTKEYS),
