@@ -37,6 +37,12 @@ BENCH_QUERIES = [
     "jaccard_pairs",
     "cosine_topk",
     "topk_recent_events",
+    "embedding_neardup",
+    "promo_revenue",
+    "late_ship_priority",
+    "top_supplier_per_nation",
+    "asof_join_generic",
+    "range_join_buckets",
 ]
 
 

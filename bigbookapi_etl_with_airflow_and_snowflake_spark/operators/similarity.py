@@ -154,38 +154,159 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _kmeans_centroids(
+    vectors: list[list[float]], n_clusters: int, seed: int = 42, iters: int = 10
+) -> list[list[float]]:
+    """Driver-side spherical k-means on a sample (tiny: n_clusters ≤
+    O(10³) centroids regardless of corpus size). Deterministic seed."""
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents.tolist()
+
+
+def _nearest_centroid_ids(vec: Column, cents: list[list[float]], n: int) -> Column:
+    """Ids of the ``n`` nearest centroids by dot product (descending)."""
+    sims = F.array(
+        *[dot(vec, F.array(*[F.lit(float(v)) for v in c])) for c in cents]
+    )
+    idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    ranked = F.reverse(
+        F.array_sort(
+            F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+        )
+    )
+    return F.transform(F.slice(ranked, 1, n), lambda p: p["i"])
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_size: int = 10_000,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index.
+
+    Train: driver-side spherical k-means on a bounded sample →
+    ``n_clusters`` centroids (a broadcast-sized model at any corpus
+    scale). Index: each candidate is assigned to its nearest centroid —
+    at rest this is the partition key, so a probe reads only its
+    clusters' partitions (partition pruning = the IVF "inverted
+    lists"). Search: each query probes its ``n_probe`` nearest
+    clusters; exact cosine rescoring runs only inside probed clusters,
+    touching ~n_probe/n_clusters of the corpus.
+
+    Recall < 1.0 by design; raise ``n_probe`` to trade compute for
+    recall (n_probe == n_clusters degenerates to exact brute force).
+    """
+    sample = [
+        r[0] for r in candidates.select(vec_col).limit(sample_size).collect()
+    ]
+    cents = _kmeans_centroids(sample, n_clusters, seed)
+
+    c = candidates.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        _nearest_centroid_ids(F.col(vec_col), cents, 1)[0].alias("cluster"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            _nearest_centroid_ids(F.col(vec_col), cents, n_probe)
+        ).alias("cluster"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "sim")
+    )
+
+
 def lsh_topk(
     candidates: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate cosine top-k via random-hyperplane LSH.
+    """Approximate cosine top-k via multi-table random-hyperplane LSH.
 
-    Both sides are bucketed by the sign pattern of ``n_planes``
-    hyperplane projections; the scoring join runs per-bucket, touching
-    ~n/2^planes of the candidate set per query instead of all of it.
-    The 100 TB path: the bucket column becomes the partition key, so
-    a query only reads its bucket's partitions (partition pruning).
+    ``n_tables`` independent hash tables of ``n_planes`` sign bits each
+    (OR-amplification): a candidate is scored if it shares a bucket with
+    the query in ANY table — per-table collision probability for angle θ
+    is (1−θ/π)^planes, and tables multiply the chance of catching true
+    neighbors while random pairs stay improbable. Each (table, bucket)
+    key joins independently; candidate pairs are deduped before the one
+    exact rescoring pass.
+
+    The 100 TB path: (table, bucket) becomes the partition key — a
+    query reads only its n_tables buckets' partitions (partition
+    pruning), ~n_tables·n/2^planes rows instead of n.
     """
-    planes = _hyperplanes(dim, n_planes, seed)
+    q_buckets = []
+    c_buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        bucket = F.concat(F.lit(f"{t}|"), lsh_bucket(F.col(vec_col), planes))
+        q_buckets.append(bucket)
+        c_buckets.append(bucket)
+
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.explode(F.array(*q_buckets)).alias("bucket"),
     )
     c = candidates.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.explode(F.array(*c_buckets)).alias("bucket"),
+    )
+    # candidate pairs from any table, deduped BEFORE the expensive rescore
+    pairs = (
+        c.select("n_id", "bucket")
+        .join(F.broadcast(q.select("q_id", "bucket")), "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("q_id") != F.col("n_id"))
+        pairs.join(candidates.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")), "n_id")
+        .join(
+            F.broadcast(
+                queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+            ),
+            "q_id",
+        )
         .select("q_id", "n_id", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))

@@ -597,6 +597,38 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
 
+def q_range_join_buckets(spark, sf):
+    """Keyed range join via bucket expansion (operators/rangejoin.py):
+    purchase events matched to their user's daily activity interval
+    [first event, last event] — hash join on (user, bucket), no
+    nested-loop blowup."""
+    from .operators.rangejoin import range_join
+
+    e = _t(spark, sf, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    intervals = (
+        e.groupBy("user_id", day)
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join(
+        purchases, intervals, "ts", "lo", "hi", by=["user_id"], bucket_width=3600
+    )
+    return out.select("event_id", "user_id", "ts", "day", "lo", "hi")
+
+
+SQL_RANGE_JOIN_BUCKETS = """
+WITH iv AS (
+  SELECT user_id, date_trunc('day', ts) AS day, MIN(ts) AS lo, MAX(ts) AS hi
+  FROM events GROUP BY 1, 2),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, iv.day, iv.lo, iv.hi
+FROM p JOIN iv ON p.user_id = iv.user_id AND p.ts >= iv.lo AND p.ts <= iv.hi
+"""
+
+
 def q_pivot_status(spark, sf):
     """Pivot: order counts per priority × status (missing cells → 0)."""
     piv = (
@@ -1024,9 +1056,17 @@ SELECT q_id, label AS pred_label FROM (
 def q_lsh_topk(spark, sf):
     """N3 scale path: hyperplane-LSH-bucketed approximate top-k
     (numpy-seeded planes — not SQL-reproducible; rows-only check,
-    recall vs brute force asserted in tests)."""
+    recall vs brute force asserted in tests/test_similarity.py)."""
     emb = _t(spark, sf, "embeddings")
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_ivf_topk(spark, sf):
+    """N3 scale path: IVF (k-means inverted-file) approximate top-k
+    (numpy-trained centroids — rows-only check; recall asserted in
+    tests/test_similarity.py)."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 def q_multimodal_bytes(spark, sf):
@@ -1077,6 +1117,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "asof_join_generic": (q_asof_join_generic, SQL_ASOF_JOIN_GENERIC),
+    "range_join_buckets": (q_range_join_buckets, SQL_RANGE_JOIN_BUCKETS),
     "pivot_status": (q_pivot_status, SQL_PIVOT_STATUS),
     "intersect_custkeys": (q_intersect_custkeys, SQL_INTERSECT_CUSTKEYS),
     "except_custkeys": (q_except_custkeys, SQL_EXCEPT_CUSTKEYS),
@@ -1099,6 +1140,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
     "lsh_topk": (q_lsh_topk, None),
+    "ivf_topk": (q_ivf_topk, None),
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
 }
 

@@ -1,0 +1,160 @@
+"""Property tests (SURVEY.md §5.2): coercion-semantics parity with the
+reference's Python/pandas behavior, and operator equivalence against
+naive implementations on randomized inputs.
+
+Spark sessions are expensive per-example, so each property batches all
+hypothesis-generated cases into ONE DataFrame and checks the whole
+batch in a single job.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.asof import asof_join
+from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.rangejoin import range_join
+
+
+# --- T5/T7 coercion parity: cast semantics == int(float(x)) / to_numeric ---
+
+def _ref_int_of_float(s):
+    """The reference's id coercion (scripts/transform.py:43):
+    int(float(x)) if x not null else None; ValueError → None (the row
+    would crash the reference, our engine nulls it — documented)."""
+    if s is None:
+        return None
+    try:
+        f = float(s)
+        if math.isnan(f) or math.isinf(f):
+            return None
+        return int(f)
+    except ValueError:
+        return None
+
+
+id_strings = st.one_of(
+    st.none(),
+    st.integers(-(2**53), 2**53).map(str),
+    st.floats(allow_nan=False, allow_infinity=False, width=32).map(str),
+    st.text(max_size=8),  # garbage → null
+    st.sampled_from(["3.0", "3.9", "-3.9", " 7 ", "1e3", "0x10", "", "NaN", "inf"]),
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(id_strings, min_size=1, max_size=50))
+def test_try_cast_matches_reference_coercion(spark, xs):
+    spark = spark
+    df = spark.createDataFrame([(x,) for x in xs], "s string")
+    got = [
+        r["v"]
+        for r in df.select(
+            F.col("s").try_cast("double").try_cast("long").alias("v")
+        ).collect()
+    ]
+    want = [_ref_int_of_float(x) for x in xs]
+    for g, w, x in zip(got, want, xs):
+        # Spark parses a few forms Python float() rejects or vice versa
+        # ("0x10", locale text) — both engines must agree null-or-value;
+        # where both parse, values must match exactly.
+        if g is not None and w is not None:
+            assert g == w, (x, g, w)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            st.text(max_size=5),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_numeric_coerce_nulls_garbage(spark, xs):
+    """pd.to_numeric(errors='coerce') parity: garbage → null, numbers
+    survive (reference scripts/transform.py:45)."""
+    spark = spark
+    rows = [(str(x) if x is not None else None,) for x in xs]
+    df = spark.createDataFrame(rows, "s string")
+    got = [r["v"] for r in df.select(F.col("s").try_cast("double").alias("v")).collect()]
+    for x, g in zip(xs, got):
+        if isinstance(x, float):
+            assert g is not None and abs(g - float(str(x))) < 1e-6
+        elif x is None:
+            assert g is None
+
+
+# --- operator equivalence vs naive forms --------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(  # trades: (key, t)
+        st.tuples(st.sampled_from("AB"), st.integers(0, 100)), min_size=1, max_size=25
+    ),
+    st.lists(  # quotes: (key, t, px)
+        st.tuples(st.sampled_from("AB"), st.integers(0, 100), st.integers(0, 999)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_asof_join_matches_naive(spark, trades, quotes):
+    spark = spark
+    tdf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(trades)], "k string, t long, tid long"
+    )
+    # dedupe quotes per (k, t) keeping max px — matches operator tiebreak
+    qbest: dict = {}
+    for k, t, px in quotes:
+        qbest[(k, t)] = max(qbest.get((k, t), -1), px)
+    qdf = spark.createDataFrame(
+        [(k, t, float(px)) for (k, t), px in qbest.items()] or [("Z", -1, 0.0)],
+        "k string, t long, px double",
+    )
+    got = {
+        r["tid"]: r["px_asof"]
+        for r in asof_join(tdf, qdf, on="t", by=["k"], payload_cols=["px"]).collect()
+    }
+    for i, (k, t) in enumerate(trades):
+        # naive: latest qt <= t wins
+        latest = max((qt for (qk, qt) in qbest if qk == k and qt <= t), default=None)
+        want = float(qbest[(k, latest)]) if latest is not None else None
+        assert got[i] == want, (i, k, t, got[i], want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.tuples(st.sampled_from("AB"), st.integers(0, 500)), min_size=1, max_size=20),
+    st.lists(
+        st.tuples(st.sampled_from("AB"), st.integers(0, 500), st.integers(0, 200)),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_range_join_matches_naive(spark, points, spans):
+    spark = spark
+    pdf = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(points)], "k string, v long, pid long"
+    )
+    idf = spark.createDataFrame(
+        [(k, lo, lo + w, j) for j, (k, lo, w) in enumerate(spans)],
+        "k string, lo long, hi long, iid long",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(pdf, idf, "v", "lo", "hi", by=["k"], bucket_width=64).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (pk, v) in enumerate(points)
+        for j, (ik, lo, w) in enumerate(spans)
+        if pk == ik and lo <= v <= lo + w
+    )
+    assert got == want
