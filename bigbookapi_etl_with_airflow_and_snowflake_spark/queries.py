@@ -404,6 +404,28 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_grouping_sets(spark, sf):
+    """GROUP BY GROUPING SETS through the SQL facade — per-status,
+    per-priority, and grand-total rows in one pass."""
+    from .sql import register_corpus
+
+    register_corpus(spark, sf)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def q_cube_flags(spark, sf):
     """GROUP BY CUBE over lineitem flags."""
     return (
@@ -1110,6 +1132,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "rollup_status": (q_rollup_status, SQL_ROLLUP_STATUS),
     "cube_flags": (q_cube_flags, SQL_CUBE_FLAGS),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "window_running": (q_window_running, SQL_WINDOW_RUNNING),
     "window_rank_lag": (q_window_rank_lag, SQL_WINDOW_RANK_LAG),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),

@@ -117,6 +117,69 @@ def test_dedup_within_watermark(spark, events_dir, events_batch, tmp_path):
     assert got.select("event_id").distinct().count() == events_batch.count()
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data policy: rows arriving behind the watermark are dropped.
+
+    Three files processed as separate micro-batches (maxFilesPerTrigger=1,
+    mtime-ordered): batch A has events at hour 1 and hour 10 (watermark
+    advances to hour 9 after A's commit), batch C keeps the stream
+    moving (watermark application lags one commit cycle — the hour-1
+    window is finalized and evicted at C's end), and batch B then
+    replays hour-1 events — behind the watermark, state gone, dropped.
+    The hour-1 window must count only A's two events."""
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "late"
+    d.mkdir()
+
+    def mk(ts_hours, ids):
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": ids,
+                    "user_id": [1] * len(ids),
+                    "event_type": ["view"] * len(ids),
+                    "ts": pd.Series(
+                        [pd.Timestamp("2025-01-01") + pd.Timedelta(hours=h) for h in ts_hours]
+                    ).astype("datetime64[us]"),
+                    "value": [1.0] * len(ids),
+                    "props": ["{}"] * len(ids),
+                }
+            ),
+            preserve_index=False,
+        )
+
+    pq.write_table(mk([1, 1, 10], [1, 2, 3]), str(d / "a.parquet"))
+    pq.write_table(mk([10], [7]), str(d / "c.parquet"))
+    pq.write_table(mk([1, 1, 1], [4, 5, 6]), str(d / "b.parquet"))
+    now = 1_700_000_000
+    for i, f in enumerate(("a.parquet", "c.parquet", "b.parquet")):
+        os.utime(d / f, (now + i * 100, now + i * 100))
+
+    stream = S.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    agg = S.tumbling_window_counts(stream, window="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {
+        r["window_start"]: r["n_events"] for r in spark.table("t_late").collect()
+    }
+    h1 = pd.Timestamp("2025-01-01 01:00:00")
+    # hour-1 window finalized with ONLY batch A's two events; batch B's
+    # three replayed events arrived behind the watermark and were dropped
+    assert out[h1] == 2
+    # the hour-10 window never finalized (watermark stops 1h behind it)
+    assert len(out) == 1
+
+
 def test_user_running_state(spark, events_dir, events_batch):
     stream = S.read_events_stream(spark, events_dir)
     got = S.run_to_memory(
