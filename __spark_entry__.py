@@ -6,7 +6,10 @@
               built Spark-first in
               ``bigbookapi_etl_with_airflow_and_snowflake_spark.queries``.
 ``oracle_sql`` — DuckDB-equivalent SQL per query (omitted only for ops
-              whose hashes are engine-specific: simhash, lsh_topk).
+              whose outputs are engine-specific by construction:
+              simhash (xxhash64 keys), lsh_topk / ivf_topk (seeded
+              random planes / centroids — their recall against exact
+              brute force is asserted in tests/test_similarity.py).
 """
 
 from __future__ import annotations

@@ -242,8 +242,12 @@ GROUP BY l_returnflag, l_linestatus
 def q_shipping_priority(spark, sf):
     """TPC-H Q3 shape: 3-way join → group → deterministic top-10.
 
-    Customer (small side) is broadcast; revenue is decimal-exact so the
-    top-10 cut is stable."""
+    Broadcast discipline: only the *bounded* side is hinted (the
+    segment-filtered customer list). The filtered-orders side SCALES
+    with the fact table — forcing a broadcast there melts a 100 TB run,
+    so its join strategy is left to AQE, which broadcasts at runtime
+    when (and only when) the actual size allows. Revenue is
+    decimal-exact so the top-10 cut is stable."""
     cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -257,7 +261,7 @@ def q_shipping_priority(spark, sf):
         F.broadcast(cust), orders.o_custkey == cust.c_custkey
     ).select("o_orderkey", "o_orderdate")
     return (
-        li.join(F.broadcast(bldg_orders), li.l_orderkey == bldg_orders.o_orderkey)
+        li.join(bldg_orders, li.l_orderkey == bldg_orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(revenue.cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -279,8 +283,10 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 def q_region_revenue(spark, sf):
     """TPC-H Q5 shape: 6-table star join → per-nation revenue.
 
-    Dimension chain region→nation→supplier is broadcast end-to-end; the
-    only shuffles are the orders⋈lineitem join and the final group-by."""
+    The bounded region→nation chain is broadcast into supplier; the
+    supplier-enriched dim side and the orders/customer joins scale with
+    the corpus, so their strategies are AQE's call (broadcast locally,
+    shuffle at 100 TB)."""
     region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf, "nation")
     supplier = _t(spark, sf, "supplier")
@@ -300,7 +306,7 @@ def q_region_revenue(spark, sf):
         ).select("s_suppkey", "s_nationkey", "n_name")
     )
     return (
-        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
@@ -327,7 +333,11 @@ GROUP BY n_name
 
 def q_join_enrich(spark, sf):
     """Broadcast-dim enrichment join: orders ⋈ customer ⋈ nation ⋈ region
-    → counts and exact revenue per (region, status)."""
+    → counts and exact revenue per (region, status).
+
+    nation⋈region is bounded (≤ a few hundred rows at any scale) →
+    forced broadcast. customer scales with the corpus → its joins are
+    left to AQE (runtime broadcast locally, shuffle join at 100 TB)."""
     orders = _t(spark, sf, "orders")
     customer = _t(spark, sf, "customer")
     nation = _t(spark, sf, "nation")
@@ -337,7 +347,7 @@ def q_join_enrich(spark, sf):
         customer.c_nationkey == F.col("n_nationkey"),
     ).select("c_custkey", "r_name")
     return (
-        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        orders.join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("r_name", "o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
@@ -401,6 +411,62 @@ SQL_ROLLUP_STATUS = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_above_nation_avg(spark, sf):
+    """Correlated-subquery shape, decorrelated: customers with balance
+    above their nation's average. The per-nation average is an exact
+    decimal sum / count (one IEEE division) computed once per nation via
+    a window — no second scan, no correlated re-execution."""
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey")
+    nat_avg = (
+        F.sum(_dec("c_acctbal")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return (
+        c.withColumn("nation_avg", nat_avg)
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_name", "c_acctbal", "nation_avg")
+    )
+
+
+SQL_ABOVE_NATION_AVG = """
+WITH a AS (
+  SELECT c_custkey, c_name, c_acctbal,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) OVER w AS DOUBLE)
+      / COUNT(*) OVER w AS nation_avg
+  FROM customer WINDOW w AS (PARTITION BY c_nationkey))
+SELECT c_custkey, c_name, c_acctbal, nation_avg
+FROM a WHERE c_acctbal > nation_avg
+"""
+
+
+def q_quantity_quartiles(spark, sf):
+    """Exact percentile aggregation: quartiles of the integer-valued
+    l_quantity per return flag (type-7 linear interpolation — both
+    engines sort exactly, interpolate identically on integer values)."""
+    li = _t(spark, sf, "lineitem")
+    pct = F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("q"))
+        .select(
+            "l_returnflag",
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p75"),
+        )
+    )
+
+
+SQL_QUANTITY_QUARTILES = """
+SELECT l_returnflag,
+  quantile_cont(l_quantity, 0.25) AS p25,
+  quantile_cont(l_quantity, 0.50) AS p50,
+  quantile_cont(l_quantity, 0.75) AS p75
+FROM lineitem GROUP BY l_returnflag
 """
 
 
@@ -707,13 +773,14 @@ SELECT o_custkey AS custkey FROM orders
 
 
 def q_promo_revenue(spark, sf):
-    """TPC-H Q14 shape: promo revenue share — lineitem ⋈ part with the
-    part dimension broadcast; two exact decimal sums, one IEEE division."""
+    """TPC-H Q14 shape: promo revenue share — lineitem ⋈ part; part
+    scales with the corpus so the join strategy is AQE's call. Two exact
+    decimal sums, one IEEE division."""
     li = _t(spark, sf, "lineitem")
     part = _t(spark, sf, "part")
     one = F.lit(1).cast(_RATE)
     rev = _dec("l_extendedprice") * (one - _dec("l_discount", _RATE))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     return joined.agg(
         (
             F.lit(100.0)
@@ -791,8 +858,9 @@ def q_top_supplier_per_nation(spark, sf):
             .alias("revenue")
         )
     )
+    # supplier scales → AQE decides; nation is bounded → forced broadcast
     enriched = (
-        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        rev.join(sup, rev.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
     )
     w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("s_suppkey"))
@@ -1133,6 +1201,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "rollup_status": (q_rollup_status, SQL_ROLLUP_STATUS),
     "cube_flags": (q_cube_flags, SQL_CUBE_FLAGS),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "above_nation_avg": (q_above_nation_avg, SQL_ABOVE_NATION_AVG),
+    "quantity_quartiles": (q_quantity_quartiles, SQL_QUANTITY_QUARTILES),
     "window_running": (q_window_running, SQL_WINDOW_RUNNING),
     "window_rank_lag": (q_window_rank_lag, SQL_WINDOW_RANK_LAG),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),

@@ -66,6 +66,27 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     assert has_broadcast_join(df)
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Date-partitioned storage → a date-filtered scan touches only its
+    partition directories (the 100 TB layout: without pruning, every
+    query reads the whole corpus)."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.files import write_parquet
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.files import read_table
+
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_parquet(events, path, partition_by=["day"])
+
+    one_day = events.select("day").distinct().orderBy("day").first()["day"]
+    scan = spark.read.parquet(path).filter(F.col("day") == F.lit(one_day))
+    plan = explain_str(scan, "formatted")
+    assert "PartitionFilters" in plan and "day" in plan
+    # pruned row count equals that day's rows
+    assert scan.count() == events.filter(F.col("day") == F.lit(one_day)).count()
+
+
 def test_dedup_exact_single_shuffle_key(spark, sf_dir):
     df = Q.q_dedup_exact_docs(spark, sf_dir)
     # groupBy(fp) + semi-join back share the fingerprint shuffle key

@@ -180,6 +180,45 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert len(out) == 1
 
 
+def test_checkpoint_restart_exactly_once(spark, events_batch, tmp_path):
+    """Fault-tolerance: a file-sink stream stopped and restarted from
+    its checkpoint processes new data exactly once — no duplicates, no
+    gaps. This is the recovery contract production streams rely on."""
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    first = events_batch.filter(F.col("event_id") % 2 == 0)
+    second = events_batch.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain():
+        q = (
+            S.read_events_stream(spark, str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # run 1: first half
+    assert spark.read.parquet(out).count() == first.count()
+
+    second.coalesce(1).write.mode("append").parquet(str(src))
+    drain()  # run 2: restart from checkpoint, sees only the new file
+
+    result = spark.read.parquet(out)
+    assert result.count() == events_batch.count()
+    assert result.select("event_id").distinct().count() == events_batch.count()
+
+    drain()  # run 3: nothing new → no duplicates
+    assert spark.read.parquet(out).count() == events_batch.count()
+
+
 def test_user_running_state(spark, events_dir, events_batch):
     stream = S.read_events_stream(spark, events_dir)
     got = S.run_to_memory(
