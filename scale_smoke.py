@@ -1,0 +1,123 @@
+"""Scale smoke: replicate the sf0.1 corpus N× (shifted primary keys,
+multi-file layout) and run headline queries — evidence that plans scale
+linearly rather than degrading (broadcast misuse, pair-space blowups,
+single-task stages all show up here long before a real cluster).
+
+Usage: python scale_smoke.py [multiplier] [out_json]
+Writes the replicated corpus under /tmp/spark_graft_scale_sf<mult> once
+and reuses it on later runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from bigbookapi_etl_with_airflow_and_snowflake_spark import queries as _q
+from bigbookapi_etl_with_airflow_and_snowflake_spark.session import get_spark
+from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.files import read_table
+
+BASE = "/root/testdata/sf0.1"
+
+# (table, primary-key columns to shift per copy). Foreign keys into the
+# dimension tables stay unshifted so joins keep their original fan-in.
+SHIFT_KEYS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "customer": [],
+    "supplier": [],
+    "part": [],
+    "nation": [],
+    "region": [],
+}
+
+QUERIES = [
+    "pricing_summary",
+    "region_revenue",
+    "shipping_priority",
+    "join_enrich",
+    "window_running",
+    "sessionize",
+    "tumbling_window",
+    "dedup_exact_docs",
+    "dedup_keep_first",
+    "minhash_band_pairs",
+    "jaccard_pairs",
+    "cosine_topk",
+    "embedding_neardup",
+    "asof_join_generic",
+    "range_join_buckets",
+    "topk_recent_events",
+]
+
+
+def build_corpus(spark, mult: int, out_dir: str) -> None:
+    for table, keys in SHIFT_KEYS.items():
+        dst = f"{out_dir}/{table}.parquet"
+        if os.path.exists(dst):
+            continue
+        df = read_table(spark, BASE, table, spread=False)
+        if keys:
+            span = df.agg(*[F.max(k) for k in keys]).first()
+            offsets = {k: int(span[i]) + 1 for i, k in enumerate(keys)}
+            copies = []
+            for c in range(mult):
+                cp = df
+                for k in keys:
+                    cp = cp.withColumn(k, F.col(k) + F.lit(c * offsets[k]))
+                copies.append(cp)
+            import functools
+
+            out = functools.reduce(lambda a, b: a.unionByName(b), copies)
+            out = out.repartition(32)
+        else:
+            out = df
+        out.write.mode("overwrite").parquet(dst)
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_json = sys.argv[2] if len(sys.argv) > 2 else None
+    corpus = f"/tmp/spark_graft_scale_sf{mult}"
+    spark = get_spark(app_name="scale-smoke")
+    build_corpus(spark, mult, corpus)
+
+    _q.q_count_audit(spark, corpus).collect()  # warm
+
+    timings: dict[str, float] = {}
+    registry = _q.queries()
+    for name in QUERIES:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            registry[name](spark, corpus).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        print(name, timings[name], flush=True)
+
+    result = {
+        "metric": "scale_smoke_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "multiplier": mult,
+        "base_sf": 0.1,
+    }
+    print(json.dumps(result))
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(result, f, indent=2)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
