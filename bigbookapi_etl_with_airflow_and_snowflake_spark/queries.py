@@ -11,7 +11,11 @@ value hashes, so results must be *value-identical*, not just close):
 - Sums of fractional doubles go through exact DECIMAL arithmetic
   (money → DECIMAL(12,2), rates → DECIMAL(4,2)) and cast to DOUBLE at
   the end: both engines then produce the same exact rational → the same
-  nearest double, independent of aggregation order.
+  nearest double, independent of aggregation order. (An integer-cents
+  LONG formulation measures ~2× faster — sums stay in codegen'd
+  primitives instead of the >18-digit BigDecimal accumulator — but its
+  long→double conversion double-rounds once sums pass 2⁵³, breaking
+  cross-engine value parity; exactness wins here.)
 - ``l_quantity`` is integer-valued, so plain double sums are exact.
 - Averages are ``CAST(exact_sum AS DOUBLE) / COUNT(*)`` — a single IEEE
   division, deterministic — never engine-native decimal division
@@ -411,6 +415,67 @@ SQL_ROLLUP_STATUS = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_forecast_revenue(spark, sf):
+    """TPC-H Q6 shape: single-table filter + global agg — the purest
+    pushdown test (all three predicates reach the parquet scan)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", _RATE))
+            .cast("double")
+            .alias("forecast_revenue")
+        )
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+  AS forecast_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.09 AND l_quantity < 24
+"""
+
+
+def q_returned_items(spark, sf):
+    """TPC-H Q10 shape: high-cardinality group-by key (customer) over a
+    3-way join, deterministic top-20 by exact lost revenue."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    one = F.lit(1).cast(_RATE)
+    rev = F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", _RATE)))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.cast("double").alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS lost_revenue
+FROM lineitem, orders, customer, nation
+WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey LIMIT 20
 """
 
 
@@ -1203,6 +1268,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "above_nation_avg": (q_above_nation_avg, SQL_ABOVE_NATION_AVG),
     "quantity_quartiles": (q_quantity_quartiles, SQL_QUANTITY_QUARTILES),
+    "forecast_revenue": (q_forecast_revenue, SQL_FORECAST_REVENUE),
+    "returned_items": (q_returned_items, SQL_RETURNED_ITEMS),
     "window_running": (q_window_running, SQL_WINDOW_RUNNING),
     "window_rank_lag": (q_window_rank_lag, SQL_WINDOW_RANK_LAG),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),

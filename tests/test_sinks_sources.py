@@ -112,6 +112,56 @@ def test_upsert_empty_input_is_noop(spark, tmp_path):
     assert tables == []
 
 
+# --- S4/K3: real JDBC round-trip against embedded Derby -----------------
+# (Derby ships in Spark's jars — a genuine df.write.jdbc/spark.read.jdbc
+# execution, not an options-only check. Array columns are Postgres-only
+# and stay covered by the options test above.)
+
+
+def test_jdbc_write_read_roundtrip_derby(spark, sf_dir, tmp_path):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.files import read_table
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.jdbc import (
+        jdbc_scan_options,
+        read_jdbc_table,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    nation = read_table(spark, sf_dir, "nation")
+    (
+        nation.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    # plain read-back
+    back = read_jdbc_table(
+        spark, url=url, dbtable="nation", driver=driver
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+    # partition-parallel scan: 4 bounded range queries, same rows
+    opts = jdbc_scan_options(
+        url, "nation", driver,
+        partition_column="n_nationkey", lower_bound=0, upper_bound=24,
+        num_partitions=4,
+    )
+    par = read_jdbc_table(spark, **opts)
+    assert par.rdd.getNumPartitions() == 4
+    assert sorted(map(tuple, par.collect())) == sorted(map(tuple, nation.collect()))
+
+    # predicate pushdown reaches the remote scan
+    filtered = read_jdbc_table(
+        spark, url=url, dbtable="nation", driver=driver
+    ).filter(F.col("n_regionkey") == 0)
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "n_regionkey" in plan
+
+
 # --- S1: paginated REST through a fake transport -----------------------
 
 
