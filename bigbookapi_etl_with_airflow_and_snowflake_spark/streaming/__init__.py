@@ -6,6 +6,7 @@ from .events import (  # noqa: F401
     run_to_memory,
     session_window_stats,
     sliding_window_counts,
+    stream_stream_join,
     tumbling_window_counts,
     user_running_state,
 )

@@ -154,6 +154,42 @@ def dedup_within_watermark(
     )
 
 
+def stream_stream_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to same-user views
+    that happened at most ``within`` before them.
+
+    Both sides are watermarked and the join carries an event-time range
+    condition — the two ingredients Structured Streaming needs to bound
+    join state: a view's row can be dropped from state once the
+    watermark guarantees no matching purchase can still arrive
+    (view_ts + within < watermark). Without the time bound, state grows
+    forever; with it, state ≈ (within + watermark) × arrival rate.
+    """
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (v.user_id == p.p_user_id)
+        & (p.purchase_ts >= v.view_ts)
+        & (p.purchase_ts <= v.view_ts + F.expr(f"INTERVAL {within}"))
+    )
+    return v.join(p, cond, "inner").select(
+        "purchase_id", "user_id", "purchase_ts", "view_id", "view_ts"
+    )
+
+
 # --- custom stateful operator: per-user running profile ----------------
 
 _STATE_SCHEMA = "n_events LONG, sum_value DOUBLE, last_ts TIMESTAMP"

@@ -180,6 +180,37 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert len(out) == 1
 
 
+def test_stream_stream_join_matches_batch(spark, events_dir, events_batch):
+    views_s = S.read_events_stream(spark, events_dir).filter(
+        F.col("event_type") == "view"
+    )
+    purch_s = S.read_events_stream(spark, events_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = S.run_to_memory(
+        S.stream_stream_join(views_s, purch_s, within="1 hour"),
+        "t_ssj",
+        output_mode="append",
+    )
+    v = events_batch.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    p = events_batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = v.join(
+        p,
+        (v.user_id == p.p_user_id)
+        & (p.purchase_ts >= v.view_ts)
+        & (p.purchase_ts <= v.view_ts + F.expr("INTERVAL 1 hour")),
+    ).select("purchase_id", "view_id")
+    cols = ["purchase_id", "view_id"]
+    assert _rows(got, *cols) == _rows(want, *cols)
+    assert got.count() > 0  # the corpus must actually exercise the join
+
+
 def test_checkpoint_restart_exactly_once(spark, events_batch, tmp_path):
     """Fault-tolerance: a file-sink stream stopped and restarted from
     its checkpoint processes new data exactly once — no duplicates, no
