@@ -1249,6 +1249,30 @@ def q_ivf_topk(spark, sf):
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_approx_distinct_users(spark, sf):
+    """Sketch: HyperLogLog++ distinct users per event type (mergeable,
+    O(1/rsd²) state per group — engine-specific values, rows-only check;
+    error bound vs exact asserted in tests/test_merge_sketch.py)."""
+    from .operators.sketch import approx_distinct
+
+    return approx_distinct(
+        _t(spark, sf, "events"), "user_id", ["event_type"], rsd=0.02
+    )
+
+
+def q_approx_price_quantiles(spark, sf):
+    """Sketch: Greenwald-Khanna price quantiles per return flag
+    (rows-only check; rank-error bound asserted in tests)."""
+    from .operators.sketch import approx_quantiles
+
+    return approx_quantiles(
+        _t(spark, sf, "lineitem"),
+        "l_extendedprice",
+        (0.25, 0.5, 0.75),
+        group_by=["l_returnflag"],
+    )
+
+
 def q_multimodal_bytes(spark, sf):
     """N5: opaque-binary column plumbing — byte length + portable
     content hash survive a binary round-trip."""
@@ -1328,6 +1352,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "lsh_topk": (q_lsh_topk, None),
     "ivf_topk": (q_ivf_topk, None),
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
+    "approx_distinct_users": (q_approx_distinct_users, None),
+    "approx_price_quantiles": (q_approx_price_quantiles, None),
 }
 
 

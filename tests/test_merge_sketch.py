@@ -1,0 +1,104 @@
+"""Tests: idempotent parquet merge sink; sketch error bounds vs exact."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.sketch import (
+    approx_distinct,
+    approx_quantiles,
+)
+from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.merge import merge_parquet
+from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.files import read_table
+
+
+# --- merge sink ---------------------------------------------------------
+
+
+def test_merge_creates_then_updates(spark, tmp_path):
+    path = str(tmp_path / "models")
+    v1 = spark.createDataFrame(
+        [("m1", "a", "2026-01-01"), ("m2", "b", "2026-01-02")],
+        "model_id string, author string, updated string",
+    )
+    assert merge_parquet(spark, v1, path, ["model_id"]) == 2
+
+    # overlapping key: incoming wins; new key: appended
+    v2 = spark.createDataFrame(
+        [("m1", "a2", "2026-02-01"), ("m3", "c", "2026-02-02")],
+        "model_id string, author string, updated string",
+    )
+    assert merge_parquet(spark, v2, path, ["model_id"]) == 3
+    rows = {r["model_id"]: r["author"] for r in spark.read.parquet(path).collect()}
+    assert rows == {"m1": "a2", "m2": "b", "m3": "c"}
+
+
+def test_merge_rerun_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "books")
+    df = read_table(spark, "/root/testdata/sf0.001", "nation")
+    n1 = merge_parquet(spark, df, path, ["n_nationkey"])
+    n2 = merge_parquet(spark, df, path, ["n_nationkey"])  # the rerun case
+    assert n1 == n2 == 25
+    assert spark.read.parquet(path).count() == 25
+
+
+def test_merge_recency_ordering(spark, tmp_path):
+    path = str(tmp_path / "hist")
+    old = spark.createDataFrame(
+        [("k", 1, "2026-01-05")], "id string, v long, ts string"
+    )
+    merge_parquet(spark, old, path, ["id"])
+    # an incoming row OLDER than the stored one must lose under a
+    # recency ordering
+    stale = spark.createDataFrame(
+        [("k", 99, "2026-01-01")], "id string, v long, ts string"
+    )
+    merge_parquet(spark, stale, path, ["id"], order_by=[F.desc("ts")])
+    assert spark.read.parquet(path).first()["v"] == 1
+
+
+# --- sketches -----------------------------------------------------------
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    got = approx_distinct(e, "user_id", rsd=0.02).first()["approx_distinct"]
+    exact = e.select("user_id").distinct().count()
+    assert abs(got - exact) / exact <= 0.06  # 3×rsd
+
+
+def test_approx_distinct_grouped(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders")
+    got = {
+        r["o_orderstatus"]: r["approx_distinct"]
+        for r in approx_distinct(o, "o_custkey", ["o_orderstatus"], rsd=0.02).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k] - exact[k]) / max(exact[k], 1) <= 0.06
+
+
+def test_approx_quantiles_rank_error(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    got = approx_quantiles(li, "l_extendedprice", (0.5,), accuracy=10_000).first()["q50"]
+    # rank of the sketch's answer must be within 1/accuracy of the true rank
+    n = li.count()
+    rank = li.filter(F.col("l_extendedprice") <= got).count()
+    assert abs(rank / n - 0.5) <= 0.01
+
+
+def test_approx_quantiles_grouped_shape(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    out = approx_quantiles(li, "l_quantity", (0.25, 0.5, 0.75), group_by=["l_returnflag"])
+    rows = out.collect()
+    assert {c for c in out.columns} == {"l_returnflag", "q25", "q50", "q75"}
+    for r in rows:
+        assert r["q25"] <= r["q50"] <= r["q75"]
