@@ -1174,6 +1174,40 @@ FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
 
 
+def q_part_name_editdist(spark, sf):
+    """N2 (edit-distance variant): near-identical part names by
+    Levenshtein ≤ 2. Length-band prefilter (|len(a)−len(b)| ≤ 2 — a
+    lower bound on edit distance) prunes the pair space before the
+    O(len²) distance runs; at corpus scale the band becomes the join
+    key (each name joins only its ±2 length bands)."""
+    p = _t(spark, sf, "part").select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"))
+    cand = a.join(
+        b,
+        (F.col("id_a") < F.col("id_b"))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b")) <= 2
+        ),
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )
+
+
+SQL_PART_NAME_EDITDIST = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 def q_simhash(spark, sf):
     """N2: SimHash keys (xxhash64-based — engine-specific; rows-only check)."""
     return neardup.simhash(_t(spark, sf, "documents"))
@@ -1345,6 +1379,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_band_pairs": (q_minhash_band_pairs, SQL_MINHASH_BAND_PAIRS),
     "simhash": (q_simhash, None),
+    "part_name_editdist": (q_part_name_editdist, SQL_PART_NAME_EDITDIST),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
