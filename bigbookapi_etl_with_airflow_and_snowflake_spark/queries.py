@@ -479,6 +479,48 @@ ORDER BY lost_revenue DESC, c_custkey LIMIT 20
 """
 
 
+def q_nation_trade_volume(spark, sf):
+    """TPC-H Q7 shape: trade volume between nation pairs — the fact
+    table resolves through TWO independent dimension chains (supplier
+    nation and customer nation), both bounded → broadcast; one shuffle
+    for the orders join, one for the final group-by."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    sup = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    one = F.lit(1).cast(_RATE)
+    volume = F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", _RATE)))
+    supp_nat = sup.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        sup.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    cust_nat = cust.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))),
+        cust.c_nationkey == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
+        .join(cust_nat, orders.o_custkey == cust_nat.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(volume.cast("double").alias("volume"), F.count("*").alias("n_items"))
+    )
+
+
+SQL_NATION_TRADE_VOLUME = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume,
+  COUNT(*) AS n_items
+FROM lineitem, orders, customer, supplier, nation sn, nation cn
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+  AND s_nationkey = sn.n_nationkey AND c_nationkey = cn.n_nationkey
+  AND sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name
+"""
+
+
 def q_above_nation_avg(spark, sf):
     """Correlated-subquery shape, decorrelated: customers with balance
     above their nation's average. The per-nation average is an exact
@@ -1353,6 +1395,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "quantity_quartiles": (q_quantity_quartiles, SQL_QUANTITY_QUARTILES),
     "forecast_revenue": (q_forecast_revenue, SQL_FORECAST_REVENUE),
     "returned_items": (q_returned_items, SQL_RETURNED_ITEMS),
+    "nation_trade_volume": (q_nation_trade_volume, SQL_NATION_TRADE_VOLUME),
     "window_running": (q_window_running, SQL_WINDOW_RUNNING),
     "window_rank_lag": (q_window_rank_lag, SQL_WINDOW_RANK_LAG),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
