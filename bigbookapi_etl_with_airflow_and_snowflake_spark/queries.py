@@ -479,6 +479,46 @@ ORDER BY lost_revenue DESC, c_custkey LIMIT 20
 """
 
 
+def q_branded_discount_revenue(spark, sf):
+    """TPC-H Q19 shape: disjunctive multi-attribute predicates over the
+    join — Catalyst extracts the common `l_partkey = p_partkey` conjunct
+    into the join key and pushes the brand/size/quantity disjunction
+    below, so the OR never forces a nested-loop plan."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    one = F.lit(1).cast(_RATE)
+    cond = (li.l_partkey == part.p_partkey) & (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 35))
+        )
+    )
+    return li.join(part, cond).agg(
+        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", _RATE)))
+        .cast("double")
+        .alias("discounted_revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_BRANDED_DISCOUNT_REVENUE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS discounted_revenue,
+  COUNT(*) AS n_items
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND ((p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+    OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35))
+"""
+
+
 def q_nation_trade_volume(spark, sf):
     """TPC-H Q7 shape: trade volume between nation pairs — the fact
     table resolves through TWO independent dimension chains (supplier
@@ -1396,6 +1436,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "forecast_revenue": (q_forecast_revenue, SQL_FORECAST_REVENUE),
     "returned_items": (q_returned_items, SQL_RETURNED_ITEMS),
     "nation_trade_volume": (q_nation_trade_volume, SQL_NATION_TRADE_VOLUME),
+    "branded_discount_revenue": (q_branded_discount_revenue, SQL_BRANDED_DISCOUNT_REVENUE),
     "window_running": (q_window_running, SQL_WINDOW_RUNNING),
     "window_rank_lag": (q_window_rank_lag, SQL_WINDOW_RANK_LAG),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
