@@ -680,6 +680,65 @@ FROM lineitem
 """
 
 
+def q_dq_report(spark, sf):
+    """Data-quality validation: one-pass expectation report over orders
+    (null rates, ranges, status domain, key uniqueness)."""
+    from .operators.quality import in_range, matches, not_null, validate
+
+    return validate(
+        _t(spark, sf, "orders"),
+        [
+            not_null("o_custkey"),
+            not_null("o_orderdate"),
+            in_range("o_totalprice", 0, 1_000_000),
+            matches("o_orderstatus", "^[FOP]$"),
+        ],
+        unique_key="o_orderkey",
+    )
+
+
+SQL_DQ_REPORT = """
+WITH checks AS (
+  SELECT COUNT(*) AS n_rows,
+    COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS o_custkey_null,
+    COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) AS o_orderdate_null,
+    COUNT(CASE WHEN o_totalprice IS NOT NULL
+               AND o_totalprice NOT BETWEEN 0 AND 1000000 THEN 1 END)
+      AS o_totalprice_out_of_range,
+    COUNT(CASE WHEN o_orderstatus IS NOT NULL
+               AND NOT regexp_matches(o_orderstatus, '^[FOP]$') THEN 1 END)
+      AS o_orderstatus_bad_format
+  FROM orders),
+dups AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT)
+    AS o_orderkey_duplicates
+  FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey))
+SELECT * FROM checks, dups
+"""
+
+
+def q_window_percentiles(spark, sf):
+    """Distribution window functions: ntile / percent_rank / cume_dist
+    of account balance within each market segment."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+SQL_WINDOW_PERCENTILES = """
+SELECT c_custkey, c_mktsegment,
+  NTILE(4) OVER w AS balance_quartile,
+  PERCENT_RANK() OVER w AS pct_rank,
+  CUME_DIST() OVER w AS cume
+FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
 def q_window_rank_lag(spark, sf):
     """Ranking + offset window functions per user event stream."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1439,6 +1498,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "branded_discount_revenue": (q_branded_discount_revenue, SQL_BRANDED_DISCOUNT_REVENUE),
     "window_running": (q_window_running, SQL_WINDOW_RUNNING),
     "window_rank_lag": (q_window_rank_lag, SQL_WINDOW_RANK_LAG),
+    "window_percentiles": (q_window_percentiles, SQL_WINDOW_PERCENTILES),
+    "dq_report": (q_dq_report, SQL_DQ_REPORT),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),

@@ -154,6 +154,39 @@ def dedup_within_watermark(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension.
+
+    The static side is re-planned per micro-batch (a dimension updated
+    between batches is picked up automatically) and needs no watermark —
+    no state is kept. The standard pattern for attaching user/account
+    attributes to an event stream; broadcast applies exactly as in
+    batch."""
+    return events.join(dim, on, "left")
+
+
+def foreach_batch_upsert(stream_df: DataFrame, writer, checkpoint: str):
+    """Streaming → idempotent JDBC upsert via ``foreachBatch``: each
+    micro-batch runs the K6 distributed upsert inside the streaming
+    commit protocol. Because the sink is keyed and idempotent, a batch
+    replayed after a failure rewrites the same rows — end-to-end
+    effectively-once without a transactional sink.
+
+    Returns the started StreamingQuery (caller awaits)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        writer.write(batch_df)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_stream_join(
     views: DataFrame,
     purchases: DataFrame,

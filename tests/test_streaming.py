@@ -250,6 +250,62 @@ def test_checkpoint_restart_exactly_once(spark, events_batch, tmp_path):
     assert spark.read.parquet(out).count() == events_batch.count()
 
 
+def test_stream_static_enrich(spark, events_dir, events_batch):
+    dim = events_batch.select("user_id").distinct().withColumn(
+        "tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+    )
+    got = S.run_to_memory(
+        S.stream_static_enrich(S.read_events_stream(spark, events_dir), dim),
+        "t_enrich",
+        output_mode="append",
+    )
+    assert got.count() == events_batch.count()
+    assert got.filter(F.col("tier").isNull()).count() == 0
+    bad = got.filter(
+        ((F.col("user_id") % 2 == 0) & (F.col("tier") != "even"))
+        | ((F.col("user_id") % 2 == 1) & (F.col("tier") != "odd"))
+    )
+    assert bad.count() == 0
+
+
+def test_streaming_foreach_batch_upsert(spark, events_dir, events_batch, tmp_path):
+    """Streaming → K6 idempotent upsert: dedup state flows through the
+    keyed sink; a full re-run (fresh checkpoint, same data) rewrites the
+    same rows — effectively-once end to end."""
+    import sqlite3
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.jdbc import (
+        JdbcUpsertWriter,
+    )
+
+    db = str(tmp_path / "events.db")
+    writer = JdbcUpsertWriter(
+        lambda path=db: sqlite3.connect(path, timeout=30),
+        table="latest_events",
+        key_cols=["event_id"],
+        paramstyle="?",
+        ensure_columns=[
+            ("event_id", "BIGINT"),
+            ("user_id", "BIGINT"),
+            ("event_type", "VARCHAR(32)"),
+        ],
+    )
+
+    def run(ckpt):
+        stream = S.read_events_stream(spark, events_dir).select(
+            "event_id", "user_id", "event_type"
+        )
+        q = S.foreach_batch_upsert(stream, writer, str(tmp_path / ckpt))
+        q.awaitTermination()
+
+    run("ckpt1")
+    run("ckpt2")  # full replay with a fresh checkpoint: same end state
+    con = sqlite3.connect(db)
+    n = con.execute("SELECT COUNT(*) FROM latest_events").fetchone()[0]
+    con.close()
+    assert n == events_batch.count()
+
+
 def test_user_running_state(spark, events_dir, events_batch):
     stream = S.read_events_stream(spark, events_dir)
     got = S.run_to_memory(
