@@ -680,6 +680,72 @@ FROM lineitem
 """
 
 
+def q_funnel_counts(spark, sf):
+    """Funnel analysis: users reaching each stage of view → click →
+    purchase in strict temporal order. Stage k's min-timestamp is
+    computed per user, and stage k+1 admits only later events — three
+    keyed aggregations, no window state."""
+    e = _t(spark, sf, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    k = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("k_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(k, "user_id")
+        .filter(F.col("ts") > F.col("k_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(k.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+SQL_FUNNEL_COUNTS = """
+WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+k AS (SELECT e.user_id, MIN(e.ts) AS k_ts FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e JOIN k USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > k.k_ts GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM k) AS n_click_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+"""
+
+
+def q_top_ngrams(spark, sf):
+    """Corpus statistics: top-20 word 3-grams by document frequency
+    (deterministic tiebreak on the shingle text)."""
+    sh = neardup.shingle_table(_t(spark, sf, "documents"))
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("shingle"))
+        .limit(20)
+    )
+
+
+SQL_TOP_NGRAMS = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3)
+SELECT shingle, COUNT(*) AS n_docs FROM sh
+GROUP BY shingle ORDER BY n_docs DESC, shingle LIMIT 20
+"""
+
+
 def q_dq_report(spark, sf):
     """Data-quality validation: one-pass expectation report over orders
     (null rates, ranges, status domain, key uniqueness)."""
@@ -1500,6 +1566,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_rank_lag": (q_window_rank_lag, SQL_WINDOW_RANK_LAG),
     "window_percentiles": (q_window_percentiles, SQL_WINDOW_PERCENTILES),
     "dq_report": (q_dq_report, SQL_DQ_REPORT),
+    "funnel_counts": (q_funnel_counts, SQL_FUNNEL_COUNTS),
+    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
