@@ -882,6 +882,52 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_streaming_tumbling(spark, sf):
+    """N6 under the oracle gate: the events table staged as a file
+    stream, run through the watermarked tumbling-window aggregation
+    (Structured Streaming, available-now trigger), drained to a batch
+    result. On append-complete data the streaming answer must equal the
+    batch SQL — which is exactly what the DuckDB oracle checks."""
+    import os
+    import uuid
+
+    from .streaming import read_events_stream, tumbling_window_counts
+
+    # always restage: a stale dir from an earlier corpus would silently
+    # change results, and the write is ~1 s at driver scales
+    stage = f"/tmp/spark_graft_stream_stage_{os.path.basename(sf.rstrip('/'))}"
+    _t(spark, sf, "events").repartition(4).write.mode("overwrite").parquet(stage)
+    name = f"q_stream_tumble_{uuid.uuid4().hex[:8]}"
+    agg = tumbling_window_counts(
+        read_events_stream(spark, stage), window="5 minutes", watermark="10 minutes"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+    )
+
+
+SQL_STREAMING_TUMBLING = """
+SELECT make_timestamp(epoch_us(ts) - (epoch_us(ts) % 300000000)) AS window_start,
+       event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_json_extract(spark, sf):
     """JSON field extraction from a string column (events.props)."""
     return _t(spark, sf, "events").select(
@@ -1570,6 +1616,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
+    "streaming_tumbling": (q_streaming_tumbling, SQL_STREAMING_TUMBLING),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "asof_join_generic": (q_asof_join_generic, SQL_ASOF_JOIN_GENERIC),
