@@ -1652,6 +1652,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
+from .queries_ext import EXT_REGISTRY  # noqa: E402  (registry merge)
+
+REGISTRY.update(EXT_REGISTRY)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

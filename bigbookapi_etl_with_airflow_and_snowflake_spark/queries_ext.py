@@ -1,0 +1,793 @@
+"""Extended query registry: full TPC-H query-shape coverage + LLM
+training-data-pipeline operators.
+
+The reference implements no joins/aggregations at all (SURVEY.md §2.5),
+so these are the "standard relational completions" of the build plan —
+every remaining TPC-H query shape (Q2, Q4, Q8, Q9, Q11, Q12, Q13, Q15,
+Q16, Q17, Q18, Q20, Q21, Q22), adapted to the driver corpus (which has
+no ``partsupp`` table — part↔supplier relationships come from
+``lineitem``), plus the data-curation operators a 100 TB training
+pipeline needs: deterministic splits, stratified sampling, test-set
+decontamination, PII scrubbing, repetition stats, length histograms.
+
+Same hash-parity conventions as queries.py: money sums through exact
+DECIMAL, ratios as single IEEE divisions of exact values, counts via
+COUNT (BIGINT both engines), deterministic top-k tiebreaks, identical
+aliases in both dialects. Hash-bucket assignment (splits/samples) uses
+md5 hex compared/ordered lexicographically — portable across engines,
+unlike engine-native hash().
+
+Scale notes are per-query docstrings; the common rules: bounded dims
+(region/nation and scalar aggregates) are broadcast explicitly,
+corpus-scaled joins are left to AQE, aggregations are map-side partial
+by construction (groupBy on built-in aggs), and every "IN (subquery)"
+becomes a semi/anti join (no driver-side collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators import neardup
+from .sources.files import read_table
+
+_t = read_table
+_MONEY = "decimal(12,2)"
+_RATE = "decimal(4,2)"
+
+
+def _dec(col: str, typ: str = _MONEY):
+    return F.col(col).cast(typ)
+
+
+def _rev():
+    """Exact decimal revenue expression l_extendedprice*(1-l_discount)."""
+    one = F.lit(1).cast(_RATE)
+    return _dec("l_extendedprice") * (one - _dec("l_discount", _RATE))
+
+
+_SQL_REV = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Relational completions: remaining TPC-H query shapes
+# ---------------------------------------------------------------------------
+
+
+def q_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape: cheapest supplier per small part (correlated-MIN
+    subquery → aggregate + self-join).
+
+    Scale: per-part MIN is a map-side-partial groupBy (narrow shuffle on
+    l_partkey); the join back to lineitem reuses the same key so AQE can
+    co-partition. part/supplier joins scale with the corpus — AQE's
+    call. MIN of doubles is exact (no accumulation), so the price
+    equality is portable."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_size") <= 5)
+    sup = _t(spark, sf, "supplier")
+    mins = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    cheapest = li.join(
+        mins,
+        (li.l_partkey == mins.pk) & (li.l_extendedprice == mins.min_price),
+    ).select("l_partkey", "l_suppkey", "min_price")
+    return (
+        cheapest.join(part, cheapest.l_partkey == part.p_partkey)
+        .join(sup, cheapest.l_suppkey == sup.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "min_price")
+        .distinct()
+    )
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH mins AS (SELECT l_partkey AS pk, MIN(l_extendedprice) AS min_price
+              FROM lineitem GROUP BY l_partkey)
+SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, min_price
+FROM lineitem, mins, part, supplier
+WHERE l_partkey = pk AND l_extendedprice = min_price
+  AND l_partkey = p_partkey AND l_suppkey = s_suppkey AND p_size <= 5
+"""
+
+
+def q_priority_exists_orders(spark, sf):
+    """TPC-H Q4 shape: order-priority counts where EXISTS a lineitem
+    shipped >60 days after the order date (semi join with a non-equi
+    residual on the equi hash join).
+
+    Scale: the date filter prunes orders at the scan; the semi join
+    shuffles both sides on orderkey once and emits at most one match per
+    order (no fan-out)."""
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_PRIORITY_EXISTS_ORDERS = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_market_share(spark, sf):
+    """TPC-H Q8 shape: one supplier-nation's share of revenue to a
+    customer region, per order year.
+
+    Scale: region→nation chains are bounded (25 rows) and broadcast to
+    both the customer and supplier sides; the lineitem⋈orders⋈customer
+    spine is the scaled path. Share = one IEEE division of two exact
+    decimal sums per year."""
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    cust_nat = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    sup_nat = F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), "n_name"))
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = _t(spark, sf, "customer")
+    supplier = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem")
+    zero = F.lit(0).cast(_MONEY)
+    nat_rev = F.when(F.col("n_name") == "NATION_7", _rev()).otherwise(zero)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(cust_nat, F.col("c_nationkey") == F.col("cn_key"))
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(sup_nat, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(nat_rev).cast("double") / F.sum(_rev()).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+SQL_MARKET_SHARE = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+  CAST(SUM(CASE WHEN n2.n_name = 'NATION_7' THEN {_SQL_REV}
+                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+    / CAST(SUM({_SQL_REV}) AS DOUBLE) AS mkt_share
+FROM lineitem, orders, customer, nation n1, region, supplier, nation n2
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_year
+"""
+
+
+def q_product_profit(spark, sf):
+    """TPC-H Q9 shape: profit (revenue − retail cost of goods) by
+    supplier nation and ship year, for one part type.
+
+    Scale: part filter prunes before the join; nation is broadcast;
+    lineitem⋈part⋈supplier is the scaled spine. All arithmetic stays in
+    exact decimals until the final cast."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_type") == "STANDARD")
+    supplier = _t(spark, sf, "supplier")
+    nation = F.broadcast(_t(spark, sf, "nation"))
+    amount = _rev() - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("l_shipdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
+
+
+SQL_PRODUCT_PROFIT = f"""
+SELECT n_name, CAST(EXTRACT(year FROM l_shipdate) AS INT) AS o_year,
+  CAST(SUM({_SQL_REV}
+      - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))
+    AS DOUBLE) AS profit
+FROM lineitem, part, supplier, nation
+WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey AND p_type = 'STANDARD'
+GROUP BY n_name, o_year
+"""
+
+
+def q_important_parts(spark, sf):
+    """TPC-H Q11 shape: parts whose total lineitem value exceeds a
+    fraction of the corpus total (HAVING > scalar subquery).
+
+    Scale: two map-side-partial aggregations over the same scan; the
+    1-row global total is broadcast into the filter — no second pass
+    over per-part groups, no driver collect."""
+    li = _t(spark, sf, "lineitem")
+    frac = F.lit("0.001").cast("decimal(4,3)")
+    pv = li.groupBy("l_partkey").agg(F.sum(_dec("l_extendedprice")).alias("value"))
+    thr = li.agg((F.sum(_dec("l_extendedprice")) * frac).alias("thr"))
+    return (
+        pv.join(F.broadcast(thr))
+        .filter(F.col("value") > F.col("thr"))
+        .select("l_partkey", F.col("value").cast("double").alias("part_value"))
+    )
+
+
+SQL_IMPORTANT_PARTS = """
+WITH pv AS (SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value
+            FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, CAST(value AS DOUBLE) AS part_value FROM pv
+WHERE value > (SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                 * CAST(0.001 AS DECIMAL(4,3)) FROM lineitem)
+"""
+
+
+def q_priority_line_counts(spark, sf):
+    """TPC-H Q12 shape: high/low-priority order counts per line status
+    for one ship year (conditional aggregation after an equi join)."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_PRIORITY_LINE_COUNTS = """
+SELECT l_linestatus,
+  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey
+  AND l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q_cust_order_distribution(spark, sf):
+    """TPC-H Q13 shape: distribution of customers by order count,
+    including zero-order customers (LEFT JOIN with a join-time filter,
+    two-level aggregation).
+
+    Scale: the filter rides the join condition (not a WHERE, which
+    would drop the NULL-extended rows); first groupBy is on c_custkey
+    (high cardinality, map-side partial), second on the tiny count
+    domain."""
+    customer = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    cond = (customer.c_custkey == orders.o_custkey) & (
+        orders.o_orderpriority != "5-LOW"
+    )
+    per_cust = (
+        customer.join(orders, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_CUST_ORDER_DISTRIBUTION = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey) t
+GROUP BY c_count
+"""
+
+
+def q_top_revenue_supplier(spark, sf):
+    """TPC-H Q15 shape: supplier(s) with maximum revenue in a quarter
+    (view + MAX scalar, equality on exact decimal sums).
+
+    Scale: one partial-agg shuffle on l_suppkey; the 1-row MAX is
+    broadcast back — the classic two-pass argmax without a sort."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    sup = _t(spark, sf, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
+        )
+    )
+
+
+SQL_TOP_REVENUE_SUPPLIER = f"""
+WITH rev AS (SELECT l_suppkey, SUM({_SQL_REV}) AS total_revenue
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+               AND l_shipdate < TIMESTAMP '1998-04-01'
+             GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier, rev
+WHERE s_suppkey = l_suppkey
+  AND total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def q_supplier_part_counts(spark, sf):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    combo, excluding a supplier blocklist (NOT IN → anti join; safe
+    because s_suppkey is non-null).
+
+    Scale: the blocklist is a filtered dim broadcast into the anti
+    join; COUNT(DISTINCT) shuffles once on the (brand,type,size) keys
+    with partial distinct-aggregation."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE l_partkey = p_partkey AND p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_small_qty_revenue(spark, sf):
+    """TPC-H Q17 shape: revenue from below-average-quantity lineitems
+    of one brand (correlated AVG subquery → co-grouped aggregate join).
+
+    Scale: the per-part avg is a map-side-partial groupBy over the same
+    scan; joining it back on l_partkey lets AQE co-partition with the
+    part join. The threshold comparison is IEEE on exact sums/counts."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#13")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("sq"), F.count("*").alias("cq")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * (F.col("sq") / F.col("cq")))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem l, part,
+     (SELECT l_partkey AS pk, SUM(l_quantity) AS sq, COUNT(*) AS cq
+      FROM lineitem GROUP BY l_partkey) a
+WHERE l.l_partkey = p_partkey AND l.l_partkey = pk AND p_brand = 'Brand#13'
+  AND l.l_quantity < 0.2 * (sq / cq)
+"""
+
+
+def q_large_orders(spark, sf):
+    """TPC-H Q18 shape: top-100 large-quantity orders (IN over a
+    HAVING-filtered aggregate → semi join; TakeOrderedAndProject for
+    the top-k).
+
+    Scale: the qualifying-order set is computed with one partial-agg
+    shuffle and semi-joined (no fan-out); the final top-100 is a
+    per-partition heap + driver merge, never a full sort."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 120)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_LARGE_ORDERS = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       SUM(l_quantity) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 120)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_excess_supply(spark, sf):
+    """TPC-H Q20 shape: suppliers who shipped a large volume of one
+    part type in a year (nested IN chain → aggregate-then-semi-join)."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf, "part").filter(F.col("p_type") == "SMALL")
+    sup = _t(spark, sf, "supplier")
+    heavy = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("tot_qty"))
+        .filter(F.col("tot_qty") > 300)
+    )
+    return (
+        sup.join(heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+SQL_EXCESS_SUPPLY = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem, part
+  WHERE l_partkey = p_partkey AND p_type = 'SMALL'
+    AND l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY l_suppkey HAVING SUM(l_quantity) > 300)
+"""
+
+
+def q_waiting_suppliers(spark, sf):
+    """TPC-H Q21 shape: suppliers who were the sole late shipper on a
+    finished multi-supplier order (EXISTS + NOT EXISTS on the same
+    fact → semi join + anti join on distinct pairs).
+
+    Scale: `late` is reduced to DISTINCT (orderkey, suppkey) pairs
+    before the self-joins, so both EXISTS checks join pair-sets (orders
+    × suppliers-per-order), not raw lineitems; all three joins share
+    the orderkey shuffle key."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = _t(spark, sf, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(sup, F.col("l1.l_suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem, orders
+  WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 45 DAY),
+w AS (
+  SELECT l1.l_orderkey, l1.l_suppkey FROM late l1
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey))
+SELECT s_name, COUNT(*) AS numwait
+FROM w, supplier WHERE s_suppkey = l_suppkey GROUP BY s_name
+"""
+
+
+def q_idle_customers(spark, sf):
+    """TPC-H Q22 shape: positive-balance customers above the average
+    balance with no orders, grouped by nation (scalar AVG subquery +
+    anti join).
+
+    Scale: the 1-row average is broadcast; the anti join shuffles on
+    custkey. avg = exact decimal sum / exact count, one IEEE division;
+    the comparison against double c_acctbal is then deterministic."""
+    customer = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+SQL_IDLE_CUSTOMERS = """
+SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM training-data-pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def q_train_test_split(spark, sf):
+    """Deterministic hash split (train/val/test ≈ 90/5/5) by md5 of the
+    document key — portable (md5 is engine-independent), stable under
+    re-runs and re-partitioning, and skew-free (md5 is uniform).
+
+    Scale: a narrow map — no shuffle, no sampling state; any executor
+    assigns any row independently. Thresholds are hex-prefix compares
+    ('e6' = 230/256 ≈ 0.898, 'f3' = 243/256 ≈ 0.949)."""
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#split")))
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(h < "e6", "train").when(h < "f3", "val").otherwise("test").alias("split"),
+    )
+
+
+SQL_TRAIN_TEST_SPLIT = """
+SELECT doc_id,
+  CASE WHEN h < 'e6' THEN 'train' WHEN h < 'f3' THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#split') AS h FROM documents) t
+"""
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sample: exactly ⌈20%⌉ of each language
+    stratum, chosen by portable md5 order (not rand(), which is neither
+    portable nor rerun-stable).
+
+    Scale: one shuffle on the stratum key; within each stratum the
+    window is a sort of that stratum only. For 100 TB with huge strata,
+    swap the exact ⌈p·n⌉ for the pure-map hash-threshold form (see
+    train_test_split) — this exact form is for when per-stratum counts
+    must be exact."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#strat"))), F.col("doc_id")
+    )
+    wc = Window.partitionBy("lang")
+    return (
+        _t(spark, sf, "documents")
+        .select(
+            "lang",
+            "doc_id",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n"),
+        )
+        .filter(F.col("rn") <= F.ceil(F.lit(0.2) * F.col("n")).cast("long"))
+        .select("lang", "doc_id")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH r AS (SELECT lang, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY lang
+        ORDER BY md5(CAST(doc_id AS VARCHAR) || '#strat'), doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT lang, doc_id FROM r WHERE rn <= CAST(ceil(0.2 * n) AS BIGINT)
+"""
+
+
+def q_decontaminate(spark, sf):
+    """Test-set decontamination: for every training document, the count
+    of word 3-grams it shares with the held-out set (source='src0') —
+    the standard n-gram-overlap contamination check run before training.
+
+    Scale: the eval shingle set is DISTINCT-reduced and (being the
+    small held-out side) broadcastable; the train side streams through
+    one shingle-explode + hash join + partial-agg — no doc×doc pairing
+    ever materializes."""
+    docs = _t(spark, sf, "documents")
+    sh = neardup.shingle_table(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    ev = (
+        sh.filter(F.col("source") == "src0")
+        .select(F.col("shingle").alias("ev_shingle"))
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(ev), F.col("shingle") == F.col("ev_shingle"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_contaminated"))
+    )
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0')
+SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_contaminated
+FROM sh s JOIN ev ON s.shingle = ev.shingle
+WHERE s.source <> 'src0'
+GROUP BY s.doc_id
+"""
+
+
+def q_pii_scrub(spark, sf):
+    """PII-style scrubbing over the event property payloads: digit runs
+    → '<NUM>' sentinel, plus a redaction count per record. Output is
+    fingerprinted (md5) so the parity check carries the full scrubbed
+    text without hauling 100 TB of strings through the comparator.
+
+    Scale: pure narrow map, regex in JVM codegen; the same pattern
+    applied to a real PII pass (emails, phones) is just more
+    alternation in the (RE2/Java-portable) regex."""
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.md5(F.regexp_replace("props", "[0-9]+", "<NUM>")).alias("scrub_fp"),
+        F.size(F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), F.lit(0))).alias(
+            "n_redacted"
+        ),
+    )
+
+
+SQL_PII_SCRUB = """
+SELECT event_id,
+  md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS scrub_fp,
+  len(regexp_extract_all(props, '[0-9]+')) AS n_redacted
+FROM events
+"""
+
+
+def q_repetition_stats(spark, sf):
+    """Repetition / diversity quality signal: token count, distinct
+    token count, type-token ratio, and a repetition flag per document
+    (the Gopher-style 'mostly repeated content' filter input).
+
+    Scale: narrow map over the documents scan; the token array is built
+    once per row (bound expression), counts are exact ints, TTR is one
+    IEEE division."""
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    from .functions import bind
+
+    def stats(tok):
+        n = F.size(tok)
+        d = F.size(F.array_distinct(tok))
+        ttr = d.cast("double") / n
+        return F.struct(
+            n.alias("n_tokens"),
+            d.alias("n_types"),
+            ttr.alias("ttr"),
+            (ttr < 0.3).alias("repetitive"),
+        )
+
+    s = bind(t, stats)
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        s["n_tokens"].alias("n_tokens"),
+        s["n_types"].alias("n_types"),
+        s["ttr"].alias("ttr"),
+        s["repetitive"].alias("repetitive"),
+    )
+
+
+SQL_REPETITION_STATS = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+SELECT doc_id,
+  CAST(len(t) AS INT) AS n_tokens,
+  CAST(len(list_distinct(t)) AS INT) AS n_types,
+  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+  (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) < 0.3 AS repetitive
+FROM toks
+"""
+
+
+def q_length_histogram(spark, sf):
+    """Power-of-two document-length histogram (corpus profiling before
+    packing/batching). Bucket = bit-length of n_chars — integer-exact in
+    both engines (binary-string length, no float log2 at boundaries)."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy(
+            F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)).alias("log2_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT CAST(length(printf('%b', n_chars)) AS INT) AS log2_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY log2_bucket
+"""
+
+
+EXT_REGISTRY = {
+    # remaining TPC-H query shapes
+    "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST_SUPPLIER),
+    "priority_exists_orders": (q_priority_exists_orders, SQL_PRIORITY_EXISTS_ORDERS),
+    "market_share": (q_market_share, SQL_MARKET_SHARE),
+    "product_profit": (q_product_profit, SQL_PRODUCT_PROFIT),
+    "important_parts": (q_important_parts, SQL_IMPORTANT_PARTS),
+    "priority_line_counts": (q_priority_line_counts, SQL_PRIORITY_LINE_COUNTS),
+    "cust_order_distribution": (q_cust_order_distribution, SQL_CUST_ORDER_DISTRIBUTION),
+    "top_revenue_supplier": (q_top_revenue_supplier, SQL_TOP_REVENUE_SUPPLIER),
+    "supplier_part_counts": (q_supplier_part_counts, SQL_SUPPLIER_PART_COUNTS),
+    "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
+    "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
+    "excess_supply": (q_excess_supply, SQL_EXCESS_SUPPLY),
+    "waiting_suppliers": (q_waiting_suppliers, SQL_WAITING_SUPPLIERS),
+    "idle_customers": (q_idle_customers, SQL_IDLE_CUSTOMERS),
+    # LLM training-data-pipeline ops
+    "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "length_histogram": (q_length_histogram, SQL_LENGTH_HISTOGRAM),
+}
