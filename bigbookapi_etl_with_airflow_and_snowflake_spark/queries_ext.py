@@ -767,6 +767,123 @@ FROM documents GROUP BY log2_bucket
 """
 
 
+def q_pack_sequences(spark, sf):
+    """Concat-and-chunk sequence packing: documents are laid out in a
+    deterministic pseudo-random order and cut into fixed 2048-token
+    training sequences; each doc gets its sequence id and offset.
+
+    Scale: a single global ordering would serialize the cumsum, so docs
+    are first sharded by the leading hex char of their md5 (16 uniform
+    shards; at 100 TB use 4 hex chars → 65k shards) and packed
+    independently per shard — the window cumsum runs shard-parallel,
+    and sequence ids are shard-qualified. Offsets use integer DIV/MOD,
+    exact at any corpus size."""
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#pack")))
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    base = _t(spark, sf, "documents").select(
+        "doc_id", h.alias("h"), F.substring(h, 1, 1).alias("shard"), n_tok.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_off")
+    return base.select("doc_id", "shard", "n_tokens", off).select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws("-", "shard", F.expr("tok_off DIV 2048").cast("string")).alias("seq_id"),
+        F.expr("tok_off % 2048").alias("seq_offset"),
+    )
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH base AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#pack') AS h,
+         substr(md5(CAST(doc_id AS VARCHAR) || '#pack'), 1, 1) AS shard,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+  FROM documents),
+packed AS (
+  SELECT doc_id, shard, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_off
+  FROM base)
+SELECT doc_id, n_tokens,
+  shard || '-' || CAST(tok_off // 2048 AS VARCHAR) AS seq_id,
+  tok_off % 2048 AS seq_offset
+FROM packed
+"""
+
+
+def q_source_mixture(spark, sf):
+    """Weighted corpus-mixture sampling: each source gets a target
+    sampling rate (25% for src0-src9, 75% for src10-src19) applied as a
+    portable md5-threshold — deterministic, rerun-stable, and exact in
+    expectation without any global coordination.
+
+    Scale: pure narrow map (the per-source rate table would be a
+    broadcast dim in the general case); no shuffle, no sampling state."""
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#mix")))
+    light = F.col("source").isin(*[f"src{i}" for i in range(10)])
+    thr = F.when(light, F.lit("40")).otherwise(F.lit("c0"))
+    return (
+        _t(spark, sf, "documents")
+        .filter(h < thr)
+        .select("doc_id", "source")
+    )
+
+
+SQL_SOURCE_MIXTURE = """
+SELECT doc_id, source FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR) || '#mix') <
+  CASE WHEN source IN ('src0','src1','src2','src3','src4',
+                       'src5','src6','src7','src8','src9')
+       THEN '40' ELSE 'c0' END
+"""
+
+
+def q_vocab_coverage(spark, sf):
+    """Vocabulary construction stats: top-100 words by corpus frequency
+    with cumulative coverage share — the curve that picks a vocab size.
+
+    Scale: word counts are a map-side-partial groupBy over the exploded
+    token stream; the top-100 is TakeOrderedAndProject; only the tiny
+    top-k result flows through the (single-partition) cumulative
+    window. Shares are IEEE divisions of exact counts."""
+    toks = _t(spark, sf, "documents").select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    counts = toks.groupBy("word").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("tot"))
+    top = (
+        counts.orderBy(F.desc("n"), F.asc("word"))
+        .limit(100)
+        .join(F.broadcast(total))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("word")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return top.select(
+        "word",
+        "n",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("word"))).alias("rank"),
+        (F.sum("n").over(w).cast("double") / F.col("tot")).alias("cum_share"),
+    )
+
+
+SQL_VOCAB_COVERAGE = r"""
+WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+              FROM documents),
+counts AS (SELECT word, COUNT(*) AS n FROM toks GROUP BY word),
+top AS (SELECT word, n FROM counts ORDER BY n DESC, word LIMIT 100)
+SELECT word, n,
+  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS INT) AS rank,
+  CAST(SUM(n) OVER (ORDER BY n DESC, word ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+    / (SELECT SUM(n) FROM counts) AS cum_share
+FROM top
+"""
+
+
 EXT_REGISTRY = {
     # remaining TPC-H query shapes
     "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST_SUPPLIER),
@@ -790,4 +907,7 @@ EXT_REGISTRY = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "length_histogram": (q_length_histogram, SQL_LENGTH_HISTOGRAM),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "source_mixture": (q_source_mixture, SQL_SOURCE_MIXTURE),
+    "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
 }
