@@ -43,6 +43,16 @@ BENCH_QUERIES = [
     "top_supplier_per_nation",
     "asof_join_generic",
     "range_join_buckets",
+    # TPC-H completions (queries_ext): self-join-heavy, distribution,
+    # scalar-subquery shapes
+    "waiting_suppliers",
+    "cust_order_distribution",
+    "important_parts",
+    "priority_exists_orders",
+    # curation ops: decontamination joins, shard-parallel packing
+    "decontaminate",
+    "pack_sequences",
+    "train_test_split",
 ]
 
 

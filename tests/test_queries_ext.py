@@ -1,0 +1,164 @@
+"""Invariant + plan-shape tests for the extended registry
+(queries_ext.py): TPC-H completions and training-data curation ops.
+
+Value correctness is locked by tests/test_oracle_parity.py (every
+registry entry runs against its DuckDB oracle); these tests lock the
+*semantics* a hash can't express (split fractions, packing invariants,
+contamination provenance) and the *plan shapes* that matter at 100 TB
+(pure-map ops stay shuffle-free, scalar subqueries broadcast, top-k
+avoids full sorts).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from bigbookapi_etl_with_airflow_and_snowflake_spark import queries_ext as X
+from bigbookapi_etl_with_airflow_and_snowflake_spark.plans.introspect import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    shuffle_count,
+)
+
+
+# ---------------------------------------------------------------------------
+# Curation-op semantic invariants
+# ---------------------------------------------------------------------------
+
+
+def test_train_test_split_fractions_and_determinism(spark, sf_dir):
+    pdf = X.q_train_test_split(spark, sf_dir).toPandas()
+    n = len(pdf)
+    frac = pdf["split"].value_counts(normalize=True)
+    # md5 thresholds 'e6'/'f3' target ~89.8 / 5.1 / 5.1 %
+    assert 0.80 <= frac.get("train", 0) <= 0.97, frac.to_dict()
+    assert frac.get("val", 0) <= 0.15 and frac.get("test", 0) <= 0.15
+    again = X.q_train_test_split(spark, sf_dir).toPandas()
+    assert pdf.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True)
+    )
+    assert n == pdf["doc_id"].nunique()  # every doc assigned exactly once
+
+
+def test_stratified_sample_exact_per_stratum(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_lang = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    got = X.q_stratified_sample(spark, sf_dir).toPandas()
+    sampled = got.groupby("lang")["doc_id"].count().to_dict()
+    for lang, n in per_lang.items():
+        assert sampled.get(lang, 0) == math.ceil(0.2 * n), (lang, n, sampled)
+
+
+def test_pack_sequences_offsets_are_contiguous(spark, sf_dir):
+    pdf = X.q_pack_sequences(spark, sf_dir).toPandas()
+    assert (pdf["seq_offset"] >= 0).all() and (pdf["seq_offset"] < 2048).all()
+    # docs within a shard tile the token stream with no gaps/overlaps:
+    # global offset (seq_idx*2048 + seq_offset) of each doc must equal
+    # the previous doc's offset + length
+    pdf["shard"] = pdf["seq_id"].str.split("-").str[0]
+    pdf["glob_off"] = (
+        pdf["seq_id"].str.split("-").str[1].astype(int) * 2048 + pdf["seq_offset"]
+    )
+    for _, grp in pdf.groupby("shard"):
+        grp = grp.sort_values("glob_off")
+        expected = grp["n_tokens"].cumsum().shift(fill_value=0)
+        assert (grp["glob_off"].values == expected.values).all()
+
+
+def test_source_mixture_rates(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_src = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    got = X.q_source_mixture(spark, sf_dir).toPandas()
+    kept = got.groupby("source")["doc_id"].count()
+    light = sum(kept.get(f"src{i}", 0) for i in range(10))
+    heavy = sum(kept.get(f"src{i}", 0) for i in range(10, 20))
+    n_light = sum(per_src.get(f"src{i}", 0) for i in range(10))
+    n_heavy = sum(per_src.get(f"src{i}", 0) for i in range(10, 20))
+    # loose CLT bounds — thresholds are 0.25 / 0.75
+    assert abs(light / n_light - 0.25) < 0.12, light / n_light
+    assert abs(heavy / n_heavy - 0.75) < 0.12, heavy / n_heavy
+
+
+def test_decontaminate_provenance(spark, sf_dir):
+    got = X.q_decontaminate(spark, sf_dir).toPandas()
+    assert (got["n_contaminated"] >= 1).all()
+    eval_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("source = 'src0'")
+        .select("doc_id")
+        .collect()
+    }
+    assert not (set(got["doc_id"]) & eval_ids)  # never flags the eval set itself
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    pdf = X.q_vocab_coverage(spark, sf_dir).toPandas().sort_values("rank")
+    assert list(pdf["rank"]) == list(range(1, len(pdf) + 1))
+    assert pdf["cum_share"].is_monotonic_increasing
+    assert pdf["cum_share"].iloc[-1] <= 1.0
+    assert pdf["n"].is_monotonic_decreasing
+
+
+def test_large_orders_topk_contract(spark, sf_dir):
+    pdf = X.q_large_orders(spark, sf_dir).toPandas()
+    assert len(pdf) <= 100
+    assert pdf["o_totalprice"].is_monotonic_decreasing
+    assert (pdf.groupby("o_orderkey").size() == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape locks (the 100 TB posture)
+# ---------------------------------------------------------------------------
+
+
+def test_pure_map_ops_are_shuffle_free(spark, sf_dir):
+    for fn in (X.q_train_test_split, X.q_pii_scrub, X.q_repetition_stats):
+        df = fn(spark, sf_dir)
+        assert shuffle_count(df) == 0, fn.__name__
+
+
+def test_scalar_subqueries_broadcast(spark, sf_dir):
+    # Q11: threshold joined via broadcast, never a shuffled cross join
+    assert has_broadcast_join(X.q_important_parts(spark, sf_dir))
+    # Q22: 1-row average broadcast into the filter
+    assert has_broadcast_join(X.q_idle_customers(spark, sf_dir))
+    # Q15: 1-row MAX broadcast back into the per-supplier aggregate
+    assert has_broadcast_join(X.q_top_revenue_supplier(spark, sf_dir))
+
+
+def test_exists_shapes_use_semi_joins(spark, sf_dir):
+    plan = explain_str(X.q_priority_exists_orders(spark, sf_dir), "simple")
+    assert "LeftSemi" in plan
+    pushed = pushed_filters(X.q_priority_exists_orders(spark, sf_dir))
+    assert any("o_orderdate" in p for p in pushed), pushed
+    plan21 = explain_str(X.q_waiting_suppliers(spark, sf_dir), "simple")
+    assert "LeftSemi" in plan21 and "LeftAnti" in plan21
+
+
+def test_large_orders_takes_ordered_topk(spark, sf_dir):
+    assert "TakeOrderedAndProject" in explain_str(X.q_large_orders(spark, sf_dir), "simple")
+
+
+def test_market_share_broadcasts_dim_chain(spark, sf_dir):
+    assert has_broadcast_join(X.q_market_share(spark, sf_dir))
+
+
+def test_split_and_mixture_prune_columns(spark, sf_dir):
+    # pure-map curation ops must not drag the text payload through
+    plan = explain_str(X.q_train_test_split(spark, sf_dir), "formatted")
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan[plan.find("ReadSchema"):][:120]
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [X.q_pack_sequences, X.q_stratified_sample],
+    ids=["pack_sequences", "stratified_sample"],
+)
+def test_windowed_curation_ops_single_shuffle(spark, sf_dir, fn):
+    # sharded/stratified windows: exactly one hash exchange (the window
+    # partition key), never a global range sort
+    assert shuffle_count(fn(spark, sf_dir)) == 1
