@@ -884,6 +884,214 @@ FROM top
 """
 
 
+def q_daily_activity_full_outer(spark, sf):
+    """FULL OUTER JOIN shape: per-day order counts ⟗ per-day event
+    counts — days with only orders, only events, or both all survive.
+
+    Scale: both sides pre-aggregate to day granularity (map-side
+    partial) before the join, so the full-outer shuffle moves day-rows,
+    not raw facts."""
+    orders = (
+        _t(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    events = (
+        _t(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        orders.join(events, "d", "full_outer")
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+SQL_DAILY_ACTIVITY_FULL_OUTER = """
+WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+           FROM orders GROUP BY d),
+e AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+      FROM events GROUP BY d)
+SELECT CAST(COALESCE(o.d, e.d) AS TIMESTAMP) AS day,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(n_events, 0) AS n_events
+FROM o FULL OUTER JOIN e ON o.d = e.d
+"""
+
+
+def q_region_nation_matrix(spark, sf):
+    """Explicit CROSS JOIN shape: the region × order-status matrix with
+    observed revenue per cell (zero-filled) — the dense-matrix scaffold
+    pattern (cross join of two bounded dims + left join of facts).
+
+    Scale: both cross sides are bounded dims (5×3 rows); the fact
+    aggregation happens before the join against the scaffold."""
+    region = _t(spark, sf, "region").select("r_name")
+    status = _t(spark, sf, "orders").select("o_orderstatus").distinct()
+    scaffold = region.crossJoin(status)
+    observed = (
+        _t(spark, sf, "orders")
+        .join(_t(spark, sf, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(_t(spark, sf, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(spark, sf, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
+    )
+    return (
+        scaffold.join(observed, ["r_name", "o_orderstatus"], "left")
+        .select(
+            "r_name",
+            "o_orderstatus",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
+SQL_REGION_NATION_MATRIX = """
+WITH scaffold AS (
+  SELECT r_name, o_orderstatus
+  FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s),
+observed AS (
+  SELECT r_name, o_orderstatus,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM orders, customer, nation, region
+  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey
+  GROUP BY r_name, o_orderstatus)
+SELECT s.r_name, s.o_orderstatus, COALESCE(o.revenue, 0.0) AS revenue
+FROM scaffold s LEFT JOIN observed o
+  ON s.r_name = o.r_name AND s.o_orderstatus = o.o_orderstatus
+"""
+
+
+def q_returned_vs_kept_custkeys(spark, sf):
+    """INTERSECT ALL / EXCEPT ALL shape (multiset semantics): per-order
+    customer keys that placed both returned and non-returned orders,
+    with multiplicity preserved."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    returned = (
+        orders.join(
+            li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct(),
+            orders.o_orderkey == F.col("l_orderkey"),
+            "left_semi",
+        ).select("o_custkey")
+    )
+    kept = (
+        orders.join(
+            li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct(),
+            orders.o_orderkey == F.col("l_orderkey"),
+            "left_anti",
+        ).select("o_custkey")
+    )
+    both = returned.intersectAll(kept).groupBy("o_custkey").agg(
+        F.count("*").alias("n_both")
+    )
+    only_returned = returned.exceptAll(kept).groupBy("o_custkey").agg(
+        F.count("*").alias("n_only")
+    )
+    return both.join(only_returned, "o_custkey", "full_outer").select(
+        "o_custkey",
+        F.coalesce("n_both", F.lit(0)).alias("n_both"),
+        F.coalesce("n_only", F.lit(0)).alias("n_only"),
+    )
+
+
+SQL_RETURNED_VS_KEPT_CUSTKEYS = """
+WITH ret AS (SELECT o_custkey FROM orders WHERE o_orderkey IN
+               (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')),
+kept AS (SELECT o_custkey FROM orders WHERE o_orderkey NOT IN
+               (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')),
+b AS (SELECT o_custkey, COUNT(*) AS n_both
+      FROM (SELECT * FROM ret INTERSECT ALL SELECT * FROM kept) t GROUP BY o_custkey),
+o AS (SELECT o_custkey, COUNT(*) AS n_only
+      FROM (SELECT * FROM ret EXCEPT ALL SELECT * FROM kept) t GROUP BY o_custkey)
+SELECT COALESCE(b.o_custkey, o.o_custkey) AS o_custkey,
+       COALESCE(n_both, 0) AS n_both, COALESCE(n_only, 0) AS n_only
+FROM b FULL OUTER JOIN o ON b.o_custkey = o.o_custkey
+"""
+
+
+def q_word_positions(spark, sf):
+    """posexplode / UNNEST WITH ORDINALITY shape: token positions for
+    the shortest documents (lateral-view flattening with ordinality)."""
+    docs = _t(spark, sf, "documents").filter(F.col("n_chars") < 200)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "word"),
+    )
+
+
+SQL_WORD_POSITIONS = r"""
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS word
+FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE n_chars < 200) d,
+     UNNEST(range(1, len(t) + 1)) AS u(i)
+"""
+
+
+def q_scalar_function_showcase(spark, sf):
+    """Deterministic scalar-function breadth over one table: math
+    (abs/sqrt/power/sign), string (substr/lpad/reverse/translate/
+    concat/upper), date (date_trunc/day-diff/extract), conditional
+    (coalesce/nullif/greatest/least). Every function chosen for
+    bit-identical cross-engine results (sqrt is IEEE-exact; no libm
+    transcendentals, no engine-specific rounding).
+
+    Scale: pure narrow map, whole-stage codegen, zero shuffles."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - F.lit(1000.0)).alias("abs_delta"),
+        F.sqrt(F.col("o_orderkey").cast("double")).alias("sqrt_key"),
+        F.pow(F.col("o_orderkey") % 10, 2).alias("key_sq"),
+        F.signum(F.col("o_totalprice") - F.lit(1000.0)).alias("price_sign"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse(F.col("o_orderstatus")).alias("rev_status"),
+        F.translate("o_orderpriority", "-", "_").alias("prio_us"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.upper("o_orderstatus").alias("upper_status"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch"
+        ),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(500.0)).alias("floored_price"),
+        F.least(F.col("o_orderkey") % 7, F.col("o_orderkey") % 5).alias("least_mod"),
+    )
+
+
+SQL_SCALAR_FUNCTION_SHOWCASE = """
+SELECT o_orderkey,
+  abs(o_totalprice - 1000.0) AS abs_delta,
+  sqrt(CAST(o_orderkey AS DOUBLE)) AS sqrt_key,
+  power(o_orderkey % 10, 2) AS key_sq,
+  CAST(sign(o_totalprice - 1000.0) AS DOUBLE) AS price_sign,
+  substr(o_orderpriority, 1, 1) AS prio_code,
+  lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS padded_key,
+  reverse(o_orderstatus) AS rev_status,
+  translate(o_orderpriority, '-', '_') AS prio_us,
+  concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+  upper(o_orderstatus) AS upper_status,
+  date_trunc('month', o_orderdate) AS month_start,
+  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+    AS days_since_epoch,
+  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+  greatest(o_totalprice, 500.0) AS floored_price,
+  least(o_orderkey % 7, o_orderkey % 5) AS least_mod
+FROM orders
+"""
+
+
 EXT_REGISTRY = {
     # remaining TPC-H query shapes
     "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST_SUPPLIER),
@@ -910,4 +1118,10 @@ EXT_REGISTRY = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "source_mixture": (q_source_mixture, SQL_SOURCE_MIXTURE),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    # join/set-op/function breadth
+    "daily_activity_full_outer": (q_daily_activity_full_outer, SQL_DAILY_ACTIVITY_FULL_OUTER),
+    "region_nation_matrix": (q_region_nation_matrix, SQL_REGION_NATION_MATRIX),
+    "returned_vs_kept_custkeys": (q_returned_vs_kept_custkeys, SQL_RETURNED_VS_KEPT_CUSTKEYS),
+    "word_positions": (q_word_positions, SQL_WORD_POSITIONS),
+    "scalar_function_showcase": (q_scalar_function_showcase, SQL_SCALAR_FUNCTION_SHOWCASE),
 }
