@@ -1092,6 +1092,79 @@ FROM orders
 """
 
 
+def q_embedding_norms(spark, sf):
+    """Vector hygiene check: L2 norm per embedding + unit-norm flag
+    (the pre-flight before cosine similarity assumes normalization).
+
+    Parity note: the sum-of-squares is an explicitly *sequential* fold
+    (Spark ``aggregate`` ≡ DuckDB ``list_reduce``), so both engines add
+    the 64 squares in identical order — bit-identical IEEE results,
+    which a SIMD/pairwise summation would not guarantee.
+
+    Scale: pure narrow map over the embeddings scan; no shuffle."""
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.sqrt(sq_sum).alias("l2_norm"),
+        (F.abs(F.sqrt(sq_sum) - F.lit(1.0)) < F.lit(1e-5)).alias("is_unit"),
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+WITH n AS (SELECT vec_id,
+  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (a, b) -> a + b)) AS l2_norm
+FROM embeddings)
+SELECT vec_id, l2_norm, abs(l2_norm - 1.0) < 1e-5 AS is_unit FROM n
+"""
+
+
+def q_embedding_quantize(spark, sf):
+    """Scalar int8 quantization of embeddings (the compression step
+    before shipping vectors to an ANN index), with per-vector max
+    reconstruction error. floor(x·127) is exact-deterministic (one
+    double multiply + floor — no rounding-mode ambiguity).
+
+    Scale: narrow map; the int8 payload is 4× smaller than float32 on
+    the wire — this is the op that makes a 100 TB vector corpus fit the
+    shuffle budget of a distributed index build."""
+    q = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * F.lit(127)).cast("int")
+    )
+    err = F.aggregate(
+        F.zip_with(
+            "embedding",
+            q,
+            lambda x, qi: F.abs(x.cast("double") - qi.cast("double") / F.lit(127.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return _t(spark, sf, "embeddings").select(
+        "vec_id",
+        # serialized form: driver value-hashes scalar cells, not arrays
+        F.concat_ws(",", q.cast("array<string>")).alias("q_int8"),
+        err.alias("max_err"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+SELECT vec_id,
+  array_to_string(list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * 127) AS INT)), ',') AS q_int8,
+  list_reduce(
+    list_transform(embedding,
+      x -> abs(CAST(x AS DOUBLE)
+               - CAST(floor(CAST(x AS DOUBLE) * 127) AS DOUBLE) / 127.0)),
+    (a, b) -> greatest(a, b)) AS max_err
+FROM embeddings
+"""
+
+
 EXT_REGISTRY = {
     # remaining TPC-H query shapes
     "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST_SUPPLIER),
@@ -1124,4 +1197,7 @@ EXT_REGISTRY = {
     "returned_vs_kept_custkeys": (q_returned_vs_kept_custkeys, SQL_RETURNED_VS_KEPT_CUSTKEYS),
     "word_positions": (q_word_positions, SQL_WORD_POSITIONS),
     "scalar_function_showcase": (q_scalar_function_showcase, SQL_SCALAR_FUNCTION_SHOWCASE),
+    # vector ops
+    "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
 }
