@@ -68,3 +68,62 @@ def drop_duplicates(df: DataFrame, keys: Sequence[str] | None = None) -> DataFra
     non-deterministic fast path; prefer :func:`keep_first_dedup` when the
     kept row matters)."""
     return df.dropDuplicates(list(keys) if keys else None)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation: every node ends up labeled with the smallest
+    node id in its component. This is the cluster-formation step of a
+    real dedup pipeline (near-dup *pairs* → duplicate *groups* → keep
+    one canonical doc per group).
+
+    Scale: each iteration is one join + one partial-agg groupBy on the
+    node key; iterations needed = component diameter (near-dup graphs
+    are shallow — dup clusters are cliques or stars, so 2-4 rounds
+    typical). Lineage is truncated per round (``localCheckpoint``) so
+    the plan doesn't grow with iterations, and the loop exits early on
+    a converged round (label-change count == 0 — one count per round,
+    no driver-side data). At 100 TB diameter can't exceed ``max_iter``
+    for dedup graphs; for general graphs swap in large-star/small-star
+    (Kiveris et al.) which this loop structure accommodates.
+
+    Output: (node, label) — one row per node appearing in ``pairs``.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1165,6 +1165,58 @@ FROM embeddings
 """
 
 
+def q_dedup_clusters(spark, sf):
+    """End-to-end near-dup pipeline: exact-Jaccard pairs (J ≥ 0.5) →
+    connected components → canonical-doc election (min doc_id per
+    cluster). The full dedup decision a training pipeline applies:
+    ``is_keeper`` rows survive, the rest are dropped as duplicates.
+
+    Scale: pair generation is the prefix-filtered inverted index;
+    clustering is iterative min-label propagation whose round count is
+    the dup-graph diameter (2-4 for dup clusters), each round one
+    join + partial-agg groupBy. Nothing driver-side but the per-round
+    convergence counter."""
+    from .operators.dedup import connected_components
+
+    pairs = neardup.jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
+# Oracle: same Jaccard-pair CTE as SQL_JACCARD_PAIRS (duplicated rather
+# than imported — queries.py imports this module, so importing back
+# would cycle), then an undirected transitive closure via recursive CTE
+# and min-reachable-label election.
+SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+reach(n, l) AS (
+  SELECT d, d FROM (SELECT id_a AS d FROM pairs UNION SELECT id_b FROM pairs) t(d)
+  UNION
+  SELECT CASE WHEN r.n = p.id_a THEN p.id_b ELSE p.id_a END, r.l
+  FROM reach r JOIN pairs p ON r.n = p.id_a OR r.n = p.id_b)
+SELECT n AS doc_id, MIN(l) AS cluster, n = MIN(l) AS is_keeper
+FROM reach GROUP BY n
+"""
+
+
 EXT_REGISTRY = {
     # remaining TPC-H query shapes
     "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST_SUPPLIER),
@@ -1200,4 +1252,5 @@ EXT_REGISTRY = {
     # vector ops
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
 }
