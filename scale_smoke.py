@@ -57,6 +57,16 @@ QUERIES = [
     "asof_join_generic",
     "range_join_buckets",
     "topk_recent_events",
+    # ext registry: TPC-H completions + curation ops
+    "waiting_suppliers",
+    "cust_order_distribution",
+    "important_parts",
+    "priority_exists_orders",
+    "decontaminate",
+    "pack_sequences",
+    "train_test_split",
+    "dedup_clusters",
+    "embedding_quantize",
 ]
 
 
