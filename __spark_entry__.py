@@ -9,7 +9,9 @@
               whose outputs are engine-specific by construction:
               simhash (xxhash64 keys), lsh_topk / ivf_topk (seeded
               random planes / centroids — their recall against exact
-              brute force is asserted in tests/test_similarity.py).
+              brute force is asserted in tests/test_similarity.py),
+              and the approx_distinct / approx_quantile sketches
+              (error-bound-tested against exact answers instead).
 """
 
 from __future__ import annotations

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -157,4 +158,55 @@ def test_range_join_matches_naive(spark, points, spans):
         for j, (ik, lo, w) in enumerate(spans)
         if pk == ik and lo <= v <= lo + w
     )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# connected_components vs a reference union-find
+# ---------------------------------------------------------------------------
+
+
+def _union_find_labels(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min node id per component
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_matches_union_find(spark, seed):
+    import random
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(seed)
+    n_nodes = 60
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(range(n_nodes), 2)))
+            for _ in range(40 + seed * 17)
+        }
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a: long, id_b: long"
+    )
+    got = {
+        r["node"]: r["label"] for r in connected_components(pairs).collect()
+    }
+    want = _union_find_labels(edges)
+    # union-find roots are already min ids because unions always attach
+    # the larger root under the smaller
     assert got == want
