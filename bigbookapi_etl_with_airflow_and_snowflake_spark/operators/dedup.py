@@ -94,10 +94,27 @@ def connected_components(
 
     Output: (node, label) — one row per node appearing in ``pairs``.
     """
-    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # Materialize the pair list ONCE, before the self-union: `edges`
+    # appears in both union branches and Spark does not share subplans
+    # across branches, so an un-materialized union executes the
+    # (possibly expensive) upstream pair generation twice — and the
+    # un-checkpointed loop would re-execute it every round on top.
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).localCheckpoint(
+        eager=True
+    )
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    # Size the iteration to the graph, not the corpus: the dup-pair
+    # graph is orders of magnitude smaller than its source table, and
+    # per-round cost is dominated by fixed job/shuffle overhead when
+    # 2×|pairs| rows spread over corpus-sized partitioning. ~250k edges
+    # per partition keeps rounds sub-second at any graph size.
+    n_edges = sym.count()
+    npart = min(
+        sym.sparkSession.sparkContext.defaultParallelism, n_edges // 250_000 + 1
+    )
+    sym = sym.repartition(npart, "b").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint(eager=True)
@@ -107,23 +124,30 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+        # edge propagation: l(n) ← min(l(n), min over neighbors)
+        prop = labels.join(nbr_min, labels.node == nbr_min.a, "left").select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer jumping: l(n) ← l(l(n)) — collapses label chains
+        # exponentially, so rounds ≈ log₂(diameter) instead of diameter
+        ptr = prop.select(F.col("node").alias("pn"), F.col("label").alias("pl"))
+        upd = (
+            prop.join(ptr, prop.label == ptr.pn, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+                "old_label",
+                F.least(F.col("label"), F.coalesce("pl", F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # convergence is a filter on the materialized update — no extra
+        # old⋈new join per round
+        changed = upd.filter(F.col("label") != F.col("old_label")).count()
+        labels = upd.select("node", "label")
         if changed == 0:
             break
     return labels

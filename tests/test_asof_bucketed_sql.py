@@ -110,3 +110,83 @@ def test_sql_facade_events_ts_normalized(spark, sf_dir):
     row = sqlmod.sql(spark, "SELECT MAX(ts) AS m FROM events").first()
     # ts must be a usable timestamp (ns→µs normalization applied in views)
     assert row["m"].year >= 1999
+
+
+# ---------------------------------------------------------------------------
+# SQL scalar function library
+# ---------------------------------------------------------------------------
+
+
+def test_sql_functions_match_dataframe_semantics(spark, sf_dir):
+    """SQL-facade functions must produce the exact values the DataFrame
+    queries compute (same parity conventions), and stay inlined in
+    codegen (no Python UDF wall)."""
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.functions.sqlfuncs import (
+        register_sql_functions,
+    )
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sql import register_corpus
+
+    names = register_sql_functions(spark)
+    assert set(names) >= {"line_revenue", "token_count", "split_of", "md5_bucket"}
+    register_corpus(spark, sf_dir)
+
+    # revenue: SQL function == queries.py exact-decimal expression
+    got = spark.sql(
+        "SELECT CAST(SUM(line_revenue(l_extendedprice, l_discount)) AS DOUBLE) AS r"
+        " FROM lineitem"
+    ).first()["r"]
+    one = F.lit(1).cast("decimal(4,2)")
+    want = (
+        spark.table("lineitem")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (one - F.col("l_discount").cast("decimal(4,2)"))
+            ).cast("double").alias("r")
+        )
+        .first()["r"]
+    )
+    # both sum per-row doubles vs decimal — compare the per-row forms
+    per_row_sql = spark.sql(
+        "SELECT line_revenue(l_extendedprice, l_discount) AS r FROM lineitem LIMIT 50"
+    ).toPandas()
+    per_row_df = (
+        spark.table("lineitem")
+        .select(
+            (
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (one - F.col("l_discount").cast("decimal(4,2)"))
+            ).cast("double").alias("r")
+        )
+        .limit(50)
+        .toPandas()
+    )
+    assert (per_row_sql["r"].values == per_row_df["r"].values).all()
+    assert got is not None and want is not None
+
+    # split_of: SQL function == q_train_test_split assignment
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.queries_ext import (
+        q_train_test_split,
+    )
+
+    sql_split = spark.sql(
+        "SELECT doc_id, split_of(CAST(doc_id AS STRING)) AS split FROM documents"
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    df_split = (
+        q_train_test_split(spark, sf_dir).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert sql_split.equals(df_split)
+
+    # md5_bucket: uniform-ish and stable
+    b = spark.sql(
+        "SELECT md5_bucket(CAST(doc_id AS STRING), '#shard', 8) AS bkt FROM documents"
+    ).toPandas()["bkt"]
+    assert set(b.unique()) <= set(range(8))
+
+    # inlined: no BatchEvalPython / PythonUDF in the plan
+    plan = spark.sql(
+        "SELECT line_revenue(l_extendedprice, l_discount) FROM lineitem"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
