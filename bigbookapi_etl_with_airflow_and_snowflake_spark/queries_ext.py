@@ -1217,6 +1217,98 @@ FROM reach GROUP BY n
 """
 
 
+def q_curation_decision(spark, sf):
+    """The end-to-end curation funnel: every quality/safety signal the
+    pipeline computes, combined into one keep/drop decision per
+    document with per-reason flags — what actually gets written as the
+    training-set manifest.
+
+    Drop reasons: too_short (<10 tokens), repetitive (TTR < 0.3),
+    digit_heavy (>30% digits), contaminated (shares a 3-gram with the
+    src0 held-out set), held_out (not in the train split).
+
+    Scale: signals are narrow maps except contamination (broadcast
+    semi join against the DISTINCT-reduced eval shingle set); one
+    output row per doc, flags as booleans so downstream can audit
+    *why* any doc was dropped."""
+    docs = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    from .functions import bind
+
+    def signals(t):
+        n = F.size(t)
+        ttr = F.size(F.array_distinct(t)).cast("double") / n
+        return F.struct((n < 10).alias("too_short"), (ttr < 0.3).alias("repetitive"))
+
+    s = bind(toks, signals)
+    digit_heavy = (
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+        / F.length("text")
+    ) > 0.3
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#split")))
+    held_out = h >= "e6"
+
+    sh = neardup.shingle_table(docs).join(docs.select("doc_id", "source"), "doc_id")
+    ev = (
+        sh.filter(F.col("source") == "src0")
+        .select(F.col("shingle").alias("ev_shingle"))
+        .distinct()
+    )
+    contaminated_ids = (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(ev), F.col("shingle") == F.col("ev_shingle"), "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    flags = (
+        docs.select(
+            "doc_id",
+            F.col("source"),
+            s["too_short"].alias("too_short"),
+            s["repetitive"].alias("repetitive"),
+            digit_heavy.alias("digit_heavy"),
+            held_out.alias("held_out"),
+        )
+        .join(contaminated_ids, "doc_id", "left")
+        .withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+    )
+    keep = ~(
+        F.col("too_short")
+        | F.col("repetitive")
+        | F.col("digit_heavy")
+        | F.col("contaminated")
+        | F.col("held_out")
+    )
+    return flags.select(
+        "doc_id", "too_short", "repetitive", "digit_heavy", "contaminated",
+        "held_out", keep.alias("keep"),
+    )
+
+
+SQL_CURATION_DECISION = r"""
+WITH toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t,
+                     text FROM documents),
+sig AS (SELECT doc_id, source,
+  len(t) < 10 AS too_short,
+  (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) < 0.3 AS repetitive,
+  (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+     / length(text)) > 0.3 AS digit_heavy,
+  md5(CAST(doc_id AS VARCHAR) || '#split') >= 'e6' AS held_out
+FROM toks),
+sh AS (SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+         WHERE s.source <> 'src0')
+SELECT sig.doc_id, too_short, repetitive, digit_heavy,
+  cont.doc_id IS NOT NULL AS contaminated, held_out,
+  NOT (too_short OR repetitive OR digit_heavy
+       OR cont.doc_id IS NOT NULL OR held_out) AS keep
+FROM sig LEFT JOIN cont ON sig.doc_id = cont.doc_id
+"""
+
+
 EXT_REGISTRY = {
     # remaining TPC-H query shapes
     "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST_SUPPLIER),
@@ -1253,4 +1345,5 @@ EXT_REGISTRY = {
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "curation_decision": (q_curation_decision, SQL_CURATION_DECISION),
 }
