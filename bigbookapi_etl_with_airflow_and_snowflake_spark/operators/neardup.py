@@ -100,49 +100,95 @@ def jaccard_pairs(
             F.size("__s").alias("n_sh"),
         )
     )
+    # Duplicate-aware collapse: Jaccard is a function of the shingle
+    # SET, so docs with identical sets (exact copies, reorderings) are
+    # grouped and only one representative enters the quadratic-ish
+    # candidate stage. Within-group pairs are emitted directly with
+    # J = |S|/|S| = 1.0; cross-group member pairs inherit their reps'
+    # exact J. On duplicate-heavy corpora (the common 100 TB reality)
+    # this removes the clique term entirely; results are identical.
+    docs = docs.withColumn(
+        "__gk", F.md5(F.concat_ws(",", F.col("__sh").cast("array<string>")))
+    )
+    groups = docs.groupBy(F.col("__gk").alias("__gg")).agg(
+        F.min(id_col).alias("__rep")
+    )
+    rep_docs = docs.join(
+        groups, (docs["__gk"] == groups["__gg"]) & (docs[id_col] == groups["__rep"])
+    ).select("__rep", "__sh", "n_sh")
+
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")).cast(
         "int"
     ) + F.lit(1)
-    prefix = docs.select(
-        F.col(id_col),
+    prefix = rep_docs.select(
+        F.col("__rep"),
         F.col("n_sh"),
         F.explode(F.slice("__sh", F.lit(1), prefix_len)).alias("__h"),
     )
     # length filter rides the candidate join: J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t
-    pa = prefix.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("__na"), "__h")
-    pb = prefix.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("__nb"), "__h")
+    pa = prefix.select(F.col("__rep").alias("ra"), F.col("n_sh").alias("__na"), "__h")
+    pb = prefix.select(F.col("__rep").alias("rb"), F.col("n_sh").alias("__nb"), "__h")
     cand = (
         pa.join(pb, "__h")
         .filter(
-            (F.col("id_a") < F.col("id_b"))
+            (F.col("ra") < F.col("rb"))
             & (
                 F.greatest("__na", "__nb") * F.lit(threshold)
                 <= F.least("__na", "__nb")
             )
         )
-        .select("id_a", "id_b")
+        .select("ra", "rb")
         .distinct()
     )
-    a = docs.select(
-        F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"), F.col("n_sh").alias("n_a")
+    a = rep_docs.select(
+        F.col("__rep").alias("ra"), F.col("__sh").alias("__sh_a"), F.col("n_sh").alias("n_a")
     )
-    b = docs.select(
-        F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"), F.col("n_sh").alias("n_b")
+    b = rep_docs.select(
+        F.col("__rep").alias("rb"), F.col("__sh").alias("__sh_b"), F.col("n_sh").alias("n_b")
     )
     n_inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
-    out = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+    rep_pairs = (
+        cand.join(a, "ra")
+        .join(b, "rb")
         .select(
-            "id_a",
-            "id_b",
+            "ra",
+            "rb",
             (
                 n_inter.cast("double")
                 / (F.col("n_a") + F.col("n_b") - n_inter)
             ).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= threshold)
     )
-    return out.filter(F.col("jaccard") >= threshold)
+
+    members = docs.select(F.col("__gk"), F.col(id_col).alias("__m"))
+    # within-group pairs: identical sets, J exactly 1.0
+    intra = (
+        members.alias("x")
+        .join(members.alias("y"), "__gk")
+        .filter(F.col("x.__m") < F.col("y.__m"))
+        .select(
+            F.col("x.__m").alias("id_a"),
+            F.col("y.__m").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # cross-group expansion: every member pair inherits the reps' J
+    r2g = groups.select(F.col("__rep"), F.col("__gg").alias("__gk"))
+    inter = (
+        rep_pairs.join(
+            r2g.select(F.col("__rep").alias("ra"), F.col("__gk").alias("__gka")), "ra"
+        )
+        .join(r2g.select(F.col("__rep").alias("rb"), F.col("__gk").alias("__gkb")), "rb")
+        .join(members.select(F.col("__gk").alias("__gka"), F.col("__m").alias("__ma")), "__gka")
+        .join(members.select(F.col("__gk").alias("__gkb"), F.col("__m").alias("__mb")), "__gkb")
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(inter)
 
 
 def minhash_signatures(
