@@ -84,3 +84,51 @@ def test_ivf_topk_recall_and_probe_scaling(emb, exact):
 def test_ivf_cluster_assignment_covers_all(emb):
     out = sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 2), k=3)
     assert out.count() == 2 * 3
+
+
+def test_jaccard_pairs_duplicate_collapse_matches_bruteforce(spark):
+    """The identical-shingle-set collapse inside jaccard_pairs must
+    produce exactly the naive all-pairs result on a duplicate-heavy
+    corpus: within-group pairs at J=1.0, cross-group member pairs at
+    the representatives' J, singletons unaffected.
+
+    Ground truth is brute-forced in Python from the engine's own
+    shingle_table output, so tokenizer semantics stay out of scope.
+    """
+    from itertools import combinations
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators import neardup
+
+    base = "the quick brown fox jumps over the lazy dog today"
+    near = "the quick brown fox leaps over the lazy dog today"
+    docs = [
+        (1, base),
+        (2, base),          # exact copy of 1
+        (3, base),          # 3-member duplicate group
+        (4, near),          # near-dup of the group
+        (5, near),          # duplicate of the near-dup
+        (6, "completely unrelated words about distributed query engines"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    sets: dict[int, frozenset] = {}
+    for r in neardup.shingle_table(df).collect():
+        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+    threshold = 0.5
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if j >= threshold:
+            want[(a, b)] = j
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in neardup.jaccard_pairs(df, threshold=threshold).collect()
+    }
+    assert set(got) == set(want)
+    for pair, j in want.items():
+        assert got[pair] == pytest.approx(j, abs=1e-12)
+    # the duplicate groups must surface as exact J=1.0 pairs
+    assert got[(1, 2)] == 1.0 and got[(1, 3)] == 1.0 and got[(2, 3)] == 1.0
+    assert got[(4, 5)] == 1.0
