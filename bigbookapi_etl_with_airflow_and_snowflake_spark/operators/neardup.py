@@ -107,15 +107,27 @@ def jaccard_pairs(
     # J = |S|/|S| = 1.0; cross-group member pairs inherit their reps'
     # exact J. On duplicate-heavy corpora (the common 100 TB reality)
     # this removes the clique term entirely; results are identical.
+    # The shingle pipeline above (explode → dfreq join → collect_list
+    # agg) feeds three independent branches (groups, rep_docs, members)
+    # whose downstream references compound multiplicatively — without
+    # truncation the executed plan holds 28 scans of the source, each
+    # replaying both shuffles, and AQE exchange reuse does not collapse
+    # them (0 ReusedExchange observed). Same tradeoff as
+    # dedup.connected_components: materializing docs and rep_docs
+    # (bounded by the shuffle this stage already pays) caps source
+    # replays at one. Locally the fixed overhead is ~1 s at sf0.1 and
+    # within run noise at 10×; the win is the bounded recompute at real
+    # corpus sizes, where 28 replays of scan+explode+2 shuffles
+    # dominate everything else in the query.
     docs = docs.withColumn(
         "__gk", F.md5(F.concat_ws(",", F.col("__sh").cast("array<string>")))
-    )
+    ).localCheckpoint(eager=True)
     groups = docs.groupBy(F.col("__gk").alias("__gg")).agg(
         F.min(id_col).alias("__rep")
     )
     rep_docs = docs.join(
         groups, (docs["__gk"] == groups["__gg"]) & (docs[id_col] == groups["__rep"])
-    ).select("__rep", "__sh", "n_sh")
+    ).select("__rep", "__sh", "n_sh").localCheckpoint(eager=True)
 
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")).cast(
         "int"
