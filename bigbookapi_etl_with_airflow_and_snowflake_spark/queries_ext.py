@@ -1309,6 +1309,86 @@ FROM sig LEFT JOIN cont ON sig.doc_id = cont.doc_id
 """
 
 
+def q_tfidf_topterms(spark, sf):
+    """N4 text analysis: classic TF-IDF keyword extraction — top-3
+    terms per document by tf·ln(N/df), ties broken on the term text.
+
+    Scale: tf and df are both map-side-partial aggs over the exploded
+    token stream (one shuffle each on skew-free keys); the corpus size
+    joins in as a broadcast scalar, never a driver collect. Ranking is
+    a per-doc window over the already-aggregated (doc, term) rows —
+    cardinality ≤ distinct terms per doc, not corpus tokens. The rank
+    runs on the UNROUNDED score (both engines see mathematically
+    identical tf·ln(N/df) inputs); only the emitted score is rounded.
+    """
+    docs = _t(spark, sf, "documents")
+    from .operators.text import tokens
+
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n_corpus"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_corpus") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", F.round("score", 6).alias("tfidf"), "rk")
+    )
+
+
+SQL_TFIDF_TOPTERMS = r"""
+WITH toks AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_corpus FROM documents),
+scored AS (SELECT t.doc_id, t.term, t.tf * ln(n.n_corpus / d.df) AS score
+           FROM tf t JOIN df d USING (term) CROSS JOIN n),
+rk AS (SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+       FROM scored)
+SELECT doc_id, term, ROUND(score, 6) AS tfidf, rk FROM rk WHERE rk <= 3
+"""
+
+
+def q_corr_stats(spark, sf):
+    """Statistical aggregate family over lineitem: Pearson correlation,
+    sample stddev/variance, and the least-squares fit of price on
+    quantity (slope / intercept / R²).
+
+    Scale: one map-side-partial aggregation — every one of these is an
+    algebraic aggregate (sum/count/moment merges), so the plan is a
+    single scan + single reduce regardless of row count. Outputs are
+    scale-free or near-unit magnitude, rounded at 6 dp, far above the
+    ~1e-12 relative accumulation-order noise between engines.
+    """
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("std_discount"),
+        F.round(F.var_samp("l_tax"), 6).alias("var_tax"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("fit_slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("fit_intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("fit_r2"),
+    )
+
+
+SQL_CORR_STATS = """
+SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(stddev_samp(l_discount), 6) AS std_discount,
+       ROUND(var_samp(l_tax), 6) AS var_tax,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS fit_slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS fit_intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS fit_r2
+FROM lineitem
+"""
+
+
 EXT_REGISTRY = {
     # remaining TPC-H query shapes
     "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST_SUPPLIER),
@@ -1335,6 +1415,8 @@ EXT_REGISTRY = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "source_mixture": (q_source_mixture, SQL_SOURCE_MIXTURE),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
+    "corr_stats": (q_corr_stats, SQL_CORR_STATS),
     # join/set-op/function breadth
     "daily_activity_full_outer": (q_daily_activity_full_outer, SQL_DAILY_ACTIVITY_FULL_OUTER),
     "region_nation_matrix": (q_region_nation_matrix, SQL_REGION_NATION_MATRIX),
