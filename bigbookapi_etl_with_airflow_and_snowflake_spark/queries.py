@@ -1429,20 +1429,29 @@ FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 
 def q_part_name_editdist(spark, sf):
     """N2 (edit-distance variant): near-identical part names by
-    Levenshtein ≤ 2. Length-band prefilter (|len(a)−len(b)| ≤ 2 — a
-    lower bound on edit distance) prunes the pair space before the
-    O(len²) distance runs; at corpus scale the band becomes the join
-    key (each name joins only its ±2 length bands)."""
+    Levenshtein ≤ 2. The |len(a)−len(b)| ≤ 2 lower bound on edit
+    distance becomes an **equi-join key**: side A explodes each name to
+    its ±2 length band values, side B carries its exact length — the
+    join is a hash join on ``band`` (each pair matches exactly once,
+    since B's band is a single value), never a nested-loop cartesian.
+    Length is low-cardinality, so the shuffle key is skewed by
+    construction; AQE skew-join splits the hot bands at runtime (and at
+    real corpus scale the band key extends with any edit-invariant
+    grouping available, e.g. a coarse token-count class)."""
     p = _t(spark, sf, "part").select("p_partkey", "p_name")
-    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"))
-    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"))
-    cand = a.join(
-        b,
-        (F.col("id_a") < F.col("id_b"))
-        & (
-            F.abs(F.length("name_a") - F.length("name_b")) <= 2
-        ),
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.sequence(F.length("p_name") - 2, F.length("p_name") + 2)
+        ).alias("band"),
     )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.length("p_name").alias("band"),
+    )
+    cand = a.join(b, "band").filter(F.col("id_a") < F.col("id_b"))
     return (
         cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= 2)

@@ -87,6 +87,30 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert scan.count() == events.filter(F.col("day") == F.lit(one_day)).count()
 
 
+def test_part_name_editdist_is_equi_join(spark, sf_dir):
+    """The length-band candidate join must be a hash/sort-merge equi
+    join on the exploded band key — a pure non-equi predicate would plan
+    as BroadcastNestedLoopJoin (O(n²) comparisons, fatal at corpus
+    scale)."""
+    df = Q.q_part_name_editdist(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+
+
+def test_embedding_neardup_no_nested_loop(spark, sf_dir):
+    df = Q.q_embedding_neardup(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
 def test_dedup_exact_single_shuffle_key(spark, sf_dir):
     df = Q.q_dedup_exact_docs(spark, sf_dir)
     # groupBy(fp) + semi-join back share the fingerprint shuffle key

@@ -86,6 +86,46 @@ def test_ivf_cluster_assignment_covers_all(emb):
     assert out.count() == 2 * 3
 
 
+def test_embedding_neardup_blockwise_matches_bruteforce(emb):
+    """Blockwise grid kernel == numpy all-pairs, for several block
+    counts (1 block degenerates to a single cell; more blocks than
+    natural parallelism still covers every pair exactly once)."""
+    import numpy as np
+
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+    sims = np.round(xn @ xn.T, 6)
+    t = 0.4
+    want = {}
+    n = len(ids)
+    for i in range(n):
+        for j in range(n):
+            if ids[i] < ids[j] and sims[i, j] >= t:
+                want[(int(ids[i]), int(ids[j]))] = float(sims[i, j])
+
+    for n_blocks in (1, 4, 13):
+        out = sim.embedding_neardup_pairs(emb, threshold=t, n_blocks=n_blocks)
+        got = {(r["id_a"], r["id_b"]): r["sim"] for r in out.collect()}
+        assert got == want, f"n_blocks={n_blocks}"
+
+
+def test_embedding_neardup_is_distributed_no_driver_collect(emb):
+    """The 100 TB posture: the plan must be a cogrouped Arrow kernel over
+    the distributed table — no driver-side materialization of the big
+    side (no LocalTableScan of embeddings rows, no CollectLimit), and the
+    only local relation is the tiny broadcast block grid."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.plans.introspect import explain_str
+
+    out = sim.embedding_neardup_pairs(emb, threshold=0.4, n_blocks=8)
+    plan = explain_str(out, "simple")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CollectLimit" not in plan
+    # no driver-side relation anywhere: the fan-out is a narrow explode
+    assert "LocalTableScan" not in plan
+
+
 def test_jaccard_pairs_duplicate_collapse_matches_bruteforce(spark):
     """The identical-shingle-set collapse inside jaccard_pairs must
     produce exactly the naive all-pairs result on a duplicate-heavy
