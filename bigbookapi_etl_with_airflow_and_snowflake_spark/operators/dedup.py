@@ -93,6 +93,15 @@ def connected_components(
     (Kiveris et al.) which this loop structure accommodates.
 
     Output: (node, label) — one row per node appearing in ``pairs``.
+
+    Execution notes: this operator is inherently ITERATIVE — it runs
+    Spark jobs at call time (per-round counts + eager localCheckpoints),
+    not lazily at first action like plain registry queries; and
+    localCheckpoint is executor-local (not fault-tolerant) — an executor
+    loss mid-run fails the job; swap for reliable ``.checkpoint()`` at
+    cluster scale. Raises ``RuntimeError`` if ``max_iter`` rounds pass
+    without a converged (zero-label-change) round — silently returning
+    partial labels would hand callers wrong clusters with no signal.
     """
     # Materialize the pair list ONCE, before the self-union: `edges`
     # appears in both union branches and Spark does not share subplans
@@ -149,5 +158,10 @@ def connected_components(
         changed = upd.filter(F.col("label") != F.col("old_label")).count()
         labels = upd.select("node", "label")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"({changed} labels still changing) — raise max_iter (diameter "
+        "exceeds the dedup-graph assumption) or use a star-contraction "
+        "variant for deep graphs"
+    )

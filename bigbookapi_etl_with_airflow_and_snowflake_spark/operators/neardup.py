@@ -20,11 +20,29 @@ Scale design
 
 from __future__ import annotations
 
+from decimal import ROUND_FLOOR, Decimal
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import bind
 from .text import tokens, word_shingles
+
+
+def _threshold_dec(threshold: float) -> Column:
+    """The similarity threshold as an exact decimal literal, rounded
+    DOWN at 12 dp — candidate pruning must never use double arithmetic.
+
+    ``ceil(t * n)`` in doubles overshoots for thresholds whose FP
+    product lands epsilon-high (0.28 × 100 → 28.000000000000004 →
+    ceil 29, exact 28), silently shortening the prefix and tightening
+    the length filter — qualifying pairs get dropped. Decimal × int is
+    exact; rounding the literal down keeps the pruning conservative
+    (at worst one extra candidate, never a lost pair) even for
+    thresholds that don't fit 12 decimal places.
+    """
+    t = Decimal(threshold).quantize(Decimal("1e-12"), rounding=ROUND_FLOOR)
+    return F.lit(str(t)).cast("decimal(14,12)")
 
 
 def _bucket_pairs(keyed: DataFrame, key_col: str, id_col: str) -> DataFrame:
@@ -89,9 +107,18 @@ def jaccard_pairs(
     # prefix, so the inverted index is built over rare shingles only —
     # the hot-shingle pair explosion (the quadratic term at 100 TB)
     # never happens, and the result is provably identical.
-    dfreq = hashed.groupBy("__h").agg(F.count("*").alias("__df"))
+    # document frequency via a window over the shingle-hash partition:
+    # one shuffle of the shingle table (vs. aggregate + join-back =
+    # shuffling it twice); count(*) over the unordered partition needs
+    # no sort and keeps map-side combine irrelevant (per-hash groups are
+    # the collision lists themselves)
+    from pyspark.sql import Window as _W
+
+    with_df = hashed.withColumn(
+        "__df", F.count("*").over(_W.partitionBy("__h"))
+    )
     docs = (
-        hashed.join(dfreq, "__h")
+        with_df
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list(F.struct("__df", "__h"))).alias("__s"))
         .select(
@@ -103,51 +130,53 @@ def jaccard_pairs(
     # Duplicate-aware collapse: Jaccard is a function of the shingle
     # SET, so docs with identical sets (exact copies, reorderings) are
     # grouped and only one representative enters the quadratic-ish
-    # candidate stage. Within-group pairs are emitted directly with
-    # J = |S|/|S| = 1.0; cross-group member pairs inherit their reps'
-    # exact J. On duplicate-heavy corpora (the common 100 TB reality)
-    # this removes the clique term entirely; results are identical.
-    # The shingle pipeline above (explode → dfreq join → collect_list
-    # agg) feeds three independent branches (groups, rep_docs, members)
-    # whose downstream references compound multiplicatively — without
-    # truncation the executed plan holds 28 scans of the source, each
-    # replaying both shuffles, and AQE exchange reuse does not collapse
-    # them (0 ReusedExchange observed). Same tradeoff as
-    # dedup.connected_components: materializing docs and rep_docs
-    # (bounded by the shuffle this stage already pays) caps source
-    # replays at one. Locally the fixed overhead is ~1 s at sf0.1 and
-    # within run noise at 10×; the win is the bounded recompute at real
-    # corpus sizes, where 28 replays of scan+explode+2 shuffles
-    # dominate everything else in the query.
+    # candidate stage. Within-group pairs have J = 1.0 by construction;
+    # cross-group member pairs inherit their reps' exact J. On
+    # duplicate-heavy corpora (the common 100 TB reality) this removes
+    # the clique term entirely; results are identical.
+    #
+    # One aggregation carries everything downstream needs — the rep id,
+    # the sorted member list, and the (identical-across-members) shingle
+    # array — so the whole query hangs off a single materialized table.
+    # Without truncation the branches compound multiplicatively (round-1
+    # form held 28 scans of the source; AQE exchange reuse collapsed
+    # none of them). NOTE: localCheckpoint(eager=True) runs the shingle
+    # pipeline at DataFrame-CONSTRUCTION time (builders of this query
+    # pay the upstream jobs immediately, not at first action) and is
+    # executor-local, not fault-tolerant — an executor loss mid-query
+    # recomputes nothing and fails the job; rerun the query. At 100 TB
+    # swap for reliable .checkpoint() on a checkpoint dir.
     docs = docs.withColumn(
         "__gk", F.md5(F.concat_ws(",", F.col("__sh").cast("array<string>")))
-    ).localCheckpoint(eager=True)
-    groups = docs.groupBy(F.col("__gk").alias("__gg")).agg(
-        F.min(id_col).alias("__rep")
     )
-    rep_docs = docs.join(
-        groups, (docs["__gk"] == groups["__gg"]) & (docs[id_col] == groups["__rep"])
-    ).select("__rep", "__sh", "n_sh").localCheckpoint(eager=True)
+    groups = (
+        docs.groupBy("__gk")
+        .agg(
+            F.min(id_col).alias("__rep"),
+            F.sort_array(F.collect_list(id_col)).alias("__members"),
+            F.first("__sh").alias("__sh"),
+            F.first("n_sh").alias("n_sh"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rep_docs = groups.select("__rep", "__sh", "n_sh")
 
-    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")).cast(
-        "int"
-    ) + F.lit(1)
+    t_dec = _threshold_dec(threshold)
+    prefix_len = F.col("n_sh") - F.ceil(t_dec * F.col("n_sh")).cast("int") + F.lit(1)
     prefix = rep_docs.select(
         F.col("__rep"),
         F.col("n_sh"),
         F.explode(F.slice("__sh", F.lit(1), prefix_len)).alias("__h"),
     )
     # length filter rides the candidate join: J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t
+    # (decimal product — see _threshold_dec)
     pa = prefix.select(F.col("__rep").alias("ra"), F.col("n_sh").alias("__na"), "__h")
     pb = prefix.select(F.col("__rep").alias("rb"), F.col("n_sh").alias("__nb"), "__h")
     cand = (
         pa.join(pb, "__h")
         .filter(
             (F.col("ra") < F.col("rb"))
-            & (
-                F.greatest("__na", "__nb") * F.lit(threshold)
-                <= F.least("__na", "__nb")
-            )
+            & (F.greatest("__na", "__nb") * t_dec <= F.least("__na", "__nb"))
         )
         .select("ra", "rb")
         .distinct()
@@ -172,35 +201,33 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-
-    members = docs.select(F.col("__gk"), F.col(id_col).alias("__m"))
-    # within-group pairs: identical sets, J exactly 1.0
-    intra = (
-        members.alias("x")
-        .join(members.alias("y"), "__gk")
-        .filter(F.col("x.__m") < F.col("y.__m"))
-        .select(
-            F.col("x.__m").alias("id_a"),
-            F.col("y.__m").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
+    # Member expansion in ONE pass: a group's self-pair (rep, rep, 1.0)
+    # stands for its within-group clique, so unioning self-pairs with
+    # the scored rep pairs lets a single join-then-explode expand both
+    # cases — 2 joins total where the round-1 form chained 6 (two
+    # rep→group hops + two group→member hops + the intra self-join).
+    rep_self = groups.filter(F.size("__members") > 1).select(
+        F.col("__rep").alias("ra"),
+        F.col("__rep").alias("rb"),
+        F.lit(1.0).alias("jaccard"),
     )
-    # cross-group expansion: every member pair inherits the reps' J
-    r2g = groups.select(F.col("__rep"), F.col("__gg").alias("__gk"))
-    inter = (
-        rep_pairs.join(
-            r2g.select(F.col("__rep").alias("ra"), F.col("__gk").alias("__gka")), "ra"
-        )
-        .join(r2g.select(F.col("__rep").alias("rb"), F.col("__gk").alias("__gkb")), "rb")
-        .join(members.select(F.col("__gk").alias("__gka"), F.col("__m").alias("__ma")), "__gka")
-        .join(members.select(F.col("__gk").alias("__gkb"), F.col("__m").alias("__mb")), "__gkb")
+    ga = groups.select(F.col("__rep").alias("ra"), F.col("__members").alias("__ma"))
+    gb = groups.select(F.col("__rep").alias("rb"), F.col("__members").alias("__mb"))
+    return (
+        rep_pairs.unionByName(rep_self)
+        .join(ga, "ra")
+        .join(gb, "rb")
+        .select("ra", "rb", "jaccard", F.explode("__ma").alias("__x"), "__mb")
+        .select("ra", "rb", "jaccard", "__x", F.explode("__mb").alias("__y"))
+        # self-pair expansion emits each unordered member pair twice
+        # (and the x == y diagonal); cross-group pairs are unique already
+        .filter((F.col("ra") != F.col("rb")) | (F.col("__x") < F.col("__y")))
         .select(
-            F.least("__ma", "__mb").alias("id_a"),
-            F.greatest("__ma", "__mb").alias("id_b"),
+            F.least("__x", "__y").alias("id_a"),
+            F.greatest("__x", "__y").alias("id_b"),
             "jaccard",
         )
     )
-    return intra.unionByName(inter)
 
 
 def minhash_signatures(

@@ -126,6 +126,29 @@ def test_embedding_neardup_is_distributed_no_driver_collect(emb):
     assert "LocalTableScan" not in plan
 
 
+def test_jaccard_pairs_nondyadic_threshold_boundary(spark):
+    """Prefix length and length filter must use exact (decimal)
+    arithmetic: t=0.28 with |A|=100, |B|=28 shingles sits exactly on
+    both boundaries — double math gives ceil(0.28·100)=29 (prefix one
+    short; the only shared prefix position of A is the 73rd) and
+    greatest·t=28.000000000000004 > least=28 (length filter drops the
+    pair). The qualifying J=28/100=0.28 pair must survive.
+    """
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators import neardup
+
+    words = [f"w{i:03d}" for i in range(102)]
+    docs = [
+        (1, " ".join(words)),        # 100 3-gram shingles
+        (2, " ".join(words[:30])),   # its first 28 shingles: J = 28/100
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in neardup.jaccard_pairs(df, threshold=0.28).collect()
+    }
+    assert got == {(1, 2): pytest.approx(0.28, abs=1e-15)}
+
+
 def test_jaccard_pairs_duplicate_collapse_matches_bruteforce(spark):
     """The identical-shingle-set collapse inside jaccard_pairs must
     produce exactly the naive all-pairs result on a duplicate-heavy
