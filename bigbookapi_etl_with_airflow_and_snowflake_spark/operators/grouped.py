@@ -29,14 +29,25 @@ def user_behavior_features(events: DataFrame, gap_minutes: int = 30) -> DataFram
 
     def feats(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        gaps = pdf["ts"].diff().dt.total_seconds().dropna()
+        # integer-nanosecond gaps: exact sums/compares, and each emitted
+        # second value is ONE correctly-rounded IEEE division of an
+        # exact integer — engine-portable (an oracle computing the same
+        # stat from integer microseconds lands on the identical double)
+        ts_ns = pd.Series(
+            pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64"),
+            index=pdf.index,
+        )
+        gaps_ns = ts_ns.diff().dropna()
+        n_gaps = len(gaps_ns)
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(pdf)],
-                "n_sessions": [int((gaps > gap_s).sum()) + 1],
-                "mean_gap_s": [float(gaps.mean()) if len(gaps) else None],
-                "max_gap_s": [float(gaps.max()) if len(gaps) else None],
+                "n_sessions": [int((gaps_ns > gap_s * 1_000_000_000).sum()) + 1],
+                "mean_gap_s": [
+                    float(gaps_ns.sum()) / (n_gaps * 1e9) if n_gaps else None
+                ],
+                "max_gap_s": [float(gaps_ns.max()) / 1e9 if n_gaps else None],
                 "n_types": [pdf["event_type"].nunique()],
             }
         )

@@ -1,0 +1,225 @@
+"""Operator-backed registry entries — drive the standalone operators
+(incremental rollup, salted aggregation, grouped applyInPandas, keyed
+parquet merge, real image decode) through the same DuckDB-oracle gate as
+the relational queries, so "tested" means driver-checked, not just
+pytest-checked.
+
+Each query here composes a real operator with a deterministic scenario
+built from the driver corpus (TESTDATA.md tables only). Materializing
+operators (rollup refresh, merge) write to a per-call temp directory,
+fold through their real write path, then return the final table as an
+eagerly-checkpointed DataFrame (the temp dir is deleted before return —
+nothing leaks).
+
+Value-parity rules follow queries.py: decimal-exact money sums, integer
+microsecond time arithmetic, identical aliases both dialects.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .operators.grouped import user_behavior_features
+from .operators.multimodal import image_stats
+from .operators.rollup import refresh_rollup
+from .operators.skew import salted_agg
+from .queries import _dec, _t
+from .sinks.merge import merge_parquet
+
+
+# ---------------------------------------------------------------------------
+# incremental rollup (operators/rollup.py)
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_refresh(spark, sf):
+    """Hypertable-style continuous aggregate, driven through its real
+    two-refresh path: the events table arrives as two increments (first
+    vs. second half of each month); each refresh folds partials into the
+    materialized rollup. The final rollup must equal the from-scratch
+    hourly aggregation — the decomposability contract
+    ``merge(rollup(a), rollup(b)) == rollup(a ∪ b)`` under the oracle.
+    """
+    e = _t(spark, sf, "events")
+    aggs = [
+        ("count", "event_id", "n_events"),
+        ("min", "value", "min_value"),
+        ("max", "value", "max_value"),
+    ]
+    d = tempfile.mkdtemp(prefix="q_rollup_")
+    path = os.path.join(d, "rollup")
+    try:
+        refresh_rollup(
+            spark, e.filter(F.dayofmonth("ts") <= 15), path, "ts", "hour",
+            ["event_type"], aggs,
+        )
+        refresh_rollup(
+            spark, e.filter(F.dayofmonth("ts") > 15), path, "ts", "hour",
+            ["event_type"], aggs,
+        )
+        out = spark.read.parquet(path).select(
+            "bucket_start", "event_type", "n_events", "min_value", "max_value"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_ROLLUP_REFRESH = """
+SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+       COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# salted aggregation (operators/skew.py)
+# ---------------------------------------------------------------------------
+
+
+def q_salted_agg_events(spark, sf):
+    """Two-phase salted aggregation over the (skew-prone) event_type
+    key — value-identical to the plain GROUP BY the oracle runs; only
+    the shuffle layout differs (no reducer sees a whole hot key).
+    Money sums ride the decimal-exact path so partial-merge order can't
+    perturb the double."""
+    e = _t(spark, sf, "events").withColumn("value_dec", _dec("value"))
+    out = salted_agg(
+        e,
+        keys=["event_type"],
+        aggs=[
+            ("count", "event_id", "n_events"),
+            ("sum", "value_dec", "sum_value"),
+            ("min", "value", "min_value"),
+            ("max", "value", "max_value"),
+        ],
+        salt_on="event_id",
+        buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+SQL_SALTED_AGG_EVENTS = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped applyInPandas (operators/grouped.py)
+# ---------------------------------------------------------------------------
+
+
+def q_user_features(spark, sf):
+    """Per-user behavioral features via grouped ``applyInPandas`` —
+    the imperative per-key path checked against a pure-SQL window
+    formulation. Gap stats ride integer microseconds (exact in both
+    engines); mean is a single IEEE division."""
+    return user_behavior_features(_t(spark, sf, "events"), gap_minutes=30)
+
+
+SQL_USER_FEATURES = """
+WITH gaps AS (
+  SELECT user_id, event_id, event_type,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       COUNT(*) FILTER (WHERE gap_us > 1800000000) + 1 AS n_sessions,
+       CAST(SUM(gap_us) AS DOUBLE) / (COUNT(gap_us) * 1000000.0) AS mean_gap_s,
+       CAST(MAX(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s,
+       COUNT(DISTINCT event_type) AS n_types
+FROM gaps GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# keyed parquet merge (sinks/merge.py)
+# ---------------------------------------------------------------------------
+
+
+def q_merge_upsert_orders(spark, sf):
+    """The idempotent MERGE sink driven through its real two-write
+    path: seed the table with all orders, then merge an increment that
+    re-prices even-keyed orders (×2). Incoming must win per key,
+    untouched keys must survive — the oracle states the end table
+    directly."""
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    d = tempfile.mkdtemp(prefix="q_merge_")
+    path = os.path.join(d, "orders_merged")
+    try:
+        merge_parquet(spark, o, path, keys=["o_orderkey"])
+        increment = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "o_totalprice",
+            (_dec("o_totalprice") * 2).cast("double"),
+        )
+        merge_parquet(spark, increment, path, keys=["o_orderkey"])
+        out = spark.read.parquet(path).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_MERGE_UPSERT_ORDERS = """
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 2 = 0
+            THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE)
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# real image decode (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def q_image_decode(spark, sf):
+    """N5 with REAL decode under the oracle gate: deterministic P6
+    payloads are built from each ASCII document's first 24 bytes, then
+    decoded distributed (pure-numpy PPM decoder via mapInPandas). The
+    oracle recomputes (width, height, channels, mean_pixel) from the
+    same characters — decoding must invert the encoding exactly."""
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").rlike("^[ -~]+$") & (F.length("text") >= 24))
+    )
+    payload = F.concat(
+        F.lit(b"P6\n4 2\n255\n"), F.substring("text", 1, 24).cast("binary")
+    )
+    imgs = d.select("doc_id", payload.alias("payload"))
+    return image_stats(imgs, "payload", "doc_id")
+
+
+SQL_IMAGE_DECODE = """
+SELECT doc_id, 4 AS width, 2 AS height, 3 AS channels,
+       ROUND(list_sum(list_transform(range(1, 25),
+                      i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE))) / 24, 6)
+         AS mean_pixel
+FROM documents
+WHERE regexp_matches(text, '^[ -~]+$') AND length(text) >= 24
+"""
+
+
+OPS_REGISTRY = {
+    "rollup_refresh": (q_rollup_refresh, SQL_ROLLUP_REFRESH),
+    "salted_agg_events": (q_salted_agg_events, SQL_SALTED_AGG_EVENTS),
+    "user_features": (q_user_features, SQL_USER_FEATURES),
+    "merge_upsert_orders": (q_merge_upsert_orders, SQL_MERGE_UPSERT_ORDERS),
+    "image_decode": (q_image_decode, SQL_IMAGE_DECODE),
+}

@@ -65,6 +65,88 @@ def test_sample_frames(spark, docs):
     assert got == {k: v for k, v in local.items() if v > 0}
 
 
+def _make_bmp(pixels_rgb, top_down=False):
+    """Build a real uncompressed 24-bit BMP from a (h, w, 3) nested list."""
+    import struct
+
+    h, w = len(pixels_rgb), len(pixels_rgb[0])
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    rows = pixels_rgb if top_down else list(reversed(pixels_rgb))
+    for row in rows:
+        line = b"".join(bytes([b, g, r]) for (r, g, b) in row)  # BGR on disk
+        raster += line + b"\x00" * (stride - len(line))
+    header_h = -h if top_down else h
+    info = struct.pack("<IiiHHIIiiII", 40, w, header_h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 54)
+    return file_header + info + raster
+
+
+def test_decode_bmp_real_bytes():
+    import numpy as np
+
+    px = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)], [(10, 20, 30), (40, 50, 60), (70, 80, 90)]]
+    for top_down in (False, True):
+        img = M.decode_bmp(_make_bmp(px, top_down))
+        assert img.shape == (2, 3, 3)
+        assert np.array_equal(img, np.array(px, dtype=np.uint8))
+
+
+def test_decode_ppm_real_bytes_with_comment():
+    import numpy as np
+
+    raster = bytes(range(24))
+    payload = b"P6\n# a comment\n4 2\n255\n" + raster
+    img = M.decode_ppm(payload)
+    assert img.shape == (2, 4, 3)
+    assert img.tobytes() == raster
+    # PGM single-channel
+    g = M.decode_ppm(b"P5\n2 2\n255\n" + bytes([1, 2, 3, 4]))
+    assert g.shape == (2, 2, 1) and g.tobytes() == bytes([1, 2, 3, 4])
+    # roundtrip through the encoder
+    assert M.decode_ppm(M.encode_ppm(img)).tobytes() == raster
+
+
+def test_image_stats_distributed_real_decode(spark):
+    """The N5 'partial' closer: REAL bytes decoded distributed, no
+    NotImplementedError — (width, height, channels, mean_pixel) correct,
+    corrupt payloads quarantined as nulls instead of failing the job."""
+    import numpy as np
+
+    px = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)], [(10, 20, 30), (40, 50, 60), (70, 80, 90)]]
+    bmp = _make_bmp(px)
+    ppm = b"P6\n3 1\n255\n" + bytes([0, 0, 0, 255, 255, 255, 9, 9, 9])
+    rows = [(1, bytearray(bmp)), (2, bytearray(ppm)), (3, bytearray(b"\x89PNG not supported"))]
+    df = spark.createDataFrame(rows, "img_id long, payload binary")
+    got = {r["img_id"]: r for r in M.image_stats(df, "payload", "img_id").collect()}
+    assert got[1]["width"] == 3 and got[1]["height"] == 2 and got[1]["channels"] == 3
+    assert got[1]["mean_pixel"] == pytest.approx(
+        round(float(np.array(px, dtype=np.uint8).mean()), 6)
+    )
+    assert got[2]["width"] == 3 and got[2]["height"] == 1
+    assert got[2]["mean_pixel"] == pytest.approx(round((255 * 3 + 9 * 3) / 9, 6))
+    assert got[3]["width"] is None and got[3]["mean_pixel"] is None
+
+
+def test_resize_images_real_path(spark):
+    """BMP in → decoded, NN-resampled, P6 out; stub fallback untouched
+    for non-image payloads."""
+    import numpy as np
+
+    px = [
+        [(0, 0, 0), (50, 50, 50), (100, 100, 100), (150, 150, 150)],
+        [(10, 10, 10), (60, 60, 60), (110, 110, 110), (160, 160, 160)],
+        [(20, 20, 20), (70, 70, 70), (120, 120, 120), (170, 170, 170)],
+        [(30, 30, 30), (80, 80, 80), (130, 130, 130), (180, 180, 180)],
+    ]
+    df = spark.createDataFrame([(1, bytearray(_make_bmp(px)))], "img_id long, payload binary")
+    out = M.resize_images(df, "payload", "img_id", width=2, height=2).collect()[0]
+    img = M.decode_ppm(bytes(out["resized"]))
+    want = M.nn_resize(np.array(px, dtype=np.uint8), 2, 2)
+    assert np.array_equal(img, want)
+    assert out["n_bytes"] == len(bytes(out["resized"]))
+
+
 def test_binary_roundtrip_preserves_hash(spark, docs, tmp_path):
     # opaque binary columns survive a parquet write/read with content hash
     bin_df = docs.select(
