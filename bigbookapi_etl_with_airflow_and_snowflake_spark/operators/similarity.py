@@ -308,6 +308,178 @@ def ivf_topk(
     )
 
 
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> None:
+    """Materialize the multi-table LSH index AT REST: one row per
+    (table, bucket) membership, ``partitionBy("bucket")`` parquet — the
+    physical layout that makes :func:`lsh_probe` a partition-pruned
+    read. This is the 100 TB path the in-memory :func:`lsh_topk`
+    docstring promises: index once, then every probe touches
+    ~n_tables·n/2^planes rows instead of n."""
+    buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        buckets.append(
+            F.concat(F.lit(f"{t}-"), lsh_bucket(F.col(vec_col), planes))
+        )
+    (
+        df.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("n_vec"),
+            F.explode(F.array(*buckets)).alias("bucket"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def lsh_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Probe a :func:`build_lsh_index` index: compute the query side's
+    buckets (queries are small by contract — the distinct bucket list is
+    a driver-sized set), then scan ONLY those buckets' partitions
+    (static partition pruning: the ``bucket IN (...)`` filter never
+    reads the other 2^planes·n_tables directories). Exact cosine
+    rescoring and per-query top-k run inside the pruned candidate set —
+    same results as :func:`lsh_topk` with the same parameters."""
+    q_buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        q_buckets.append(
+            F.concat(F.lit(f"{t}-"), lsh_bucket(F.col(vec_col), planes))
+        )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(F.array(*q_buckets)).alias("bucket"),
+    )
+    probe_buckets = [r["bucket"] for r in q.select("bucket").distinct().collect()]
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(probe_buckets))
+    pairs = (
+        idx.select("n_id", "bucket")
+        .join(F.broadcast(q.select("q_id", "bucket")), "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    # rescore vectors come from the PRUNED scan too (any candidate's
+    # vector rides the same bucket partition its pair was found in)
+    scored = (
+        pairs.join(idx.select("n_id", "n_vec").dropDuplicates(["n_id"]), "n_id")
+        .join(
+            F.broadcast(
+                queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+            ),
+            "q_id",
+        )
+        .select("q_id", "n_id", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "sim")
+    )
+
+
+def build_ivf_index(
+    candidates: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    sample_size: int = 10_000,
+) -> None:
+    """Materialize the IVF index AT REST: centroids trained on a bounded
+    sample (driver k-means, broadcast-sized model), candidates written
+    ``partitionBy("cluster")`` — the inverted lists ARE the partition
+    directories. Centroids persist next to the index (``<path>__centroids``)
+    so probes recompute nothing."""
+    spark = candidates.sparkSession
+    sample = [
+        r[0] for r in candidates.select(vec_col).limit(sample_size).collect()
+    ]
+    cents = _kmeans_centroids(sample, n_clusters, seed)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cluster int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}__centroids")
+    (
+        candidates.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("n_vec"),
+            _nearest_centroid_ids(F.col(vec_col), cents, 1)[0].alias("cluster"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a :func:`build_ivf_index` index: load the (tiny) stored
+    centroids, assign each query its ``n_probe`` nearest clusters, and
+    scan ONLY those clusters' partitions — the ``cluster IN (...)``
+    filter is static partition pruning over the inverted lists. Exact
+    rescoring inside probed clusters; same results as :func:`ivf_topk`
+    with the same training parameters."""
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}__centroids").collect(), key=lambda r: r["cluster"]
+    )
+    cents = [list(r["centroid"]) for r in cent_rows]
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            _nearest_centroid_ids(F.col(vec_col), cents, n_probe)
+        ).alias("cluster"),
+    )
+    probe_clusters = [r["cluster"] for r in q.select("cluster").distinct().collect()]
+    idx = spark.read.parquet(path).filter(F.col("cluster").isin(probe_clusters))
+    scored = (
+        idx.join(F.broadcast(q), "cluster")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "sim")
+    )
+
+
 def lsh_topk(
     candidates: DataFrame,
     queries: DataFrame,

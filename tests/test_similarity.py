@@ -126,6 +126,66 @@ def test_embedding_neardup_is_distributed_no_driver_collect(emb):
     assert "LocalTableScan" not in plan
 
 
+def test_lsh_index_probe_prunes_partitions(spark, emb, tmp_path):
+    """The 100 TB path made real: the at-rest LSH index is partitioned
+    by bucket, and a probe's scan must carry PartitionFilters (static
+    pruning — only the probed buckets' directories are read) while
+    returning exactly what the in-memory lsh_topk returns."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.plans.introspect import explain_str
+
+    path = str(tmp_path / "lsh_idx")
+    sim.build_lsh_index(emb, path)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    probed = sim.lsh_probe(spark, path, q, k=K)
+
+    plan = explain_str(probed, "formatted")
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    want = {(r["q_id"], r["n_id"], r["sim"]) for r in sim.lsh_topk(emb, q, k=K).collect()}
+    got = {(r["q_id"], r["n_id"], r["sim"]) for r in probed.collect()}
+    assert got == want
+
+    # pruning is real: the probe reads strictly fewer partition dirs
+    # than exist (2^planes × tables total, minus empties)
+    import os
+
+    all_parts = [d for d in os.listdir(path) if d.startswith("bucket=")]
+    probe_buckets = {
+        r["bucket"]
+        for r in spark.read.parquet(path)
+        .join(q.select(F.col("vec_id").alias("n_id")), "n_id")
+        .select("bucket")
+        .distinct()
+        .collect()
+    }
+    assert len(probe_buckets) < len(all_parts)
+
+
+def test_ivf_index_probe_prunes_partitions(spark, emb, exact, tmp_path):
+    """IVF inverted lists as partition directories: probe scan must be
+    partition-pruned and match the in-memory ivf_topk; probing every
+    cluster recovers brute force."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.plans.introspect import explain_str
+
+    path = str(tmp_path / "ivf_idx")
+    sim.build_ivf_index(emb, path, n_clusters=16)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    probed = sim.ivf_probe(spark, path, q, k=K, n_probe=4)
+
+    plan = explain_str(probed, "formatted")
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+    want = {
+        (r["q_id"], r["n_id"], r["sim"])
+        for r in sim.ivf_topk(emb, q, k=K, n_clusters=16, n_probe=4).collect()
+    }
+    got = {(r["q_id"], r["n_id"], r["sim"]) for r in probed.collect()}
+    assert got == want
+
+    # n_probe = n_clusters ⇒ exact brute force through the index
+    assert _recall(sim.ivf_probe(spark, path, q, k=K, n_probe=16), exact) == 1.0
+
+
 def test_jaccard_pairs_nondyadic_threshold_boundary(spark):
     """Prefix length and length filter must use exact (decimal)
     arithmetic: t=0.28 with |A|=100, |B|=28 shingles sits exactly on
