@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from .splits import SPLIT_SALT, TRAIN_UPPER_HEX, VAL_UPPER_HEX
+
 # name -> (signature, return type, body)
 SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     # exact-decimal revenue (the queries.py _rev() convention)
@@ -35,18 +37,22 @@ SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "DOUBLE",
         "CAST(length(regexp_replace(t, '[^0-9]', '')) AS DOUBLE) / length(t)",
     ),
-    # portable md5 bucket in [0, n) — the split/sample/shard primitive
+    # portable md5 bucket in [0, n) — the split/sample/shard primitive.
+    # conv() returns STRING; the explicit BIGINT cast makes the modulo
+    # integer arithmetic instead of leaning on implicit double coercion
+    # (exact for the 8-hex-digit range, and type-stable across versions)
     "md5_bucket": (
         "(key STRING, salt STRING, n INT)",
         "INT",
-        "CAST(conv(substring(md5(concat(key, salt)), 1, 8), 16, 10) % n AS INT)",
+        "CAST(CAST(conv(substring(md5(concat(key, salt)), 1, 8), 16, 10) AS BIGINT) % n AS INT)",
     ),
-    # train/val/test assignment matching queries_ext.q_train_test_split
+    # train/val/test assignment — thresholds/salt shared with
+    # queries_ext.q_train_test_split via functions/splits.py
     "split_of": (
         "(key STRING)",
         "STRING",
-        "CASE WHEN md5(concat(key, '#split')) < 'e6' THEN 'train' "
-        "WHEN md5(concat(key, '#split')) < 'f3' THEN 'val' ELSE 'test' END",
+        f"CASE WHEN md5(concat(key, '{SPLIT_SALT}')) < '{TRAIN_UPPER_HEX}' THEN 'train' "
+        f"WHEN md5(concat(key, '{SPLIT_SALT}')) < '{VAL_UPPER_HEX}' THEN 'val' ELSE 'test' END",
     ),
 }
 

@@ -582,12 +582,18 @@ def q_train_test_split(spark, sf):
     re-runs and re-partitioning, and skew-free (md5 is uniform).
 
     Scale: a narrow map — no shuffle, no sampling state; any executor
-    assigns any row independently. Thresholds are hex-prefix compares
-    ('e6' = 230/256 ≈ 0.898, 'f3' = 243/256 ≈ 0.949)."""
-    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#split")))
+    assigns any row independently. Thresholds/salt are the shared
+    constants in functions/splits.py (also consumed by the SQL-facade
+    ``split_of`` UDF — one definition, no drift)."""
+    from .functions.splits import SPLIT_SALT, TRAIN_UPPER_HEX, VAL_UPPER_HEX
+
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(SPLIT_SALT)))
     return _t(spark, sf, "documents").select(
         "doc_id",
-        F.when(h < "e6", "train").when(h < "f3", "val").otherwise("test").alias("split"),
+        F.when(h < TRAIN_UPPER_HEX, "train")
+        .when(h < VAL_UPPER_HEX, "val")
+        .otherwise("test")
+        .alias("split"),
     )
 
 
@@ -1245,8 +1251,10 @@ def q_curation_decision(spark, sf):
         F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
         / F.length("text")
     ) > 0.3
-    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#split")))
-    held_out = h >= "e6"
+    from .functions.splits import SPLIT_SALT, TRAIN_UPPER_HEX
+
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(SPLIT_SALT)))
+    held_out = h >= TRAIN_UPPER_HEX
 
     sh = neardup.shingle_table(docs).join(docs.select("doc_id", "source"), "doc_id")
     ev = (

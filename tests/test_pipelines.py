@@ -199,9 +199,17 @@ def test_airflow_dag_specs_match_reference():
 
 
 def test_airflow_dags_gated_import():
+    """Without airflow installed the builder must raise a clear
+    ImportError (not NameError later); with airflow present it must
+    build — the gate is on the import, not the environment."""
+    import importlib.util
+
     import pytest as _pytest
 
     from bigbookapi_etl_with_airflow_and_snowflake_spark.plans.airflow_dags import airflow_dags
 
-    with _pytest.raises(ImportError):
-        airflow_dags({})
+    if importlib.util.find_spec("airflow") is not None:
+        assert airflow_dags({}) is not None
+    else:
+        with _pytest.raises(ImportError):
+            airflow_dags({})
