@@ -175,6 +175,105 @@ def image_stats(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an uncompressed RIFF/WAVE PCM payload (8-bit unsigned or
+    16-bit signed) to ``(sample_rate, n_channels, samples)`` where
+    ``samples`` is an (n_frames, n_channels) float64 array normalized to
+    [-1, 1]. Pure numpy — walks the RIFF chunk list (fmt/data chunks in
+    any order, unknown chunks skipped). Raises ``ValueError`` on
+    compressed codecs (MP3/AAC/IEEE-float need real libraries)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_format != 1:
+        raise ValueError(f"non-PCM WAV (format {audio_format}) needs a codec")
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+        samples = raw.astype(np.float64) / 32768.0
+    elif bits == 8:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"{bits}-bit PCM unsupported")
+    n_frames = len(samples) // n_channels
+    return sample_rate, n_channels, samples[: n_frames * n_channels].reshape(
+        n_frames, n_channels
+    )
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an (n_frames, n_channels) float64 [-1, 1] array as 16-bit
+    PCM RIFF/WAVE."""
+    n_frames, n_channels = samples.shape
+    raw = np.clip(samples * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def audio_stats(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """REAL audio decode over binary payloads: (id, sample_rate,
+    n_channels, n_frames, duration_s, rms, peak) via Arrow-batched
+    ``mapInPandas`` and the pure-numpy WAV decoder. Undecodable payloads
+    yield nulls (quarantine, don't fail the job). ``duration_s``/``rms``
+    are single IEEE operations over exact integer accumulations —
+    engine-portable for oracle checks."""
+    out_schema = (
+        f"{id_col} long, sample_rate int, n_channels int, n_frames long, "
+        "duration_s double, rms double, peak double"
+    )
+    cols = ["sample_rate", "n_channels", "n_frames", "duration_s", "rms", "peak"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {id_col: [], **{c: [] for c in cols}}
+            for rid, p in zip(pdf[id_col], pdf[payload_col]):
+                out[id_col].append(rid)
+                try:
+                    rate, nch, samples = decode_wav(bytes(p) if p is not None else b"")
+                    flat = samples.ravel()
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(nch)
+                    out["n_frames"].append(len(samples))
+                    out["duration_s"].append(float(len(samples)) / rate)
+                    # NOT rounded: sample values are exact dyadics
+                    # (k/2^7 or k/2^15), so sums are exact and the one
+                    # divide + sqrt are correctly rounded — identical
+                    # doubles in any engine; decimal rounding would
+                    # re-introduce tie-break ambiguity
+                    out["rms"].append(
+                        float(np.sqrt((flat * flat).sum() / len(flat)))
+                        if len(flat)
+                        else None
+                    )
+                    out["peak"].append(
+                        float(np.abs(flat).max()) if len(flat) else None
+                    )
+                except ValueError:
+                    for c in cols:
+                        out[c].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
 def decode_stub(payload: bytes, strict: bool = False) -> list[float]:
     """STUB media decode. Real implementation needs image/audio codecs
     (PIL / torchaudio / ffmpeg) that are not in this container.

@@ -1697,6 +1697,7 @@ _DRIVER_PRIORITY = [
     "multimodal_bytes",
     # new operator-backed entries (round-2)
     "image_decode",
+    "audio_decode",
     "rollup_refresh",
     "salted_agg_events",
     "user_features",
@@ -1732,8 +1733,6 @@ _DRIVER_PRIORITY = [
     "returned_vs_kept_custkeys",
     "word_positions",
     "scalar_function_showcase",
-    # rows-only flagship (recall-tested locally; driver rows-only check)
-    "ivf_topk",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

@@ -24,7 +24,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from .operators.grouped import user_behavior_features
-from .operators.multimodal import image_stats
+from .operators.multimodal import audio_stats, image_stats
 from .operators.rollup import refresh_rollup
 from .operators.skew import salted_agg
 from .queries import _dec, _t
@@ -216,10 +216,55 @@ WHERE regexp_matches(text, '^[ -~]+$') AND length(text) >= 24
 """
 
 
+def q_audio_decode(spark, sf):
+    """N5 audio with REAL decode under the oracle gate: 8-bit PCM
+    mono RIFF/WAVE payloads built from each ASCII document's first 24
+    bytes (the header is a constant — 24 samples @ 8 kHz), decoded
+    distributed by the pure-numpy WAV decoder. The oracle recomputes
+    duration/rms/peak from the same characters; sample values are exact
+    dyadics (k/2^7) so both engines land on identical doubles with no
+    rounding anywhere."""
+    import struct as _struct
+
+    fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    header = (
+        b"RIFF"
+        + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + 24)
+        + b"WAVE"
+        + b"fmt "
+        + _struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + _struct.pack("<I", 24)
+    )
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").rlike("^[ -~]+$") & (F.length("text") >= 24))
+    )
+    payload = F.concat(F.lit(header), F.substring("text", 1, 24).cast("binary"))
+    wavs = d.select("doc_id", payload.alias("payload"))
+    return audio_stats(wavs, "payload", "doc_id")
+
+
+SQL_AUDIO_DECODE = """
+SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels, CAST(24 AS BIGINT) AS n_frames,
+       CAST(24 AS DOUBLE) / 8000 AS duration_s,
+       sqrt(list_sum(list_transform(range(1, 25),
+              i -> CAST((ascii(substr(text, i, 1)) - 128)
+                      * (ascii(substr(text, i, 1)) - 128) AS DOUBLE)))
+            / (16384.0 * 24)) AS rms,
+       CAST(list_max(list_transform(range(1, 25),
+              i -> abs(ascii(substr(text, i, 1)) - 128))) AS DOUBLE) / 128 AS peak
+FROM documents
+WHERE regexp_matches(text, '^[ -~]+$') AND length(text) >= 24
+"""
+
+
 OPS_REGISTRY = {
     "rollup_refresh": (q_rollup_refresh, SQL_ROLLUP_REFRESH),
     "salted_agg_events": (q_salted_agg_events, SQL_SALTED_AGG_EVENTS),
     "user_features": (q_user_features, SQL_USER_FEATURES),
     "merge_upsert_orders": (q_merge_upsert_orders, SQL_MERGE_UPSERT_ORDERS),
     "image_decode": (q_image_decode, SQL_IMAGE_DECODE),
+    "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
 }

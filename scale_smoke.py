@@ -67,6 +67,13 @@ QUERIES = [
     "train_test_split",
     "dedup_clusters",
     "embedding_quantize",
+    # operator-backed entries (round 2)
+    "rollup_refresh",
+    "salted_agg_events",
+    "user_features",
+    "merge_upsert_orders",
+    "image_decode",
+    "audio_decode",
 ]
 
 

@@ -147,6 +147,64 @@ def test_resize_images_real_path(spark):
     assert out["n_bytes"] == len(bytes(out["resized"]))
 
 
+def test_decode_wav_roundtrip_and_formats():
+    import numpy as np
+
+    t = np.arange(800) / 8000.0
+    samples = (0.5 * np.sin(2 * np.pi * 440 * t)).reshape(-1, 1)
+    payload = M.encode_wav(samples, 8000)
+    rate, nch, back = M.decode_wav(payload)
+    assert (rate, nch) == (8000, 1) and back.shape == (800, 1)
+    # 16-bit quantization error bounded by 1 LSB
+    assert float(np.abs(back - samples).max()) <= 1 / 32768.0
+    # stereo roundtrip preserves channel interleave
+    st = np.stack([samples[:, 0], -samples[:, 0]], axis=1)
+    _, nch2, back2 = M.decode_wav(M.encode_wav(st, 44100))
+    assert nch2 == 2 and float(np.abs(back2 - st).max()) <= 1 / 32768.0
+
+
+def test_decode_wav_skips_unknown_chunks_and_rejects_compressed():
+    import struct
+
+    import numpy as np
+
+    samples = np.zeros((4, 1)) + 0.25
+    payload = M.encode_wav(samples, 8000)
+    # splice a LIST chunk between WAVE and fmt — decoder must skip it
+    extra = b"LIST" + struct.pack("<I", 6) + b"junk!!"
+    spliced = payload[:12] + extra + payload[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    _, _, back = M.decode_wav(spliced)
+    assert back.shape == (4, 1)
+    # non-PCM format code must raise, not mis-decode
+    bad = bytearray(payload)
+    bad[20:22] = struct.pack("<H", 3)  # IEEE float format
+    with pytest.raises(ValueError):
+        M.decode_wav(bytes(bad))
+    with pytest.raises(ValueError):
+        M.decode_wav(b"ID3\x03mp3 data here")
+
+
+def test_audio_stats_distributed(spark):
+    import numpy as np
+
+    s1 = np.full((100, 1), 0.5)
+    s2 = np.zeros((50, 2))
+    rows = [
+        (1, bytearray(M.encode_wav(s1, 8000))),
+        (2, bytearray(M.encode_wav(s2, 16000))),
+        (3, bytearray(b"not audio at all")),
+    ]
+    df = spark.createDataFrame(rows, "clip_id long, payload binary")
+    got = {r["clip_id"]: r for r in M.audio_stats(df, "payload", "clip_id").collect()}
+    assert got[1]["sample_rate"] == 8000 and got[1]["n_frames"] == 100
+    assert got[1]["duration_s"] == pytest.approx(100 / 8000)
+    assert got[1]["rms"] == pytest.approx(0.5, abs=1e-4)
+    assert got[1]["peak"] == pytest.approx(0.5, abs=1e-4)
+    assert got[2]["n_channels"] == 2 and got[2]["rms"] == 0.0
+    assert got[3]["sample_rate"] is None and got[3]["rms"] is None
+
+
 def test_binary_roundtrip_preserves_hash(spark, docs, tmp_path):
     # opaque binary columns survive a parquet write/read with content hash
     bin_df = docs.select(
