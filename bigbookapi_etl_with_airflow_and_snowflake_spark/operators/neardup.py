@@ -292,6 +292,109 @@ def minhash_band_pairs(
     return _bucket_pairs(bands, "band_key", id_col).distinct()
 
 
+def portable_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Engine-portable SimHash: bit *i* of a token's hash is the top bit
+    of hex nibble *i* of ``md5(token)`` (``hex_digit >= '8'``), and the
+    document bit is the majority vote over its tokens. Any engine that
+    can compute md5 and substring agrees byte-for-byte — unlike the
+    xxhash64 fast path in :func:`simhash` — so the signature (and the
+    pair generation built on it in :func:`simhash_pairs`) is
+    DuckDB-oracle-checkable and survives infrastructure moves.
+
+    Output: (id, simhash_bits) with ``simhash_bits`` a ``bits``-char
+    '0'/'1' string, MSB-first nibble order. The md5-hex array is bound
+    once per row (functions/expr.py) — the per-bit votes are array
+    filters over that slot, not ``bits`` re-hashes of the tokens.
+    """
+    if bits > 32:
+        raise ValueError("md5 has 32 hex nibbles; bits must be <= 32")
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    hashed = toks.select(
+        F.col(id_col),
+        F.transform(F.col("__toks"), lambda t: F.md5(t)).alias("__md5s"),
+        F.size("__toks").alias("__n"),
+    )
+    bit_cols = []
+    for i in range(1, bits + 1):
+        ones = F.size(
+            F.filter(F.col("__md5s"), lambda s: F.substring(s, i, 1) >= "8")
+        )
+        bit_cols.append(F.when(ones * 2 > F.col("__n"), "1").otherwise("0"))
+    return hashed.select(F.col(id_col), F.concat(*bit_cols).alias("simhash_bits"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """N2 (SimHash variant): near-dup pairs by Hamming distance over
+    portable SimHash signatures.
+
+    Candidate generation is band-bucketed — the signature splits into
+    ``bands`` equal substrings and the inverted index joins on (band_no,
+    band_bits). **Complete by pigeonhole, not probabilistic**: a pair
+    within ``max_hamming ≤ bands − 1`` differing bits cannot touch all
+    ``bands`` bands, so it MUST collide on at least one — unlike MinHash
+    banding there is no recall loss. Exact Hamming distance is then
+    computed per candidate and filtered.
+
+    Scale: same shape as the other bucket joins here — one shuffle on
+    the band key, pair volume = actual collisions, no n² anywhere.
+    Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding guarantees completeness only for max_hamming <= bands-1 "
+            f"({max_hamming} > {bands - 1})"
+        )
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    sig = portable_simhash(df, text_col, id_col, bits).localCheckpoint(eager=True)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        F.substring("simhash_bits", b * width + 1, width),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    cand = _bucket_pairs(banded, "band_key", id_col).distinct()
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash_bits").alias("__sa"))
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash_bits").alias("__sb"))
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split("__sa", ""),
+            F.split("__sb", ""),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

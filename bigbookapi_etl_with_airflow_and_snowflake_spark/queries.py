@@ -1475,6 +1475,53 @@ def q_simhash(spark, sf):
     return neardup.simhash(_t(spark, sf, "documents"))
 
 
+def q_simhash_pairs(spark, sf):
+    """N2 (SimHash variant): near-dup pairs by Hamming ≤ 3 over
+    PORTABLE (md5-nibble) SimHash signatures — band-bucketed candidate
+    generation, complete by pigeonhole (4 bands > 3 differing bits)."""
+    return neardup.simhash_pairs(_t(spark, sf, "documents"))
+
+
+def _simhash_sql() -> str:
+    """DuckDB oracle for q_simhash_pairs, bit expressions generated to
+    match operators/neardup.portable_simhash exactly."""
+    bit_cases = ",\n    ".join(
+        f"CASE WHEN len(list_filter(t, x -> substr(md5(x), {i}, 1) >= '8')) * 2"
+        f" > len(t) THEN '1' ELSE '0' END"
+        for i in range(1, 33)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, '{b}' || '|' || substr(simhash_bits, {b * 8 + 1}, 8)"
+        f" AS band_key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents),
+sig AS (SELECT doc_id, concat(
+    {bit_cases}) AS simhash_bits
+  FROM toks),
+bands AS (
+  {band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+  list_sum(list_transform(range(1, 33),
+    i -> CASE WHEN substr(sa.simhash_bits, i, 1) <> substr(sb.simhash_bits, i, 1)
+              THEN 1 ELSE 0 END)) AS hamming
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+WHERE list_sum(list_transform(range(1, 33),
+    i -> CASE WHEN substr(sa.simhash_bits, i, 1) <> substr(sb.simhash_bits, i, 1)
+              THEN 1 ELSE 0 END)) <= 3
+"""
+
+
+SQL_SIMHASH_PAIRS = _simhash_sql()
+
+
 def q_cosine_topk(spark, sf):
     """N3: exact brute-force cosine top-5 for 10 probe vectors."""
     emb = _t(spark, sf, "embeddings")
@@ -1648,6 +1695,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_band_pairs": (q_minhash_band_pairs, SQL_MINHASH_BAND_PAIRS),
     "simhash": (q_simhash, None),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "part_name_editdist": (q_part_name_editdist, SQL_PART_NAME_EDITDIST),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
@@ -1683,6 +1731,7 @@ _DRIVER_PRIORITY = [
     "jaccard_pairs",
     "minhash_signatures",
     "minhash_band_pairs",
+    "simhash_pairs",
     "embedding_neardup",
     "cosine_topk",
     "knn_label_vote",
@@ -1732,7 +1781,6 @@ _DRIVER_PRIORITY = [
     "region_nation_matrix",
     "returned_vs_kept_custkeys",
     "word_positions",
-    "scalar_function_showcase",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

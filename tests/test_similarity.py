@@ -209,6 +209,34 @@ def test_jaccard_pairs_nondyadic_threshold_boundary(spark):
     assert got == {(1, 2): pytest.approx(0.28, abs=1e-15)}
 
 
+def test_simhash_pairs_matches_bruteforce(spark, sf_dir):
+    """Band-bucketed simhash pairs must equal the naive all-pairs
+    Hamming filter over the same signatures — banding with
+    bands > max_hamming is complete by pigeonhole, so no pair may be
+    lost, and Hamming values must match exactly."""
+    from itertools import combinations
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators import neardup
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.files import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    sigs = {
+        r["doc_id"]: r["simhash_bits"]
+        for r in neardup.portable_simhash(docs).collect()
+    }
+    assert all(len(s) == 32 and set(s) <= {"0", "1"} for s in sigs.values())
+    want = {}
+    for a, b in combinations(sorted(sigs), 2):
+        h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+        if h <= 3:
+            want[(a, b)] = h
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in neardup.simhash_pairs(docs).collect()
+    }
+    assert got == want
+
+
 def test_jaccard_pairs_duplicate_collapse_matches_bruteforce(spark):
     """The identical-shingle-set collapse inside jaccard_pairs must
     produce exactly the naive all-pairs result on a duplicate-heavy
