@@ -928,6 +928,70 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_streaming_session(spark, sf):
+    """N6 session windows under the oracle gate: events staged as a
+    file stream, aggregated with ``F.session_window`` (dynamic gap-merge
+    state), drained to a batch result. The oracle recomputes sessions
+    with lag + cumulative-sum in integer µs using the STREAMING merge
+    rule — windows [t, t+gap) merge only on overlap, so a gap of
+    exactly 30:00 starts a NEW session (``>=``), unlike the batch
+    ``sessionize``'s ``>`` (the corpus has no exact-boundary gaps at any
+    SF, so both rules agree on this data; the semantic difference is
+    intentional and documented). Money sums ride decimal for
+    order-independent exactness."""
+    import os
+    import uuid
+
+    from .streaming import read_events_stream, session_window_stats
+
+    stage = f"/tmp/spark_graft_stream_sess_{os.path.basename(sf.rstrip('/'))}"
+    (
+        _t(spark, sf, "events")
+        .withColumn("value", _dec("value"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    name = f"q_stream_sess_{uuid.uuid4().hex[:8]}"
+    agg = session_window_stats(
+        read_events_stream(spark, stage), gap="30 minutes", watermark="30 minutes"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "session_start",
+        "session_end",
+        "user_id",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+SQL_STREAMING_SESSION = """
+WITH g AS (
+  SELECT user_id, ts, value,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w < 1800000000
+         THEN 0 ELSE 1 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, value,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_json_extract(spark, sf):
     """JSON field extraction from a string column (events.props)."""
     return _t(spark, sf, "events").select(
@@ -1673,6 +1737,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
     "streaming_tumbling": (q_streaming_tumbling, SQL_STREAMING_TUMBLING),
+    "streaming_session": (q_streaming_session, SQL_STREAMING_SESSION),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "asof_join_generic": (q_asof_join_generic, SQL_ASOF_JOIN_GENERIC),
@@ -1751,6 +1816,7 @@ _DRIVER_PRIORITY = [
     "salted_agg_events",
     "user_features",
     "merge_upsert_orders",
+    "streaming_session",
     # remaining unchecked curation / vector ops
     "stratified_sample",
     "pii_scrub",
@@ -1780,7 +1846,6 @@ _DRIVER_PRIORITY = [
     "daily_activity_full_outer",
     "region_nation_matrix",
     "returned_vs_kept_custkeys",
-    "word_positions",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {
