@@ -390,7 +390,9 @@ def simhash_pairs(
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", hamming.alias("hamming"))
+        # long, not int: the driver's value hash is dtype-sensitive and
+        # the DuckDB oracle's list_sum lands on BIGINT
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 

@@ -888,27 +888,31 @@ def q_streaming_tumbling(spark, sf):
     (Structured Streaming, available-now trigger), drained to a batch
     result. On append-complete data the streaming answer must equal the
     batch SQL — which is exactly what the DuckDB oracle checks."""
-    import os
+    import shutil
+    import tempfile
     import uuid
 
     from .streaming import read_events_stream, tumbling_window_counts
 
-    # always restage: a stale dir from an earlier corpus would silently
-    # change results, and the write is ~1 s at driver scales
-    stage = f"/tmp/spark_graft_stream_stage_{os.path.basename(sf.rstrip('/'))}"
-    _t(spark, sf, "events").repartition(4).write.mode("overwrite").parquet(stage)
-    name = f"q_stream_tumble_{uuid.uuid4().hex[:8]}"
-    agg = tumbling_window_counts(
-        read_events_stream(spark, stage), window="5 minutes", watermark="10 minutes"
-    )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # per-run stage dir: concurrent runs against the same sf must not
+    # race each other's FileStreamSource (overwrite-under-reader)
+    stage = tempfile.mkdtemp(prefix="q_stream_tumble_")
+    try:
+        _t(spark, sf, "events").repartition(4).write.mode("overwrite").parquet(stage)
+        name = f"q_stream_tumble_{uuid.uuid4().hex[:8]}"
+        agg = tumbling_window_counts(
+            read_events_stream(spark, stage), window="5 minutes", watermark="10 minutes"
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return (
         spark.table(name)
         .select(
@@ -939,31 +943,34 @@ def q_streaming_session(spark, sf):
     SF, so both rules agree on this data; the semantic difference is
     intentional and documented). Money sums ride decimal for
     order-independent exactness."""
-    import os
+    import shutil
+    import tempfile
     import uuid
 
     from .streaming import read_events_stream, session_window_stats
 
-    stage = f"/tmp/spark_graft_stream_sess_{os.path.basename(sf.rstrip('/'))}"
-    (
-        _t(spark, sf, "events")
-        .withColumn("value", _dec("value"))
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(stage)
-    )
-    name = f"q_stream_sess_{uuid.uuid4().hex[:8]}"
-    agg = session_window_stats(
-        read_events_stream(spark, stage), gap="30 minutes", watermark="30 minutes"
-    )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # stage the parquet UNCHANGED (the stream reader declares value as
+    # double — staging a decimal would be a schema mismatch at read);
+    # the decimal money cast is applied ON THE STREAM below.
+    stage = tempfile.mkdtemp(prefix="q_stream_sess_")
+    try:
+        _t(spark, sf, "events").repartition(4).write.mode("overwrite").parquet(stage)
+        name = f"q_stream_sess_{uuid.uuid4().hex[:8]}"
+        agg = session_window_stats(
+            read_events_stream(spark, stage).withColumn("value", _dec("value")),
+            gap="30 minutes",
+            watermark="30 minutes",
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return spark.table(name).select(
         "session_start",
         "session_end",
@@ -1571,9 +1578,9 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
 SELECT id_a, id_b,
-  list_sum(list_transform(range(1, 33),
+  CAST(list_sum(list_transform(range(1, 33),
     i -> CASE WHEN substr(sa.simhash_bits, i, 1) <> substr(sb.simhash_bits, i, 1)
-              THEN 1 ELSE 0 END)) AS hamming
+              THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
 FROM cand
 JOIN sig sa ON sa.doc_id = id_a
 JOIN sig sb ON sb.doc_id = id_b
