@@ -198,10 +198,16 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         i += 8 + size + (size & 1)  # chunks pad to even offsets
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    # corrupt-but-RIFF payloads must raise ValueError (the quarantine
+    # contract), never struct.error / ZeroDivisionError downstream
+    if len(fmt) < 16:
+        raise ValueError(f"fmt chunk truncated ({len(fmt)} < 16 bytes)")
     audio_format, n_channels, sample_rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
     if audio_format != 1:
         raise ValueError(f"non-PCM WAV (format {audio_format}) needs a codec")
+    if n_channels == 0 or sample_rate == 0:
+        raise ValueError(f"invalid fmt: {n_channels} channels @ {sample_rate} Hz")
     if bits == 16:
         raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
         samples = raw.astype(np.float64) / 32768.0

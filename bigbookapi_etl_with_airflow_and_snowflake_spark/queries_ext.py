@@ -816,7 +816,7 @@ packed AS (
   FROM base)
 SELECT doc_id, n_tokens,
   shard || '-' || CAST(tok_off // 2048 AS VARCHAR) AS seq_id,
-  tok_off % 2048 AS seq_offset
+  CAST(tok_off % 2048 AS BIGINT) AS seq_offset
 FROM packed
 """
 

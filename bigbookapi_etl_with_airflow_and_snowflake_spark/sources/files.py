@@ -65,6 +65,15 @@ def read_table(
     for col in _NANOS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # Naive parquet timestamps (isAdjustedToUTC=false) arrive as
+    # TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default, which
+    # rejects unix_micros()/BIGINT casts and diverges from the engine's
+    # epoch-based timestamp algebra. Canonicalize to TIMESTAMP — under
+    # the UTC session timezone (session.py) the cast is value-identical
+    # to the naive reading, so oracle semantics are unchanged.
+    for f_ in df.schema.fields:
+        if isinstance(f_.dataType, T.TimestampNTZType):
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
     if spread and name in _SPREAD_TABLES and os.path.isfile(path):
         parallelism = spark.sparkContext.defaultParallelism
         if (

@@ -185,6 +185,37 @@ def test_decode_wav_skips_unknown_chunks_and_rejects_compressed():
         M.decode_wav(b"ID3\x03mp3 data here")
 
 
+def test_decode_wav_corrupt_riff_raises_value_error_only():
+    """Corrupt-but-RIFF payloads must raise ValueError (the quarantine
+    contract for audio_stats' except clause), never struct.error or
+    ZeroDivisionError."""
+    import struct
+
+    import numpy as np
+
+    payload = M.encode_wav(np.zeros((4, 1)) + 0.25, 8000)
+
+    # fmt chunk shorter than the 16-byte PCM header
+    short_fmt = b"fmt " + struct.pack("<I", 8) + b"\x01\x00\x01\x00\x40\x1f\x00\x00"
+    data = b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    body = short_fmt + data
+    trunc = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError):
+        M.decode_wav(trunc)
+
+    # zero channels (would divide by zero in n_frames)
+    bad = bytearray(payload)
+    bad[22:24] = struct.pack("<H", 0)
+    with pytest.raises(ValueError):
+        M.decode_wav(bytes(bad))
+
+    # zero sample rate (would divide by zero in audio_stats duration_s)
+    bad = bytearray(payload)
+    bad[24:28] = struct.pack("<I", 0)
+    with pytest.raises(ValueError):
+        M.decode_wav(bytes(bad))
+
+
 def test_audio_stats_distributed(spark):
     import numpy as np
 

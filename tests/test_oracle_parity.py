@@ -67,6 +67,22 @@ def test_query_matches_oracle(spark, con, sf_dir, name):
     )
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
 
+    # The driver's value hash is dtype-KIND-sensitive: int widths and
+    # datetime units are normalized (CORRECTNESS_r02: pii_scrub passed
+    # with int32-vs-int64, large_orders with datetime ns-vs-us), but
+    # int-vs-float is a hash mismatch (simhash_pairs int32-vs-float64,
+    # pack_sequences int64-vs-float64 — DuckDB HUGEINT lands as float64
+    # in pandas). Compare pandas dtype.kind ('i'/'u' merged).
+    def _kind(dt):
+        return "i" if dt.kind == "u" else dt.kind
+
+    for col in sorted(got.columns):
+        gk, wk = _kind(got[col].dtype), _kind(want[col].dtype)
+        assert gk == wk, (
+            f"{name}.{col}: spark dtype {got[col].dtype} (kind {gk}) != "
+            f"oracle dtype {want[col].dtype} (kind {wk}) — driver hash will mismatch"
+        )
+
     g, w = _canon(got), _canon(want)
     for col in g.columns:
         gv, wv = list(g[col]), list(w[col])
