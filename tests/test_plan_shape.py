@@ -111,6 +111,28 @@ def test_embedding_neardup_no_nested_loop(spark, sf_dir):
     assert "FlatMapCoGroupsInPandas" in plan
 
 
+def test_jaccard_pairs_candidate_plan(spark, sf_dir):
+    """jaccard_pairs' candidate generation must stay an equi join on the
+    shingle hash (inverted index), never a nested-loop over doc pairs,
+    and the lineage-truncating checkpoint must cap the number of
+    exchanges (round-1 form re-ran the shingle pipeline 28×)."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.neardup import (
+        jaccard_pairs,
+    )
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.files import (
+        read_table,
+    )
+
+    df = jaccard_pairs(read_table(spark, sf_dir, "documents"))
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # upstream is checkpointed; the remaining plan holds only the
+    # candidate-distinct exchange (joins below the AQE threshold
+    # broadcast, larger corpora may legitimately shuffle-join)
+    assert shuffle_count(df) <= 4
+
+
 def test_dedup_exact_single_shuffle_key(spark, sf_dir):
     df = Q.q_dedup_exact_docs(spark, sf_dir)
     # groupBy(fp) + semi-join back share the fingerprint shuffle key
