@@ -287,24 +287,18 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_band_pairs(
-    df: DataFrame,
-    text_col: str = "text",
+def minhash_band_keys(
+    sig: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 4,
     rows_per_band: int = 2,
-    n: int = 3,
 ) -> DataFrame:
-    """LSH banding over MinHash signatures → candidate near-dup pairs.
-
-    Bands of ``rows_per_band`` hashes concatenate into bucket keys; the
-    inverted index over band keys yields pairs (computed once — the
-    signature stage is not re-derived per join side). Output: distinct
-    (id_a, id_b), id_a < id_b.
-    """
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    """(id, band_key) rows from a signature table: bands of
+    ``rows_per_band`` hashes concatenate into bucket keys. This is the
+    at-rest LSH index layout — on a persistent corpus, write this table
+    bucketed/partitioned by ``band_key`` once and probe it per batch."""
     n_bands = num_hashes // rows_per_band
-    bands = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -322,6 +316,25 @@ def minhash_band_pairs(
             )
         ).alias("band_key"),
     )
+
+
+def minhash_band_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """LSH banding over MinHash signatures → candidate near-dup pairs.
+
+    Bands of ``rows_per_band`` hashes concatenate into bucket keys; the
+    inverted index over band keys yields pairs (computed once — the
+    signature stage is not re-derived per join side). Output: distinct
+    (id_a, id_b), id_a < id_b.
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    bands = minhash_band_keys(sig, id_col, num_hashes, rows_per_band)
     return _bucket_pairs(bands, "band_key", id_col).distinct()
 
 

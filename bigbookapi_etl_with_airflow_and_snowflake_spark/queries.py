@@ -1851,13 +1851,15 @@ _DRIVER_PRIORITY = [
     "stratified_sample",
     "pii_scrub",
     "repetition_stats",
-    "length_histogram",
-    "source_mixture",
     "vocab_coverage",
-    "corr_stats",
     "curation_decision",
     "embedding_norms",
     "embedding_quantize",
+    # round-3 additions (never driver-checked; displaced length_histogram /
+    # source_mixture / corr_stats, all green in r02)
+    "incremental_dedup",
+    "minhash_jaccard_est",
+    "global_shuffle",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

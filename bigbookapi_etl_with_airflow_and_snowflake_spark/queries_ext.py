@@ -1397,6 +1397,167 @@ FROM lineitem
 """
 
 
+def q_incremental_dedup(spark, sf):
+    """Incremental near-dedup: screen a NEW document batch against the
+    EXISTING corpus via MinHash-LSH band collisions — the steady-state
+    shape of a production dedup pipeline (daily crawl vs. trained-on
+    corpus), as opposed to the one-shot all-pairs jobs. Batch = doc_id
+    ≡ 0 (mod 10), corpus = the rest; output = distinct (new_id,
+    existing_id) collision pairs.
+
+    Scale: in production the corpus side is the AT-REST signature index
+    (``minhash_band_keys`` written once, partitioned by band-key prefix
+    — see queries_ops' LSH-at-rest pattern); only the small batch is
+    signed per run, and the join prunes corpus partitions by the
+    batch's band keys. Here both sides derive from one signature pass
+    over one table (the oracle must see one deterministic dataset); the
+    join itself — small side broadcast by AQE, collision-proportional
+    output — is the production plan."""
+    sig = neardup.minhash_signatures(_t(spark, sf, "documents"))
+    bands = neardup.minhash_band_keys(sig)
+    newb = bands.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("new_id"), "band_key"
+    )
+    oldb = bands.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("existing_id"), "band_key"
+    )
+    return newb.join(oldb, "band_key").select("new_id", "existing_id").distinct()
+
+
+SQL_INCREMENTAL_DEDUP = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [] END AS shingles
+       FROM toks),
+sig AS (SELECT doc_id,
+  list_min(list_transform(shingles, s -> md5(s || '#seed0'))) AS mh0,
+  list_min(list_transform(shingles, s -> md5(s || '#seed1'))) AS mh1,
+  list_min(list_transform(shingles, s -> md5(s || '#seed2'))) AS mh2,
+  list_min(list_transform(shingles, s -> md5(s || '#seed3'))) AS mh3
+FROM sh),
+bands AS (
+  SELECT doc_id, '0' || '|' || mh0 || '|' || mh1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, '1' || '|' || mh2 || '|' || mh3 AS band_key FROM sig)
+SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS existing_id
+FROM bands a JOIN bands b ON a.band_key = b.band_key
+WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+"""
+
+
+def q_minhash_jaccard_est(spark, sf):
+    """Estimate-then-verify stage 1: signature-only Jaccard estimates
+    for LSH band candidates — est = (#equal minhashes)/num_hashes, an
+    exact small-integer ratio. At 100 TB this ranks/filters candidate
+    pairs using only the 4-hash signatures (narrow rows, no text),
+    reserving exact shingle-set verification (``jaccard_pairs``) for
+    survivors.
+
+    Scale: the candidate join is the band inverted index (collision-
+    proportional); signatures join back by unique doc_id — AQE picks
+    broadcast vs shuffle by actual size. No text column ever moves."""
+    sig = neardup.minhash_signatures(_t(spark, sf, "documents"))
+    bands = neardup.minhash_band_keys(sig)
+    a = bands.select(F.col("doc_id").alias("id_a"), "band_key")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band_key")
+    cand = (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(4)])
+    sb = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(4)])
+    n_eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(4)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (n_eq.cast("long") * F.lit(25) / F.lit(100)).alias("jaccard_est"),
+        )
+    )
+
+
+SQL_MINHASH_JACCARD_EST = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [] END AS shingles
+       FROM toks),
+sig AS (SELECT doc_id,
+  list_min(list_transform(shingles, s -> md5(s || '#seed0'))) AS mh0,
+  list_min(list_transform(shingles, s -> md5(s || '#seed1'))) AS mh1,
+  list_min(list_transform(shingles, s -> md5(s || '#seed2'))) AS mh2,
+  list_min(list_transform(shingles, s -> md5(s || '#seed3'))) AS mh3
+FROM sh),
+bands AS (
+  SELECT doc_id, '0' || '|' || mh0 || '|' || mh1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, '1' || '|' || mh2 || '|' || mh3 AS band_key FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+  CAST((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END
+      + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END
+      + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END
+      + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END) AS BIGINT) * 25 / 100.0
+    AS jaccard_est
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+"""
+
+
+def q_global_shuffle(spark, sf):
+    """Deterministic global training-order shuffle: every document gets
+    a dense 1-based position in md5(doc_id ⊕ salt) order — rerun-stable,
+    engine-portable, and exactly the order a data loader would stream.
+
+    Scale: a naive ROW_NUMBER() OVER (ORDER BY h) collapses the corpus
+    into ONE sort partition. Instead, rank in two phases: the leading
+    hex char of the hash is its own most-significant digit, so global
+    (h, doc_id) order = (shard, within-shard order). Rank within each of
+    the 16 shards in parallel, then add broadcast per-shard offsets
+    (cumulative counts over a 16-row table). At 100 TB widen the shard
+    prefix (2 hex chars → 256 shards, 4 → 65k)."""
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#gshuf")))
+    base = _t(spark, sf, "documents").select(
+        "doc_id", h.alias("h"), F.substring(h, 1, 1).alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    ranked = base.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("r")
+    )
+    sizes = base.groupBy("shard").agg(F.count("*").alias("n"))
+    wsum = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "shard", F.coalesce(F.sum("n").over(wsum), F.lit(0)).alias("off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "shard")
+        .select("doc_id", (F.col("r") + F.col("off")).alias("shuffle_pos"))
+    )
+
+
+SQL_GLOBAL_SHUFFLE = """
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || '#gshuf'), doc_id) AS BIGINT)
+  AS shuffle_pos
+FROM documents
+"""
+
+
 EXT_REGISTRY = {
     # remaining TPC-H query shapes
     "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST_SUPPLIER),
@@ -1436,4 +1597,8 @@ EXT_REGISTRY = {
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "curation_decision": (q_curation_decision, SQL_CURATION_DECISION),
+    # incremental / estimate-first dedup and training-order ops
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "minhash_jaccard_est": (q_minhash_jaccard_est, SQL_MINHASH_JACCARD_EST),
+    "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
 }
