@@ -1848,18 +1848,19 @@ _DRIVER_PRIORITY = [
     "user_features",
     "merge_upsert_orders",
     # curation / vector ops
-    "stratified_sample",
     "pii_scrub",
-    "repetition_stats",
     "vocab_coverage",
     "curation_decision",
     "embedding_norms",
     "embedding_quantize",
     # round-3 additions (never driver-checked; displaced length_histogram /
-    # source_mixture / corr_stats, all green in r02)
+    # source_mixture / corr_stats / stratified_sample / repetition_stats,
+    # all green in r02)
     "incremental_dedup",
     "minhash_jaccard_est",
     "global_shuffle",
+    "kmeans_clusters",
+    "cluster_balanced_sample",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

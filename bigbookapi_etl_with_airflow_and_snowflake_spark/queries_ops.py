@@ -260,6 +260,31 @@ WHERE regexp_matches(text, '^[ -~]+$') AND length(text) >= 24
 """
 
 
+def q_kmeans_clusters(spark, sf):
+    """Distributed Lloyd's k-means over the embedding corpus (k=8,
+    3 iterations, deterministic smallest-id init, exact-decimal
+    centroid accumulation → partition-invariant assignments). Not
+    SQL-expressible (iterative); locked instead by
+    tests/test_clustering.py's exact pure-Python-reference replay and
+    partition-invariance tests."""
+    from .operators.clustering import kmeans_lloyd
+
+    assignments, _ = kmeans_lloyd(_t(spark, sf, "embeddings"), k=8, iters=3)
+    return assignments
+
+
+def q_cluster_balanced_sample(spark, sf):
+    """Diversity sampling: md5-ordered top-N per k-means cluster —
+    keeps long-tail content a uniform sample would drown. Iterative
+    upstream → rows-only driver check; contract locked in
+    tests/test_clustering.py."""
+    from .operators.clustering import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        _t(spark, sf, "embeddings"), k=8, iters=3, per_cluster=25
+    )
+
+
 OPS_REGISTRY = {
     "rollup_refresh": (q_rollup_refresh, SQL_ROLLUP_REFRESH),
     "salted_agg_events": (q_salted_agg_events, SQL_SALTED_AGG_EVENTS),
@@ -267,4 +292,6 @@ OPS_REGISTRY = {
     "merge_upsert_orders": (q_merge_upsert_orders, SQL_MERGE_UPSERT_ORDERS),
     "image_decode": (q_image_decode, SQL_IMAGE_DECODE),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
+    "kmeans_clusters": (q_kmeans_clusters, None),
+    "cluster_balanced_sample": (q_cluster_balanced_sample, None),
 }
