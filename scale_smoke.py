@@ -74,6 +74,13 @@ QUERIES = [
     "merge_upsert_orders",
     "image_decode",
     "audio_decode",
+    # round-3 additions: incremental dedup, estimate-first scoring,
+    # global training order, distributed clustering
+    "incremental_dedup",
+    "minhash_jaccard_est",
+    "global_shuffle",
+    "kmeans_clusters",
+    "cluster_balanced_sample",
 ]
 
 

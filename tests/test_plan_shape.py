@@ -133,6 +133,37 @@ def test_jaccard_pairs_candidate_plan(spark, sf_dir):
     assert shuffle_count(df) <= 4
 
 
+def test_global_shuffle_no_single_partition_sort(spark, sf_dir):
+    """global_shuffle must rank shard-parallel: a naive global
+    ROW_NUMBER would plan an Exchange SinglePartition that serializes
+    the corpus through one task."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.queries_ext import (
+        q_global_shuffle,
+    )
+
+    plan = explain_str(q_global_shuffle(spark, sf_dir), "simple")
+    # the corpus-side rank must be shard-partitioned…
+    assert "hashpartitioning(shard" in plan
+    # …and the only single-partition stage is the offsets cumsum over
+    # the ≤16-row per-shard size table (bounded, not corpus-scaled)
+    assert plan.count("SinglePartition") <= 1
+    assert "row_number() windowspecdefinition(shard" in plan
+
+
+def test_incremental_dedup_partial_agg_and_equi_join(spark, sf_dir):
+    """Signatures must aggregate map-side (partial_min before the
+    doc_id exchange) and the batch-vs-corpus probe must be an equi join
+    on the band key."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.queries_ext import (
+        q_incremental_dedup,
+    )
+
+    plan = explain_str(q_incremental_dedup(spark, sf_dir), "simple")
+    assert "partial_min" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_dedup_exact_single_shuffle_key(spark, sf_dir):
     df = Q.q_dedup_exact_docs(spark, sf_dir)
     # groupBy(fp) + semi-join back share the fingerprint shuffle key
