@@ -162,3 +162,38 @@ def test_windowed_curation_ops_single_shuffle(spark, sf_dir, fn):
     # sharded/stratified windows: exactly one hash exchange (the window
     # partition key), never a global range sort
     assert shuffle_count(fn(spark, sf_dir)) == 1
+
+
+def test_global_shuffle_is_a_bijection(spark, sf_dir):
+    """Every doc appears exactly once, positions are a dense 1..n
+    permutation, and reruns are byte-identical."""
+    pdf = X.q_global_shuffle(spark, sf_dir).toPandas()
+    n = len(pdf)
+    assert pdf["doc_id"].is_unique
+    assert sorted(pdf["shuffle_pos"]) == list(range(1, n + 1))
+    pdf2 = X.q_global_shuffle(spark, sf_dir).toPandas()
+    a = pdf.sort_values("doc_id").reset_index(drop=True)
+    b = pdf2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_incremental_dedup_consistent_with_band_pairs(spark, sf_dir):
+    """The batch-vs-corpus screen must emit exactly the band-pair
+    collisions that cross the batch/corpus boundary — no extra pairs,
+    none lost."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.queries import (
+        q_minhash_band_pairs,
+    )
+
+    inc = {
+        (r["new_id"], r["existing_id"])
+        for r in X.q_incremental_dedup(spark, sf_dir).collect()
+    }
+    crossing = set()
+    for r in q_minhash_band_pairs(spark, sf_dir).collect():
+        a, b = r["id_a"], r["id_b"]
+        if a % 10 == 0 and b % 10 != 0:
+            crossing.add((a, b))
+        elif b % 10 == 0 and a % 10 != 0:
+            crossing.add((b, a))
+    assert inc == crossing
