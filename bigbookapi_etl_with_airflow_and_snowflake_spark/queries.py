@@ -1849,16 +1849,16 @@ _DRIVER_PRIORITY = [
     "merge_upsert_orders",
     # curation / vector ops
     "pii_scrub",
-    "vocab_coverage",
     "curation_decision",
     "embedding_norms",
     "embedding_quantize",
     # round-3 additions (never driver-checked; displaced length_histogram /
-    # source_mixture / corr_stats / stratified_sample / repetition_stats,
-    # all green in r02)
+    # source_mixture / corr_stats / stratified_sample / repetition_stats /
+    # vocab_coverage, all green in r02)
     "incremental_dedup",
     "minhash_jaccard_est",
     "global_shuffle",
+    "near_dedup_keep",
     "kmeans_clusters",
     "cluster_balanced_sample",
 ]

@@ -1518,6 +1518,51 @@ JOIN sig sb ON sb.doc_id = id_b
 """
 
 
+def q_near_dedup_keep(spark, sf):
+    """The dedup pipeline's end product: the SURVIVING corpus after
+    near-dup removal. Policy: drop every document that MinHash-band-
+    collides with a lower-id document (greedy keep-lowest — one
+    deterministic pass, no iteration; the connected-components variant
+    is ``dedup_clusters``). Output: the kept documents' ids + metadata.
+
+    Scale: the collision pair list is collision-proportional (band
+    inverted index); the removal is one ANTI join of the corpus against
+    the distinct higher-id side — no text moves, no driver state."""
+    pairs = neardup.minhash_band_pairs(_t(spark, sf, "documents"))
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        _t(spark, sf, "documents")
+        .join(drop, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+SQL_NEAR_DEDUP_KEEP = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [] END AS shingles
+       FROM toks),
+sig AS (SELECT doc_id,
+  list_min(list_transform(shingles, s -> md5(s || '#seed0'))) AS mh0,
+  list_min(list_transform(shingles, s -> md5(s || '#seed1'))) AS mh1,
+  list_min(list_transform(shingles, s -> md5(s || '#seed2'))) AS mh2,
+  list_min(list_transform(shingles, s -> md5(s || '#seed3'))) AS mh3
+FROM sh),
+bands AS (
+  SELECT doc_id, '0' || '|' || mh0 || '|' || mh1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, '1' || '|' || mh2 || '|' || mh3 AS band_key FROM sig),
+drop_ids AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
+"""
+
+
 def q_global_shuffle(spark, sf):
     """Deterministic global training-order shuffle: every document gets
     a dense 1-based position in md5(doc_id ⊕ salt) order — rerun-stable,
@@ -1601,4 +1646,5 @@ EXT_REGISTRY = {
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "minhash_jaccard_est": (q_minhash_jaccard_est, SQL_MINHASH_JACCARD_EST),
     "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
+    "near_dedup_keep": (q_near_dedup_keep, SQL_NEAR_DEDUP_KEEP),
 }
