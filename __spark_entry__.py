@@ -27,19 +27,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bigbookapi_etl_with_airflow_and_snowflake_spark import queries as _q
 
 
+def _session_defaults(spark: SparkSession) -> None:
+    """The engine's own session (session.py) sets these; the driver may
+    pass a session of its own — set them defensively per call.
+
+    - nanosAsLong: corpora have shipped TIMESTAMP(NANOS) columns Spark
+      rejects by default (read_table converts long → µs timestamp).
+    - UTC session timezone: corpora have also shipped naive-µs
+      timestamps that surface as TIMESTAMP_NTZ; read_table
+      canonicalizes NTZ → TIMESTAMP, which is value-identical exactly
+      when the session timezone is UTC (matching the DuckDB oracle's
+      naive reading).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    # the parquet files carry TIMESTAMP(NANOS) columns Spark rejects by
-    # default; the engine's session sets this, but the driver may pass
-    # its own session — set it defensively here.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _session_defaults(spark)
     return _q.q_region_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            _session_defaults(spark)
             return fn(spark, sf_dir)
 
         return run
