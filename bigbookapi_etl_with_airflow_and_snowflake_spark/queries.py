@@ -1848,19 +1848,19 @@ _DRIVER_PRIORITY = [
     "user_features",
     "merge_upsert_orders",
     # curation / vector ops
-    "pii_scrub",
     "curation_decision",
     "embedding_norms",
     "embedding_quantize",
     # round-3 additions (never driver-checked; displaced length_histogram /
     # source_mixture / corr_stats / stratified_sample / repetition_stats /
-    # vocab_coverage, all green in r02)
+    # vocab_coverage / pii_scrub, all green in r02)
     "incremental_dedup",
     "minhash_jaccard_est",
     "global_shuffle",
     "near_dedup_keep",
     "kmeans_clusters",
     "cluster_balanced_sample",
+    "bucketed_join_revenue",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

@@ -184,6 +184,67 @@ FROM orders
 """
 
 
+def q_bucketed_join_revenue(spark, sf):
+    """The co-located (shuffle-free) join through its REAL path: both
+    sides written as bucketed+sorted catalog tables on the join key,
+    then joined — the sort-merge join reads bucket i of both sides
+    directly, no Exchange, no sort (plan locked by
+    tests/test_asof_bucketed_sql.py). The one-time bucketed write is
+    the 100 TB amortization move for a fact table joined on the same
+    key every day. Oracle states the plain join+agg result."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="q_bucketed_")
+    t_orders, t_li = f"q_bkt_orders_{tag}", f"q_bkt_lineitem_{tag}"
+    try:
+        from .sinks.bucketed import read_bucketed, write_bucketed
+
+        write_bucketed(
+            _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus"),
+            t_orders,
+            bucket_by=["o_orderkey"],
+            num_buckets=8,
+            path=os.path.join(d, "orders"),
+            sort_by=["o_orderkey"],
+        )
+        write_bucketed(
+            _t(spark, sf, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            t_li,
+            bucket_by=["l_orderkey"],
+            num_buckets=8,
+            path=os.path.join(d, "lineitem"),
+            sort_by=["l_orderkey"],
+        )
+        o, li = read_bucketed(spark, t_orders), read_bucketed(spark, t_li)
+        rev = _dec("l_extendedprice") * (1 - _dec("l_discount", "decimal(4,2)"))
+        out = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.sum(rev).cast("double").alias("revenue"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_BUCKETED_JOIN_REVENUE = """
+SELECT o_orderstatus, COUNT(*) AS n_lines,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # real image decode (operators/multimodal.py)
 # ---------------------------------------------------------------------------
@@ -294,4 +355,5 @@ OPS_REGISTRY = {
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "cluster_balanced_sample": (q_cluster_balanced_sample, None),
+    "bucketed_join_revenue": (q_bucketed_join_revenue, SQL_BUCKETED_JOIN_REVENUE),
 }
