@@ -932,6 +932,50 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_streaming_dedup(spark, sf):
+    """N6 at-least-once source dedup under the oracle gate: the events
+    table staged TWICE (every event duplicated, the at-least-once
+    delivery failure mode), streamed through
+    ``dropDuplicatesWithinWatermark`` on event_id, drained to a batch
+    result that must equal plain DISTINCT over the original table.
+
+    The watermark delay spans the whole bounded replay so no first
+    occurrence can be declared late mid-drain; on an unbounded stream
+    the same operator evicts state as the watermark passes — the only
+    dedup that survives infinite sources (plain dropDuplicates grows
+    state forever)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import dedup_within_watermark, read_events_stream
+
+    stage = tempfile.mkdtemp(prefix="q_stream_dedup_")
+    try:
+        ev = _t(spark, sf, "events")
+        ev.unionByName(ev).repartition(8).write.mode("overwrite").parquet(stage)
+        name = f"q_stream_dedup_{uuid.uuid4().hex[:8]}"
+        deduped = dedup_within_watermark(
+            read_events_stream(spark, stage), keys=["event_id"], watermark="3650 days"
+        ).select("event_id", "user_id", "event_type", "value")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name).select("event_id", "user_id", "event_type", "value")
+
+
+SQL_STREAMING_DEDUP = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
 def q_streaming_session(spark, sf):
     """N6 session windows under the oracle gate: events staged as a
     file stream, aggregated with ``F.session_window`` (dynamic gap-merge
@@ -1745,6 +1789,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
     "streaming_tumbling": (q_streaming_tumbling, SQL_STREAMING_TUMBLING),
     "streaming_session": (q_streaming_session, SQL_STREAMING_SESSION),
+    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "asof_join_generic": (q_asof_join_generic, SQL_ASOF_JOIN_GENERIC),
@@ -1849,11 +1894,11 @@ _DRIVER_PRIORITY = [
     "merge_upsert_orders",
     # curation / vector ops
     "curation_decision",
-    "embedding_norms",
     "embedding_quantize",
+    "streaming_dedup",
     # round-3 additions (never driver-checked; displaced length_histogram /
     # source_mixture / corr_stats / stratified_sample / repetition_stats /
-    # vocab_coverage / pii_scrub, all green in r02)
+    # vocab_coverage / pii_scrub / embedding_norms, all green in r02)
     "incremental_dedup",
     "minhash_jaccard_est",
     "global_shuffle",
