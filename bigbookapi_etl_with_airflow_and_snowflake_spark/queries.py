@@ -932,6 +932,53 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_streaming_sliding(spark, sf):
+    """N6 sliding windows under the oracle gate: 10-minute windows
+    sliding every 5 — each event lands in exactly two overlapping
+    windows (starts at floor₅(ts) and floor₅(ts) − 5 min), which is
+    precisely what the oracle reconstructs with two shifted tumbling
+    aggregations UNIONed before the final GROUP BY."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import read_events_stream, sliding_window_counts
+
+    stage = tempfile.mkdtemp(prefix="q_stream_slide_")
+    try:
+        _t(spark, sf, "events").repartition(4).write.mode("overwrite").parquet(stage)
+        name = f"q_stream_slide_{uuid.uuid4().hex[:8]}"
+        agg = sliding_window_counts(
+            read_events_stream(spark, stage),
+            window="10 minutes",
+            slide="5 minutes",
+            watermark="10 minutes",
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name).select("window_start", "event_type", "n_events")
+
+
+SQL_STREAMING_SLIDING = """
+WITH shifted AS (
+  SELECT make_timestamp(epoch_us(ts) - (epoch_us(ts) % 300000000)) AS window_start,
+         event_type FROM events
+  UNION ALL
+  SELECT make_timestamp(epoch_us(ts) - (epoch_us(ts) % 300000000) - 300000000),
+         event_type FROM events)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM shifted GROUP BY window_start, event_type
+"""
+
+
 def q_streaming_dedup(spark, sf):
     """N6 at-least-once source dedup under the oracle gate: the events
     table staged TWICE (every event duplicated, the at-least-once
@@ -1790,6 +1837,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "streaming_tumbling": (q_streaming_tumbling, SQL_STREAMING_TUMBLING),
     "streaming_session": (q_streaming_session, SQL_STREAMING_SESSION),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
+    "streaming_sliding": (q_streaming_sliding, SQL_STREAMING_SLIDING),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "asof_join_generic": (q_asof_join_generic, SQL_ASOF_JOIN_GENERIC),
@@ -1892,13 +1940,14 @@ _DRIVER_PRIORITY = [
     "salted_agg_events",
     "user_features",
     "merge_upsert_orders",
-    # curation / vector ops
+    # curation / vector / streaming ops
     "curation_decision",
-    "embedding_quantize",
     "streaming_dedup",
+    "streaming_sliding",
     # round-3 additions (never driver-checked; displaced length_histogram /
     # source_mixture / corr_stats / stratified_sample / repetition_stats /
-    # vocab_coverage / pii_scrub / embedding_norms, all green in r02)
+    # vocab_coverage / pii_scrub / embedding_norms / embedding_quantize,
+    # all green in r02)
     "incremental_dedup",
     "minhash_jaccard_est",
     "global_shuffle",
