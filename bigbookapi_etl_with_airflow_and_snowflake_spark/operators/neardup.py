@@ -116,7 +116,10 @@ def jaccard_pairs(
     from pyspark.sql import Window as _W
 
     with_df = hashed.withColumn(
-        "__df", F.count("*").over(_W.partitionBy("__h"))
+        # int, not long: halves the struct's df slot in the per-doc
+        # collect_list shuffle (2^31 docs-per-shingle is beyond any
+        # corpus this partitioning survives anyway)
+        "__df", F.count("*").over(_W.partitionBy("__h")).cast("int")
     )
     docs = (
         with_df
