@@ -92,6 +92,11 @@ def kmeans_lloyd(
         .limit(k)
         .collect()
     )
+    if not init:
+        raise ValueError("kmeans_lloyd: input has no rows")
+    # inputs smaller than k collect fewer init vectors; the update loop
+    # indexes centroids[c] for c in range(k), so clamp k to what exists
+    k = min(k, len(init))
     centroids = [[float(x) for x in r[vec_col]] for r in init]
 
     src = df.select(id_col, vec_col)

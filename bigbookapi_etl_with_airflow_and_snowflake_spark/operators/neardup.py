@@ -45,6 +45,24 @@ def _threshold_dec(threshold: float) -> Column:
     return F.lit(str(t)).cast("decimal(14,12)")
 
 
+def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Truncate lineage so every downstream branch reuses ONE computed
+    table instead of compounding re-scans (round-1's un-truncated form
+    held 28 scans of the source; AQE exchange reuse collapsed none).
+
+    ``checkpoint_dir=None`` → ``localCheckpoint(eager=True)``: fast
+    (executor-local block storage) but NOT fault-tolerant — an executor
+    loss mid-query recomputes nothing and fails the job; rerun it.
+    A path → reliable ``.checkpoint()`` written under that directory
+    (HDFS/S3 at scale): survives executor loss, the 100 TB default.
+    Both run the upstream jobs at DataFrame-construction time (eager).
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def _bucket_pairs(keyed: DataFrame, key_col: str, id_col: str) -> DataFrame:
     """Inverted-index candidate pairs: (id_a, id_b) per shared key.
 
@@ -83,10 +101,14 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity, prefix-filtered: keeps pairs
     with J ≥ threshold — identical results to the naive
     every-pair-sharing-a-shingle join, at a fraction of the pair volume.
+    ``checkpoint_dir`` selects the lineage-truncation tier (see
+    :func:`_materialize`): None → fast executor-local localCheckpoint;
+    a path → reliable fault-tolerant checkpoint, the 100 TB setting.
 
     Plan: rarity-ordered shingle arrays per doc → inverted index over
     each doc's *prefix* (the |S| − ⌈t·|S|⌉ + 1 rarest shingles; by the
@@ -143,26 +165,21 @@ def jaccard_pairs(
     # One aggregation carries everything downstream needs — the rep id,
     # the sorted member list, and the (identical-across-members) shingle
     # array — so the whole query hangs off a single materialized table.
-    # Without truncation the branches compound multiplicatively (round-1
-    # form held 28 scans of the source; AQE exchange reuse collapsed
-    # none of them). NOTE: localCheckpoint(eager=True) runs the shingle
-    # pipeline at DataFrame-CONSTRUCTION time (builders of this query
-    # pay the upstream jobs immediately, not at first action) and is
-    # executor-local, not fault-tolerant — an executor loss mid-query
-    # recomputes nothing and fails the job; rerun the query. At 100 TB
-    # swap for reliable .checkpoint() on a checkpoint dir.
+    # Lineage is truncated here via _materialize (see its docstring for
+    # the localCheckpoint-vs-reliable-checkpoint trade); pass
+    # checkpoint_dir for the fault-tolerant tier at 100 TB.
     # group key = the sorted shingle-hash array itself (arrays are
     # hashable shuffle keys; ~400 B vs a 32-B md5, immaterial at one row
     # per doc, and it drops an md5-over-concat projection per row)
-    groups = (
+    groups = _materialize(
         docs.groupBy("__sh")
         .agg(
             F.min(id_col).alias("__rep"),
             F.sort_array(F.collect_list(id_col)).alias("__members"),
             F.first("__s").alias("__s"),
             F.first("n_sh").alias("n_sh"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        checkpoint_dir,
     )
     rep_docs = groups.select("__rep", "__sh", "n_sh")
 
@@ -384,6 +401,7 @@ def simhash_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """N2 (SimHash variant): near-dup pairs by Hamming distance over
     portable SimHash signatures.
@@ -398,7 +416,8 @@ def simhash_pairs(
 
     Scale: same shape as the other bucket joins here — one shuffle on
     the band key, pair volume = actual collisions, no n² anywhere.
-    Output: (id_a, id_b, hamming), id_a < id_b.
+    ``checkpoint_dir`` selects the lineage-truncation tier (see
+    :func:`_materialize`). Output: (id_a, id_b, hamming), id_a < id_b.
     """
     if max_hamming > bands - 1:
         raise ValueError(
@@ -408,7 +427,7 @@ def simhash_pairs(
     if bits % bands:
         raise ValueError("bits must divide evenly into bands")
     width = bits // bands
-    sig = portable_simhash(df, text_col, id_col, bits).localCheckpoint(eager=True)
+    sig = _materialize(portable_simhash(df, text_col, id_col, bits), checkpoint_dir)
     banded = sig.select(
         F.col(id_col),
         F.explode(

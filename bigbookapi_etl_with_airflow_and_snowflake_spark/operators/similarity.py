@@ -51,6 +51,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k: for every query vector, the k nearest
     candidates (self-matches excluded).
@@ -59,7 +60,20 @@ def cosine_topk(
     (sim desc, n_id) so ties are stable. The query side is broadcast —
     the big side is scanned once, never shuffled; the only shuffle is
     the per-query top-k, whose input is already pruned to scored rows.
+
+    The broadcast makes the join a BroadcastNestedLoopJoin BY DESIGN,
+    which is only sane while the query side is broadcast-sized — that
+    contract is load-bearing, so it's asserted: more than
+    ``max_query_rows`` query vectors raises ``ValueError`` (use
+    :func:`embedding_neardup_pairs`'s blockwise kernel, or
+    :func:`lsh_topk`/:func:`ivf_topk`, for big-×-big top-k).
     """
+    n_q = queries.limit(max_query_rows + 1).count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"cosine_topk broadcasts the query side; got > {max_query_rows} "
+            "query rows — use the blockwise/LSH/IVF paths for big query sets"
+        )
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
@@ -204,7 +218,12 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id for ``vec`` under the given hyperplanes."""
+    """Sign-pattern bucket id for ``vec`` under the given hyperplanes.
+    Zero planes → the empty sign pattern: ONE universal bucket, i.e. the
+    exhaustive configuration where LSH degenerates to brute force (the
+    oracle-checkable twin `lsh_topk_exact` rides this)."""
+    if not planes:
+        return F.lit("")
     bits = [
         F.when(
             dot(vec, F.array(*[F.lit(float(p)) for p in plane])) >= 0, F.lit("1")
@@ -212,6 +231,24 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
         for plane in planes
     ]
     return F.concat(*bits)
+
+
+def _training_sample(
+    candidates: DataFrame, id_col: str, vec_col: str, sample_size: int
+) -> list[list[float]]:
+    """Deterministic bounded training sample: the ``sample_size``
+    smallest-id vectors. A bare ``limit(n)`` is partition-order-
+    dependent — centroids (and every downstream probe) would drift
+    across cluster layouts. ``orderBy(id).limit(n)`` compiles to
+    TakeOrderedAndProject: one scan with a per-partition top-n heap,
+    no full sort, same rows on any partitioning."""
+    return [
+        r[0]
+        for r in candidates.select(vec_col, id_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    ]
 
 
 def _kmeans_centroids(
@@ -274,9 +311,7 @@ def ivf_topk(
     Recall < 1.0 by design; raise ``n_probe`` to trade compute for
     recall (n_probe == n_clusters degenerates to exact brute force).
     """
-    sample = [
-        r[0] for r in candidates.select(vec_col).limit(sample_size).collect()
-    ]
+    sample = _training_sample(candidates, id_col, vec_col, sample_size)
     cents = _kmeans_centroids(sample, n_clusters, seed)
 
     c = candidates.select(
@@ -416,9 +451,7 @@ def build_ivf_index(
     directories. Centroids persist next to the index (``<path>__centroids``)
     so probes recompute nothing."""
     spark = candidates.sparkSession
-    sample = [
-        r[0] for r in candidates.select(vec_col).limit(sample_size).collect()
-    ]
+    sample = _training_sample(candidates, id_col, vec_col, sample_size)
     cents = _kmeans_centroids(sample, n_clusters, seed)
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "cluster int, centroid array<double>"

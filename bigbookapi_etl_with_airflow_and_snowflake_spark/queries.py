@@ -1018,8 +1018,19 @@ def q_streaming_dedup(spark, sf):
     return spark.table(name).select("event_id", "user_id", "event_type", "value")
 
 
+# one row per event_id even if a regenerated corpus ever carries
+# inherent duplicate event_ids (today they are globally unique — see
+# tests/test_streaming.py's uniqueness canary; if that ever breaks,
+# first-arrival streaming dedup of CONFLICTING rows is inherently
+# arrival-order-dependent and the canary failure is the real signal)
 SQL_STREAMING_DEDUP = """
-SELECT event_id, user_id, event_type, value FROM events
+SELECT event_id, user_id, event_type, value FROM (
+  SELECT event_id, user_id, event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_id
+           ORDER BY ts, user_id, event_type, value) AS rn
+  FROM events) t
+WHERE rn = 1
 """
 
 
@@ -1754,6 +1765,30 @@ def q_ivf_topk(spark, sf):
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_lsh_topk_exact(spark, sf):
+    """N3 validation twin under the HARD oracle gate: lsh_topk at the
+    exhaustive configuration (zero hyperplanes → one universal bucket
+    per table) is brute force BY CONSTRUCTION, through the exact same
+    code path as the approximate entry — bucket join, pair dedup,
+    rescore, per-query top-k window. Must equal SQL_COSINE_TOPK."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=0, n_tables=1
+    )
+
+
+def q_ivf_topk_exact(spark, sf):
+    """N3 validation twin under the HARD oracle gate: ivf_topk with
+    n_probe == n_clusters probes every inverted list, so the full IVF
+    path (deterministic sample → k-means train → assign → probe →
+    rescore) degenerates to exact brute force. Must equal
+    SQL_COSINE_TOPK."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_clusters=8, n_probe=8
+    )
+
+
 def q_approx_distinct_users(spark, sf):
     """Sketch: HyperLogLog++ distinct users per event type (mergeable,
     O(1/rsd²) state per group — engine-specific values, rows-only check;
@@ -1868,6 +1903,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
     "lsh_topk": (q_lsh_topk, None),
     "ivf_topk": (q_ivf_topk, None),
+    "lsh_topk_exact": (q_lsh_topk_exact, SQL_COSINE_TOPK),
+    "ivf_topk_exact": (q_ivf_topk_exact, SQL_COSINE_TOPK),
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "approx_price_quantiles": (q_approx_price_quantiles, None),

@@ -334,6 +334,40 @@ def q_kmeans_clusters(spark, sf):
     return assignments
 
 
+def q_kmeans_assign_init(spark, sf):
+    """The k-means surface at an oracle-checkable configuration:
+    0 iterations = pure nearest-centroid argmin over the deterministic
+    init (the k smallest-id vectors), ties to the lowest cluster —
+    exactly expressible in SQL, so the assignment kernel shared with
+    the iterative entry gets a HARD driver row. Distances are the same
+    sequential double fold in both engines."""
+    from .operators.clustering import kmeans_lloyd
+
+    assignments, _ = kmeans_lloyd(_t(spark, sf, "embeddings"), k=8, iters=0)
+    return assignments
+
+
+SQL_KMEANS_ASSIGN_INIT = """
+WITH init AS (
+  SELECT embedding AS c_vec,
+         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+d AS (
+  SELECT e.vec_id, i.cluster,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+           j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(i.c_vec[j] AS DOUBLE))
+              * (CAST(e.embedding[j] AS DOUBLE) - CAST(i.c_vec[j] AS DOUBLE)))) AS d2
+  FROM embeddings e CROSS JOIN init i
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+  FROM d) t
+WHERE rn = 1
+"""
+
+
 def q_cluster_balanced_sample(spark, sf):
     """Diversity sampling: md5-ordered top-N per k-means cluster —
     keeps long-tail content a uniform sample would drown. Iterative
@@ -354,6 +388,7 @@ OPS_REGISTRY = {
     "image_decode": (q_image_decode, SQL_IMAGE_DECODE),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
     "kmeans_clusters": (q_kmeans_clusters, None),
+    "kmeans_assign_init": (q_kmeans_assign_init, SQL_KMEANS_ASSIGN_INIT),
     "cluster_balanced_sample": (q_cluster_balanced_sample, None),
     "bucketed_join_revenue": (q_bucketed_join_revenue, SQL_BUCKETED_JOIN_REVENUE),
 }

@@ -4,7 +4,7 @@ cluster-balanced sampler's contract."""
 
 from __future__ import annotations
 
-from decimal import Decimal
+from decimal import ROUND_HALF_UP, Decimal
 
 import pytest
 
@@ -36,7 +36,10 @@ def _py_kmeans(rows, k, iters):
             c = assign[rid]
             cnts[c] += 1
             for j, x in enumerate(vec):
-                sums[c][j] += Decimal(float(x)).quantize(q)
+                # Spark's cast to decimal(28,10) rounds HALF_UP;
+                # quantize's default HALF_EVEN would diverge on exact
+                # ties at the 10th decimal (odd multiples of 2^-11)
+                sums[c][j] += Decimal(float(x)).quantize(q, rounding=ROUND_HALF_UP)
         cents = [
             [float(sums[c][j] / cnts[c]) for j in range(dim)] if cnts[c] else cents[c]
             for c in range(k)
@@ -93,3 +96,21 @@ def test_cluster_balanced_sample_contract(spark, emb):
     # deterministic across runs
     s2 = C.cluster_balanced_sample(emb, k=4, iters=2, per_cluster=10).toPandas()
     assert s.sort_values(["vec_id"]).values.tolist() == s2.sort_values(["vec_id"]).values.tolist()
+
+
+def test_kmeans_clamps_k_to_row_count(spark):
+    """Inputs smaller than k must not IndexError: k clamps to the
+    collected init size and every row still gets a cluster."""
+    rows = [(i, [float(i), float(i) + 1.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assignments, cents = C.kmeans_lloyd(df, k=8, iters=2)
+    pdf = assignments.toPandas()
+    assert len(pdf) == 3
+    assert len(cents) == 3
+    assert set(pdf["cluster"]) <= {0, 1, 2}
+
+
+def test_kmeans_empty_input_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no rows"):
+        C.kmeans_lloyd(df, k=4, iters=1)

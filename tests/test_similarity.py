@@ -283,3 +283,62 @@ def test_jaccard_pairs_duplicate_collapse_matches_bruteforce(spark):
     # the duplicate groups must surface as exact J=1.0 pairs
     assert got[(1, 2)] == 1.0 and got[(1, 3)] == 1.0 and got[(2, 3)] == 1.0
     assert got[(4, 5)] == 1.0
+
+
+def test_cosine_topk_rejects_oversized_query_side(emb):
+    """The broadcast-nested-loop contract is load-bearing: a big query
+    side must fail fast, not silently build an n x n scan."""
+    with pytest.raises(ValueError, match="broadcast"):
+        sim.cosine_topk(emb, emb, k=K, max_query_rows=100)
+
+
+def test_lsh_exhaustive_config_is_bruteforce(emb, exact):
+    """Zero hyperplanes = one universal bucket: lsh_topk through its
+    normal code path must equal exact brute force pair-for-pair."""
+    out = sim.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=K, n_planes=0, n_tables=1
+    )
+    assert {(r["q_id"], r["n_id"]) for r in out.collect()} == exact
+
+
+def test_ivf_exhaustive_probe_is_bruteforce(emb, exact):
+    """n_probe == n_clusters probes every inverted list — exact."""
+    out = sim.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=K, n_clusters=8, n_probe=8
+    )
+    assert {(r["q_id"], r["n_id"]) for r in out.collect()} == exact
+
+
+def test_ivf_training_sample_partition_invariant(emb, spark):
+    """The bounded training sample is orderBy(id).limit(n) — centroids,
+    and therefore approximate results, must not drift when the corpus
+    arrives with a different partitioning."""
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    a = sim.ivf_topk(emb.repartition(1), q, k=K).collect()
+    b = sim.ivf_topk(emb.repartition(7), q, k=K).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_jaccard_pairs_reliable_checkpoint_path(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to the fault-tolerant
+    reliable .checkpoint(); results must be identical and checkpoint
+    files must actually land under the directory."""
+    import os
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators import neardup
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "a completely different document about spark query planning"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    ckpt = str(tmp_path / "ckpt")
+    local = sorted(map(tuple, neardup.jaccard_pairs(df).collect()))
+    reliable = sorted(
+        map(tuple, neardup.jaccard_pairs(df, checkpoint_dir=ckpt).collect())
+    )
+    assert local == reliable and local
+    assert any(os.scandir(ckpt))
+    sp = sorted(map(tuple, neardup.simhash_pairs(df, checkpoint_dir=ckpt).collect()))
+    assert sp == sorted(map(tuple, neardup.simhash_pairs(df).collect()))

@@ -36,6 +36,16 @@ def _rows(df, *cols):
     return sorted(tuple(r) for r in df.select(*cols).collect())
 
 
+def test_event_id_globally_unique(events_batch):
+    """Uniqueness canary for the streaming-dedup oracle: testdata is
+    regenerated between rounds, and first-arrival dedup of CONFLICTING
+    rows sharing an event_id would be arrival-order-dependent. If this
+    ever fails, the corpus changed shape — revisit SQL_STREAMING_DEDUP."""
+    total = events_batch.count()
+    distinct = events_batch.select("event_id").distinct().count()
+    assert total == distinct
+
+
 def test_tumbling_window_matches_batch(spark, events_dir, events_batch):
     stream = S.read_events_stream(spark, events_dir)
     got = S.run_to_memory(
