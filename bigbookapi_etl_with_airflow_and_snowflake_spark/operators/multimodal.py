@@ -5,15 +5,16 @@ metadata carried alongside. The Spark-side plumbing — schema, Arrow batch
 shape, ``mapInPandas`` signature, partition discipline — is real and
 tested. Decode has two tiers:
 
-- **Real decode** for uncompressed formats, pure numpy (no codec libs
-  needed): 24-bit BI_RGB BMP (:func:`decode_bmp`) and binary
-  PPM/PGM (:func:`decode_ppm`), dispatched by magic bytes in
-  :func:`decode_image`. Real nearest-neighbor resize + PPM re-encode
-  rides on top.
-- **Stub decode** for compressed media (JPEG/PNG/audio/video): codec
-  libraries are not in this container, so :func:`decode_stub` either
-  raises ``NotImplementedError`` (strict mode) or produces a
-  deterministic fake so the distributed plumbing stays testable.
+- **Real decode** for formats implementable without codec libraries:
+  24-bit BI_RGB BMP (:func:`decode_bmp`), binary PPM/PGM
+  (:func:`decode_ppm`), and 8-bit non-interlaced PNG
+  (:func:`decode_png` — stdlib zlib inflate + numpy un-filtering,
+  filters 0-4), dispatched by magic bytes in :func:`decode_image`.
+  Real nearest-neighbor resize + PPM/PNG re-encode rides on top.
+- **Stub decode** for media needing true codec libraries (JPEG/MP3/
+  video): not in this container, so :func:`decode_stub` either raises
+  ``NotImplementedError`` (strict mode) or produces a deterministic
+  fake so the distributed plumbing stays testable.
 
 At 100 TB: payload columns dominate I/O, so every operator here projects
 payload bytes only where needed (column pruning keeps metadata-only
@@ -125,13 +126,144 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (8-bit depth only; palette/16-bit/
+# interlace raise — they need tables or bit-unpacking beyond this tier)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4): nearest of left/up/up-left
+    to the linear estimate a + b − c, ties resolved a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters 0-4 → (height, stride) uint8.
+    Filters None/Up vectorize (uint8 addition wraps mod 256 natively);
+    Sub/Average/Paeth have intra-row byte dependencies and walk the
+    row — per-row Python, but each payload decodes inside an
+    Arrow-batched worker so the loop never crosses the row boundary."""
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1)
+        pos += stride + 1
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 2:
+            out[y] = line + prev
+        elif f in (1, 3, 4):
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                if f == 1:
+                    v = line[x] + a
+                elif f == 3:
+                    v = line[x] + ((a + int(prev[x])) >> 1)
+                else:
+                    v = line[x] + _png_paeth(
+                        a, int(prev[x]), int(prev[x - bpp]) if x >= bpp else 0
+                    )
+                cur[x] = v & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced truecolor/grayscale(+alpha) PNG to
+    a (h, w, channels) uint8 array — stdlib ``zlib`` inflate + numpy
+    un-filtering, no codec libraries. Palette (needs PLTE indirection),
+    16-bit (bit unpacking), and Adam7 interlace raise ``ValueError``;
+    corrupt streams surface as ``ValueError`` too (quarantine contract)."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + size  # length + type + body + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8:
+        raise ValueError(f"{depth}-bit PNG unsupported (8-bit only)")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {color} unsupported (palette needs PLTE)")
+    if interlace:
+        raise ValueError("Adam7-interlaced PNG unsupported")
+    if not width or not height:
+        raise ValueError("empty PNG raster")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG zlib stream: {exc}") from exc
+    channels = _PNG_CHANNELS[color]
+    stride = width * channels
+    return _png_unfilter(raw, height, stride, channels).reshape(
+        height, width, channels
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode a (h, w, c) uint8 array (c ∈ {1, 2, 3, 4}) as an 8-bit
+    non-interlaced PNG — filter 0 scanlines, one zlib-deflated IDAT."""
+    import zlib
+
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    rows = img.astype(np.uint8).reshape(h, w * c)
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    idat = zlib.compress(raw)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch to the real decoders. Raises ``ValueError``
-    for formats that need codec libraries (JPEG/PNG/...)."""
+    for formats that need codec libraries (JPEG/...)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
     raise ValueError("unsupported image format (compressed formats need codecs)")
 
 

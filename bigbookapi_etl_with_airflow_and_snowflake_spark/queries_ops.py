@@ -277,6 +277,51 @@ WHERE regexp_matches(text, '^[ -~]+$') AND length(text) >= 24
 """
 
 
+def q_png_decode(spark, sf):
+    """N5 PNG under the oracle gate: each ASCII document's first 24
+    bytes become the 4×2 RGB raster of a REAL zlib-deflated PNG
+    (encoded distributed in one Arrow-batched pass), then decoded back
+    by the stdlib-zlib + numpy PNG decoder. The oracle recomputes
+    (width, height, channels, mean_pixel) from the same characters —
+    decode must invert the deflate + filter encoding exactly."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    from .operators.multimodal import encode_png
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").rlike("^[ -~]+$") & (F.length("text") >= 24))
+        .select("doc_id", F.substring("text", 1, 24).cast("binary").alias("raster"))
+    )
+
+    def enc(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    _np.frombuffer(bytes(r), dtype=_np.uint8).reshape(2, 4, 3)
+                )
+                for r in pdf["raster"]
+            ]
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    pngs = d.mapInPandas(enc, schema="doc_id long, payload binary")
+    return image_stats(pngs, "payload", "doc_id")
+
+
+SQL_PNG_DECODE = """
+SELECT doc_id, 4 AS width, 2 AS height, 3 AS channels,
+       ROUND(list_sum(list_transform(range(1, 25),
+                      i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE))) / 24, 6)
+         AS mean_pixel
+FROM documents
+WHERE regexp_matches(text, '^[ -~]+$') AND length(text) >= 24
+"""
+
+
 def q_audio_decode(spark, sf):
     """N5 audio with REAL decode under the oracle gate: 8-bit PCM
     mono RIFF/WAVE payloads built from each ASCII document's first 24
@@ -386,6 +431,7 @@ OPS_REGISTRY = {
     "user_features": (q_user_features, SQL_USER_FEATURES),
     "merge_upsert_orders": (q_merge_upsert_orders, SQL_MERGE_UPSERT_ORDERS),
     "image_decode": (q_image_decode, SQL_IMAGE_DECODE),
+    "png_decode": (q_png_decode, SQL_PNG_DECODE),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "kmeans_assign_init": (q_kmeans_assign_init, SQL_KMEANS_ASSIGN_INIT),

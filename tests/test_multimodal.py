@@ -247,3 +247,149 @@ def test_binary_roundtrip_preserves_hash(spark, docs, tmp_path):
     a = {r["doc_id"]: r["h"] for r in bin_df.select("doc_id", F.md5("payload").alias("h")).collect()}
     b = {r["doc_id"]: r["h"] for r in back.select("doc_id", F.md5("payload").alias("h")).collect()}
     assert a == b
+
+
+def _png_filter_rows(img, ftype):
+    """Reference PNG scanline filterer (spec §9): applies one filter
+    type to every row of a (h, w, c) uint8 image, returns the raw
+    stream decode must invert."""
+    import numpy as np
+
+    h, w, c = img.shape
+    rows = img.reshape(h, w * c).astype(np.int32)
+    out = bytearray()
+    for y in range(h):
+        line = rows[y]
+        prev = rows[y - 1] if y else np.zeros_like(line)
+        filt = np.empty_like(line)
+        for x in range(len(line)):
+            a = line[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+            filt[x] = (line[x] - pred) & 0xFF
+        out += bytes([ftype]) + filt.astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def _png_wrap(raw, w, h, color):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_all_channel_counts():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(5, 3, c), dtype=np.uint8)
+        out = M.decode_png(M.encode_png(img))
+        assert out.shape == img.shape and (out == img).all()
+        # and through the magic-byte dispatcher
+        assert (M.decode_image(M.encode_png(img)) == img).all()
+
+
+def test_png_unfilters_every_filter_type():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    for ftype in range(5):
+        raw = _png_filter_rows(img, ftype)
+        payload = _png_wrap(raw, 5, 6, color=2)
+        out = M.decode_png(payload)
+        assert (out == img).all(), f"filter {ftype} mis-decoded"
+
+
+def test_png_rejects_unsupported_and_corrupt():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = M.encode_png(img)
+    with pytest.raises(ValueError, match="not a PNG"):
+        M.decode_png(b"JUNK" + good)
+    # corrupt deflate stream → ValueError, not zlib.error
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="corrupt PNG zlib"):
+        M.decode_png(bytes(bad))
+    # interlaced / 16-bit / palette headers refuse cleanly
+    raw = _png_filter_rows(img, 0)
+    for depth, color, interlace, msg in [
+        (16, 2, 0, "16-bit"),
+        (8, 3, 0, "color type"),
+        (8, 2, 1, "interlaced"),
+    ]:
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match=msg):
+            M.decode_png(payload)
+    # truncated raster (one row short) → ValueError
+    short = _png_filter_rows(img, 0)[: 2 * 2 * 3]  # cuts row 2
+    with pytest.raises(ValueError, match="truncated PNG raster"):
+        M.decode_png(_png_wrap(short, 2, 2, color=2))
+
+
+def test_image_stats_decodes_png_distributed(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i), bytearray(M.encode_png(rng.integers(0, 256, (4, 6, 3), dtype=np.uint8))))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "img_id long, payload binary").repartition(4)
+    got = {r["img_id"]: r for r in M.image_stats(df, "payload", "img_id").collect()}
+    assert len(got) == 20
+    for i, payload in rows:
+        img = M.decode_png(bytes(payload))
+        assert got[i]["width"] == 6 and got[i]["height"] == 4
+        assert got[i]["channels"] == 3
+        assert got[i]["mean_pixel"] == round(float(img.mean()), 6)
