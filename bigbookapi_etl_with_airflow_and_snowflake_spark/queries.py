@@ -1923,8 +1923,9 @@ REGISTRY.update(OPS_REGISTRY)
 # entries 1-50), so insertion order is a validation budget. Rounds 1-3
 # together put a green row on every oracle-able entry; testdata
 # regenerates between rounds, so rows age. Round 4 spends the budget on:
-# the five new/changed entries (exact-mode ANN twins, kmeans-init
-# oracle, PNG decode, hardened streaming-dedup oracle), then the whole
+# the six new/changed entries (exact-mode ANN twins, kmeans-init and
+# cluster-sample oracles, PNG decode, hardened streaming-dedup
+# oracle), then the whole
 # r1-stale relational core (TPC-H shapes, windows, rollup/cube/pivot,
 # set ops, JSON/date, text/dq) — last driver-checked two regenerations
 # ago — then the five most plan-intricate r2-stale entries. The ~21
@@ -1940,6 +1941,7 @@ _DRIVER_PRIORITY = [
     "lsh_topk_exact",
     "ivf_topk_exact",
     "kmeans_assign_init",
+    "cluster_sample_init",
     "png_decode",
     "streaming_dedup",
     # the stale-green relational core: every entry below was last
@@ -1986,13 +1988,12 @@ _DRIVER_PRIORITY = [
     "part_name_words",
     "funnel_counts",
     "dq_report",
-    # r2-stale entries with the most intricate plans (the rest of the
-    # r2 set rotates in next round)
+    # r2-stale entries with the most intricate plans (the remaining
+    # ~22 r2-stale entries rotate in next round)
     "waiting_suppliers",
     "important_parts",
     "priority_exists_orders",
     "min_cost_supplier",
-    "market_share",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

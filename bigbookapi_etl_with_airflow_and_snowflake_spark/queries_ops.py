@@ -425,6 +425,50 @@ def q_cluster_balanced_sample(spark, sf):
     )
 
 
+def q_cluster_sample_init(spark, sf):
+    """Diversity-sampling twin under the HARD oracle gate: the same
+    cluster_balanced_sample code path at the 0-iteration configuration
+    — nearest-init-centroid assignment plus the md5-ordered top-N
+    window are both engine-portable, so the whole sampler (assignment
+    kernel, hash order, rank cutoff) is SQL-checkable."""
+    from .operators.clustering import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        _t(spark, sf, "embeddings"), k=8, iters=0, per_cluster=25
+    )
+
+
+SQL_CLUSTER_SAMPLE_INIT = """
+WITH init AS (
+  SELECT embedding AS c_vec,
+         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+d AS (
+  SELECT e.vec_id, i.cluster,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+           j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(i.c_vec[j] AS DOUBLE))
+              * (CAST(e.embedding[j] AS DOUBLE) - CAST(i.c_vec[j] AS DOUBLE)))) AS d2
+  FROM embeddings e CROSS JOIN init i
+),
+assigned AS (
+  SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM d) t
+  WHERE rn = 1
+)
+SELECT vec_id, cluster, CAST(sample_rank AS INT) AS sample_rank FROM (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster
+           ORDER BY md5(CAST(vec_id AS VARCHAR) || '#csample'), vec_id
+         ) AS sample_rank
+  FROM assigned) s
+WHERE sample_rank <= 25
+"""
+
+
 OPS_REGISTRY = {
     "rollup_refresh": (q_rollup_refresh, SQL_ROLLUP_REFRESH),
     "salted_agg_events": (q_salted_agg_events, SQL_SALTED_AGG_EVENTS),
@@ -436,5 +480,6 @@ OPS_REGISTRY = {
     "kmeans_clusters": (q_kmeans_clusters, None),
     "kmeans_assign_init": (q_kmeans_assign_init, SQL_KMEANS_ASSIGN_INIT),
     "cluster_balanced_sample": (q_cluster_balanced_sample, None),
+    "cluster_sample_init": (q_cluster_sample_init, SQL_CLUSTER_SAMPLE_INIT),
     "bucketed_join_revenue": (q_bucketed_join_revenue, SQL_BUCKETED_JOIN_REVENUE),
 }

@@ -81,6 +81,12 @@ QUERIES = [
     "global_shuffle",
     "kmeans_clusters",
     "cluster_balanced_sample",
+    # round-4 additions: exact-mode ANN twins, kmeans-init assignment,
+    # real PNG decode
+    "lsh_topk_exact",
+    "ivf_topk_exact",
+    "kmeans_assign_init",
+    "png_decode",
 ]
 
 
