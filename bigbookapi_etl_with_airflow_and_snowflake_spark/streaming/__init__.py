@@ -4,6 +4,7 @@ from .events import (  # noqa: F401
     dedup_within_watermark,
     foreach_batch_upsert,
     read_events_stream,
+    read_rate_stream,
     run_to_memory,
     session_window_stats,
     sliding_window_counts,

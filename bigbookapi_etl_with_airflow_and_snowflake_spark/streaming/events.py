@@ -63,6 +63,51 @@ def read_events_stream(
     return reader.parquet(path)
 
 
+def read_rate_stream(
+    spark: SparkSession,
+    rows_per_batch: int = 1000,
+    num_partitions: int = 4,
+    start_ts_ms: int = 0,
+    advance_ms_per_batch: int = 60_000,
+    users: int = 100,
+    event_types: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Non-file streaming source: the built-in ``rate-micro-batch``
+    source mapped into the events schema — every downstream operator
+    (watermarked windows, dedup, stream-stream join, stateful) runs on
+    it unchanged, proving the operator surface is source-agnostic.
+
+    ``rate-micro-batch`` (unlike plain ``rate``) is DETERMINISTIC:
+    batch N carries values [N·rows, (N+1)·rows) stamped
+    ``start + N·advance`` — replays and tests get identical data. In
+    production the same shape swaps to a Kafka reader (absent from this
+    sandbox); only this function changes, no operator does. The synth
+    columns are pure narrow expressions of ``value`` (portable hashes,
+    no RNG), generated partition-parallel on executors.
+    """
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", str(rows_per_batch))
+        .option("numPartitions", str(num_partitions))
+        .option("startTimestamp", str(start_ts_ms))
+        .option("advanceMillisPerBatch", str(advance_ms_per_batch))
+        .load()
+    )
+    et = F.array(*[F.lit(t) for t in event_types])
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.pmod("value", F.lit(users)).cast("long").alias("user_id"),
+        F.element_at(et, (F.pmod("value", F.lit(len(event_types))) + 1).cast("int")).alias(
+            "event_type"
+        ),
+        F.col("timestamp").alias("ts"),
+        (F.pmod(F.xxhash64(F.col("value")), F.lit(10_000)).cast("double") / 100.0).alias(
+            "value"
+        ),
+        F.lit(None).cast("string").alias("props"),
+    )
+
+
 def tumbling_window_counts(
     events: DataFrame,
     window: str = "5 minutes",

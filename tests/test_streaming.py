@@ -335,3 +335,40 @@ def test_user_running_state(spark, events_dir, events_batch):
     )
     cols = ["user_id", "n_events", "last_ts"]
     assert _rows(final, *cols) == _rows(want, *cols)
+
+
+def test_rate_source_deterministic_and_feeds_operators(spark):
+    """Non-file source: rate-micro-batch is deterministic (batch N =
+    values [N*rows, (N+1)*rows)), so exact assertions hold; the mapped
+    events shape must drive the windowed aggregate unchanged."""
+    import uuid
+
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    stream = S.read_rate_stream(
+        spark, rows_per_batch=300, num_partitions=3, users=7
+    )
+    out = S.run_to_memory(stream, name, output_mode="append")
+    rows = out.collect()
+    assert {r["event_id"] for r in rows} >= set(range(300))
+    for r in rows:
+        assert r["user_id"] == r["event_id"] % 7
+        assert r["event_type"] in ("view", "click", "purchase")
+        assert r["ts"] is not None and 0.0 <= r["value"] < 100.0
+    # replay determinism: a second drain yields identical first-batch rows
+    name2 = f"rate_{uuid.uuid4().hex[:8]}"
+    out2 = S.run_to_memory(
+        S.read_rate_stream(spark, rows_per_batch=300, num_partitions=3, users=7),
+        name2,
+        output_mode="append",
+    )
+    a = {r["event_id"]: (r["user_id"], r["event_type"], r["value"]) for r in rows}
+    b = {r["event_id"]: (r["user_id"], r["event_type"], r["value"]) for r in out2.collect()}
+    shared = set(a) & set(b)
+    assert shared and all(a[k] == b[k] for k in shared)
+    # and the watermarked tumbling aggregate runs on it unchanged
+    name3 = f"rate_{uuid.uuid4().hex[:8]}"
+    agg = S.tumbling_window_counts(
+        S.read_rate_stream(spark, rows_per_batch=120, num_partitions=2, users=5)
+    )
+    res = S.run_to_memory(agg, name3, output_mode="complete")
+    assert res.count() >= 1
