@@ -1792,7 +1792,9 @@ def q_ivf_topk_exact(spark, sf):
 def q_approx_distinct_users(spark, sf):
     """Sketch: HyperLogLog++ distinct users per event type (mergeable,
     O(1/rsd²) state per group — engine-specific values, rows-only check;
-    error bound vs exact asserted in tests/test_merge_sketch.py)."""
+    error bound vs exact asserted in tests/test_merge_sketch.py; the
+    exact ground-truth twin `distinct_users_exact` carries the hard
+    oracle row for the same grouping)."""
     from .operators.sketch import approx_distinct
 
     return approx_distinct(
@@ -1800,9 +1802,29 @@ def q_approx_distinct_users(spark, sf):
     )
 
 
+def q_distinct_users_exact(spark, sf):
+    """Exact ground-truth twin of `approx_distinct_users`: same
+    grouping, hash-aggregate COUNT(DISTINCT) instead of the HLL sketch
+    — oracle-checkable, and the pair documents the sketch's accuracy
+    contract in the registry itself."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_DISTINCT_USERS_EXACT = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_approx_price_quantiles(spark, sf):
     """Sketch: Greenwald-Khanna price quantiles per return flag
-    (rows-only check; rank-error bound asserted in tests)."""
+    (rows-only check; rank-error bound asserted in tests; the exact
+    ground-truth twin `price_quantiles_exact` carries the hard oracle
+    row for the same grouping)."""
     from .operators.sketch import approx_quantiles
 
     return approx_quantiles(
@@ -1811,6 +1833,46 @@ def q_approx_price_quantiles(spark, sf):
         (0.25, 0.5, 0.75),
         group_by=["l_returnflag"],
     )
+
+
+def q_price_quantiles_exact(spark, sf):
+    """Exact ground-truth twin of `approx_price_quantiles`: the same
+    per-returnflag price quantiles as DISCRETE rank statistics (value at
+    rank ⌈p·n⌉ — no interpolation arithmetic, so decimal prices stay
+    exact and engine-portable). One sort-window shuffle per group."""
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wall = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("l_extendedprice"),
+            )
+        ).alias(name)
+        for p, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"))
+    ]
+    return ranked.groupBy("l_returnflag").agg(*picks)
+
+
+SQL_PRICE_QUANTILES_EXACT = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem)
+SELECT l_returnflag,
+       MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN l_extendedprice END) AS p25,
+       MAX(CASE WHEN rn = CAST(ceil(0.5  * n) AS BIGINT) THEN l_extendedprice END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN l_extendedprice END) AS p75
+FROM ranked GROUP BY l_returnflag
+"""
 
 
 def q_multimodal_bytes(spark, sf):
@@ -1908,6 +1970,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "approx_price_quantiles": (q_approx_price_quantiles, None),
+    "distinct_users_exact": (q_distinct_users_exact, SQL_DISTINCT_USERS_EXACT),
+    "price_quantiles_exact": (q_price_quantiles_exact, SQL_PRICE_QUANTILES_EXACT),
 }
 
 
