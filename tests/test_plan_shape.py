@@ -168,3 +168,37 @@ def test_dedup_exact_single_shuffle_key(spark, sf_dir):
     df = Q.q_dedup_exact_docs(spark, sf_dir)
     # groupBy(fp) + semi-join back share the fingerprint shuffle key
     assert shuffle_count(df) <= 3
+
+
+def test_kmeans_assignment_is_narrow_no_shuffle(spark, sf_dir):
+    """Centroid assignment is a broadcast-literal map: the whole
+    assignment stage must contain ZERO exchanges — the property that
+    makes per-iteration cost one corpus scan at any scale."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.clustering import (
+        assign_clusters,
+    )
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    df = assign_clusters(emb, [[0.0] * 64, [1.0] * 64]).select("vec_id", "cluster")
+    assert shuffle_count(df) == 0, explain_str(df, "simple")
+
+
+def test_ivf_training_sample_uses_take_ordered(spark, sf_dir):
+    """The deterministic bounded sample must compile to
+    TakeOrderedAndProject (per-partition top-n heap), not a global
+    Sort + Limit — the difference between one scan and a sort shuffle
+    of the full corpus."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sample = emb.select("embedding", "vec_id").orderBy("vec_id").limit(10_000)
+    assert "TakeOrderedAndProject" in explain_str(sample, "simple")
+
+
+def test_price_quantiles_exact_single_sort_shuffle(spark, sf_dir):
+    """Discrete rank quantiles: one hash-partition shuffle on the group
+    key feeds both windows and the final aggregate — no extra exchange
+    per percentile."""
+    df = Q.q_price_quantiles_exact(spark, sf_dir)
+    assert shuffle_count(df) <= 2, explain_str(df, "simple")
