@@ -7,14 +7,17 @@ tested. Decode has two tiers:
 
 - **Real decode** for formats implementable without codec libraries:
   24-bit BI_RGB BMP (:func:`decode_bmp`), binary PPM/PGM
-  (:func:`decode_ppm`), and 8-bit non-interlaced PNG
-  (:func:`decode_png` — stdlib zlib inflate + numpy un-filtering,
-  filters 0-4), dispatched by magic bytes in :func:`decode_image`.
-  Real nearest-neighbor resize + PPM/PNG re-encode rides on top.
-- **Stub decode** for media needing true codec libraries (JPEG/MP3/
-  video): not in this container, so :func:`decode_stub` either raises
-  ``NotImplementedError`` (strict mode) or produces a deterministic
-  fake so the distributed plumbing stays testable.
+  (:func:`decode_ppm`), 8-bit non-interlaced PNG (:func:`decode_png` —
+  stdlib zlib inflate + numpy un-filtering, filters 0-4), and baseline
+  sequential JPEG (``jpegcodec.decode_jpeg`` — canonical Huffman + 8×8
+  IDCT + chroma upsampling, pure numpy), dispatched by magic bytes in
+  :func:`decode_image`. Real nearest-neighbor resize + PPM/PNG/JPEG
+  re-encode rides on top.
+- **Stub decode** for media needing true codec libraries (MP3/AAC,
+  video demux, progressive/arithmetic JPEG): not in this container, so
+  :func:`decode_stub` either raises ``NotImplementedError`` (strict
+  mode) or produces a deterministic fake so the distributed plumbing
+  stays testable.
 
 At 100 TB: payload columns dominate I/O, so every operator here projects
 payload bytes only where needed (column pruning keeps metadata-only
@@ -256,15 +259,20 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch to the real decoders. Raises ``ValueError``
-    for formats that need codec libraries (JPEG/...)."""
+    """Magic-byte dispatch to the real decoders (BMP, PPM/PGM, PNG,
+    baseline JPEG — all pure numpy + stdlib). Raises ``ValueError`` for
+    formats that genuinely need codec libraries."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
-    raise ValueError("unsupported image format (compressed formats need codecs)")
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError("unsupported image format (needs a codec library)")
 
 
 def nn_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -2007,6 +2007,7 @@ _DRIVER_PRIORITY = [
     "kmeans_assign_init",
     "cluster_sample_init",
     "png_decode",
+    "jpeg_decode",
     "streaming_dedup",
     # the stale-green relational core: every entry below was last
     # driver-checked in r1 against testdata regenerated twice since.
@@ -2057,7 +2058,6 @@ _DRIVER_PRIORITY = [
     "waiting_suppliers",
     "important_parts",
     "priority_exists_orders",
-    "min_cost_supplier",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

@@ -322,6 +322,53 @@ WHERE regexp_matches(text, '^[ -~]+$') AND length(text) >= 24
 """
 
 
+def q_jpeg_decode(spark, sf):
+    """N5 baseline JPEG under the HARD oracle gate. Lossy codecs and
+    oracles normally don't mix, but a flat 8×8 block with an EVEN pixel
+    value survives quantization exactly (one DC coefficient, 8d/16
+    rounds exactly for even d — jpegcodec.py docstring), so each
+    document's first text byte (forced even) becomes a flat RGB JPEG
+    that must decode back bit-exactly through the full entropy-coded
+    path: marker parse, Huffman, dequantize, IDCT, YCbCr→RGB."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    from .operators.jpegcodec import encode_jpeg
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").rlike("^[ -~]+$") & (F.length("text") >= 1))
+        .select(
+            "doc_id",
+            (F.ascii(F.substring("text", 1, 1))
+             - F.pmod(F.ascii(F.substring("text", 1, 1)), F.lit(2))).alias("gray"),
+        )
+    )
+
+    def enc(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = [
+                encode_jpeg(_np.full((8, 8, 3), int(v), dtype=_np.uint8))
+                for v in pdf["gray"]
+            ]
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    jpgs = d.mapInPandas(enc, schema="doc_id long, payload binary")
+    return image_stats(jpgs, "payload", "doc_id")
+
+
+SQL_JPEG_DECODE = """
+SELECT doc_id, 8 AS width, 8 AS height, 3 AS channels,
+       CAST(ascii(substr(text, 1, 1)) - ascii(substr(text, 1, 1)) % 2 AS DOUBLE)
+         AS mean_pixel
+FROM documents
+WHERE regexp_matches(text, '^[ -~]+$') AND length(text) >= 1
+"""
+
+
 def q_audio_decode(spark, sf):
     """N5 audio with REAL decode under the oracle gate: 8-bit PCM
     mono RIFF/WAVE payloads built from each ASCII document's first 24
@@ -476,6 +523,7 @@ OPS_REGISTRY = {
     "merge_upsert_orders": (q_merge_upsert_orders, SQL_MERGE_UPSERT_ORDERS),
     "image_decode": (q_image_decode, SQL_IMAGE_DECODE),
     "png_decode": (q_png_decode, SQL_PNG_DECODE),
+    "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "kmeans_assign_init": (q_kmeans_assign_init, SQL_KMEANS_ASSIGN_INIT),

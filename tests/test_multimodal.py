@@ -393,3 +393,101 @@ def test_image_stats_decodes_png_distributed(spark):
         assert got[i]["width"] == 6 and got[i]["height"] == 4
         assert got[i]["channels"] == 3
         assert got[i]["mean_pixel"] == round(float(img.mean()), 6)
+
+
+def test_jpeg_flat_even_roundtrips_exactly():
+    """A flat block with an even value has one DC coefficient that
+    quantizes exactly — the property the jpeg_decode oracle rides."""
+    import numpy as np
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for v in (32, 90, 130, 200, 254):
+        img = np.full((8, 8, 3), v, dtype=np.uint8)
+        assert (decode_jpeg(encode_jpeg(img)) == img).all()
+    # odd values stay flat but may shift ±1 (DC rounding) — lossy contract
+    img = np.full((8, 8, 3), 131, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert len(np.unique(out)) == 1
+    assert abs(int(out[0, 0, 0]) - 131) <= 1
+
+
+def test_jpeg_gradient_within_codec_tolerance():
+    import numpy as np
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.stack(
+        [(yy * 3 + 20) % 200 + 20, (xx * 2 + 40) % 200 + 20, ((yy + xx) * 2) % 200 + 20],
+        axis=-1,
+    ).astype(np.uint8)
+    for sub in ("4:4:4", "4:2:0"):
+        out = decode_jpeg(encode_jpeg(img, subsample=sub))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= 12 and err.mean() <= 3.0, (sub, err.max(), err.mean())
+
+
+def test_jpeg_nonmultiple_of_8_and_mcu_dims():
+    import numpy as np
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    for shape, sub in (((13, 21, 3), "4:4:4"), ((29, 14, 3), "4:2:0")):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, subsample=sub))
+        assert out.shape == shape
+
+
+def test_jpeg_rejects_unsupported_and_corrupt():
+    import numpy as np
+    import pytest
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((8, 8, 3), 100, dtype=np.uint8)
+    good = encode_jpeg(img)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"RIFF" + good)
+    # flip SOF0 marker to SOF2 (progressive) → clean refusal
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+    # truncated entropy stream → ValueError, not IndexError
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) - 12])
+
+
+def test_image_stats_decodes_jpeg_distributed(spark):
+    """decode_image dispatches JPEG magic, so the distributed stats
+    operator takes the real codec path end-to-end."""
+    import numpy as np
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.jpegcodec import (
+        encode_jpeg,
+    )
+
+    rows = [
+        (int(i), bytearray(encode_jpeg(np.full((8, 8, 3), 2 * i + 40, dtype=np.uint8))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "img_id long, payload binary").repartition(4)
+    got = {r["img_id"]: r for r in M.image_stats(df, "payload", "img_id").collect()}
+    assert len(got) == 30
+    for i, _ in rows:
+        assert (got[i]["width"], got[i]["height"], got[i]["channels"]) == (8, 8, 3)
+        assert got[i]["mean_pixel"] == float(2 * i + 40)
