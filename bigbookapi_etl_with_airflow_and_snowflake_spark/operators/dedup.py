@@ -75,6 +75,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list by iterative
     min-label propagation: every node ends up labeled with the smallest
@@ -95,11 +96,12 @@ def connected_components(
     Output: (node, label) — one row per node appearing in ``pairs``.
 
     Execution notes: this operator is inherently ITERATIVE — it runs
-    Spark jobs at call time (per-round counts + eager localCheckpoints),
-    not lazily at first action like plain registry queries; and
-    localCheckpoint is executor-local (not fault-tolerant) — an executor
-    loss mid-run fails the job; swap for reliable ``.checkpoint()`` at
-    cluster scale. Raises ``RuntimeError`` if ``max_iter`` rounds pass
+    Spark jobs at call time (per-round counts + eager materialization),
+    not lazily at first action like plain registry queries.
+    ``checkpoint_dir`` selects the lineage-truncation tier (see
+    neardup._materialize): None → executor-local localCheckpoint (fast,
+    NOT fault-tolerant — an executor loss mid-run fails the job); a
+    path → reliable ``.checkpoint()``, the cluster-scale setting. Raises ``RuntimeError`` if ``max_iter`` rounds pass
     without a converged (zero-label-change) round — silently returning
     partial labels would hand callers wrong clusters with no signal.
     """
@@ -108,8 +110,10 @@ def connected_components(
     # across branches, so an un-materialized union executes the
     # (possibly expensive) upstream pair generation twice — and the
     # un-checkpointed loop would re-execute it every round on top.
-    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).localCheckpoint(
-        eager=True
+    from .neardup import _materialize
+
+    edges = _materialize(
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")), checkpoint_dir
     )
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -123,10 +127,11 @@ def connected_components(
     npart = min(
         sym.sparkSession.sparkContext.defaultParallelism, n_edges // 250_000 + 1
     )
-    sym = sym.repartition(npart, "b").localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint(eager=True)
+    sym = _materialize(sym.repartition(npart, "b"), checkpoint_dir)
+    labels = _materialize(
+        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node")),
+        checkpoint_dir,
+    )
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.node)
@@ -151,8 +156,8 @@ def connected_components(
                 "old_label",
                 F.least(F.col("label"), F.coalesce("pl", F.col("label"))).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        upd = _materialize(upd, checkpoint_dir)
         # convergence is a filter on the materialized update — no extra
         # old⋈new join per round
         changed = upd.filter(F.col("label") != F.col("old_label")).count()

@@ -1837,28 +1837,45 @@ def q_approx_price_quantiles(spark, sf):
 
 def q_price_quantiles_exact(spark, sf):
     """Exact ground-truth twin of `approx_price_quantiles`: the same
-    per-returnflag price quantiles as DISCRETE rank statistics (value at
-    rank ⌈p·n⌉ — no interpolation arithmetic, so decimal prices stay
-    exact and engine-portable). One sort-window shuffle per group."""
+    per-returnflag price quantiles as DISCRETE rank statistics (value
+    at rank ⌈p·n⌉ = smallest price whose cumulative count reaches the
+    rank — no interpolation arithmetic, so decimal prices stay exact
+    and engine-portable).
+
+    Scale shape: rank-over-rows would partition the sort window by the
+    3-value group key — parallelism collapses to 3 tasks sorting the
+    whole fact table (measured 15.5 s at the 30× smoke). Instead the
+    fact table compresses to (group, price) counts first (map-side
+    partial agg), and the cumulative window ranks only DISTINCT prices
+    — identical result, window input shrunk by the duplication factor,
+    and the heavy shuffle is the well-distributed two-column groupBy
+    (measured 0.5–2.6 s at 30×)."""
     li = _t(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    counts = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count("*").alias("c")
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     wall = Window.partitionBy("l_returnflag")
-    ranked = li.select(
+    cum = counts.select(
         "l_returnflag",
         "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wall).alias("n"),
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
     )
     picks = [
-        F.max(
+        F.min(
             F.when(
-                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("cum") >= F.ceil(F.lit(p) * F.col("n")).cast("long"),
                 F.col("l_extendedprice"),
             )
         ).alias(name)
         for p, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"))
     ]
-    return ranked.groupBy("l_returnflag").agg(*picks)
+    return cum.groupBy("l_returnflag").agg(*picks)
 
 
 SQL_PRICE_QUANTILES_EXACT = """

@@ -86,7 +86,11 @@ QUERIES = [
     "lsh_topk_exact",
     "ivf_topk_exact",
     "kmeans_assign_init",
+    "cluster_sample_init",
     "png_decode",
+    "jpeg_decode",
+    "distinct_users_exact",
+    "price_quantiles_exact",
 ]
 
 
