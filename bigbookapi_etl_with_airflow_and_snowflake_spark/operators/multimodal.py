@@ -10,8 +10,9 @@ tested. Decode has two tiers:
   (:func:`decode_ppm`), 8-bit non-interlaced PNG (:func:`decode_png` —
   stdlib zlib inflate + numpy un-filtering, filters 0-4), and baseline
   sequential JPEG (``jpegcodec.decode_jpeg`` — canonical Huffman + 8×8
-  IDCT + chroma upsampling, pure numpy), dispatched by magic bytes in
-  :func:`decode_image`. Real nearest-neighbor resize + PPM/PNG/JPEG
+  IDCT + chroma upsampling, pure numpy), and GIF87a/89a
+  (``gifcodec.decode_gif`` — variable-width LZW, palettes,
+  interlacing), dispatched by magic bytes in :func:`decode_image`. Real nearest-neighbor resize + PPM/PNG/JPEG
   re-encode rides on top.
 - **Stub decode** for media needing true codec libraries (MP3/AAC,
   video demux, progressive/arithmetic JPEG): not in this container, so
@@ -272,6 +273,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .jpegcodec import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gifcodec import decode_gif
+
+        return decode_gif(payload)
     raise ValueError("unsupported image format (needs a codec library)")
 
 

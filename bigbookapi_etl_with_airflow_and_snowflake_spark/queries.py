@@ -2025,6 +2025,7 @@ _DRIVER_PRIORITY = [
     "cluster_sample_init",
     "png_decode",
     "jpeg_decode",
+    "gif_decode",
     "streaming_dedup",
     # the stale-green relational core: every entry below was last
     # driver-checked in r1 against testdata regenerated twice since.
@@ -2074,7 +2075,6 @@ _DRIVER_PRIORITY = [
     # ~22 r2-stale entries rotate in next round)
     "waiting_suppliers",
     "important_parts",
-    "priority_exists_orders",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

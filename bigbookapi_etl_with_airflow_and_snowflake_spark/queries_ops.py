@@ -369,6 +369,50 @@ WHERE regexp_matches(text, '^[ -~]+$') AND length(text) >= 1
 """
 
 
+def q_gif_decode(spark, sf):
+    """N5 GIF under the HARD oracle gate: each ASCII document's first
+    24 bytes become a 4×6 grayscale raster LZW-compressed into a real
+    GIF87a (identity gray palette → LOSSLESS), decoded back through
+    variable-width LZW + palette mapping. The oracle recomputes
+    (width, height, channels, mean_pixel) from the same characters."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    from .operators.gifcodec import encode_gif
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").rlike("^[ -~]+$") & (F.length("text") >= 24))
+        .select("doc_id", F.substring("text", 1, 24).cast("binary").alias("raster"))
+    )
+
+    def enc(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = [
+                encode_gif(
+                    _np.frombuffer(bytes(r), dtype=_np.uint8).reshape(4, 6, 1)
+                )
+                for r in pdf["raster"]
+            ]
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    gifs = d.mapInPandas(enc, schema="doc_id long, payload binary")
+    return image_stats(gifs, "payload", "doc_id")
+
+
+SQL_GIF_DECODE = """
+SELECT doc_id, 6 AS width, 4 AS height, 3 AS channels,
+       ROUND(list_sum(list_transform(range(1, 25),
+                      i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE))) / 24, 6)
+         AS mean_pixel
+FROM documents
+WHERE regexp_matches(text, '^[ -~]+$') AND length(text) >= 24
+"""
+
+
 def q_audio_decode(spark, sf):
     """N5 audio with REAL decode under the oracle gate: 8-bit PCM
     mono RIFF/WAVE payloads built from each ASCII document's first 24
@@ -524,6 +568,7 @@ OPS_REGISTRY = {
     "image_decode": (q_image_decode, SQL_IMAGE_DECODE),
     "png_decode": (q_png_decode, SQL_PNG_DECODE),
     "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
+    "gif_decode": (q_gif_decode, SQL_GIF_DECODE),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "kmeans_assign_init": (q_kmeans_assign_init, SQL_KMEANS_ASSIGN_INIT),

@@ -491,3 +491,84 @@ def test_image_stats_decodes_jpeg_distributed(spark):
     for i, _ in rows:
         assert (got[i]["width"], got[i]["height"], got[i]["channels"]) == (8, 8, 3)
         assert got[i]["mean_pixel"] == float(2 * i + 40)
+
+
+def test_gif_lossless_roundtrip_and_dict_cycling():
+    """Identity-gray-palette GIF is lossless; large random rasters force
+    LZW code-width growth to 12 bits and mid-stream clear/reset."""
+    import numpy as np
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.gifcodec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(9)
+    for shape in ((4, 6, 1), (17, 23, 1), (200, 300, 1)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_gif(encode_gif(img))
+        assert out.shape == (shape[0], shape[1], 3)
+        assert (out[..., 0] == img[..., 0]).all()
+        assert (out[..., 0] == out[..., 1]).all() and (out[..., 0] == out[..., 2]).all()
+    # long runs exercise the chain-growth path
+    img = np.zeros((64, 64, 1), dtype=np.uint8)
+    img[20:40] = 200
+    assert (decode_gif(encode_gif(img))[..., 0] == img[..., 0]).all()
+    # dispatcher route
+    assert M.decode_image(encode_gif(img)).shape == (64, 64, 3)
+
+
+def test_gif_interlaced_and_rejections():
+    import numpy as np
+    import pytest
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.gifcodec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (13, 7, 1), dtype=np.uint8)
+    # rows stored in 4-pass interlace order + flag set (descriptor sits
+    # at the fixed offset 6 header + 7 LSD + 768 palette bytes)
+    order = [
+        y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for y in range(start, 13, step)
+    ]
+    raw = bytearray(encode_gif(img[order]))
+    assert raw[781] == 0x2C
+    raw[781 + 9] |= 0x40
+    out = decode_gif(bytes(raw))
+    assert (out[..., 0] == img[..., 0]).all()
+
+    good = encode_gif(img)
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOPE" + good)
+    with pytest.raises(ValueError):
+        decode_gif(good[:40])
+    with pytest.raises(ValueError, match="grayscale"):
+        encode_gif(np.zeros((4, 4, 3), dtype=np.uint8))
+
+
+def test_image_stats_decodes_gif_distributed(spark):
+    import numpy as np
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.gifcodec import (
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i), bytearray(encode_gif(rng.integers(0, 256, (5, 4, 1), dtype=np.uint8))))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "img_id long, payload binary").repartition(4)
+    got = {r["img_id"]: r for r in M.image_stats(df, "payload", "img_id").collect()}
+    assert len(got) == 20
+    for i, payload in rows:
+        from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.gifcodec import (
+            decode_gif,
+        )
+
+        img = decode_gif(bytes(payload))
+        assert (got[i]["width"], got[i]["height"], got[i]["channels"]) == (4, 5, 3)
+        assert got[i]["mean_pixel"] == round(float(img.mean()), 6)
