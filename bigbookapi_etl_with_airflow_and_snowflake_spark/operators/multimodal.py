@@ -320,13 +320,36 @@ def image_stats(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
+def _g711_ulaw_table() -> np.ndarray:
+    """µ-law byte → normalized float64, by the G.711 expansion formula
+    (ITU-T): magnitude = (((mantissa << 3) + 0x84) << exponent) − 0x84."""
+    u = ~np.arange(256, dtype=np.int64) & 0xFF
+    sign = np.where(u & 0x80, -1.0, 1.0)
+    exp = (u >> 4) & 0x7
+    mant = u & 0xF
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return sign * mag / 32768.0
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """A-law byte → normalized float64 (G.711: XOR 0x55, chord/step)."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    sign = np.where(a & 0x80, -1.0, 1.0)
+    exp = (a >> 4) & 0x7
+    mant = a & 0xF
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return sign * mag / 32768.0
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode an uncompressed RIFF/WAVE PCM payload (8-bit unsigned or
-    16-bit signed) to ``(sample_rate, n_channels, samples)`` where
-    ``samples`` is an (n_frames, n_channels) float64 array normalized to
-    [-1, 1]. Pure numpy — walks the RIFF chunk list (fmt/data chunks in
-    any order, unknown chunks skipped). Raises ``ValueError`` on
-    compressed codecs (MP3/AAC/IEEE-float need real libraries)."""
+    """Decode a RIFF/WAVE payload to ``(sample_rate, n_channels,
+    samples)`` where ``samples`` is an (n_frames, n_channels) float64
+    array normalized to [-1, 1]. Pure numpy — walks the RIFF chunk list
+    (fmt/data chunks in any order, unknown chunks skipped). Handles
+    every WAV encoding that is math rather than a codec: integer PCM
+    (8-bit unsigned, 16/24/32-bit signed), IEEE float (32/64-bit), and
+    G.711 µ-law/A-law companding (table expansion). Raises
+    ``ValueError`` on true codecs (MP3/AAC/ADPCM)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     fmt = None
@@ -349,18 +372,45 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError(f"fmt chunk truncated ({len(fmt)} < 16 bytes)")
     audio_format, n_channels, sample_rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
-    if audio_format != 1:
-        raise ValueError(f"non-PCM WAV (format {audio_format}) needs a codec")
+    if audio_format == 0xFFFE and len(fmt) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE: the real format is the GUID's first u16
+        audio_format = struct.unpack_from("<H", fmt, 24)[0]
     if n_channels == 0 or sample_rate == 0:
         raise ValueError(f"invalid fmt: {n_channels} channels @ {sample_rate} Hz")
-    if bits == 16:
-        raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
-        samples = raw.astype(np.float64) / 32768.0
-    elif bits == 8:
-        raw = np.frombuffer(data, dtype=np.uint8)
-        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    if audio_format == 1:  # integer PCM
+        if bits == 16:
+            raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+            samples = raw.astype(np.float64) / 32768.0
+        elif bits == 8:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            samples = (raw.astype(np.float64) - 128.0) / 128.0
+        elif bits == 24:
+            # no 3-byte dtype: widen to int32 via byte assembly
+            b = np.frombuffer(data, dtype=np.uint8, count=(len(data) // 3) * 3)
+            b = b.reshape(-1, 3).astype(np.int64)
+            raw = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            raw = np.where(raw >= 1 << 23, raw - (1 << 24), raw)
+            samples = raw.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            raw = np.frombuffer(data, dtype="<i4", count=len(data) // 4)
+            samples = raw.astype(np.float64) / float(1 << 31)
+        else:
+            raise ValueError(f"{bits}-bit PCM unsupported")
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            samples = np.frombuffer(data, dtype="<f4", count=len(data) // 4).astype(
+                np.float64
+            )
+        elif bits == 64:
+            samples = np.frombuffer(data, dtype="<f8", count=len(data) // 8).copy()
+        else:
+            raise ValueError(f"{bits}-bit IEEE-float WAV unsupported")
+    elif audio_format == 6:  # G.711 A-law
+        samples = _g711_alaw_table()[np.frombuffer(data, dtype=np.uint8)]
+    elif audio_format == 7:  # G.711 µ-law
+        samples = _g711_ulaw_table()[np.frombuffer(data, dtype=np.uint8)]
     else:
-        raise ValueError(f"{bits}-bit PCM unsupported")
+        raise ValueError(f"WAV format {audio_format} needs a real codec (MP3/AAC/ADPCM)")
     n_frames = len(samples) // n_channels
     return sample_rate, n_channels, samples[: n_frames * n_channels].reshape(
         n_frames, n_channels

@@ -572,3 +572,63 @@ def test_image_stats_decodes_gif_distributed(spark):
         img = decode_gif(bytes(payload))
         assert (got[i]["width"], got[i]["height"], got[i]["channels"]) == (4, 5, 3)
         assert got[i]["mean_pixel"] == round(float(img.mean()), 6)
+
+
+def test_decode_wav_extended_formats():
+    """Every WAV encoding that is math, not a codec: 24/32-bit PCM,
+    IEEE float, G.711 u-law/A-law, and WAVE_FORMAT_EXTENSIBLE."""
+    import struct
+
+    import numpy as np
+
+    def wav(fmt_tag, bits, data, extensible=False):
+        if extensible:
+            ext = struct.pack("<HHI", 22, bits, 1) + struct.pack("<H", fmt_tag) + b"\x00" * 14
+            fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000, 1, bits) + ext
+        else:
+            fmt = struct.pack("<HHIIHH", fmt_tag, 1, 8000, 8000, 1, bits)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    # 24-bit PCM: value 1<<22 → 0.5
+    data = struct.pack("<i", 1 << 22)[:3] + struct.pack("<i", -(1 << 22))[:3]
+    rate, nch, s = M.decode_wav(wav(1, 24, data))
+    assert rate == 8000 and nch == 1
+    assert s.ravel().tolist() == [0.5, -0.5]
+
+    # 32-bit PCM
+    data = struct.pack("<ii", 1 << 30, -(1 << 30))
+    _, _, s = M.decode_wav(wav(1, 32, data))
+    assert s.ravel().tolist() == [0.5, -0.5]
+
+    # IEEE float 32/64
+    data = struct.pack("<ff", 0.25, -1.0)
+    _, _, s = M.decode_wav(wav(3, 32, data))
+    assert s.ravel().tolist() == [0.25, -1.0]
+    data = struct.pack("<dd", 0.125, 0.75)
+    _, _, s = M.decode_wav(wav(3, 64, data))
+    assert s.ravel().tolist() == [0.125, 0.75]
+
+    # G.711: 0xFF is +0 in u-law; tables are odd-symmetric and bounded
+    _, _, s = M.decode_wav(wav(7, 8, bytes([0xFF, 0x7F])))
+    assert s.ravel()[0] == 0.0 and s.ravel()[1] == 0.0  # +0 and -0
+    ulaw = M._g711_ulaw_table()
+    alaw = M._g711_alaw_table()
+    for tbl in (ulaw, alaw):
+        assert np.abs(tbl).max() <= 1.0
+        assert len(np.unique(tbl)) > 200  # near-bijective expansion
+    # u-law codes 0x80.. mirror 0x00.. with opposite sign
+    assert np.allclose(ulaw[:128], -ulaw[128:])
+    assert np.allclose(alaw[(np.arange(128) ^ 0x80)], -alaw[np.arange(128)])
+
+    # extensible wrapper resolves to the inner format
+    data = struct.pack("<ff", 0.5, -0.5)
+    _, _, s = M.decode_wav(wav(3, 32, data, extensible=True))
+    assert s.ravel().tolist() == [0.5, -0.5]
+
+    # true codecs still refuse
+    import pytest
+
+    with pytest.raises(ValueError, match="needs a real codec"):
+        M.decode_wav(wav(2, 4, b"\x00\x00"))  # MS-ADPCM
