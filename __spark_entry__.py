@@ -8,10 +8,16 @@
 ``oracle_sql`` — DuckDB-equivalent SQL per query (omitted only for ops
               whose outputs are engine-specific by construction:
               simhash (xxhash64 keys), lsh_topk / ivf_topk (seeded
-              random planes / centroids — their recall against exact
-              brute force is asserted in tests/test_similarity.py),
-              and the approx_distinct / approx_quantile sketches
-              (error-bound-tested against exact answers instead).
+              random planes / centroids), the approx_distinct /
+              approx_quantile sketches, and iterative k-means. EVERY
+              one of those has an oracle-checked twin in the registry
+              running the same code path at an exact configuration:
+              simhash_pairs (portable md5), lsh_topk_exact (zero
+              planes = exhaustive), ivf_topk_exact (probe-all),
+              distinct_users_exact, price_quantiles_exact (discrete
+              rank), kmeans_assign_init + cluster_sample_init
+              (0-iteration assignment/sampling) — plus recall and
+              replay tests in tests/.
 """
 
 from __future__ import annotations

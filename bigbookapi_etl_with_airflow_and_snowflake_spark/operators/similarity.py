@@ -51,7 +51,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
-    max_query_rows: int = 10_000,
+    max_query_rows: int | None = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k: for every query vector, the k nearest
     candidates (self-matches excluded).
@@ -66,14 +66,18 @@ def cosine_topk(
     contract is load-bearing, so it's asserted: more than
     ``max_query_rows`` query vectors raises ``ValueError`` (use
     :func:`embedding_neardup_pairs`'s blockwise kernel, or
-    :func:`lsh_topk`/:func:`ivf_topk`, for big-×-big top-k).
+    :func:`lsh_topk`/:func:`ivf_topk`, for big-×-big top-k). The guard
+    costs one bounded count job; callers whose query side is bounded BY
+    CONSTRUCTION (a literal probe list, a limit) may pass ``None`` to
+    skip it.
     """
-    n_q = queries.limit(max_query_rows + 1).count()
-    if n_q > max_query_rows:
-        raise ValueError(
-            f"cosine_topk broadcasts the query side; got > {max_query_rows} "
-            "query rows — use the blockwise/LSH/IVF paths for big query sets"
-        )
+    if max_query_rows is not None:
+        n_q = queries.limit(max_query_rows + 1).count()
+        if n_q > max_query_rows:
+            raise ValueError(
+                f"cosine_topk broadcasts the query side; got > {max_query_rows} "
+                "query rows — use the blockwise/LSH/IVF paths for big query sets"
+            )
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
@@ -102,12 +106,15 @@ def knn_label_vote(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_query_rows: int | None = 10_000,
 ) -> DataFrame:
     """k-NN majority-label classification of each query vector.
 
     Ties broken by smaller label (deterministic). Output (q_id, pred_label).
     """
-    topk = cosine_topk(candidates, queries, k, id_col, vec_col)
+    topk = cosine_topk(
+        candidates, queries, k, id_col, vec_col, max_query_rows=max_query_rows
+    )
     labeled = topk.join(
         candidates.select(F.col(id_col).alias("n_id"), F.col(label_col)), "n_id"
     )

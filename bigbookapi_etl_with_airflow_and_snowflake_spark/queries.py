@@ -1696,9 +1696,12 @@ SQL_SIMHASH_PAIRS = _simhash_sql()
 
 
 def q_cosine_topk(spark, sf):
-    """N3: exact brute-force cosine top-5 for 10 probe vectors."""
+    """N3: exact brute-force cosine top-5 for 10 probe vectors (query
+    side bounded by construction → guard count skipped)."""
     emb = _t(spark, sf, "embeddings")
-    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, max_query_rows=None
+    )
 
 
 SQL_COSINE_TOPK = """
@@ -1721,9 +1724,12 @@ SELECT q_id, n_id, sim FROM r WHERE rnk <= 5
 
 
 def q_knn_label_vote(spark, sf):
-    """N3: k-NN majority-label classification of the probe vectors."""
+    """N3: k-NN majority-label classification of the probe vectors
+    (bounded query side by construction → guard count skipped)."""
     emb = _t(spark, sf, "embeddings")
-    return similarity.knn_label_vote(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return similarity.knn_label_vote(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, max_query_rows=None
+    )
 
 
 SQL_KNN_LABEL_VOTE = """
