@@ -541,14 +541,72 @@ def resize_stub(payload: bytes, width: int, height: int, strict: bool = False) -
     return bytes(payload[(i * n) // target] for i in range(target))
 
 
+def demux_avi_frames(payload: bytes) -> list[bytes]:
+    """REAL video demux for RIFF/AVI containers — pure chunk-list
+    parsing, no codec library: walks the top-level RIFF, descends LIST
+    chunks to find ``movi``, and returns the video stream's frame
+    payloads (``00dc``/``00db`` chunks) in order. MJPEG-in-AVI frames
+    then decode with :func:`decode_image` (the pure-numpy baseline JPEG
+    codec); other codecs' frame bytes still demux — decode is where a
+    codec would be needed, not here. Raises ``ValueError`` on non-AVI
+    or truncated containers."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        i = start
+        while i + 8 <= end:
+            cid = payload[i : i + 4]
+            size = struct.unpack_from("<I", payload, i + 4)[0]
+            body_start = i + 8
+            if body_start + size > len(payload):
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                ltype = payload[body_start : body_start + 4]
+                if ltype in (b"movi", b"hdrl", b"rec "):
+                    walk(body_start + 4, body_start + size)
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(payload[body_start : body_start + size])
+            i = body_start + size + (size & 1)  # chunks pad to even
+
+    walk(12, len(payload))
+    return frames
+
+
+def mux_avi(frames: list[bytes], width: int, height: int, fps: int = 25) -> bytes:
+    """Minimal single-video-stream AVI container around pre-encoded
+    frame payloads (MJPEG when frames come from ``encode_jpeg``) — the
+    inverse of :func:`demux_avi_frames` for tests and fixtures."""
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1), 0, 0, 0x10, len(frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, width * height * 3, 0, 0, 0, 0)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def frame_sample_stub(
     payload: bytes, every_n: int = 10, frame_size: int = 64, strict: bool = False
 ) -> list[bytes]:
-    """STUB video frame sampling (every Nth frame). Real path: ffmpeg
-    demux. The fake treats the payload as fixed-size frames and takes
-    every ``every_n``-th chunk — same output shape as the real thing."""
+    """STUB video frame sampling for non-AVI payloads (real containers
+    like MP4 need a demuxer beyond this tier). The fake treats the
+    payload as fixed-size frames and takes every ``every_n``-th chunk —
+    same output shape as the real AVI path."""
     if strict:
-        raise NotImplementedError("frame sampling requires ffmpeg")
+        raise NotImplementedError("non-AVI frame sampling requires ffmpeg")
     if not payload:
         return []
     frames = [
@@ -605,8 +663,16 @@ def sample_frames(
 ) -> DataFrame:
     """Distributed frame sampling: one output row per sampled frame
     (id, frame_no, frame bytes) — the exploded shape downstream encoders
-    consume. Demux is stubbed; batching/explode plumbing is real."""
+    consume. RIFF/AVI payloads take the REAL path (chunk-list demux via
+    :func:`demux_avi_frames`; MJPEG frames then decode with the
+    pure-numpy JPEG codec); other payloads fall back to the stub."""
     out_schema = f"{id_col} long, frame_no int, frame binary"
+
+    def one(raw: bytes) -> list[bytes]:
+        try:
+            return demux_avi_frames(raw)[::every_n]
+        except ValueError:
+            return frame_sample_stub(raw, every_n, frame_size)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -617,7 +683,7 @@ def sample_frames(
                     if isinstance(p, str)
                     else (bytes(p) if p is not None else b"")
                 )
-                for i, fr in enumerate(frame_sample_stub(raw, every_n, frame_size)):
+                for i, fr in enumerate(one(raw)):
                     ids.append(rid)
                     frame_nos.append(i)
                     frames.append(fr)

@@ -2032,6 +2032,7 @@ _DRIVER_PRIORITY = [
     "png_decode",
     "jpeg_decode",
     "gif_decode",
+    "video_frames",
     "streaming_dedup",
     # the stale-green relational core: every entry below was last
     # driver-checked in r1 against testdata regenerated twice since.
@@ -2080,7 +2081,6 @@ _DRIVER_PRIORITY = [
     # r2-stale entries with the most intricate plans (the remaining
     # ~22 r2-stale entries rotate in next round)
     "waiting_suppliers",
-    "important_parts",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

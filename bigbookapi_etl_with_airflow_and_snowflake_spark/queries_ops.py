@@ -413,6 +413,65 @@ WHERE regexp_matches(text, '^[ -~]+$') AND length(text) >= 24
 """
 
 
+def q_video_frames(spark, sf):
+    """N5 video under the HARD oracle gate: four flat MJPEG frames
+    (documents' first 4 text bytes, forced even so the lossy JPEG tier
+    is exact — see q_jpeg_decode) are muxed into a real RIFF/AVI
+    container per document, every 2nd frame is sampled by the
+    chunk-walk demuxer, and each sampled frame decodes through the
+    JPEG codec. The oracle predicts (frame_no, mean_pixel) straight
+    from the text characters: sampled frame k is source frame 2k,
+    built from byte 2k+1."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    from .operators.jpegcodec import encode_jpeg
+    from .operators.multimodal import mux_avi, sample_frames
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").rlike("^[ -~]+$") & (F.length("text") >= 4))
+        .select("doc_id", F.substring("text", 1, 4).cast("binary").alias("raster"))
+    )
+
+    def enc(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for r in pdf["raster"]:
+                vals = [v - (v % 2) for v in bytes(r)]
+                frames = [
+                    encode_jpeg(_np.full((8, 8, 3), v, dtype=_np.uint8)) for v in vals
+                ]
+                payloads.append(mux_avi(frames, 8, 8))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    avis = d.mapInPandas(enc, schema="doc_id long, payload binary")
+    sampled = sample_frames(avis, "payload", "doc_id", every_n=2)
+    keyed = sampled.select(
+        (F.col("doc_id") * 10 + F.col("frame_no")).alias("fid"), "frame"
+    )
+    stats = image_stats(keyed, "frame", "fid")
+    return stats.select(
+        F.floor(F.col("fid") / 10).cast("long").alias("doc_id"),
+        F.pmod("fid", F.lit(10)).cast("int").alias("frame_no"),
+        "width",
+        "height",
+        "mean_pixel",
+    )
+
+
+SQL_VIDEO_FRAMES = """
+SELECT doc_id, f.frame_no, 8 AS width, 8 AS height,
+       CAST(ascii(substr(text, 2 * f.frame_no + 1, 1))
+            - ascii(substr(text, 2 * f.frame_no + 1, 1)) % 2 AS DOUBLE) AS mean_pixel
+FROM documents CROSS JOIN (VALUES (CAST(0 AS INT)), (CAST(1 AS INT))) f(frame_no)
+WHERE regexp_matches(text, '^[ -~]+$') AND length(text) >= 4
+"""
+
+
 def q_audio_decode(spark, sf):
     """N5 audio with REAL decode under the oracle gate: 8-bit PCM
     mono RIFF/WAVE payloads built from each ASCII document's first 24
@@ -569,6 +628,7 @@ OPS_REGISTRY = {
     "png_decode": (q_png_decode, SQL_PNG_DECODE),
     "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
     "gif_decode": (q_gif_decode, SQL_GIF_DECODE),
+    "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "kmeans_assign_init": (q_kmeans_assign_init, SQL_KMEANS_ASSIGN_INIT),

@@ -632,3 +632,54 @@ def test_decode_wav_extended_formats():
 
     with pytest.raises(ValueError, match="needs a real codec"):
         M.decode_wav(wav(2, 4, b"\x00\x00"))  # MS-ADPCM
+
+
+def test_avi_mjpeg_demux_and_distributed_frame_sampling(spark):
+    """REAL video path: MJPEG-in-AVI payloads demux by RIFF chunk-walk
+    and every sampled frame decodes with the pure-numpy JPEG codec."""
+    import numpy as np
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.jpegcodec import (
+        encode_jpeg,
+    )
+
+    def clip(base):
+        frames = [
+            encode_jpeg(np.full((8, 8, 3), base + 2 * i, dtype=np.uint8))
+            for i in range(12)
+        ]
+        return M.mux_avi(frames, 8, 8)
+
+    # direct demux: frame order and content
+    avi = clip(40)
+    frames = M.demux_avi_frames(avi)
+    assert len(frames) == 12
+    for i, f in enumerate(frames):
+        assert (M.decode_image(f) == 40 + 2 * i).all()
+
+    # distributed sampling takes every 4th frame per clip
+    rows = [(i, bytearray(clip(40 + 10 * i))) for i in range(6)]
+    df = spark.createDataFrame(rows, "vid_id long, payload binary").repartition(3)
+    got = M.sample_frames(df, "payload", "vid_id", every_n=4).collect()
+    by_vid: dict[int, list] = {}
+    for r in got:
+        by_vid.setdefault(r["vid_id"], []).append(r)
+    assert set(by_vid) == set(range(6))
+    for vid, rs in by_vid.items():
+        assert [r["frame_no"] for r in sorted(rs, key=lambda r: r["frame_no"])] == [0, 1, 2]
+        for r in rs:
+            img = M.decode_image(bytes(r["frame"]))
+            # frame_no k is source frame 4k of this clip
+            assert (img == 40 + 10 * vid + 2 * (4 * r["frame_no"])).all()
+
+    # non-AVI payloads still ride the stub (shape contract unchanged)
+    assert M.frame_sample_stub(b"x" * 300, every_n=2, frame_size=100) == [
+        b"x" * 100,
+        b"x" * 100,
+    ]
+
+    # corrupt container quarantines
+    import pytest
+
+    with pytest.raises(ValueError):
+        M.demux_avi_frames(avi[: len(avi) // 2])
