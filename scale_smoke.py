@@ -89,6 +89,8 @@ QUERIES = [
     "cluster_sample_init",
     "png_decode",
     "jpeg_decode",
+    "gif_decode",
+    "video_frames",
     "distinct_users_exact",
     "price_quantiles_exact",
 ]
