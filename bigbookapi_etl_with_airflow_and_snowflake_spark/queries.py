@@ -1898,6 +1898,49 @@ FROM ranked GROUP BY l_returnflag
 """
 
 
+def q_bloom_prejoin_revenue(spark, sf):
+    """Bloom-filter semi-join reduction under the oracle gate: revenue
+    per order priority over only high-value orders, with the lineitem
+    side pruned through a DataFrame-native Bloom bitmap (sparse
+    (word, bit_or(mask)) table, k broadcast probes — operators/
+    bloom.py) BEFORE the shuffling join. False positives die in the
+    exact join, false negatives can't happen, so the oracle is the
+    plain join — identical results, shuffle volume proportional to
+    probable matches. This is the broadcast-too-big middle regime at
+    100 TB; here it's validated for exactness."""
+    from .operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    keys = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    one = F.lit(1).cast(_RATE)
+    return (
+        bloom_semi_join(li, keys, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", _RATE)))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_BLOOM_PREJOIN_REVENUE = """
+SELECT o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 200000
+GROUP BY o_orderpriority
+"""
+
+
 def q_multimodal_bytes(spark, sf):
     """N5: opaque-binary column plumbing — byte length + portable
     content hash survive a binary round-trip."""
@@ -1995,6 +2038,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "approx_price_quantiles": (q_approx_price_quantiles, None),
     "distinct_users_exact": (q_distinct_users_exact, SQL_DISTINCT_USERS_EXACT),
     "price_quantiles_exact": (q_price_quantiles_exact, SQL_PRICE_QUANTILES_EXACT),
+    "bloom_prejoin_revenue": (q_bloom_prejoin_revenue, SQL_BLOOM_PREJOIN_REVENUE),
 }
 
 
@@ -2033,6 +2077,7 @@ _DRIVER_PRIORITY = [
     "jpeg_decode",
     "gif_decode",
     "video_frames",
+    "bloom_prejoin_revenue",
     "streaming_dedup",
     # the stale-green relational core: every entry below was last
     # driver-checked in r1 against testdata regenerated twice since.
@@ -2070,7 +2115,6 @@ _DRIVER_PRIORITY = [
     "rescale_pct",
     "null_default",
     "null_key_filter",
-    "count_audit",
     "dedup_exact_docs",
     "doc_fingerprint",
     "text_quality",
