@@ -24,6 +24,8 @@ import struct
 
 import numpy as np
 
+from .multimodal import quarantine_decoder
+
 
 # --------------------------------------------------------------------------
 # LZW (GIF variant)
@@ -140,6 +142,7 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+@quarantine_decoder
 def decode_gif(payload: bytes) -> np.ndarray:
     """Decode the first image frame of a GIF87a/89a payload to an RGB
     (h, w, 3) uint8 array. Handles global and local color tables,

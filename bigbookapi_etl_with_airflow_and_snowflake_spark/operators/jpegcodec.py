@@ -29,6 +29,8 @@ import struct
 
 import numpy as np
 
+from .multimodal import quarantine_decoder
+
 # --------------------------------------------------------------------------
 # Tables (ITU T.81 Annex K). Encoder and decoder share these; canonical
 # Huffman construction keeps the two consistent even standalone.
@@ -399,6 +401,7 @@ def encode_jpeg(img: np.ndarray, subsample: str = "4:4:4") -> bytes:
 # --------------------------------------------------------------------------
 
 
+@quarantine_decoder
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline sequential JFIF payload to (h, w, 3) RGB uint8
     (grayscale scans return (h, w, 1)). Raises ``ValueError`` on

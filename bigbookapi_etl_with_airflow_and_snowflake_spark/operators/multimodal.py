@@ -8,17 +8,22 @@ tested. Decode has two tiers:
 - **Real decode** for formats implementable without codec libraries:
   24-bit BI_RGB BMP (:func:`decode_bmp`), binary PPM/PGM
   (:func:`decode_ppm`), 8-bit non-interlaced PNG (:func:`decode_png` —
-  stdlib zlib inflate + numpy un-filtering, filters 0-4), and baseline
+  stdlib zlib inflate + numpy un-filtering, filters 0-4), baseline
   sequential JPEG (``jpegcodec.decode_jpeg`` — canonical Huffman + 8×8
   IDCT + chroma upsampling, pure numpy), and GIF87a/89a
   (``gifcodec.decode_gif`` — variable-width LZW, palettes,
-  interlacing), dispatched by magic bytes in :func:`decode_image`. Real nearest-neighbor resize + PPM/PNG/JPEG
-  re-encode rides on top.
+  interlacing), dispatched by magic bytes in :func:`decode_image`;
+  RIFF/WAVE audio incl. float PCM and G.711 (:func:`decode_wav`);
+  RIFF/AVI video demux (:func:`demux_avi_frames` — MJPEG frames then
+  decode via the JPEG codec). Real nearest-neighbor resize + PPM/PNG
+  re-encode rides on top. Every decoder is wrapped in
+  :func:`quarantine_decoder`, so malformed payloads surface as
+  ``ValueError`` only (fuzz-locked in tests/test_robustness.py).
 - **Stub decode** for media needing true codec libraries (MP3/AAC,
-  video demux, progressive/arithmetic JPEG): not in this container, so
-  :func:`decode_stub` either raises ``NotImplementedError`` (strict
-  mode) or produces a deterministic fake so the distributed plumbing
-  stays testable.
+  non-AVI containers, progressive/arithmetic JPEG): not in this
+  container, so :func:`decode_stub` either raises
+  ``NotImplementedError`` (strict mode) or produces a deterministic
+  fake so the distributed plumbing stays testable.
 
 At 100 TB: payload columns dominate I/O, so every operator here projects
 payload bytes only where needed (column pruning keeps metadata-only
@@ -36,6 +41,30 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def quarantine_decoder(fn):
+    """Enforce the quarantine contract at a decoder's API boundary:
+    whatever a malformed payload trips internally (IndexError from a
+    truncated table, struct.error from a short header, KeyError from a
+    corrupt Huffman spec, zlib.error...), callers see ``ValueError`` and
+    nothing else — ``image_stats``/``audio_stats`` catch exactly that,
+    and any other type would escape the except and fail a 100 TB job.
+    Found by the bit-flip fuzzer in tests/test_robustness.py, kept as a
+    structural guarantee rather than per-site patches."""
+    import functools
+    import zlib
+
+    @functools.wraps(fn)
+    def run(payload, *args, **kwargs):
+        try:
+            return fn(payload, *args, **kwargs)
+        except ValueError:
+            raise
+        except (IndexError, KeyError, OverflowError, struct.error, zlib.error) as exc:
+            raise ValueError(f"malformed payload: {type(exc).__name__}: {exc}") from exc
+
+    return run
 
 
 def with_byte_metadata(
@@ -56,6 +85,7 @@ def with_byte_metadata(
     )
 
 
+@quarantine_decoder
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Decode an uncompressed 24-bit BI_RGB Windows BMP to an RGB
     (height, width, 3) uint8 array. Pure numpy — handles the 4-byte row
@@ -86,6 +116,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img if top_down else img[::-1]
 
 
+@quarantine_decoder
 def decode_ppm(payload: bytes) -> np.ndarray:
     """Decode binary PPM (P6 → (h, w, 3)) or PGM (P5 → (h, w, 1)) with
     maxval ≤ 255 to a uint8 array. Pure numpy; handles comment lines and
@@ -185,6 +216,7 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+@quarantine_decoder
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced truecolor/grayscale(+alpha) PNG to
     a (h, w, channels) uint8 array — stdlib ``zlib`` inflate + numpy
@@ -259,6 +291,7 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+@quarantine_decoder
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch to the real decoders (BMP, PPM/PGM, PNG,
     baseline JPEG — all pure numpy + stdlib). Raises ``ValueError`` for
@@ -341,6 +374,7 @@ def _g711_alaw_table() -> np.ndarray:
     return sign * mag / 32768.0
 
 
+@quarantine_decoder
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a RIFF/WAVE payload to ``(sample_rate, n_channels,
     samples)`` where ``samples`` is an (n_frames, n_channels) float64
@@ -541,6 +575,7 @@ def resize_stub(payload: bytes, width: int, height: int, strict: bool = False) -
     return bytes(payload[(i * n) // target] for i in range(target))
 
 
+@quarantine_decoder
 def demux_avi_frames(payload: bytes) -> list[bytes]:
     """REAL video demux for RIFF/AVI containers — pure chunk-list
     parsing, no codec library: walks the top-level RIFF, descends LIST

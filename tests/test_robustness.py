@@ -50,3 +50,85 @@ def test_float_string_id_truncates(spark, tmp_path):
     content = '[[{"id": "3.9", "title": "t", "genres": [], "authors": [], "rating": {"average": "1"}}]]'
     rows = _run(spark, tmp_path, content).collect()
     assert rows[0]["id"] == 3 and rows[0]["rating"] == 100.0
+
+
+# ---------------------------------------------------------------------------
+# Codec quarantine fuzzing: image_stats/audio_stats promise that a bad
+# blob NEVER fails the job — so every decoder must raise ValueError (and
+# only ValueError) on arbitrary garbage, including near-valid payloads
+# with flipped bits. Any other exception type would escape the
+# quarantine's `except ValueError` and kill a 100 TB job.
+# ---------------------------------------------------------------------------
+
+
+def _decoders():
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators import multimodal as M
+
+    return [
+        ("image", M.decode_image),
+        ("wav", lambda b: M.decode_wav(b)),
+        ("avi", M.demux_avi_frames),
+    ]
+
+
+def test_decoders_raise_only_valueerror_on_garbage():
+    import hashlib
+
+    def pseudo_random_bytes(seed: int, n: int) -> bytes:
+        out = b""
+        i = 0
+        while len(out) < n:
+            out += hashlib.sha256(f"{seed}:{i}".encode()).digest()
+            i += 1
+        return out[:n]
+
+    magics = [
+        b"", b"BM", b"P6", b"P5", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
+        b"GIF87a", b"GIF89a", b"RIFF", b"RIFF????WAVE", b"RIFF????AVI ",
+    ]
+    for name, dec in _decoders():
+        for seed in range(40):
+            for magic in magics:
+                payload = magic + pseudo_random_bytes(seed, 64 + seed * 17)
+                try:
+                    dec(payload)
+                except ValueError:
+                    pass  # the quarantine contract
+                # anything else (IndexError, struct.error, zlib.error,
+                # KeyError...) propagates and fails the test
+
+
+def test_decoders_survive_bitflips_of_valid_payloads():
+    import hashlib
+
+    import numpy as np
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators import multimodal as M
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.gifcodec import encode_gif
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.jpegcodec import encode_jpeg
+
+    rng = np.random.default_rng(21)
+    gray = rng.integers(0, 256, (6, 5, 1), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    samples = (rng.random((32, 1)) - 0.5).astype(np.float64)
+    payloads = [
+        ("png", M.encode_png(rgb), M.decode_image),
+        ("jpeg", encode_jpeg(rgb), M.decode_image),
+        ("gif", encode_gif(gray), M.decode_image),
+        ("ppm", M.encode_ppm(rgb), M.decode_image),
+        ("wav", M.encode_wav(samples, 8000), lambda b: M.decode_wav(b)),
+        ("avi", M.mux_avi([b"xx", b"yyy"], 2, 2), M.demux_avi_frames),
+    ]
+    for name, good, dec in payloads:
+        dec(good)  # sanity: the pristine payload decodes
+        h = int(hashlib.sha256(good).hexdigest(), 16)
+        for t in range(60):
+            bad = bytearray(good)
+            pos = (h >> (t % 48)) % len(bad)
+            bad[pos] ^= 1 << (t % 8)
+            try:
+                dec(bytes(bad))
+            except ValueError:
+                pass
+            # corrupt decodes that "succeed" are fine (bit flip hit
+            # pixel data) — only non-ValueError exceptions fail
