@@ -74,6 +74,16 @@ def bloom_prefilter(
     superset of the true matches (false positives possible, false
     negatives impossible). k broadcast joins of the ≤ m/64-row bitmap;
     the fact table is never shuffled here."""
+    # withColumn silently REPLACES same-named columns, so a fact table
+    # that already carries one of our temp names would lose data (and
+    # the probe could hash the wrong column). Fail loudly instead.
+    temp = {"_p", "_w", "_m", *(f"_b{i}" for i in range(k))}
+    clash = temp.intersection(fact.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_prefilter temp columns {sorted(clash)} already exist in the "
+            "fact table; rename them before filtering"
+        )
     out = fact
     for i in range(k):
         pos = _pos(F.col(key_col), i, m_bits)

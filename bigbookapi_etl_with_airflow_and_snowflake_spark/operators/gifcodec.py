@@ -24,6 +24,7 @@ import struct
 
 import numpy as np
 
+from .limits import check_raster
 from .multimodal import quarantine_decoder
 
 
@@ -182,6 +183,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError("GIF image has no color table")
         if not w or not h:
             raise ValueError("empty GIF raster")
+        check_raster(w, h, 3, what="GIF raster")
         min_code = payload[i]
         i += 1
         lzw = bytearray()

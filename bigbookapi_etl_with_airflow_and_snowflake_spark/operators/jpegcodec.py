@@ -29,6 +29,7 @@ import struct
 
 import numpy as np
 
+from .limits import check_raster
 from .multimodal import quarantine_decoder
 
 # --------------------------------------------------------------------------
@@ -478,6 +479,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     mcu_y = -(-h // (8 * vmax))
     mcu_x = -(-w // (8 * hmax))
 
+    # padded component planes are float64 — bound the total allocation
+    # before touching entropy data (hostile SOF0 can declare 65535²)
+    check_raster(mcu_x * hmax * 8, mcu_y * vmax * 8, 8 * len(scan_comps), what="JPEG raster")
     planes = []
     for sc in scan_comps:
         pw, ph = mcu_x * sc["h"] * 8, mcu_y * sc["v"] * 8

@@ -42,6 +42,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .limits import check_raster
+
 
 def quarantine_decoder(fn):
     """Enforce the quarantine contract at a decoder's API boundary:
@@ -256,12 +258,19 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("Adam7-interlaced PNG unsupported")
     if not width or not height:
         raise ValueError("empty PNG raster")
+    channels = _PNG_CHANNELS[color]
+    check_raster(width, height, channels, what="PNG raster")
+    stride = width * channels
+    expected = height * (stride + 1)  # each scanline: 1 filter byte + pixels
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: a zlib bomb can't allocate past the declared
+        # raster size no matter what the compressed stream claims
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected)
+        if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
+            raise ValueError("PNG zlib stream inflates past declared raster size")
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG zlib stream: {exc}") from exc
-    channels = _PNG_CHANNELS[color]
-    stride = width * channels
     return _png_unfilter(raw, height, stride, channels).reshape(
         height, width, channels
     )
@@ -365,9 +374,14 @@ def _g711_ulaw_table() -> np.ndarray:
 
 
 def _g711_alaw_table() -> np.ndarray:
-    """A-law byte → normalized float64 (G.711: XOR 0x55, chord/step)."""
+    """A-law byte → normalized float64 (G.711: XOR 0x55, chord/step).
+
+    Sign convention per ITU G.711 / Sun g711.c ``alaw2linear``: after the
+    XOR with 0x55, a SET sign bit (0x80) means POSITIVE (``return
+    (a_val & SIGN_BIT) ? t : -t``) — the opposite of µ-law, where the
+    complemented byte's sign bit means negative."""
     a = np.arange(256, dtype=np.int64) ^ 0x55
-    sign = np.where(a & 0x80, -1.0, 1.0)
+    sign = np.where(a & 0x80, 1.0, -1.0)
     exp = (a >> 4) & 0x7
     mant = a & 0xF
     mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))

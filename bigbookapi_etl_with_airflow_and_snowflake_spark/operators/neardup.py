@@ -59,8 +59,38 @@ def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     """
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=True)
-    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    # setCheckpointDir is SparkContext-global: re-pointing it while
+    # another operator checkpoints concurrently would scatter their
+    # files across directories (and a later cleanup of either directory
+    # races the other). Set once; on conflict keep the FIRST directory
+    # (checkpoints stay reliable — just under the session's dir) and
+    # warn so the caller knows where their files actually are.
+    sc = df.sparkSession.sparkContext
+    current = sc.getCheckpointDir()
+    if current is None:
+        sc.setCheckpointDir(checkpoint_dir)
+    elif not _same_checkpoint_dir(current, checkpoint_dir):
+        import warnings
+
+        warnings.warn(
+            f"SparkContext checkpoint dir is already {current!r}; keeping it "
+            f"(requested {checkpoint_dir!r} ignored — session-global state)",
+            stacklevel=3,
+        )
     return df.checkpoint(eager=True)
+
+
+def _same_checkpoint_dir(current: str, requested: str) -> bool:
+    """Compare the context's (possibly scheme-qualified, e.g.
+    ``file:/tmp/x``) checkpoint dir against a requested plain path."""
+
+    def norm(p: str) -> str:
+        scheme, sep, rest = p.partition(":")
+        if sep and "/" not in scheme:
+            p = rest
+        return "/" + p.strip("/")
+
+    return norm(current) == norm(requested)
 
 
 def _bucket_pairs(keyed: DataFrame, key_col: str, id_col: str) -> DataFrame:

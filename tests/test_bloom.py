@@ -85,3 +85,12 @@ def test_bitmap_is_sparse_and_bounded(keys):
     rows = bm.collect()
     assert len(rows) <= m // 64
     assert all(r["bits"] != 0 for r in rows)
+
+
+def test_prefilter_refuses_temp_column_collision(spark):
+    bm = bloom.build_bloom_bitmap(
+        spark.createDataFrame([(1,)], "k long"), "k", m_bits=1 << 10
+    )
+    fact = spark.createDataFrame([(1, 5)], "k long, _w long")
+    with pytest.raises(ValueError, match="_w"):
+        bloom.bloom_prefilter(fact, bm, "k", m_bits=1 << 10)

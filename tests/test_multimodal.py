@@ -621,6 +621,16 @@ def test_decode_wav_extended_formats():
     # u-law codes 0x80.. mirror 0x00.. with opposite sign
     assert np.allclose(ulaw[:128], -ulaw[128:])
     assert np.allclose(alaw[(np.arange(128) ^ 0x80)], -alaw[np.arange(128)])
+    # absolute sign convention against Sun g711.c alaw2linear/ulaw2linear:
+    # odd symmetry alone can't catch a global negation. A-law wire 0x55
+    # (XOR 0x55 → 0x00, sign bit clear → NEGATIVE) is -8; wire 0xD5
+    # (→ 0x80, sign bit set → POSITIVE) is +8. µ-law wire 0x7F
+    # (~ → 0x80, sign bit set → negative) is -0; wire 0x00 is -32124.
+    assert alaw[0x55] * 32768.0 == -8.0
+    assert alaw[0xD5] * 32768.0 == 8.0
+    assert alaw[0x2A] * 32768.0 == -32256.0  # seg 7 max, Sun spot value
+    assert ulaw[0x00] * 32768.0 == -32124.0
+    assert ulaw[0x80] * 32768.0 == 32124.0
 
     # extensible wrapper resolves to the inner format
     data = struct.pack("<ff", 0.5, -0.5)

@@ -231,4 +231,7 @@ def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
         for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
     }
     assert local == reliable
-    assert any(os.scandir(ckpt))
+    # setCheckpointDir is session-global and first-caller-wins: files
+    # land under the SESSION's dir (ours, unless an earlier test set it)
+    session_dir = spark.sparkContext.getCheckpointDir().removeprefix("file:")
+    assert any(os.scandir(session_dir))

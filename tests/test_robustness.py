@@ -132,3 +132,54 @@ def test_decoders_survive_bitflips_of_valid_payloads():
                 pass
             # corrupt decodes that "succeed" are fine (bit flip hit
             # pixel data) — only non-ValueError exceptions fail
+
+
+def test_hostile_dimensions_bounded_not_oom():
+    """A hostile header declaring a giant raster (or a zlib bomb) must
+    raise ValueError at header-parse time — never reach a multi-GiB
+    allocation that MemoryError (uncaught by design) would turn into a
+    dead worker."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators import multimodal as M
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.jpegcodec import encode_jpeg
+
+    # PNG declaring 60000x60000 RGBA with a tiny IDAT
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 6, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * 64)
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="decode cap"):
+        M.decode_png(png)
+
+    # zlib bomb: a small PNG whose stream inflates past the declared raster
+    good = M.encode_png(np.zeros((4, 4, 3), np.uint8))
+    bomb_raw = b"\x00" * (1 << 16)
+    bomb = zlib.compress(bomb_raw)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="inflates past"):
+        M.decode_png(png)
+    M.decode_png(good)  # the honest payload still decodes
+
+    # GIF frame descriptor declaring 65535x65535
+    gif = (
+        b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80, 0, 0) + bytes(6)  # 2-entry palette
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+        + b"\x02" + b"\x01\x00" + b"\x00" + b"\x3b"
+    )
+    with pytest.raises(ValueError, match="decode cap"):
+        M.decode_image(gif)
+
+    # JPEG SOF0 declaring 65500x65500: patch a real payload's dimensions
+    jp = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    sof = jp.find(b"\xff\xc0")
+    assert sof > 0
+    struct.pack_into(">HH", jp, sof + 5, 65500, 65500)
+    with pytest.raises(ValueError, match="decode cap"):
+        M.decode_image(bytes(jp))
