@@ -1101,6 +1101,123 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_streaming_join(spark, sf):
+    """N6 stream-stream join under the oracle gate: views and purchases
+    staged as two file streams, joined with the event-time range
+    condition (purchase within 1 hour after a same-user view) that lets
+    Structured Streaming bound join state. Drained to a batch result
+    that must equal the plain SQL range self-join.
+
+    The watermark spans the whole bounded replay so no view is evicted
+    before its purchases arrive mid-drain; on an unbounded stream the
+    identical operator evicts view state once
+    ``view_ts + 1h < watermark`` — state ≈ (within + delay) × rate,
+    not the whole history (streaming/events.py:stream_stream_join)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import read_events_stream, stream_stream_join
+
+    e = _t(spark, sf, "events")
+    stage_v = tempfile.mkdtemp(prefix="q_stream_join_v_")
+    stage_p = tempfile.mkdtemp(prefix="q_stream_join_p_")
+    try:
+        e.filter(F.col("event_type") == "view").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(stage_v)
+        e.filter(F.col("event_type") == "purchase").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(stage_p)
+        name = f"q_stream_join_{uuid.uuid4().hex[:8]}"
+        joined = stream_stream_join(
+            read_events_stream(spark, stage_v),
+            read_events_stream(spark, stage_p),
+            within="1 hour",
+            watermark="3650 days",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage_v, ignore_errors=True)
+        shutil.rmtree(stage_p, ignore_errors=True)
+    return spark.table(name).select(
+        "purchase_id", "user_id", "purchase_ts", "view_id", "view_ts"
+    )
+
+
+SQL_STREAMING_JOIN = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       v.event_id AS view_id, v.ts AS view_ts
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+def q_streaming_user_state(spark, sf):
+    """N6 custom stateful operator under the oracle gate:
+    ``applyInPandasWithState`` folds each user's events into running
+    (count, sum, last-seen) state across micro-batches
+    (streaming/events.py:user_running_state). The stream is staged as
+    MANY files with ``maxFilesPerTrigger=2`` to force a genuinely
+    multi-batch drain — state must survive and accumulate across
+    batches, not within one. The memory sink (update mode) records every
+    per-batch emission; the FINAL state per user is the row with that
+    user's max n_events (counts are strictly increasing across updates),
+    and must equal the plain batch GROUP BY."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import read_events_stream, user_running_state
+
+    stage = tempfile.mkdtemp(prefix="q_stream_state_")
+    try:
+        _t(spark, sf, "events").repartition(8).write.mode("overwrite").parquet(stage)
+        name = f"q_stream_state_{uuid.uuid4().hex[:8]}"
+        updates = user_running_state(
+            read_events_stream(spark, stage, max_files_per_trigger=2)
+        )
+        q = (
+            updates.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+            "last_ts",
+        )
+    )
+
+
+SQL_STREAMING_USER_STATE = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(COALESCE(value, 0)), 6) AS sum_value,
+       MAX(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
 def q_json_extract(spark, sf):
     """JSON field extraction from a string column (events.props)."""
     return _t(spark, sf, "events").select(
@@ -2001,6 +2118,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "streaming_session": (q_streaming_session, SQL_STREAMING_SESSION),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "streaming_sliding": (q_streaming_sliding, SQL_STREAMING_SLIDING),
+    "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
+    "streaming_user_state": (q_streaming_user_state, SQL_STREAMING_USER_STATE),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "asof_join_generic": (q_asof_join_generic, SQL_ASOF_JOIN_GENERIC),
@@ -2066,65 +2185,68 @@ REGISTRY.update(OPS_REGISTRY)
 # every run.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # round-4 additions / changed oracles — need their first (or a
-    # fresh) driver row: exact-mode ANN twins, the 0-iteration k-means
-    # oracle, real PNG decode, and the hardened streaming-dedup oracle
-    "lsh_topk_exact",
-    "ivf_topk_exact",
-    "kmeans_assign_init",
-    "cluster_sample_init",
+    # round-5 additions — the two stateful streaming operators newly
+    # under the oracle gate need their first driver row
+    "streaming_join",
+    "streaming_user_state",
+    # never driver-checked in any round: the exact twins the sketch
+    # entries' credibility rests on (registered at position 51+ in r4)
+    "distinct_users_exact",
+    "price_quantiles_exact",
+    # r1-stale (displaced from the first 50 in r4)
+    "count_audit",
+    # the full r2-stale set: last driver-checked two testdata
+    # regenerations ago — tests/test_oracle_parity.py replays them
+    # locally, but the driver's sf0.01 gate is the hard signal
+    "market_share",
+    "min_cost_supplier",
+    "priority_exists_orders",
+    "important_parts",
+    "corr_stats",
+    "cust_order_distribution",
+    "daily_activity_full_outer",
+    "embedding_norms",
+    "embedding_quantize",
+    "excess_supply",
+    "idle_customers",
+    "large_orders",
+    "length_histogram",
+    "pii_scrub",
+    "priority_line_counts",
+    "product_profit",
+    "region_nation_matrix",
+    "repetition_stats",
+    "returned_vs_kept_custkeys",
+    "small_qty_revenue",
+    "source_mixture",
+    "stratified_sample",
+    "supplier_part_counts",
+    "top_revenue_supplier",
+    "vocab_coverage",
+    # r4-green but their DECODE PATHS changed this round (allocation
+    # caps in PNG/GIF/JPEG, bounded IDAT inflate, vectorized entropy
+    # coder) — changed code needs a fresh row, fresh-green or not
     "png_decode",
     "jpeg_decode",
     "gif_decode",
     "video_frames",
-    "bloom_prejoin_revenue",
-    "streaming_dedup",
-    # the stale-green relational core: every entry below was last
-    # driver-checked in r1 against testdata regenerated twice since.
-    # tests/test_oracle_parity.py replays them locally each run, but the
-    # driver's sf0.01 gate is the hard signal — spend the budget here.
-    "pricing_summary",
-    "scan_filter_project",
-    "region_revenue",
-    "shipping_priority",
-    "join_enrich",
-    "promo_revenue",
-    "late_ship_priority",
-    "top_supplier_per_nation",
-    "nation_trade_volume",
-    "branded_discount_revenue",
-    "returned_items",
-    "forecast_revenue",
-    "above_nation_avg",
-    "quantity_quartiles",
-    "window_running",
-    "window_rank_lag",
-    "window_percentiles",
-    "rollup_status",
-    "cube_flags",
-    "grouping_sets",
-    "pivot_status",
-    "anti_join",
-    "semi_join",
-    "except_custkeys",
-    "intersect_custkeys",
-    "union_pages",
-    "json_extract",
-    "orders_by_month",
-    "cast_truncate",
-    "rescale_pct",
-    "null_default",
-    "null_key_filter",
-    "dedup_exact_docs",
-    "doc_fingerprint",
-    "text_quality",
-    "top_ngrams",
-    "part_name_words",
-    "funnel_counts",
-    "dq_report",
-    # r2-stale entries with the most intricate plans (the remaining
-    # ~22 r2-stale entries rotate in next round)
-    "waiting_suppliers",
+    "image_decode",
+    "audio_decode",
+    # r3-stale entries whose modules this round touched (neardup
+    # checkpoint guard, multimodal bounds) or with the most intricate
+    # plans; the rest of the r3-stale set rotates next round
+    "jaccard_pairs",
+    "simhash_pairs",
+    "dedup_clusters",
+    "near_dedup_keep",
+    "incremental_dedup",
+    "multimodal_bytes",
+    "decontaminate",
+    "merge_upsert_orders",
+    "rollup_refresh",
+    "salted_agg_events",
+    "sessionize",
+    "asof_join_generic",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {
