@@ -161,9 +161,41 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return codes
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → symbol — the decoder-side view."""
-    return {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+_LUT_CACHE: dict[bytes, list[int]] = {}
+
+
+def _decode_lut(bits: list[int], vals: list[int]) -> list[int]:
+    """Decoder-side Huffman view as a flat 2^16-entry lookup table:
+    ``lut[next16bits] = (symbol << 8) | code_length`` (0 = invalid code).
+
+    One table lookup replaces the old bit-at-a-time tree walk (the
+    single hottest path in decode — every symbol cost up to 16 Python
+    calls). Peeking 16 bits always suffices: baseline Huffman codes are
+    ≤ 16 bits and every shorter code owns the whole 2^(16-len) slice of
+    peek values that share its prefix. Tables are cached by their DHT
+    bytes — real corpora reuse the Annex K tables across millions of
+    payloads, and the rebuild was ~15% of small-payload decode time."""
+    key = bytes(bits) + b"\x00" + bytes(vals)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << 16, dtype=np.int32)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            start = code << (16 - length)
+            if start + (1 << (16 - length)) > (1 << 16) or k >= len(vals):
+                raise ValueError("corrupt JPEG Huffman table (code space overflow)")
+            sym[start : start + (1 << (16 - length))] = (vals[k] << 8) | length
+            code += 1
+            k += 1
+        code <<= 1
+    lut = sym.tolist()  # plain-list indexing is ~3× faster than numpy scalars
+    if len(_LUT_CACHE) > 64:  # hostile corpora with many distinct DHTs
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = lut
+    return lut
 
 
 class _BitWriter:
@@ -189,51 +221,78 @@ class _BitWriter:
         return bytes(self.out)
 
 
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self._acc = 0
-        self._n = 0
+def _entropy_segment(
+    payload: bytes, data_start: int
+) -> tuple[np.ndarray, list[int], list[int]]:
+    """One vectorized pre-scan of the entropy-coded segment: un-stuff
+    0xFF00, strip RSTn markers (recording each following segment's bit
+    position), and cut the stream at the first true marker (EOI or
+    anything else non-stuffing). Returns ``(unstuffed_bytes,
+    sliding_32bit_words, restart_segment_bit_starts)``.
 
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("truncated JPEG entropy stream")
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            if self.pos < len(self.data) and self.data[self.pos] == 0x00:
-                self.pos += 1  # un-stuff
+    The sliding words let the decode loop peek the next 16 bits at ANY
+    bit position with two integer ops — ``w32[p >> 3]`` holds bits
+    ``8(p>>3) .. 8(p>>3)+31``, so ``(w32[p >> 3] >> (16 - (p & 7))) &
+    0xFFFF`` is the 16-bit window at ``p`` — replacing the per-bit
+    accumulator that dominated decode cost."""
+    if len(payload) - data_start < 4096:
+        # tiny segments (thumbnails, MJPEG frames): a bytes-level scan
+        # beats ~15 numpy dispatches on a 30-byte array
+        raw = payload[data_start:]
+        out = bytearray()
+        seg_starts: list[int] = []
+        i = 0
+        n = len(raw)
+        while True:
+            j = raw.find(b"\xff", i)
+            if j < 0:
+                out += raw[i:]
+                break
+            out += raw[i:j]
+            if j + 1 >= n:
+                break
+            b2 = raw[j + 1]
+            if b2 == 0x00:
+                out.append(0xFF)
+                i = j + 2
+            elif 0xD0 <= b2 <= 0xD7:
+                seg_starts.append(8 * len(out))
+                i = j + 2
             else:
-                raise ValueError("unexpected marker inside entropy stream")
-        self._acc = (self._acc << 8) | b
-        self._n += 8
-
-    def bit(self) -> int:
-        if not self._n:
-            self._fill()
-        self._n -= 1
-        return (self._acc >> self._n) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
-
-    def symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in JPEG stream")
-
-
-def _extend(v: int, size: int) -> int:
-    """Amplitude decode (T.81 F.2.2.1): low (size) bits → signed value."""
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                break
+        padded_b = bytes(out) + b"\x00\x00\x00\x00"
+        w32s = [
+            int.from_bytes(padded_b[i : i + 4], "big") for i in range(len(out) + 1)
+        ]
+        return np.frombuffer(bytes(out), np.uint8), w32s, seg_starts
+    data = np.frombuffer(payload, np.uint8, len(payload) - data_start, data_start)
+    ff = np.flatnonzero(data == 0xFF)
+    end = len(data)
+    if len(ff):
+        # classify each 0xFF by its next byte; trailing 0xFF ends the stream
+        nxt = np.where(ff + 1 < len(data), data[np.minimum(ff + 1, len(data) - 1)], 0xD9)
+        is_stuff = nxt == 0x00
+        is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+        term = ff[~is_stuff & ~is_rst]
+        if len(term):
+            end = int(term[0])
+            m = ff < end
+            ff, is_stuff, is_rst = ff[m], is_stuff[m], is_rst[m]
+    else:
+        is_stuff = is_rst = np.zeros(0, dtype=bool)
+    keep = np.ones(end, dtype=bool)
+    keep[ff[is_stuff] + 1] = False  # drop the stuffed 0x00, keep the 0xFF
+    rst = ff[is_rst]
+    keep[rst] = False  # drop both marker bytes
+    keep[rst + 1] = False
+    ub = data[:end][keep]
+    pos_excl = np.concatenate([[0], np.cumsum(keep)])  # unstuffed offset of each raw pos
+    seg_starts = (8 * pos_excl[np.minimum(rst + 2, end)]).tolist()
+    padded = np.concatenate([ub, np.zeros(4, np.uint8)]).astype(np.uint32)
+    w32 = (
+        (padded[:-3] << 24) | (padded[1:-2] << 16) | (padded[2:-1] << 8) | padded[3:]
+    ).tolist()
+    return ub, w32, seg_starts
 
 
 def _amplitude(v: int) -> tuple[int, int]:
@@ -245,6 +304,58 @@ def _amplitude(v: int) -> tuple[int, int]:
 # --------------------------------------------------------------------------
 # Encoder
 # --------------------------------------------------------------------------
+
+
+_ENCODER_CODES: tuple[list, list] | None = None
+_STATIC_HEADER: bytes | None = None
+_STATIC_TAIL: bytes | None = None
+
+
+def _encoder_codes() -> tuple[list, list]:
+    """The encoder always emits the ITU T.81 Annex K tables — build the
+    canonical code maps once per process, not once per frame (the
+    rebuild was ~13% of flat-frame encode time)."""
+    global _ENCODER_CODES
+    if _ENCODER_CODES is None:
+        _ENCODER_CODES = (
+            [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+             _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)],
+            [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+             _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)],
+        )
+    return _ENCODER_CODES
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _static_marker_bytes() -> tuple[bytes, bytes]:
+    """Everything in the emitted JFIF stream that does not depend on the
+    image: (SOI+APP0+DQT prefix, DHT+partial-SOS suffix). Only SOF0 and
+    the entropy scan vary per frame."""
+    global _STATIC_HEADER, _STATIC_TAIL
+    if _STATIC_HEADER is None:
+        head = bytearray(b"\xff\xd8")
+        head += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        for tid, q in enumerate([QUANT_LUMA, QUANT_CHROMA]):
+            head += _seg(0xFFDB, bytes([tid]) + bytes(int(v) for v in q.ravel()[ZIGZAG]))
+        tail = bytearray()
+        for cls, tid, bits, vals in (
+            (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+            (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+            (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ):
+            tail += _seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+        sos = bytearray([3])
+        for ci in range(3):
+            tid = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (tid << 4) | tid])
+        sos += bytes([0, 63, 0])
+        tail += _seg(0xFFDA, bytes(sos))
+        _STATIC_HEADER, _STATIC_TAIL = bytes(head), bytes(tail)
+    return _STATIC_HEADER, _STATIC_TAIL
 
 
 def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
@@ -260,7 +371,7 @@ def _blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
     blocks, raster order. Returns (blocks, by, bx)."""
     h, w = plane.shape
     ph, pw = -h % 8, -w % 8
-    padded = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    padded = np.pad(plane, ((0, ph), (0, pw)), mode="edge") if ph or pw else plane
     hh, ww = padded.shape
     by, bx = hh // 8, ww // 8
     blocks = padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
@@ -325,10 +436,7 @@ def encode_jpeg(img: np.ndarray, subsample: str = "4:4:4") -> bytes:
     else:
         samp = [(1, 1), (1, 1), (1, 1)]
 
-    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
-                _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
-    ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
-                _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    dc_codes, ac_codes = _encoder_codes()
     quants = [QUANT_LUMA, QUANT_CHROMA]
 
     # quantized blocks per component, raster order
@@ -337,7 +445,7 @@ def encode_jpeg(img: np.ndarray, subsample: str = "4:4:4") -> bytes:
     for ci, plane in enumerate(planes):
         q = quants[0 if ci == 0 else 1]
         blocks, by, bx = _blocks(plane - 128.0)
-        coefs = np.einsum("ij,njk,lk->nil", _D, blocks, _D)
+        coefs = (_D @ blocks) @ _D.T  # broadcasting matmul: D B Dᵀ per block
         qb = np.round(coefs / q).astype(np.int32)
         comp_blocks.append(qb)
         comp_dims.append((by, bx))
@@ -367,34 +475,12 @@ def encode_jpeg(img: np.ndarray, subsample: str = "4:4:4") -> bytes:
                         )
     scan = writer.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for tid, q in enumerate(quants):
-        out += seg(0xFFDB, bytes([tid]) + bytes(int(v) for v in q.ravel()[ZIGZAG]))
+    head, tail = _static_marker_bytes()
     sof = bytearray(struct.pack(">BHHB", 8, h, w, 3))
     for ci in range(3):
         hs, vs = samp[ci]
         sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
-    out += seg(0xFFC0, bytes(sof))
-    for cls, tid, bits, vals in (
-        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
-        (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
-        (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
-        (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
-    ):
-        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
-    sos = bytearray([3])
-    for ci in range(3):
-        tid = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (tid << 4) | tid])
-    sos += bytes([0, 63, 0])
-    out += seg(0xFFDA, bytes(sos))
-    out += scan
-    out += b"\xff\xd9"  # EOI
-    return bytes(out)
+    return head + _seg(0xFFC0, bytes(sof)) + tail + scan + b"\xff\xd9"
 
 
 # --------------------------------------------------------------------------
@@ -431,9 +517,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 prec, tid = body[j] >> 4, body[j] & 0xF
                 if prec:
                     raise ValueError("16-bit quantization tables unsupported")
-                tbl = np.zeros(64, dtype=np.int32)
-                tbl[ZIGZAG] = np.frombuffer(body[j + 1 : j + 65], dtype=np.uint8)
-                quants[tid] = tbl.reshape(8, 8)
+                # kept in wire (zigzag) order — exactly the form the
+                # dequantize step multiplies against
+                quants[tid] = np.frombuffer(
+                    body[j + 1 : j + 65], dtype=np.uint8
+                ).astype(np.int64)
                 j += 65
         elif marker == 0xC4:
             j = 0
@@ -442,7 +530,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(body[j + 1 : j + 17])
                 n = sum(bits)
                 vals = list(body[j + 17 : j + 17 + n])
-                (dc_tables if cls == 0 else ac_tables)[tid] = _decode_table(bits, vals)
+                (dc_tables if cls == 0 else ac_tables)[tid] = _decode_lut(bits, vals)
                 j += 17 + n
         elif marker == 0xC0:
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
@@ -482,69 +570,116 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     # padded component planes are float64 — bound the total allocation
     # before touching entropy data (hostile SOF0 can declare 65535²)
     check_raster(mcu_x * hmax * 8, mcu_y * vmax * 8, 8 * len(scan_comps), what="JPEG raster")
-    planes = []
+
     for sc in scan_comps:
-        pw, ph = mcu_x * sc["h"] * 8, mcu_y * sc["v"] * 8
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
+        if sc["dc"] not in dc_tables or sc["ac"] not in ac_tables:
+            raise ValueError("missing Huffman table for scan component")
+        if sc["q"] not in quants:
+            raise ValueError("missing quantization table for scan component")
 
-    reader = _BitReader(payload[data_start:])
-    preds = [0] * len(scan_comps)
+    # ---- phase 1: one tight Python pass over the entropy stream -----------
+    # Collects (block*64 + zigzag_pos, value) sparse coordinates; all pixel
+    # math happens batched in phase 2. Per symbol: one list-index peek, one
+    # LUT hit — versus up to 16 method calls in the old bit-at-a-time form.
+    ub, w32, seg_starts = _entropy_segment(payload, data_start)
+    total_bits = 8 * len(ub)
+    ndc = [dc_tables[sc["dc"]] for sc in scan_comps]
+    nac = [ac_tables[sc["ac"]] for sc in scan_comps]
+    reps = [sc["h"] * sc["v"] for sc in scan_comps]
+    bpm = sum(reps)
+    nblocks = mcu_y * mcu_x * bpm
+    ncomp = len(scan_comps)
+    preds = [0] * ncomp
+    p = 0
+    bi = 0
+    seg = 0
     mcu_count = 0
-    for my in range(mcu_y):
-        for mx in range(mcu_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # byte-align and consume RSTn
-                reader._n = 0
-                p = reader.pos
-                while p + 1 < len(reader.data) and reader.data[p] == 0xFF and (
-                    0xD0 <= reader.data[p + 1] <= 0xD7
-                ):
-                    p += 2
-                reader.pos = p
-                preds = [0] * len(scan_comps)
-            for ci, sc in enumerate(scan_comps):
-                for dy in range(sc["v"]):
-                    for dx in range(sc["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
-                        size = reader.symbol(dc_tables[sc["dc"]])
-                        diff = _extend(reader.bits(size), size) if size else 0
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.symbol(ac_tables[sc["ac"]])
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(reader.bits(rs & 0xF), rs & 0xF)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = zz * quants[sc["q"]].ravel()[ZIGZAG]
-                        pix = _D.T @ block.reshape(8, 8) @ _D + 128.0
-                        y0 = (my * sc["v"] + dy) * 8
-                        x0 = (mx * sc["h"] + dx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
-            mcu_count += 1
+    tb: list[int] = []  # flattened (block << 6 | zigzag position)
+    tv: list[int] = []  # coefficient values
+    for _mcu in range(mcu_y * mcu_x):
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            # byte-align and skip the RSTn marker: jump to the next
+            # pre-scanned segment start; DC predictors reset
+            if seg < len(seg_starts):
+                p = seg_starts[seg]
+            seg += 1
+            preds = [0] * ncomp
+        for ci in range(ncomp):
+            dct = ndc[ci]
+            act = nac[ci]
+            for _rep in range(reps[ci]):
+                e = dct[(w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
+                if not e:
+                    raise ValueError("invalid Huffman code in JPEG stream")
+                p += e & 0xFF
+                size = e >> 8
+                if size:
+                    if size > 16:
+                        raise ValueError("corrupt JPEG DC size category")
+                    v = ((w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF) >> (16 - size)
+                    p += size
+                    preds[ci] += v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                base = bi << 6
+                tb.append(base)
+                tv.append(preds[ci])
+                k = 1
+                while k < 64:
+                    e = act[(w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
+                    if not e:
+                        raise ValueError("invalid Huffman code in JPEG stream")
+                    p += e & 0xFF
+                    rs = e >> 8
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    size = rs & 0xF
+                    if k > 63 or not size:
+                        raise ValueError("AC run past block end")
+                    v = ((w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF) >> (16 - size)
+                    p += size
+                    tb.append(base + k)
+                    tv.append(v if v >= (1 << (size - 1)) else v - (1 << size) + 1)
+                    k += 1
+                bi += 1
+        mcu_count += 1
+        if p > total_bits:
+            raise ValueError("truncated JPEG entropy stream")
 
-    # upsample subsampled planes to full MCU-grid resolution, then crop
+    # ---- phase 2: batched dequantize + inverse zigzag + IDCT + scatter ----
+    coeffs = np.zeros(nblocks * 64, dtype=np.int64)
+    if tb:
+        coeffs[np.array(tb, dtype=np.int64)] = np.array(tv, dtype=np.int64)
+    coeffs = coeffs.reshape(nblocks, 64)
+    offs = np.cumsum([0] + reps)
     full = []
     for ci, sc in enumerate(scan_comps):
-        p = planes[ci]
-        ry, rx = vmax // sc["v"], hmax // sc["h"]
+        hc, vc = sc["h"], sc["v"]
+        qzz = quants[sc["q"]]  # already zigzag-order int64
+        mcub = np.arange(mcu_y * mcu_x, dtype=np.int64) * bpm
+        idx = (mcub[:, None] + offs[ci] + np.arange(vc * hc)[None, :]).ravel()
+        cz = coeffs[idx] * qzz  # dequantized, zigzag order
+        nat = np.zeros(cz.shape, dtype=np.float64)
+        nat[:, ZIGZAG] = cz
+        # broadcasting matmul beats einsum's dispatch at small block counts
+        pix = (_D.T @ nat.reshape(-1, 8, 8)) @ _D + 128.0
+        plane = (
+            pix.reshape(mcu_y, mcu_x, vc, hc, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcu_y * vc * 8, mcu_x * hc * 8)
+        )
+        ry, rx = vmax // vc, hmax // hc
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
     if len(full) == 1:
         gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return gray[:, :, None]
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136286 * cb - 0.714136286 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    rgb = np.empty((*y.shape, 3), dtype=np.float64)
+    rgb[..., 0] = y + 1.402 * cr
+    rgb[..., 1] = y - 0.344136286 * cb - 0.714136286 * cr
+    rgb[..., 2] = y + 1.772 * cb
+    return np.clip(np.round(rgb, out=rgb), 0, 255).astype(np.uint8)
