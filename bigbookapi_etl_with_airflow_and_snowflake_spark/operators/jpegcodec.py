@@ -541,7 +541,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, qid = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "q": qid})
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC2, 0xC6, 0xCA):
+            # classified distinctly so corpus triage can separate
+            # "needs a progressive decoder" from "corrupt bytes"
+            raise ValueError("unsupported_progressive: JPEG SOF2/6/10 scan")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC7, 0xC9, 0xCB):
             raise ValueError("only baseline sequential (SOF0) JPEG supported")
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", body, 0)

@@ -19,9 +19,14 @@ tested. Decode has two tiers:
   re-encode rides on top. Every decoder is wrapped in
   :func:`quarantine_decoder`, so malformed payloads surface as
   ``ValueError`` only (fuzz-locked in tests/test_robustness.py).
-- **Stub decode** for media needing true codec libraries (MP3/AAC,
-  non-AVI containers, progressive/arithmetic JPEG): not in this
-  container, so :func:`decode_stub` either raises
+- **Demux-without-decode** where the frame STRUCTURE is plain math even
+  though the audio itself needs a codec: :func:`demux_mp3_frames` walks
+  MPEG-1 Layer III frame headers (bitrate/rate/duration) without
+  touching the entropy-coded payload — corpus triage at 100 TB never
+  pays codec cost.
+- **Stub decode** for media needing true codec libraries (full MP3/AAC
+  synthesis, non-AVI containers, progressive/arithmetic JPEG): not in
+  this container, so :func:`decode_stub` either raises
   ``NotImplementedError`` (strict mode) or produces a deterministic
   fake so the distributed plumbing stays testable.
 
@@ -331,19 +336,32 @@ def nn_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
     return img[rows[:, None], cols[None, :]]
 
 
-def image_stats(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+def image_stats(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    reason_col: str | None = None,
+) -> DataFrame:
     """REAL image decode over binary payloads: (id, width, height,
     channels, mean_pixel) via Arrow-batched ``mapInPandas`` and the pure
     numpy decoders. Unsupported/corrupt payloads yield nulls (the
     100 TB posture: a bad blob must not fail the job — filter on
-    ``width IS NULL`` to quarantine)."""
+    ``width IS NULL`` to quarantine). Pass ``reason_col`` to append a
+    string column carrying each quarantined row's classified failure
+    (e.g. ``unsupported_progressive`` vs ``malformed``), so triage can
+    separate "needs a codec we don't ship" from "junk bytes" without
+    re-decoding."""
     out_schema = (
         f"{id_col} long, width int, height int, channels int, mean_pixel double"
     )
+    if reason_col:
+        out_schema += f", {reason_col} string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {id_col: [], "width": [], "height": [], "channels": [], "mean_pixel": []}
+            if reason_col:
+                out[reason_col] = []
             for rid, p in zip(pdf[id_col], pdf[payload_col]):
                 out[id_col].append(rid)
                 try:
@@ -352,11 +370,15 @@ def image_stats(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
                     out["height"].append(img.shape[0])
                     out["channels"].append(img.shape[2])
                     out["mean_pixel"].append(round(float(img.mean()), 6))
-                except ValueError:
+                    if reason_col:
+                        out[reason_col].append(None)
+                except ValueError as exc:
                     out["width"].append(None)
                     out["height"].append(None)
                     out["channels"].append(None)
                     out["mean_pixel"].append(None)
+                    if reason_col:
+                        out[reason_col].append(str(exc)[:120])
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
@@ -515,6 +537,98 @@ def audio_stats(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
                     out["peak"].append(
                         float(np.abs(flat).max()) if len(flat) else None
                     )
+                except ValueError:
+                    for c in cols:
+                        out[c].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+# --- MP3: frame-header demux tier (not a decoder) --------------------------
+# Full MP3 decode is a true codec (MDCT synthesis filterbank) and stays a
+# strict stub; but the FRAME STRUCTURE is plain header math — the same
+# demux-without-decode tier as RIFF/AVI chunk-walking. Header layout and
+# tables per ISO/IEC 11172-3.
+
+_MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+_MP3_RATES_V1 = (44100, 48000, 32000, 0)
+
+
+@quarantine_decoder
+def demux_mp3_frames(payload: bytes) -> tuple[int, list[int]]:
+    """Walk an MPEG-1 Layer III stream's frame headers WITHOUT decoding
+    audio: returns ``(sample_rate, [bitrate_kbps per frame])``. Each
+    frame is 1152 samples; frame length is ``144 * bitrate / rate +
+    padding`` bytes. Skips a leading ID3v2 tag (syncsafe size) and a
+    trailing 128-byte ID3v1 tag; anything that breaks sync or declares a
+    reserved bitrate/rate index raises ``ValueError`` (quarantine
+    contract). MPEG-2/2.5 and other layers raise too — honest scope,
+    matching the decoder tiers that only take formats that are math."""
+    i = 0
+    n = len(payload)
+    if payload[:3] == b"ID3" and n >= 10:
+        size = 0
+        for b in payload[6:10]:
+            if b & 0x80:
+                raise ValueError("corrupt ID3v2 syncsafe size")
+            size = (size << 7) | b
+        i = 10 + size
+    rate = None
+    bitrates: list[int] = []
+    while i < n:
+        if n - i == 128 and payload[i : i + 3] == b"TAG":
+            break  # ID3v1 trailer
+        if n - i < 4:
+            raise ValueError("truncated MP3 frame header")
+        h = int.from_bytes(payload[i : i + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            raise ValueError("lost MP3 frame sync")
+        if (h >> 19) & 3 != 3 or (h >> 17) & 3 != 1:
+            raise ValueError("only MPEG-1 Layer III framing supported")
+        br = _MP3_BITRATES_V1L3[(h >> 12) & 0xF]
+        sr = _MP3_RATES_V1[(h >> 10) & 3]
+        if not br or not sr:
+            raise ValueError("reserved MP3 bitrate/sample-rate index")
+        if rate is None:
+            rate = sr
+        elif sr != rate:
+            raise ValueError("sample rate changes mid-stream")
+        bitrates.append(br)
+        i += 144 * br * 1000 // sr + ((h >> 9) & 1)
+        if i > n:
+            raise ValueError("truncated MP3 frame body")
+    if rate is None:
+        raise ValueError("no MP3 frames in payload")
+    return rate, bitrates
+
+
+def audio_meta(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """MP3 stream metadata over binary payloads via Arrow-batched
+    ``mapInPandas``: (id, n_frames, sample_rate, bitrate_kbps,
+    duration_s) from frame headers alone — no audio decode, so a 100 TB
+    corpus triage (duration histograms, VBR detection, junk filtering)
+    never pays codec cost. Unparseable payloads yield nulls.
+    ``bitrate_kbps`` is the mean over frames (equals the constant for
+    CBR); ``duration_s`` is one IEEE divide of exact integers —
+    engine-portable for the oracle."""
+    out_schema = (
+        f"{id_col} long, n_frames int, sample_rate int, "
+        "bitrate_kbps double, duration_s double"
+    )
+    cols = ["n_frames", "sample_rate", "bitrate_kbps", "duration_s"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {id_col: [], **{c: [] for c in cols}}
+            for rid, p in zip(pdf[id_col], pdf[payload_col]):
+                out[id_col].append(rid)
+                try:
+                    rate, brs = demux_mp3_frames(bytes(p) if p is not None else b"")
+                    out["n_frames"].append(len(brs))
+                    out["sample_rate"].append(rate)
+                    out["bitrate_kbps"].append(float(sum(brs)) / len(brs))
+                    out["duration_s"].append(float(len(brs) * 1152) / rate)
                 except ValueError:
                     for c in cols:
                         out[c].append(None)

@@ -2232,6 +2232,10 @@ _DRIVER_PRIORITY = [
     "video_frames",
     "image_decode",
     "audio_decode",
+    # round-5 additions: MP3 frame-header demux tier; the S1 distributed
+    # page fan-out's first oracle run
+    "audio_meta",
+    "rest_pages_distributed",
     # r3-stale entries whose modules this round touched (neardup
     # checkpoint guard, multimodal bounds) or with the most intricate
     # plans; the rest of the r3-stale set rotates next round
@@ -2245,8 +2249,6 @@ _DRIVER_PRIORITY = [
     "merge_upsert_orders",
     "rollup_refresh",
     "salted_agg_events",
-    "sessionize",
-    "asof_join_generic",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

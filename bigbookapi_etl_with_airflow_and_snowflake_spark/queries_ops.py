@@ -463,6 +463,112 @@ def q_video_frames(spark, sf):
     )
 
 
+def q_rest_pages_distributed(spark, sf):
+    """S1 scale path under the oracle gate: the mapInPandas page fan-out
+    (sources/rest.py:fetch_pages_distributed) run against a
+    deterministic arithmetic transport — 2021 records served in
+    100-record offset pages (partial last page, then empty pages), each
+    record computed from its global index alone. The workers really
+    execute the fan-out (the page space is spark.range partitioned
+    across 8 tasks); the oracle regenerates the record space directly.
+    No sf tables involved by design: the source's contract is the
+    pagination algebra, not the corpus."""
+    from pyspark.sql.types import StructType
+
+    from .sources.rest import FetchPolicy, fetch_pages_distributed
+
+    n_records = 2021
+
+    def transport(offset: int, number: int) -> tuple[list[dict], dict]:
+        hi = min(offset + number, n_records)
+        return (
+            [{"rec_id": i, "val": (i * i) % 97} for i in range(min(offset, hi), hi)],
+            {},
+        )
+
+    return fetch_pages_distributed(
+        spark,
+        transport,
+        StructType.fromDDL("rec_id long, val long"),
+        n_pages=25,  # 21 real pages + 4 empty ones past the end
+        policy=FetchPolicy(page_size=100),
+        num_partitions=8,
+    )
+
+
+SQL_REST_PAGES_DISTRIBUTED = """
+SELECT CAST(i AS BIGINT) AS rec_id, CAST((i * i) % 97 AS BIGINT) AS val
+FROM range(2021) t(i)
+"""
+
+
+def q_audio_meta(spark, sf):
+    """N5 MP3 frame-header demux under the oracle gate: a CBR MPEG-1
+    Layer III stream is synthesized per document from (doc_id, text
+    length) alone — frame count ``len%4+1``, sample rate 44100/48000 by
+    doc_id parity, bitrate 128/160/192 by doc_id mod 3, an ID3v2 tag
+    prepended on even ids and an ID3v1 trailer on ids divisible by 5 —
+    then ``audio_meta`` walks the real frame headers distributed. The
+    oracle predicts every output straight from the same arithmetic; any
+    framing slip (wrong frame length, tag mis-skip) breaks the match."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    from .operators.multimodal import audio_meta
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.length("text").alias("tlen"))
+    )
+
+    def synth(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        def mk(doc_id: int, tlen: int) -> bytes:
+            nf = tlen % 4 + 1
+            sr_idx = doc_id % 2
+            sr = (44100, 48000)[sr_idx]
+            br_idx = 9 + doc_id % 3
+            br = (128, 160, 192)[doc_id % 3]
+            h = (
+                (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+                | (br_idx << 12) | (sr_idx << 10)
+            )
+            frame = h.to_bytes(4, "big") + bytes(144 * br * 1000 // sr - 4)
+            payload = b""
+            if doc_id % 2 == 0:
+                payload += b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + bytes(10)
+            payload += frame * nf
+            if doc_id % 5 == 0:
+                payload += b"TAG" + bytes(125)
+            return payload
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mk(int(i), int(t)) for i, t in zip(pdf["doc_id"], pdf["tlen"])
+                    ],
+                }
+            )
+
+    mp3s = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return audio_meta(mp3s, "payload", "doc_id")
+
+
+SQL_AUDIO_META = """
+SELECT doc_id,
+       CAST(length(text) % 4 + 1 AS INT) AS n_frames,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END AS INT) AS sample_rate,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 160 ELSE 192 END AS DOUBLE)
+         AS bitrate_kbps,
+       CAST((length(text) % 4 + 1) * 1152 AS DOUBLE)
+         / (CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END) AS duration_s
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 SQL_VIDEO_FRAMES = """
 SELECT doc_id, f.frame_no, 8 AS width, 8 AS height,
        CAST(ascii(substr(text, 2 * f.frame_no + 1, 1))
@@ -630,6 +736,8 @@ OPS_REGISTRY = {
     "gif_decode": (q_gif_decode, SQL_GIF_DECODE),
     "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
+    "audio_meta": (q_audio_meta, SQL_AUDIO_META),
+    "rest_pages_distributed": (q_rest_pages_distributed, SQL_REST_PAGES_DISTRIBUTED),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "kmeans_assign_init": (q_kmeans_assign_init, SQL_KMEANS_ASSIGN_INIT),
     "cluster_balanced_sample": (q_cluster_balanced_sample, None),

@@ -465,7 +465,7 @@ def test_jpeg_rejects_unsupported_and_corrupt():
         decode_jpeg(b"RIFF" + good)
     # flip SOF0 marker to SOF2 (progressive) → clean refusal
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="unsupported_progressive"):
         decode_jpeg(prog)
     # truncated entropy stream → ValueError, not IndexError
     with pytest.raises(ValueError):
@@ -693,3 +693,67 @@ def test_avi_mjpeg_demux_and_distributed_frame_sampling(spark):
 
     with pytest.raises(ValueError):
         M.demux_avi_frames(avi[: len(avi) // 2])
+
+
+def test_mp3_frame_header_demux():
+    """MP3 demux-without-decode: header math per ISO 11172-3, ID3v2
+    skip (syncsafe), ID3v1 trailer, CBR/VBR bitrates, and honest
+    refusals for anything that is not MPEG-1 Layer III framing."""
+    import pytest
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators import multimodal as M
+
+    def frame(br_idx, sr_idx, pad=0, body_fill=0x00):
+        br = M._MP3_BITRATES_V1L3[br_idx]
+        sr = M._MP3_RATES_V1[sr_idx]
+        h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) | (br_idx << 12) | (sr_idx << 10) | (pad << 9)
+        flen = 144 * br * 1000 // sr + pad
+        return h.to_bytes(4, "big") + bytes([body_fill]) * (flen - 4)
+
+    # CBR: 3 frames of 128 kbps @ 44100
+    rate, brs = M.demux_mp3_frames(frame(9, 0) * 3)
+    assert rate == 44100 and brs == [128, 128, 128]
+    # VBR + padding bit changes frame length
+    rate, brs = M.demux_mp3_frames(frame(9, 1) + frame(11, 1, pad=1) + frame(14, 1))
+    assert rate == 48000 and brs == [128, 192, 320]
+    # ID3v2 leading tag (syncsafe size) and ID3v1 trailer both skipped
+    tagged = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + bytes(10) + frame(9, 0) * 2 + b"TAG" + bytes(125)
+    rate, brs = M.demux_mp3_frames(tagged)
+    assert rate == 44100 and len(brs) == 2
+    # refusals: lost sync, reserved indexes, truncation, rate change
+    with pytest.raises(ValueError, match="sync"):
+        M.demux_mp3_frames(b"\x00" * 8)
+    with pytest.raises(ValueError, match="reserved"):
+        bad = bytearray(frame(9, 0)); bad[2] = 0xF0 | (bad[2] & 0x0F)  # bitrate idx 15
+        M.demux_mp3_frames(bytes(bad))
+    with pytest.raises(ValueError):
+        M.demux_mp3_frames(frame(9, 0)[:-10])  # truncated: next header short/garbage
+    with pytest.raises(ValueError, match="changes mid-stream"):
+        M.demux_mp3_frames(frame(9, 0) + frame(9, 1))
+    with pytest.raises(ValueError, match="no MP3 frames"):
+        M.demux_mp3_frames(b"")
+
+
+def test_audio_meta_distributed(spark):
+    """audio_meta over a mixed column: parseable MP3s yield header
+    stats, junk quarantines to nulls, nothing throws."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators import multimodal as M
+
+    def frame(br_idx, sr_idx):
+        br = M._MP3_BITRATES_V1L3[br_idx]
+        sr = M._MP3_RATES_V1[sr_idx]
+        h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) | (br_idx << 12) | (sr_idx << 10)
+        return h.to_bytes(4, "big") + bytes(144 * br * 1000 // sr - 4)
+
+    rows = [
+        (1, frame(9, 0) * 4),                      # CBR 128 @ 44100
+        (2, frame(10, 1) + frame(12, 1)),          # VBR 160/224 @ 48000
+        (3, b"not audio at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r.asDict() for r in M.audio_meta(df, "payload", "id").collect()}
+    assert got[1]["n_frames"] == 4 and got[1]["sample_rate"] == 44100
+    assert got[1]["duration_s"] == 4 * 1152 / 44100
+    assert got[2]["bitrate_kbps"] == (160 + 224) / 2
+    assert got[3]["n_frames"] is None and got[4]["n_frames"] is None

@@ -183,3 +183,36 @@ def test_hostile_dimensions_bounded_not_oom():
     struct.pack_into(">HH", jp, sof + 5, 65500, 65500)
     with pytest.raises(ValueError, match="decode cap"):
         M.decode_image(bytes(jp))
+
+
+def test_progressive_jpeg_classified_not_just_corrupt(spark):
+    """SOF2 (progressive) must quarantine with a CLASSIFIED reason so
+    corpus triage can split 'needs a progressive decoder' from 'junk
+    bytes' — and the reason column rides image_stats opt-in without
+    changing the default schema."""
+    import struct as _s
+
+    import numpy as np
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators import multimodal as M
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.jpegcodec import encode_jpeg
+
+    good = encode_jpeg(np.full((8, 8, 3), 100, np.uint8))
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with pytest.raises(ValueError, match="unsupported_progressive"):
+        M.decode_image(bytes(prog))
+    rows = [(1, bytearray(good)), (2, bytearray(prog)), (3, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "img_id long, payload binary")
+    got = {
+        r["img_id"]: r
+        for r in M.image_stats(df, "payload", "img_id", reason_col="reason").collect()
+    }
+    assert got[1]["width"] == 8 and got[1]["reason"] is None
+    assert got[2]["width"] is None and "unsupported_progressive" in got[2]["reason"]
+    assert got[3]["width"] is None and "unsupported_progressive" not in got[3]["reason"]
+    # default call: schema unchanged (the oracle entries depend on it)
+    assert M.image_stats(df, "payload", "img_id").columns == [
+        "img_id", "width", "height", "channels", "mean_pixel",
+    ]
