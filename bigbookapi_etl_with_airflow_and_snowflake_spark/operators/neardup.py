@@ -132,6 +132,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     checkpoint_dir: str | None = None,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity, prefix-filtered: keeps pairs
     with J ≥ threshold — identical results to the naive
@@ -146,6 +147,22 @@ def jaccard_pairs(
     exact |∩| via array_intersect per surviving candidate → J = |∩| /
     (|A|+|B|−|∩|), an IEEE division of exact ints.
     Output: (id_a, id_b, jaccard), id_a < id_b.
+
+    ``hot_bucket_cap`` bounds the worst-case HOT-SHINGLE bucket: the
+    df-ascending prefix ordering makes large posting lists rare, but an
+    adversarial corpus (one boilerplate shingle shared by millions of
+    short docs whose prefixes hold nothing rarer) can still put one
+    giant list behind a single join key — one straggler task building
+    an O(list²) pair block. With a cap, every prefix posting list
+    larger than ``cap`` is split into ⌈list/cap⌉ salt buckets (probe
+    side salted by doc id, build side replicated across the key's salt
+    range — the standard replicated skew join), so no task ever holds
+    more than ~``cap`` build rows per key. Results are bit-identical
+    (each candidate pair lands in exactly one salt bucket of its
+    witness hash); only the partitioning changes. The cap cannot shrink
+    the *inherent* candidate volume of exact Jaccard — when the pair
+    count itself is the problem, spill to the approximate tier
+    (:func:`minhash_band_pairs`) and verify survivors exactly.
     """
     sh = shingle_table(df, text_col, id_col, n)
     # shuffle the 8-byte shingle hash, not the shingle text (collision
@@ -242,16 +259,49 @@ def jaccard_pairs(
     #   common shingle's row fails, every row of the pair fails — the
     #   filter-then-distinct keeps exactly the PPJoin candidate set.
     one_plus_t = t_dec + F.lit(1)
-    pa = prefix.select(
-        F.col("__rep").alias("ra"), F.col("n_sh").alias("__na"),
-        F.col("__pos").alias("__pa"), "__h",
-    )
-    pb = prefix.select(
-        F.col("__rep").alias("rb"), F.col("n_sh").alias("__nb"),
-        F.col("__pos").alias("__pb"), "__h",
-    )
+    if hot_bucket_cap is not None:
+        # Salted skew join for over-cap posting lists. __cnt rides a
+        # window over the __h partition (the join shuffles by __h
+        # anyway, so this adds a sort, not a new exchange); nsalt = 1
+        # for every cold key, so the cold path's row volume and pair
+        # set are untouched.
+        from pyspark.sql import Window as _W2
+
+        cap = int(hot_bucket_cap)
+        if cap < 1:
+            raise ValueError(f"hot_bucket_cap must be >= 1, got {cap}")
+        prefix = prefix.withColumn(
+            "__nsalt",
+            F.ceil(
+                F.count("*").over(_W2.partitionBy("__h")) / F.lit(cap)
+            ).cast("int"),
+        )
+        pa = prefix.select(
+            F.col("__rep").alias("ra"), F.col("n_sh").alias("__na"),
+            F.col("__pos").alias("__pa"), "__h",
+            # probe side: each row to its own deterministic salt bucket
+            F.pmod(F.xxhash64("__rep"), F.col("__nsalt")).cast("int").alias("__salt"),
+        )
+        pb = prefix.select(
+            F.col("__rep").alias("rb"), F.col("n_sh").alias("__nb"),
+            F.col("__pos").alias("__pb"), "__h",
+            # build side: replicated across the key's whole salt range,
+            # so pair (a, b) materializes exactly once — in a's bucket
+            F.explode(F.sequence(F.lit(0), F.col("__nsalt") - 1)).alias("__salt"),
+        )
+        join_keys = ["__h", "__salt"]
+    else:
+        pa = prefix.select(
+            F.col("__rep").alias("ra"), F.col("n_sh").alias("__na"),
+            F.col("__pos").alias("__pa"), "__h",
+        )
+        pb = prefix.select(
+            F.col("__rep").alias("rb"), F.col("n_sh").alias("__nb"),
+            F.col("__pos").alias("__pb"), "__h",
+        )
+        join_keys = ["__h"]
     cand = (
-        pa.join(pb, "__h")
+        pa.join(pb, join_keys)
         .filter(
             (F.col("ra") < F.col("rb"))
             & (F.greatest("__na", "__nb") * t_dec <= F.least("__na", "__nb"))

@@ -285,6 +285,42 @@ def test_jaccard_pairs_duplicate_collapse_matches_bruteforce(spark):
     assert got[(4, 5)] == 1.0
 
 
+def test_jaccard_pairs_hot_bucket_cap_is_bit_identical(spark):
+    """The salted skew join behind ``hot_bucket_cap`` must repartition
+    the SAME pair space, never change it: a hot-shingle corpus (many
+    short docs all sharing one boilerplate shingle, so the prefix
+    posting list for it is huge relative to the cap) must produce
+    bit-identical (id_a, id_b, jaccard) rows with cap=2, cap=1, and
+    the uncapped plan."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators import neardup
+
+    # every doc shares "common boilerplate header" (the hot shingle);
+    # tails make distinct groups with real near-dup structure
+    docs = [
+        (i, f"common boilerplate header variant {i % 4} tail {i % 3}")
+        for i in range(1, 25)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    base = sorted(
+        map(tuple, neardup.jaccard_pairs(df, threshold=0.4).collect())
+    )
+    assert base, "fixture must produce pairs for the comparison to mean anything"
+    for cap in (1, 2, 7):
+        capped = sorted(
+            map(
+                tuple,
+                neardup.jaccard_pairs(
+                    df, threshold=0.4, hot_bucket_cap=cap
+                ).collect(),
+            )
+        )
+        assert capped == base
+
+    with pytest.raises(ValueError, match="hot_bucket_cap"):
+        neardup.jaccard_pairs(df, hot_bucket_cap=0).collect()
+
+
 def test_cosine_topk_rejects_oversized_query_side(emb):
     """The broadcast-nested-loop contract is load-bearing: a big query
     side must fail fast, not silently build an n x n scan."""
