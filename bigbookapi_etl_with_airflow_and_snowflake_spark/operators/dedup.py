@@ -63,6 +63,83 @@ def exact_dedup(df: DataFrame, content_cols: Sequence[str], id_col: str) -> Data
     )
 
 
+def passage_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Corpus-wide exact duplicated-passage removal (the passage-level
+    variant of Lee et al.'s "Deduplicating Training Data Makes Language
+    Models Better" ExactSubstr: boilerplate repeated ACROSS documents —
+    license headers, navigation chrome, templated intros — is removed
+    from every occurrence but the first, and each document is re-emitted
+    with its surviving passages stitched back in order).
+
+    A "passage" is a run of ``k`` consecutive whitespace tokens (the
+    last one may be shorter). The first occurrence of a passage under
+    the global (``id_col``, passage position) order is kept; every later
+    occurrence — in other documents or repeated within one — is
+    dropped.
+
+    Plan (three shuffles, all narrow rows):
+      1. passages carved driver-free with array expressions — ``slice``
+         over the one ``split`` array, no word-level explode;
+      2. global keep-first: ``row_number`` over the md5(passage)
+         partition ordered by (doc, position) — hash-partitioned, high
+         cardinality, skew-free (a hot passage's partition holds its
+         occurrence list only, already the minimal state);
+      3. per-doc regroup: surviving passages re-assembled by position.
+
+    md5 (not xxhash64) keys the window so the oracle formulation is
+    bit-portable across engines.
+
+    Output: one row per input doc —
+    (id_col, n_passages, n_dropped, clean_text), where ``clean_text``
+    is '' when every passage was a duplicate.
+    """
+    if k < 1:
+        raise ValueError(f"passage length k must be >= 1, got {k}")
+    arr = F.split(F.col(text_col), " ")
+    npass = F.ceil(F.size(arr) / F.lit(k)).cast("int")
+    passages = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), npass - 1),
+                lambda j: F.array_join(F.slice(arr, j * k + 1, k), " "),
+            )
+        ).alias("__pidx", "__passage"),
+    )
+    w = Window.partitionBy(F.md5(F.col("__passage").cast("binary"))).orderBy(
+        id_col, "__pidx"
+    )
+    ranked = passages.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_passages"),
+            F.sum((F.col("__rn") > 1).cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        # collect_list skips nulls → duplicates simply
+                        # don't enter the rebuild
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1,
+                                F.struct("__pidx", "__passage"),
+                            )
+                        )
+                    ),
+                    lambda s: s["__passage"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
 def drop_duplicates(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
     """Arbitrary-row dedup — Spark's native ``dropDuplicates`` (the
     non-deterministic fast path; prefer :func:`keep_first_dedup` when the

@@ -13,7 +13,9 @@ by nature, so the driver gets rows-only checks.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,6 +35,73 @@ def approx_distinct(
     if group_by:
         return df.groupBy(*group_by).agg(agg)
     return df.agg(agg)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 10,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Top-k frequent items via a distributed Misra-Gries summary
+    (Agarwal et al., *Mergeable Summaries*, PODS'12).
+
+    Per partition, an Arrow-batched stream fold keeps at most
+    ``capacity`` counters: each batch's exact ``value_counts`` is added,
+    then the summary is compressed back under the cap by subtracting
+    the (capacity+1)-th largest counter from all and dropping the
+    non-positives — the MG step whose total subtraction is amortized
+    ≤ n_p/(capacity+1) over the partition. Partition summaries then
+    merge in one narrow ``groupBy(item)`` (≤ capacity rows per
+    partition cross the shuffle, regardless of domain size — the whole
+    point vs an exact groupBy whose map-side hash state grows with the
+    local domain).
+
+    Output, ordered (est_count desc, item asc), k rows:
+    (item, est_count, max_undercount) with the MG guarantee
+    ``est_count ≤ true_count ≤ est_count + max_undercount`` where
+    ``max_undercount`` = the summed per-partition deductions. With
+    ``capacity`` ≥ the per-partition distinct domain nothing is ever
+    deducted and the result is EXACT (max_undercount = 0) — the
+    property the driver oracle pins.
+    """
+    if k < 1 or capacity < 1:
+        raise ValueError(f"k and capacity must be >= 1, got k={k}, capacity={capacity}")
+
+    out_schema = "item string, cnt long, deducted long"
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        deducted = 0
+        for pdf in batches:
+            vc = pdf[value_col].dropna().astype(str).value_counts()
+            for item, c in vc.items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > capacity:
+                # MG compress: subtract the (capacity+1)-th largest
+                # counter everywhere; ≤ capacity positives survive
+                s = sorted(counts.values(), reverse=True)[capacity]
+                counts = {i: c - s for i, c in counts.items() if c > s}
+                deducted += s
+        yield pd.DataFrame(
+            {
+                "item": list(counts),
+                "cnt": list(counts.values()),
+                "deducted": [0] * len(counts),
+            }
+        )
+        # one bookkeeping row per partition carries the deduction total
+        yield pd.DataFrame({"item": [None], "cnt": [0], "deducted": [deducted]})
+
+    summaries = df.select(value_col).mapInPandas(summarize, schema=out_schema)
+    merged = summaries.groupBy("item").agg(F.sum("cnt").alias("est_count"))
+    bound = summaries.agg(F.sum("deducted").alias("max_undercount"))
+    return (
+        merged.filter(F.col("item").isNotNull())
+        .crossJoin(F.broadcast(bound))  # 1-row scalar combine
+        .orderBy(F.desc("est_count"), F.asc("item"))
+        .limit(k)
+    )
 
 
 def approx_quantiles(

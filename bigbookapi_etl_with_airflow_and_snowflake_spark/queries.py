@@ -2015,6 +2015,31 @@ FROM ranked GROUP BY l_returnflag
 """
 
 
+def q_heavy_hitter_words(spark, sf):
+    """Distributed Misra-Gries heavy hitters (operators/sketch.py
+    heavy_hitters) over the corpus word stream: per-partition
+    bounded-counter summaries merged in one narrow groupBy. Capacity
+    here exceeds the corpus vocabulary, so the MG deduction never
+    fires and the summary is provably EXACT (max_undercount = 0) —
+    making this a HARD oracle row for the same code path the truly
+    approximate setting (capacity << domain, bound asserted in
+    tests/test_merge_sketch.py) runs."""
+    from .operators.sketch import heavy_hitters
+
+    words = _t(spark, sf, "documents").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    return heavy_hitters(words, "word", k=20, capacity=65536)
+
+
+SQL_HEAVY_HITTER_WORDS = """
+SELECT wd AS item, CAST(COUNT(*) AS BIGINT) AS est_count,
+       CAST(0 AS BIGINT) AS max_undercount
+FROM (SELECT unnest(string_split(text, ' ')) AS wd FROM documents)
+GROUP BY wd ORDER BY est_count DESC, item ASC LIMIT 20
+"""
+
+
 def q_bloom_prejoin_revenue(spark, sf):
     """Bloom-filter semi-join reduction under the oracle gate: revenue
     per order priority over only high-value orders, with the lineitem
@@ -2156,6 +2181,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "approx_distinct_users": (q_approx_distinct_users, None),
     "approx_price_quantiles": (q_approx_price_quantiles, None),
     "distinct_users_exact": (q_distinct_users_exact, SQL_DISTINCT_USERS_EXACT),
+    "heavy_hitter_words": (q_heavy_hitter_words, SQL_HEAVY_HITTER_WORDS),
     "price_quantiles_exact": (q_price_quantiles_exact, SQL_PRICE_QUANTILES_EXACT),
     "bloom_prejoin_revenue": (q_bloom_prejoin_revenue, SQL_BLOOM_PREJOIN_REVENUE),
 }
@@ -2185,8 +2211,10 @@ REGISTRY.update(OPS_REGISTRY)
 # every run.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # round-5 additions — the two stateful streaming operators newly
-    # under the oracle gate need their first driver row
+    # round-5 additions — new operators need their first driver row
+    "passage_dedup",
+    "heavy_hitter_words",
+    # the two stateful streaming operators newly under the oracle gate
     "streaming_join",
     "streaming_user_state",
     # never driver-checked in any round: the exact twins the sketch

@@ -23,6 +23,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from .operators.dedup import passage_dedup
 from .operators.grouped import user_behavior_features
 from .operators.multimodal import audio_stats, image_stats
 from .operators.rollup import refresh_rollup
@@ -725,7 +726,39 @@ WHERE sample_rank <= 25
 """
 
 
+def q_passage_dedup(spark, sf):
+    """Corpus-wide duplicated-passage removal (operators/dedup.py
+    passage_dedup): 8-word passages, global keep-first by (doc,
+    position), documents re-emitted with surviving passages. The
+    passage-level form of Lee et al.'s ExactSubstr dedup."""
+    return passage_dedup(_t(spark, sf, "documents"), "text", "doc_id", k=8)
+
+
+SQL_PASSAGE_DEDUP = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS wd,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), p AS (
+  SELECT doc_id, (i - 1) // 8 AS pidx, string_agg(wd, ' ' ORDER BY i) AS passage
+  FROM w GROUP BY doc_id, (i - 1) // 8
+), r AS (
+  SELECT doc_id, pidx, passage,
+         ROW_NUMBER() OVER (PARTITION BY md5(passage) ORDER BY doc_id, pidx) AS rn
+  FROM p
+)
+SELECT doc_id,
+       COUNT(*) AS n_passages,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY pidx),
+                '') AS clean_text
+FROM r GROUP BY doc_id
+"""
+
+
 OPS_REGISTRY = {
+    "passage_dedup": (q_passage_dedup, SQL_PASSAGE_DEDUP),
     "rollup_refresh": (q_rollup_refresh, SQL_ROLLUP_REFRESH),
     "salted_agg_events": (q_salted_agg_events, SQL_SALTED_AGG_EVENTS),
     "user_features": (q_user_features, SQL_USER_FEATURES),

@@ -102,3 +102,44 @@ def test_approx_quantiles_grouped_shape(spark, sf_dir):
     assert {c for c in out.columns} == {"l_returnflag", "q25", "q50", "q75"}
     for r in rows:
         assert r["q25"] <= r["q50"] <= r["q75"]
+
+
+def test_heavy_hitters_exact_when_capacity_covers_domain(spark):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.sketch import (
+        heavy_hitters,
+    )
+
+    rows = [(f"w{i % 7}",) for i in range(700)] + [("rare",)] * 3
+    df = spark.createDataFrame(rows, ["v"]).repartition(8)
+    got = heavy_hitters(df, "v", k=8, capacity=1000).collect()
+    assert [r["item"] for r in got] == [f"w{i}" for i in range(7)] + ["rare"]
+    assert all(r["max_undercount"] == 0 for r in got)
+    assert got[0]["est_count"] == 100 and got[-1]["est_count"] == 3
+
+
+def test_heavy_hitters_misra_gries_bound_under_compression(spark):
+    """capacity << domain: every estimate must obey
+    est <= true <= est + max_undercount, and items rarer than the bound
+    may vanish but the dominant item must survive."""
+    import random
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.sketch import (
+        heavy_hitters,
+    )
+
+    rng = random.Random(7)
+    vals = ["dominant"] * 3000 + [f"noise{rng.randrange(500)}" for _ in range(3000)]
+    rng.shuffle(vals)
+    true = {}
+    for v in vals:
+        true[v] = true.get(v, 0) + 1
+    df = spark.createDataFrame([(v,) for v in vals], ["v"]).repartition(4)
+    got = heavy_hitters(df, "v", k=5, capacity=50).collect()
+    assert got[0]["item"] == "dominant"
+    bound = got[0]["max_undercount"]
+    assert bound > 0  # compression actually fired
+    for r in got:
+        assert r["est_count"] <= true[r["item"]] <= r["est_count"] + bound
+
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(df, "v", k=0)

@@ -235,3 +235,48 @@ def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
     # land under the SESSION's dir (ours, unless an earlier test set it)
     session_dir = spark.sparkContext.getCheckpointDir().removeprefix("file:")
     assert any(os.scandir(session_dir))
+
+
+def test_passage_dedup_matches_naive(spark):
+    """passage_dedup must equal the obvious single-threaded keep-first
+    over k-word windows: global first occurrence survives, later ones
+    (cross-doc or intra-doc) are cut, docs rebuilt in passage order."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.dedup import (
+        passage_dedup,
+    )
+
+    k = 3
+    docs = [
+        (1, "a b c d e f g h"),            # passages: "a b c","d e f","g h"
+        (2, "a b c x y z"),                # "a b c" duplicates doc 1
+        (3, "d e f d e f"),                # cross-doc dup + intra-doc dup
+        (4, "a b c d e f g h"),            # full duplicate of doc 1
+        (5, "unique words only here now"),
+    ]
+    seen: set[str] = set()
+    want = {}
+    for did, text in docs:
+        words = text.split(" ")
+        parts = [
+            " ".join(words[i : i + k]) for i in range(0, len(words), k)
+        ]
+        kept = []
+        dropped = 0
+        for p in parts:
+            if p in seen:
+                dropped += 1
+            else:
+                seen.add(p)
+                kept.append(p)
+        want[did] = (len(parts), dropped, " ".join(kept))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_passages"], r["n_dropped"], r["clean_text"])
+        for r in passage_dedup(df, "text", "doc_id", k=k).collect()
+    }
+    assert got == want
+    assert got[4] == (3, 3, "")  # fully-duplicated doc → empty rebuild
+
+    with pytest.raises(ValueError, match="passage length"):
+        passage_dedup(df, "text", "doc_id", k=0)
