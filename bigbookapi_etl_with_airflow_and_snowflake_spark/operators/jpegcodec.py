@@ -6,8 +6,9 @@ parsing, canonical-Huffman entropy coding with byte stuffing, DC
 prediction, zigzag, dequantize, 8×8 IDCT (exact orthonormal matrix
 product), chroma upsampling for subsampled scans (4:2:0 / 4:2:2), and
 JFIF YCbCr↔RGB. The encoder emits 4:4:4 or 4:2:0 with the ITU T.81
-Annex K quantization and Huffman tables. Progressive (SOF2),
-arithmetic coding, and 12-bit precision raise ``ValueError``.
+Annex K quantization and Huffman tables. Progressive (SOF2) streams
+dispatch to the jpegprog module; arithmetic coding and 12-bit
+precision raise ``ValueError``.
 
 Numerics worth knowing (exploited by the `jpeg_decode` oracle query):
 a flat 8×8 block has exactly one nonzero DCT coefficient, DC = 8·d
@@ -541,12 +542,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, qid = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "q": qid})
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC6, 0xCA):
+        elif marker == 0xC2:
+            # Huffman progressive: hand the whole payload to the
+            # progressive decoder (lazy import breaks the module cycle)
+            from .jpegprog import decode_jpeg_progressive
+
+            return decode_jpeg_progressive(payload)
+        elif marker in (0xC9, 0xCA, 0xCB):
             # classified distinctly so corpus triage can separate
-            # "needs a progressive decoder" from "corrupt bytes"
-            raise ValueError("unsupported_progressive: JPEG SOF2/6/10 scan")
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC7, 0xC9, 0xCB):
-            raise ValueError("only baseline sequential (SOF0) JPEG supported")
+            # "needs an arithmetic decoder" from "corrupt bytes"
+            raise ValueError("unsupported_arithmetic: JPEG SOF9/10/11 scan")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:

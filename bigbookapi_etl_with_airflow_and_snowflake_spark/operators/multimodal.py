@@ -25,10 +25,11 @@ tested. Decode has two tiers:
   touching the entropy-coded payload — corpus triage at 100 TB never
   pays codec cost.
 - **Stub decode** for media needing true codec libraries (full MP3/AAC
-  synthesis, non-AVI containers, progressive/arithmetic JPEG): not in
-  this container, so :func:`decode_stub` either raises
+  synthesis, non-AVI containers, arithmetic-coded JPEG): not in this
+  container, so :func:`decode_stub` either raises
   ``NotImplementedError`` (strict mode) or produces a deterministic
-  fake so the distributed plumbing stays testable.
+  fake so the distributed plumbing stays testable. (Progressive JPEG
+  is NOT a stub — jpegprog.py decodes SOF2 for real.)
 
 At 100 TB: payload columns dominate I/O, so every operator here projects
 payload bytes only where needed (column pruning keeps metadata-only
@@ -348,7 +349,7 @@ def image_stats(
     100 TB posture: a bad blob must not fail the job — filter on
     ``width IS NULL`` to quarantine). Pass ``reason_col`` to append a
     string column carrying each quarantined row's classified failure
-    (e.g. ``unsupported_progressive`` vs ``malformed``), so triage can
+    (e.g. ``unsupported_arithmetic`` vs ``malformed``), so triage can
     separate "needs a codec we don't ship" from "junk bytes" without
     re-decoding."""
     out_schema = (

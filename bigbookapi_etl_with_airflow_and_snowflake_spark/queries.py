@@ -2214,6 +2214,7 @@ _DRIVER_PRIORITY = [
     # round-5 additions — new operators need their first driver row
     "passage_dedup",
     "heavy_hitter_words",
+    "jpeg_progressive_decode",
     # the two stateful streaming operators newly under the oracle gate
     "streaming_join",
     "streaming_user_state",

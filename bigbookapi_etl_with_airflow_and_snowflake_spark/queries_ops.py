@@ -370,6 +370,49 @@ WHERE regexp_matches(text, '^[ -~]+$') AND length(text) >= 1
 """
 
 
+def q_jpeg_progressive_decode(spark, sf):
+    """N5 PROGRESSIVE JPEG (SOF2) under the same HARD oracle gate as
+    the baseline entry: flat even-gray rasters survive quantization
+    exactly, so the full multi-scan path — DC successive approximation
+    (first pass + refinement bit), AC spectral-selection first passes
+    riding cross-block EOB runs, and two AC refinement passes with
+    correction-bit buffering (operators/jpegprog.py) — must reproduce
+    the pixel bit-exactly through the distributed image_stats path."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    from .operators.jpegprog import encode_jpeg_progressive
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").rlike("^[ -~]+$") & (F.length("text") >= 1))
+        .select(
+            "doc_id",
+            (F.ascii(F.substring("text", 1, 1))
+             - F.pmod(F.ascii(F.substring("text", 1, 1)), F.lit(2))).alias("gray"),
+        )
+    )
+
+    def enc(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = [
+                encode_jpeg_progressive(
+                    _np.full((8, 8, 3), int(v), dtype=_np.uint8)
+                )
+                for v in pdf["gray"]
+            ]
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    jpgs = d.mapInPandas(enc, schema="doc_id long, payload binary")
+    return image_stats(jpgs, "payload", "doc_id")
+
+
+SQL_JPEG_PROGRESSIVE_DECODE = SQL_JPEG_DECODE
+
+
 def q_gif_decode(spark, sf):
     """N5 GIF under the HARD oracle gate: each ASCII document's first
     24 bytes become a 4×6 grayscale raster LZW-compressed into a real
@@ -766,6 +809,7 @@ OPS_REGISTRY = {
     "image_decode": (q_image_decode, SQL_IMAGE_DECODE),
     "png_decode": (q_png_decode, SQL_PNG_DECODE),
     "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
+    "jpeg_progressive_decode": (q_jpeg_progressive_decode, SQL_JPEG_PROGRESSIVE_DECODE),
     "gif_decode": (q_gif_decode, SQL_GIF_DECODE),
     "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),

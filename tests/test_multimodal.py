@@ -463,10 +463,16 @@ def test_jpeg_rejects_unsupported_and_corrupt():
     good = encode_jpeg(img)
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"RIFF" + good)
-    # flip SOF0 marker to SOF2 (progressive) → clean refusal
+    # flip SOF0 marker to SOF2: declares progressive but keeps the
+    # baseline scan header (Ss=0, Se=63 — illegal for a DC scan) →
+    # clean ValueError from the progressive path, not a crash
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="unsupported_progressive"):
+    with pytest.raises(ValueError):
         decode_jpeg(prog)
+    # flip to SOF10 (arithmetic) → classified refusal
+    arith = good.replace(b"\xff\xc0", b"\xff\xca", 1)
+    with pytest.raises(ValueError, match="unsupported_arithmetic"):
+        decode_jpeg(arith)
     # truncated entropy stream → ValueError, not IndexError
     with pytest.raises(ValueError):
         decode_jpeg(good[: len(good) - 12])

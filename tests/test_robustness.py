@@ -185,33 +185,44 @@ def test_hostile_dimensions_bounded_not_oom():
         M.decode_image(bytes(jp))
 
 
-def test_progressive_jpeg_classified_not_just_corrupt(spark):
-    """SOF2 (progressive) must quarantine with a CLASSIFIED reason so
-    corpus triage can split 'needs a progressive decoder' from 'junk
-    bytes' — and the reason column rides image_stats opt-in without
-    changing the default schema."""
-    import struct as _s
-
+def test_progressive_decodes_and_arithmetic_classified(spark):
+    """Progressive (SOF2) now DECODES for real through the distributed
+    path; arithmetic-coded JPEG (SOF9/10/11) must quarantine with a
+    CLASSIFIED reason so corpus triage can split 'needs an arithmetic
+    decoder' from 'junk bytes' — and the reason column rides
+    image_stats opt-in without changing the default schema."""
     import numpy as np
 
     from bigbookapi_etl_with_airflow_and_snowflake_spark.operators import multimodal as M
     from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.jpegcodec import encode_jpeg
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.jpegprog import (
+        encode_jpeg_progressive,
+    )
 
     good = encode_jpeg(np.full((8, 8, 3), 100, np.uint8))
-    prog = bytearray(good)
-    sof = prog.find(b"\xff\xc0")
-    prog[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2
-    with pytest.raises(ValueError, match="unsupported_progressive"):
-        M.decode_image(bytes(prog))
-    rows = [(1, bytearray(good)), (2, bytearray(prog)), (3, bytearray(b"junk"))]
+    prog = encode_jpeg_progressive(np.full((8, 8, 3), 100, np.uint8))
+    arith = bytearray(good)
+    sof = arith.find(b"\xff\xc0")
+    arith[sof + 1] = 0xCA  # rewrite SOF0 -> SOF10 (progressive arithmetic)
+    with pytest.raises(ValueError, match="unsupported_arithmetic"):
+        M.decode_image(bytes(arith))
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(prog)),
+        (3, bytearray(arith)),
+        (4, bytearray(b"junk")),
+    ]
     df = spark.createDataFrame(rows, "img_id long, payload binary")
     got = {
         r["img_id"]: r
         for r in M.image_stats(df, "payload", "img_id", reason_col="reason").collect()
     }
     assert got[1]["width"] == 8 and got[1]["reason"] is None
-    assert got[2]["width"] is None and "unsupported_progressive" in got[2]["reason"]
-    assert got[3]["width"] is None and "unsupported_progressive" not in got[3]["reason"]
+    # progressive decodes — same stats as the baseline encoding
+    assert got[2]["width"] == 8 and got[2]["reason"] is None
+    assert got[2]["mean_pixel"] == got[1]["mean_pixel"]
+    assert got[3]["width"] is None and "unsupported_arithmetic" in got[3]["reason"]
+    assert got[4]["width"] is None and "unsupported_arithmetic" not in got[4]["reason"]
     # default call: schema unchanged (the oracle entries depend on it)
     assert M.image_stats(df, "payload", "img_id").columns == [
         "img_id", "width", "height", "channels", "mean_pixel",
