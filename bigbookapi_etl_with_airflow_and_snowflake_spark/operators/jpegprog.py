@@ -118,30 +118,47 @@ class _ScanWriter:
             self.flush_eobrun()
 
 
-def _encode_dc_first(blocks_by_comp, Al: int, codes) -> bytes:
+def _dc_block_order(comp_zz, dims, samp, mcu_y: int, mcu_x: int):
+    """Interleaved-scan block sequence: for each MCU, each component
+    contributes its v×h data units. MCU positions past a component's
+    real grid clamp to the edge block (the padding blocks interleaved
+    scans must still code — duplicating the edge block is the standard
+    choice and costs ~nothing after DC prediction)."""
+    order = []
+    for my in range(mcu_y):
+        for mx in range(mcu_x):
+            for ci, blocks in enumerate(comp_zz):
+                hs, vs = samp[ci]
+                by, bx = dims[ci]
+                for dy in range(vs):
+                    for dx in range(hs):
+                        yb = min(my * vs + dy, by - 1)
+                        xb = min(mx * hs + dx, bx - 1)
+                        order.append((ci, blocks[yb * bx + xb]))
+    return order
+
+
+def _encode_dc_first(order, ncomp: int, Al: int, codes) -> bytes:
     """Interleaved DC first scan: diff-coded ``dc >> Al`` (arithmetic
-    shift). At 4:4:4/grayscale one MCU is one block per component, so
-    the MCU walk is a plain zip over the raster-order block lists."""
+    shift) over the MCU block sequence."""
     sw = _ScanWriter(codes)
-    preds = [0] * len(blocks_by_comp)
-    for bi in range(len(blocks_by_comp[0])):
-        for ci, blocks in enumerate(blocks_by_comp):
-            v = int(blocks[bi][0]) >> Al
-            diff = v - preds[ci]
-            preds[ci] = v
-            size, amp = _amplitude(diff) if diff else (0, 0)
-            sw.sym(size)
-            if size:
-                sw.w.write(amp, size)
+    preds = [0] * ncomp
+    for ci, zz in order:
+        v = int(zz[0]) >> Al
+        diff = v - preds[ci]
+        preds[ci] = v
+        size, amp = _amplitude(diff) if diff else (0, 0)
+        sw.sym(size)
+        if size:
+            sw.w.write(amp, size)
     return sw.w.flush()
 
 
-def _encode_dc_refine(blocks_by_comp, Al: int) -> bytes:
+def _encode_dc_refine(order, Al: int) -> bytes:
     """DC refinement: one raw bit per block — ``(dc >> Al) & 1``."""
     w = _BitWriter()
-    for bi in range(len(blocks_by_comp[0])):
-        for blocks in blocks_by_comp:
-            w.write((int(blocks[bi][0]) >> Al) & 1, 1)
+    for _ci, zz in order:
+        w.write((int(zz[0]) >> Al) & 1, 1)
     return w.flush()
 
 
@@ -220,9 +237,12 @@ def _encode_ac_refine(blocks, Ss: int, Se: int, Al: int, codes) -> bytes:
     return sw.w.flush()
 
 
-def encode_jpeg_progressive(img: np.ndarray) -> bytes:
+def encode_jpeg_progressive(img: np.ndarray, subsample: str = "4:4:4") -> bytes:
     """Encode (h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 as a
-    progressive (SOF2) JFIF stream, 4:4:4, Annex K quantization.
+    progressive (SOF2) JFIF stream, Annex K quantization. ``subsample``
+    is "4:4:4" or "4:2:0" (2×2-mean chroma, luma 2×2 blocks per MCU —
+    the shape that makes the decoder's padded-MCU vs per-component
+    block-grid distinction observable).
 
     Scan script (exercises every decoder path):
       1. DC first, interleaved, Al=1
@@ -240,21 +260,40 @@ def encode_jpeg_progressive(img: np.ndarray) -> bytes:
             raise ValueError("encode_jpeg_progressive expects RGB or grayscale")
         ycc = _rgb_to_ycbcr(img)
         planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    if subsample not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsample}")
     h, w = img.shape[:2]
     quants = [QUANT_LUMA, QUANT_CHROMA]
+    if not gray and subsample == "4:2:0":
+        ph, pw = -h % 2, -w % 2
+        for i in (1, 2):
+            p = np.pad(planes[i], ((0, ph), (0, pw)), mode="edge")
+            planes[i] = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(
+                axis=(1, 3)
+            )
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1)] * len(planes)
 
     # quantized blocks per component in ZIGZAG order (progressive bands
     # index zigzag positions)
     comp_zz = []
+    dims = []
     for ci, plane in enumerate(planes):
         q = quants[0 if ci == 0 else 1]
-        blocks, _, _ = _blocks(plane - 128.0)
+        blocks, by, bx = _blocks(plane - 128.0)
         coefs = (_D @ blocks) @ _D.T
         qb = np.round(coefs / q).astype(np.int32).reshape(-1, 64)
         comp_zz.append([b[ZIGZAG] for b in qb])
+        dims.append((by, bx))
 
     nc = len(planes)
     codes = _canonical_codes(FLAT_BITS, FLAT_VALS)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcu_y = -(-h // (8 * vmax))
+    mcu_x = -(-w // (8 * hmax))
+    dc_order = _dc_block_order(comp_zz, dims, samp, mcu_y, mcu_x)
 
     out = bytearray(b"\xff\xd8")
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -262,7 +301,8 @@ def encode_jpeg_progressive(img: np.ndarray) -> bytes:
         out += _seg(0xFFDB, bytes([tid]) + bytes(int(v) for v in q.ravel()[ZIGZAG]))
     sof = bytearray(struct.pack(">BHHB", 8, h, w, nc))
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
     out += _seg(0xFFC2, bytes(sof))
     # one flat table serves both classes, both destinations
     for cls in (0, 1):
@@ -279,8 +319,10 @@ def encode_jpeg_progressive(img: np.ndarray) -> bytes:
         body += bytes([Ss, Se, (Ah << 4) | Al])
         return _seg(0xFFDA, bytes(body)) + data
 
-    out += sos(list(range(1, nc + 1)), 0, 0, 0, 1, _encode_dc_first(comp_zz, 1, codes))
-    out += sos(list(range(1, nc + 1)), 0, 0, 1, 0, _encode_dc_refine(comp_zz, 0))
+    out += sos(
+        list(range(1, nc + 1)), 0, 0, 0, 1, _encode_dc_first(dc_order, nc, 1, codes)
+    )
+    out += sos(list(range(1, nc + 1)), 0, 0, 1, 0, _encode_dc_refine(dc_order, 0))
     for Ss, Se in ((1, 5), (6, 63)):
         for ci in range(nc):
             out += sos(

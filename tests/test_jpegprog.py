@@ -61,6 +61,21 @@ def test_progressive_decode_equals_baseline_decode(name):
     assert np.array_equal(dp, db), f"{name}: progressive != baseline decode"
 
 
+@pytest.mark.parametrize(
+    "shape", [(24, 40, 3), (17, 9, 3), (33, 31, 3), (50, 18, 3)]
+)
+def test_progressive_420_equals_baseline_420(shape):
+    """4:2:0 makes the padded-MCU grid differ from the per-component
+    block grids (luma 2×2 blocks per MCU; chroma half-size), so this
+    locks the interleaved-DC MCU walk and the non-interleaved AC
+    addressing — the paths 4:4:4 can't distinguish."""
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    dp = decode_jpeg_progressive(encode_jpeg_progressive(img, "4:2:0"))
+    db = decode_jpeg(encode_jpeg(img, "4:2:0"))
+    assert np.array_equal(dp, db)
+
+
 def test_progressive_grayscale_flat_even_is_exact():
     """Flat even gray has one even DC per block → quantization is exact
     (round(d/2) with even d), so the full progressive pipeline —
