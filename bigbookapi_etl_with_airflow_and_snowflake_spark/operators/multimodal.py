@@ -762,6 +762,224 @@ def mux_avi(frames: list[bytes], width: int, height: int, fps: int = 25) -> byte
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@quarantine_decoder
+def demux_mp4_meta(payload: bytes) -> dict:
+    """Walk an ISO BMFF (MP4/MOV/M4A) box tree WITHOUT decoding media —
+    the same demux-not-decode tier as :func:`demux_mp3_frames` and
+    :func:`demux_avi_frames`, extended to the container that dominates
+    real video corpora. Pure structure math: ``[size:4][type:4]`` boxes
+    (64-bit largesize honored), ``moov/trak/mdia/minf/stbl`` descent.
+
+    Returns: ``{"major_brand", "duration_s" (from mvhd), "n_tracks",
+    "video_codec", "width", "height", "n_video_samples",
+    "audio_codec", "audio_rate"}`` — absent tracks leave None fields.
+    Raises ``ValueError`` on malformed structure (quarantine contract);
+    never touches sample data, so cost is O(box count), not O(bytes).
+    """
+    n = len(payload)
+
+    def boxes(start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            (size,) = struct.unpack_from(">I", payload, i)
+            btype = payload[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:
+                if i + 16 > end:
+                    raise ValueError("truncated largesize box")
+                (size,) = struct.unpack_from(">Q", payload, i + 8)
+                body = i + 16
+            elif size == 0:
+                size = end - i
+            if size < 8 or i + size > end:
+                raise ValueError(f"mp4 box {btype!r} overruns container")
+            yield btype, body, i + size
+            i += size
+
+    def find(start: int, end: int, btype: bytes):
+        for t, b, e in boxes(start, end):
+            if t == btype:
+                return b, e
+        return None
+
+    out = {
+        "major_brand": None, "duration_s": None, "n_tracks": 0,
+        "video_codec": None, "width": None, "height": None,
+        "n_video_samples": None, "audio_codec": None, "audio_rate": None,
+    }
+    moov = None
+    for t, b, e in boxes(0, n):
+        if t == b"ftyp":
+            out["major_brand"] = payload[b : b + 4].decode("latin-1")
+        elif t == b"moov":
+            moov = (b, e)
+    if moov is None:
+        raise ValueError("no moov box in mp4 payload")
+    mb, me = moov
+    mvhd = find(mb, me, b"mvhd")
+    if mvhd is None:
+        raise ValueError("moov without mvhd")
+    ver = payload[mvhd[0]]
+    if ver == 1:
+        timescale, duration = struct.unpack_from(">IQ", payload, mvhd[0] + 20)
+    else:
+        timescale, duration = struct.unpack_from(">II", payload, mvhd[0] + 12)
+    if not timescale:
+        raise ValueError("mvhd timescale of zero")
+    out["duration_s"] = duration / timescale
+    for t, tb, te in boxes(mb, me):
+        if t != b"trak":
+            continue
+        out["n_tracks"] += 1
+        mdia = find(tb, te, b"mdia")
+        if mdia is None:
+            raise ValueError("trak without mdia")
+        hdlr = find(mdia[0], mdia[1], b"hdlr")
+        if hdlr is None:
+            raise ValueError("mdia without hdlr")
+        handler = payload[hdlr[0] + 8 : hdlr[0] + 12]
+        minf = find(mdia[0], mdia[1], b"minf")
+        if minf is None:
+            raise ValueError("mdia without minf")
+        stbl = find(minf[0], minf[1], b"stbl")
+        if stbl is None:
+            raise ValueError("minf without stbl")
+        stsd = find(stbl[0], stbl[1], b"stsd")
+        if stsd is None:
+            raise ValueError("stbl without stsd")
+        # stsd: ver/flags + entry_count, then sample entries
+        codec = payload[stsd[0] + 12 : stsd[0] + 16].decode("latin-1")
+        if handler == b"vide":
+            out["video_codec"] = codec
+            tkhd = find(tb, te, b"tkhd")
+            if tkhd is not None:
+                # width/height live after ver/flags + times + track_id +
+                # reserved + duration + reserved(8) + layer/alt/volume/
+                # reserved(8) + matrix(36): 76 bytes for v0, 88 for v1
+                tver = payload[tkhd[0]]
+                off = tkhd[0] + (88 if tver == 1 else 76)
+                wfix, hfix = struct.unpack_from(">II", payload, off)
+                out["width"] = wfix >> 16  # 16.16 fixed point
+                out["height"] = hfix >> 16
+            stsz = find(stbl[0], stbl[1], b"stsz")
+            if stsz is not None:
+                _fixed, count = struct.unpack_from(">II", payload, stsz[0] + 4)
+                out["n_video_samples"] = count
+        elif handler == b"soun":
+            out["audio_codec"] = codec
+            mdhd = find(mdia[0], mdia[1], b"mdhd")
+            if mdhd is not None:
+                mver = payload[mdhd[0]]
+                (ts,) = struct.unpack_from(
+                    ">I", payload, mdhd[0] + (20 if mver == 1 else 12)
+                )
+                out["audio_rate"] = ts
+    return out
+
+
+def mux_mp4(
+    major_brand: bytes = b"isom",
+    duration_s: float = 1.0,
+    video: tuple[bytes, int, int, int] | None = (b"avc1", 64, 48, 25),
+    audio: tuple[bytes, int] | None = (b"mp4a", 44100),
+) -> bytes:
+    """Minimal deterministic ISO BMFF muxer — the fixture-side inverse
+    of :func:`demux_mp4_meta` (metadata boxes only; no mdat — the
+    demuxer never reads sample data by contract). ``video`` =
+    (codec_fourcc, width, height, n_samples); ``audio`` =
+    (codec_fourcc, sample_rate)."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    timescale = 1000
+    duration = int(round(duration_s * timescale))
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration) + bytes(80),
+    )
+    traks = b""
+    tid = 1
+    if video is not None:
+        codec, w, h, nsamp = video
+        tkhd = box(
+            b"tkhd",
+            # ver/flags, ctime, mtime, track_id, reserved, then the
+            # 56 bytes of duration/reserved/layer/volume/matrix that
+            # precede the 16.16 fixed-point width/height (body off 76)
+            b"\x00\x00\x00\x07" + struct.pack(">IIII", 0, 0, tid, 0)
+            + bytes(56) + struct.pack(">II", w << 16, h << 16),
+        )
+        stsd = box(
+            b"stsd",
+            b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+            + box(codec, bytes(78)),
+        )
+        stsz = box(b"stsz", b"\x00\x00\x00\x00" + struct.pack(">II", 0, nsamp)
+                   + b"".join(struct.pack(">I", 100 + i) for i in range(nsamp)))
+        stbl = box(b"stbl", stsd + stsz)
+        minf = box(b"minf", stbl)
+        hdlr = box(b"hdlr", b"\x00\x00\x00\x00" + bytes(4) + b"vide" + bytes(13))
+        mdhd = box(b"mdhd", b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, timescale, duration) + bytes(4))
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        traks += box(b"trak", tkhd + mdia)
+        tid += 1
+    if audio is not None:
+        codec, rate = audio
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07" + struct.pack(">IIII", 0, 0, tid, 0)
+            + bytes(60) + struct.pack(">II", 0, 0),
+        )
+        stsd = box(
+            b"stsd",
+            b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+            + box(codec, bytes(28)),
+        )
+        stbl = box(b"stbl", stsd)
+        minf = box(b"minf", stbl)
+        hdlr = box(b"hdlr", b"\x00\x00\x00\x00" + bytes(4) + b"soun" + bytes(13))
+        mdhd = box(b"mdhd", b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, rate, int(duration_s * rate)) + bytes(4))
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        traks += box(b"trak", tkhd + mdia)
+    ftyp = box(b"ftyp", major_brand + struct.pack(">I", 0x200) + b"isomiso2")
+    moov = box(b"moov", mvhd + traks)
+    return ftyp + moov
+
+
+def mp4_meta(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Distributed MP4/ISO-BMFF metadata demux: one Arrow-batched
+    ``mapInPandas`` pass, payload column projected only here, corrupt
+    payloads → null row (100 TB posture: a bad blob never fails the
+    job)."""
+    cols = [
+        "major_brand", "duration_s", "n_tracks", "video_codec", "width",
+        "height", "n_video_samples", "audio_codec", "audio_rate",
+    ]
+    out_schema = (
+        f"{id_col} long, major_brand string, duration_s double, n_tracks int, "
+        "video_codec string, width int, height int, n_video_samples long, "
+        "audio_codec string, audio_rate long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {id_col: [], **{c: [] for c in cols}}
+            for rid, p in zip(pdf[id_col], pdf[payload_col]):
+                out[id_col].append(rid)
+                try:
+                    meta = demux_mp4_meta(bytes(p) if p is not None else b"")
+                    for c in cols:
+                        out[c].append(meta[c])
+                except ValueError:
+                    for c in cols:
+                        out[c].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_stub(
     payload: bytes, every_n: int = 10, frame_size: int = 64, strict: bool = False
 ) -> list[bytes]:

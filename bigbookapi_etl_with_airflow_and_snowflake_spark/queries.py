@@ -2215,6 +2215,7 @@ _DRIVER_PRIORITY = [
     "passage_dedup",
     "heavy_hitter_words",
     "jpeg_progressive_decode",
+    "video_meta",
     # the two stateful streaming operators newly under the oracle gate
     "streaming_join",
     "streaming_user_state",

@@ -546,6 +546,84 @@ FROM range(2021) t(i)
 """
 
 
+def q_video_meta(spark, sf):
+    """N5 MP4/ISO-BMFF box-tree demux under the oracle gate: a
+    metadata-complete MP4 is synthesized per document from (doc_id,
+    text length) alone — brand mp42/isom by id parity, duration
+    ``tlen/10`` s, a video track (avc1/hvc1 by id%2, width 16·(tlen%20
+    +1), height 16·(tlen%12+1), tlen%9+1 samples) on ids not divisible
+    by 7, an audio track (mp4a, rate 44100/48000 by id%3 != 0 … rate =
+    44100 + 3900·(id%2)) on ids not divisible by 5 — then ``mp4_meta``
+    walks the real box tree distributed. The oracle predicts every
+    column from the same arithmetic; any box-walk slip (size math,
+    largesize, fixed-point width) breaks the match."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    from .operators.multimodal import mp4_meta, mux_mp4
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.length("text").alias("tlen"))
+    )
+
+    def synth(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        def mk(doc_id: int, tlen: int) -> bytes:
+            video = None
+            if doc_id % 7:
+                codec = b"avc1" if doc_id % 2 == 0 else b"hvc1"
+                video = (codec, 16 * (tlen % 20 + 1), 16 * (tlen % 12 + 1),
+                         tlen % 9 + 1)
+            audio = None
+            if doc_id % 5:
+                audio = (b"mp4a", 44100 + 3900 * (doc_id % 2))
+            return mux_mp4(
+                b"mp42" if doc_id % 2 == 0 else b"isom",
+                (tlen % 100) / 10.0,
+                video,
+                audio,
+            )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mk(int(i), int(t))
+                        for i, t in zip(pdf["doc_id"], pdf["tlen"])
+                    ],
+                }
+            )
+
+    vids = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return mp4_meta(vids, "payload", "doc_id")
+
+
+SQL_VIDEO_META = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'mp42' ELSE 'isom' END AS major_brand,
+       CAST(length(text) % 100 AS DOUBLE) / 10.0 AS duration_s,
+       CAST((CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_tracks,
+       CASE WHEN doc_id % 7 <> 0
+            THEN (CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hvc1' END)
+       END AS video_codec,
+       CASE WHEN doc_id % 7 <> 0
+            THEN CAST(16 * (length(text) % 20 + 1) AS INTEGER) END AS width,
+       CASE WHEN doc_id % 7 <> 0
+            THEN CAST(16 * (length(text) % 12 + 1) AS INTEGER) END AS height,
+       CASE WHEN doc_id % 7 <> 0
+            THEN CAST(length(text) % 9 + 1 AS BIGINT) END AS n_video_samples,
+       CASE WHEN doc_id % 5 <> 0 THEN 'mp4a' END AS audio_codec,
+       CASE WHEN doc_id % 5 <> 0
+            THEN CAST(44100 + 3900 * (doc_id % 2) AS BIGINT) END AS audio_rate
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def q_audio_meta(spark, sf):
     """N5 MP3 frame-header demux under the oracle gate: a CBR MPEG-1
     Layer III stream is synthesized per document from (doc_id, text
@@ -814,6 +892,7 @@ OPS_REGISTRY = {
     "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
     "audio_meta": (q_audio_meta, SQL_AUDIO_META),
+    "video_meta": (q_video_meta, SQL_VIDEO_META),
     "rest_pages_distributed": (q_rest_pages_distributed, SQL_REST_PAGES_DISTRIBUTED),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "kmeans_assign_init": (q_kmeans_assign_init, SQL_KMEANS_ASSIGN_INIT),

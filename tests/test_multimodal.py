@@ -763,3 +763,49 @@ def test_audio_meta_distributed(spark):
     assert got[1]["duration_s"] == 4 * 1152 / 44100
     assert got[2]["bitrate_kbps"] == (160 + 224) / 2
     assert got[3]["n_frames"] is None and got[4]["n_frames"] is None
+
+
+def test_mp4_demux_roundtrip_and_quarantine(spark):
+    """ISO-BMFF box-walk demux: mux_mp4 fixtures round-trip every
+    metadata field; corrupt payloads only ever raise ValueError and the
+    distributed path nulls them instead of failing the job."""
+    import numpy as np
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.multimodal import (
+        demux_mp4_meta,
+        mp4_meta,
+        mux_mp4,
+    )
+
+    both = mux_mp4(b"mp42", 2.5, (b"avc1", 320, 240, 7), (b"mp4a", 48000))
+    m = demux_mp4_meta(both)
+    assert m == {
+        "major_brand": "mp42", "duration_s": 2.5, "n_tracks": 2,
+        "video_codec": "avc1", "width": 320, "height": 240,
+        "n_video_samples": 7, "audio_codec": "mp4a", "audio_rate": 48000,
+    }
+    audio_only = demux_mp4_meta(mux_mp4(b"isom", 0.5, None, (b"mp4a", 22050)))
+    assert audio_only["video_codec"] is None and audio_only["audio_rate"] == 22050
+    video_only = demux_mp4_meta(mux_mp4(b"qt  ", 10.0, (b"hvc1", 1920, 1080, 3), None))
+    assert video_only["video_codec"] == "hvc1" and video_only["width"] == 1920
+    with pytest.raises(ValueError):
+        demux_mp4_meta(b"\x00\x00\x00\x08ftypAAAA")  # no moov
+    with pytest.raises(ValueError):
+        demux_mp4_meta(both[:40])  # moov overruns
+
+    # bit-flip fuzz: ValueError or a successful parse, nothing else
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        q = bytearray(both)
+        for _k in range(rng.integers(1, 5)):
+            q[rng.integers(0, len(q))] ^= 1 << rng.integers(0, 8)
+        try:
+            demux_mp4_meta(bytes(q))
+        except ValueError:
+            pass
+
+    rows = [(1, bytearray(both)), (2, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "vid_id long, payload binary")
+    got = {r["vid_id"]: r for r in mp4_meta(df, "payload", "vid_id").collect()}
+    assert got[1]["video_codec"] == "avc1" and got[1]["n_tracks"] == 2
+    assert got[2]["major_brand"] is None and got[2]["n_tracks"] is None
