@@ -2216,6 +2216,7 @@ _DRIVER_PRIORITY = [
     "heavy_hitter_words",
     "jpeg_progressive_decode",
     "video_meta",
+    "zorder_key_events",
     # the two stateful streaming operators newly under the oracle gate
     "streaming_join",
     "streaming_user_state",

@@ -847,6 +847,32 @@ WHERE sample_rank <= 25
 """
 
 
+def q_zorder_key_events(spark, sf):
+    """Z-order layout key (operators/zorder.py) under the HARD oracle
+    gate: the Morton key over (user_id, value) — min-max normalization
+    to a 16-bit grid in fixed-order IEEE double arithmetic, then bit
+    interleave — replayed bit-for-bit by the generated SQL. The key is
+    what zorder_layout range-partitions on to give every indexed
+    dimension ~sqrt(n) file-skipping locality."""
+    from .operators.zorder import zorder_key
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "value")
+    return zorder_key(e, ["user_id", "value"], bits=16).select(
+        "event_id", "zkey"
+    )
+
+
+def _sql_zorder_key_events() -> str:
+    from .operators.zorder import zorder_oracle_sql
+
+    return zorder_oracle_sql(
+        "(SELECT event_id, user_id, value FROM events)",
+        ["user_id", "value"],
+        bits=16,
+        id_cols="event_id",
+    )
+
+
 def q_passage_dedup(spark, sf):
     """Corpus-wide duplicated-passage removal (operators/dedup.py
     passage_dedup): 8-word passages, global keep-first by (doc,
@@ -880,6 +906,7 @@ FROM r GROUP BY doc_id
 
 OPS_REGISTRY = {
     "passage_dedup": (q_passage_dedup, SQL_PASSAGE_DEDUP),
+    "zorder_key_events": (q_zorder_key_events, _sql_zorder_key_events()),
     "rollup_refresh": (q_rollup_refresh, SQL_ROLLUP_REFRESH),
     "salted_agg_events": (q_salted_agg_events, SQL_SALTED_AGG_EVENTS),
     "user_features": (q_user_features, SQL_USER_FEATURES),
