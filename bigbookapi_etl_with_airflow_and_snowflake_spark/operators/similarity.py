@@ -127,6 +127,73 @@ def knn_label_vote(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 0,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., *SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication*, 2023): k-means the
+    embedding space, then call two documents semantic duplicates when
+    their cosine similarity within a cluster reaches ``threshold``;
+    keep the lowest id of each duplicate relation (the same greedy
+    :func:`~..queries_ext` ``near_dedup_keep`` uses, so both dedup
+    tiers share drop semantics).
+
+    The clustering IS the scalability story — identical to this
+    module's IVF tier: all-pairs cosine is O(n²), but pairs are only
+    scored inside a cluster, so compute is Σ|cluster|² and the
+    self-join partitions by cluster id. At 100 TB pick k ~ n/C for a
+    target cluster size C (the paper uses tens of thousands of
+    clusters); a skewed hot cluster bounds exactly like a hot PPJoin
+    bucket (salt it or sub-cluster).
+
+    ``iters=0`` uses the deterministic smallest-id init verbatim —
+    fully SQL-replayable (the oracle's hard row); real runs raise
+    ``iters``. Cosine rides the module's sequential-fold expressions
+    for bit-portable parity.
+
+    Output: one row per input — (id, cluster, keep boolean).
+    """
+    from .clustering import kmeans_lloyd
+
+    src = df.select(id_col, vec_col)
+    _, centroids = kmeans_lloyd(src, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    from .clustering import assign_clusters
+
+    assigned = assign_clusters(src, centroids, vec_col)
+    a = assigned.select(
+        F.col("cluster").alias("__c"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = assigned.select(
+        F.col("cluster").alias("__c"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    dropped = (
+        a.join(b, "__c")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__idb").alias("__dropped"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, assigned[id_col] == dropped["__dropped"], "left"
+        )
+        .select(
+            id_col,
+            "cluster",
+            F.col("__dropped").isNull().alias("keep"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.4,

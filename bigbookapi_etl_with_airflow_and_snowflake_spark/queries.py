@@ -2217,6 +2217,7 @@ _DRIVER_PRIORITY = [
     "jpeg_progressive_decode",
     "video_meta",
     "zorder_key_events",
+    "semantic_dedup",
     # the two stateful streaming operators newly under the oracle gate
     "streaming_join",
     "streaming_user_state",

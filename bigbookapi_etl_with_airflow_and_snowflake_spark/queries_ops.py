@@ -791,6 +791,58 @@ WHERE rn = 1
 """
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup (cluster-then-cosine-prune, operators/similarity.py
+    semantic_dedup) at the oracle-checkable configuration: 0-iteration
+    deterministic centroids → the assignment, the intra-cluster cosine
+    pair scoring, AND the greedy keep-lowest drop rule are all replayed
+    in SQL — a fully hard row for the composed pipeline, not just a
+    kernel twin. Threshold matches embedding_neardup (0.4) so both
+    semantic tiers are comparable on the same corpus."""
+    from .operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf, "embeddings"), k=8, iters=0, threshold=0.4
+    )
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH init AS (
+  SELECT embedding AS c_vec,
+         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+d AS (
+  SELECT e.vec_id, e.embedding, i.cluster,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+           j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(i.c_vec[j] AS DOUBLE))
+              * (CAST(e.embedding[j] AS DOUBLE) - CAST(i.c_vec[j] AS DOUBLE)))) AS d2
+  FROM embeddings e CROSS JOIN init i
+),
+asg AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT vec_id, embedding, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM d) t
+  WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS dropped FROM asg a JOIN asg b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+          j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+             j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+             j -> CAST(b.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)))))
+        >= 0.4
+)
+SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+       (p.dropped IS NULL) AS keep
+FROM asg a LEFT JOIN dropped p ON a.vec_id = p.dropped
+"""
+
+
 def q_cluster_balanced_sample(spark, sf):
     """Diversity sampling: md5-ordered top-N per k-means cluster —
     keeps long-tail content a uniform sample would drown. Iterative
@@ -922,6 +974,7 @@ OPS_REGISTRY = {
     "video_meta": (q_video_meta, SQL_VIDEO_META),
     "rest_pages_distributed": (q_rest_pages_distributed, SQL_REST_PAGES_DISTRIBUTED),
     "kmeans_clusters": (q_kmeans_clusters, None),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "kmeans_assign_init": (q_kmeans_assign_init, SQL_KMEANS_ASSIGN_INIT),
     "cluster_balanced_sample": (q_cluster_balanced_sample, None),
     "cluster_sample_init": (q_cluster_sample_init, SQL_CLUSTER_SAMPLE_INIT),

@@ -410,3 +410,56 @@ def test_checkpoint_dir_is_set_once_and_conflicts_warn(spark, tmp_path):
         assert out.count() == 5
         assert any("checkpoint dir is already" in str(x.message) for x in w)
     assert spark.sparkContext.getCheckpointDir() == current
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    """semantic_dedup == the naive per-cluster pairwise prune computed
+    in numpy from the operator's own assignments: planted near-copies
+    must drop (keep the lowest id), isolated vectors must survive, and
+    the greedy rule must match exactly."""
+    import numpy as np
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_lloyd,
+    )
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(12, 8))
+    vecs = []
+    for i, v in enumerate(base):
+        vecs.append((i * 10, [float(x) for x in v]))
+        if i % 3 == 0:  # planted near-copy: tiny perturbation
+            vecs.append((i * 10 + 1, [float(x) for x in v + rng.normal(scale=1e-3, size=8)]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    t = 0.98
+    got = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semantic_dedup(df, k=4, iters=2, threshold=t).collect()
+    }
+    # brute-force replay from the SAME clustering (k-means itself is
+    # locked by tests/test_clustering.py)
+    _, cents = kmeans_lloyd(df, k=4, iters=2)
+    asg = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(df, cents).collect()
+    }
+    v = {i: np.array(x) for i, x in vecs}
+    want = {}
+    for i in sorted(v):
+        drop = any(
+            asg[j] == asg[i]
+            and j < i
+            and float(v[i] @ v[j] / (np.linalg.norm(v[i]) * np.linalg.norm(v[j]))) >= t
+            for j in v
+        )
+        want[i] = (asg[i], not drop)
+    assert got == want
+    # every planted near-copy dropped, every base vector kept
+    assert all(not got[i * 10 + 1][1] or got[i * 10][0] != got[i * 10 + 1][0]
+               for i in range(0, 12, 3))
+    assert all(got[i * 10][1] for i in range(12))
