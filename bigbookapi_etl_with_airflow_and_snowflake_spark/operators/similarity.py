@@ -134,6 +134,7 @@ def semantic_dedup(
     k: int = 8,
     iters: int = 0,
     threshold: float = 0.95,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., *SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication*, 2023): k-means the
@@ -157,28 +158,40 @@ def semantic_dedup(
     for bit-portable parity.
 
     Output: one row per input — (id, cluster, keep boolean).
+    ``checkpoint_dir`` selects the lineage-truncation tier for the
+    assignment table (it feeds BOTH self-join sides and the final
+    keep-flag join — without materialization the scan + assignment
+    expression would run three times); see neardup._materialize.
     """
-    from .clustering import kmeans_lloyd
+    from .clustering import assign_clusters, kmeans_lloyd
+    from .neardup import _materialize
 
     src = df.select(id_col, vec_col)
     _, centroids = kmeans_lloyd(src, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    from .clustering import assign_clusters
-
-    assigned = assign_clusters(src, centroids, vec_col)
+    assigned = _materialize(assign_clusters(src, centroids, vec_col), checkpoint_dir)
+    # norms precomputed per ROW, not per pair (identical doubles — the
+    # per-pair sqrt(Σx²) the oracle writes inline is the same sequential
+    # fold, just evaluated once per side instead of once per candidate)
     a = assigned.select(
         F.col("cluster").alias("__c"),
         F.col(id_col).alias("__ida"),
         F.col(vec_col).alias("__va"),
+        l2_norm(F.col(vec_col)).alias("__na"),
     )
     b = assigned.select(
         F.col("cluster").alias("__c"),
         F.col(id_col).alias("__idb"),
         F.col(vec_col).alias("__vb"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
     )
     dropped = (
         a.join(b, "__c")
         .filter(F.col("__ida") < F.col("__idb"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .filter(
+            dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb"))
+            >= threshold
+        )
         .select(F.col("__idb").alias("__dropped"))
         .distinct()
     )

@@ -2269,8 +2269,14 @@ _DRIVER_PRIORITY = [
     "audio_meta",
     "rest_pages_distributed",
     # r3-stale entries whose modules this round touched (neardup
-    # checkpoint guard, multimodal bounds) or with the most intricate
-    # plans; the rest of the r3-stale set rotates next round
+    # checkpoint guard + hot_bucket_cap, multimodal bounds) or with the
+    # most intricate plans. The six round-5 operator additions above
+    # push the first-50 cutoff into this block: decontaminate /
+    # merge_upsert_orders / rollup_refresh / salted_agg_events land at
+    # positions 51-54 — a deliberate trade (r3-green, code paths
+    # untouched this round, locally replayed by test_oracle_parity.py)
+    # so every NEW operator gets its first driver row; they rotate back
+    # in next round.
     "jaccard_pairs",
     "simhash_pairs",
     "dedup_clusters",

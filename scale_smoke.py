@@ -93,6 +93,14 @@ QUERIES = [
     "video_frames",
     "distinct_users_exact",
     "price_quantiles_exact",
+    # round-5 additions: passage dedup, MG heavy hitters, progressive
+    # JPEG, MP4 demux, z-order keys, SemDeDup
+    "passage_dedup",
+    "heavy_hitter_words",
+    "jpeg_progressive_decode",
+    "video_meta",
+    "zorder_key_events",
+    "semantic_dedup",
 ]
 
 
