@@ -2218,6 +2218,7 @@ _DRIVER_PRIORITY = [
     "video_meta",
     "zorder_key_events",
     "semantic_dedup",
+    "scd2_customer_history",
     # the two stateful streaming operators newly under the oracle gate
     "streaming_join",
     "streaming_user_state",

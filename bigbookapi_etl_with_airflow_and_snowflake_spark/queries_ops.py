@@ -185,6 +185,72 @@ FROM orders
 """
 
 
+def q_scd2_customer_history(spark, sf):
+    """SCD Type-2 dimension history (sinks/merge.py scd2_merge) through
+    its REAL three-batch path: customers load at t1; at t2 every
+    custkey divisible by 3 moves to segment 'PROMO'; at t3 every
+    custkey divisible by 5 moves nation (+1). The oracle constructs the
+    exact expected history table — close/reopen per change, unchanged
+    keys passing through untouched, cumulative attributes carried
+    forward — so any slip in change detection (incl. the null-safe
+    comparison), row closing, or pass-through breaks the match."""
+    from .sinks.merge import scd2_merge
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    d = tempfile.mkdtemp(prefix="q_scd2_")
+    path = os.path.join(d, "dim_customer")
+    try:
+        scd2_merge(spark, c, path, ["c_custkey"],
+                   ["c_mktsegment", "c_nationkey"], "2024-01-01")
+        b2 = c.withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 3 == 0, F.lit("PROMO")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+        scd2_merge(spark, b2, path, ["c_custkey"],
+                   ["c_mktsegment", "c_nationkey"], "2024-02-01")
+        b3 = b2.withColumn(
+            "c_nationkey",
+            F.when(F.col("c_custkey") % 5 == 0, F.col("c_nationkey") + 1).otherwise(
+                F.col("c_nationkey")
+            ),
+        )
+        scd2_merge(spark, b3, path, ["c_custkey"],
+                   ["c_mktsegment", "c_nationkey"], "2024-03-01")
+        out = spark.read.parquet(path).select(
+            "c_custkey", "c_mktsegment", "c_nationkey",
+            "valid_from", "valid_to", "is_current",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_SCD2_CUSTOMER_HISTORY = """
+WITH c AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+                  c_custkey % 3 = 0 AS chg2, c_custkey % 5 = 0 AS chg3
+           FROM customer)
+SELECT c_custkey, c_mktsegment, c_nationkey,
+       '2024-01-01' AS valid_from,
+       CASE WHEN chg2 THEN '2024-02-01' WHEN chg3 THEN '2024-03-01' END AS valid_to,
+       NOT (chg2 OR chg3) AS is_current
+FROM c
+UNION ALL
+SELECT c_custkey, 'PROMO', c_nationkey, '2024-02-01',
+       CASE WHEN chg3 THEN '2024-03-01' END,
+       NOT chg3
+FROM c WHERE chg2
+UNION ALL
+SELECT c_custkey,
+       CASE WHEN chg2 THEN 'PROMO' ELSE c_mktsegment END,
+       c_nationkey + 1, '2024-03-01', NULL, TRUE
+FROM c WHERE chg3
+"""
+
+
 def q_bucketed_join_revenue(spark, sf):
     """The co-located (shuffle-free) join through its REAL path: both
     sides written as bucketed+sorted catalog tables on the join key,
@@ -963,6 +1029,7 @@ OPS_REGISTRY = {
     "salted_agg_events": (q_salted_agg_events, SQL_SALTED_AGG_EVENTS),
     "user_features": (q_user_features, SQL_USER_FEATURES),
     "merge_upsert_orders": (q_merge_upsert_orders, SQL_MERGE_UPSERT_ORDERS),
+    "scd2_customer_history": (q_scd2_customer_history, SQL_SCD2_CUSTOMER_HISTORY),
     "image_decode": (q_image_decode, SQL_IMAGE_DECODE),
     "png_decode": (q_png_decode, SQL_PNG_DECODE),
     "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),

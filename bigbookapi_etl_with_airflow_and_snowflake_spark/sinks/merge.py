@@ -59,10 +59,113 @@ def merge_parquet(
     merged.write.mode("overwrite").parquet(staging)
     n = spark.read.parquet(staging).count()
 
+    _swap_dirs(staging, path)
+    return n
+
+
+def _swap_dirs(staging: str, path: str) -> None:
+    """Atomic-on-POSIX table swap: rename current aside, promote
+    staging, drop the old generation."""
     backup = f"{path}.__old_{uuid.uuid4().hex[:8]}"
     if os.path.exists(path):
         os.rename(path, backup)
     os.rename(staging, path)
     if os.path.exists(backup):
         shutil.rmtree(backup)
+
+
+def scd2_merge(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    batch_ts,
+) -> int:
+    """Slowly-changing-dimension **Type 2** merge: instead of
+    overwriting changed attributes (:func:`merge_parquet`'s Type-1
+    semantics), history is preserved — the previously current row is
+    CLOSED (``valid_to`` = ``batch_ts``, ``is_current`` = false) and a
+    new current row opens at ``batch_ts``. The standard warehouse
+    dimension-history pattern (Kimball SCD2), as one declarative plan:
+
+    - change detection = null-safe inequality (``<=>`` negated) over
+      ``tracked``, so NULL→value and value→NULL both count as changes;
+    - unchanged keys and already-closed history pass through UNTOUCHED;
+    - brand-new keys open their first row at ``batch_ts``.
+
+    One shuffle (the key join of current-open rows against the batch);
+    history rows never join anything. Same staging-swap write protocol
+    as :func:`merge_parquet`. Returns the post-merge row count.
+
+    ``incoming`` carries (keys + tracked); ``batch_ts`` is the
+    effective timestamp (a literal or Column). The table schema is
+    keys + tracked + (valid_from, valid_to, is_current).
+    """
+    from pyspark.sql import functions as F
+
+    ts = batch_ts if hasattr(batch_ts, "_jc") else F.lit(batch_ts)
+    inc = incoming.select(*keys, *tracked)
+    if os.path.exists(path):
+        current = spark.read.parquet(path)
+        open_rows = current.filter(F.col("is_current"))
+        closed_rows = current.filter(~F.col("is_current"))
+        changed = F.lit(False)
+        for c in tracked:
+            changed = changed | ~F.col(f"__cur.{c}").eqNullSafe(F.col(f"__inc.{c}"))
+        # full-outer on the keys: one side only ⇒ new key (open) or
+        # absent from batch (pass through); both ⇒ close+reopen iff
+        # changed. Presence can't be read off nullable attrs, so each
+        # side carries a non-null literal tag.
+        j = (
+            open_rows.withColumn("__has_cur", F.lit(True)).alias("__cur")
+            .join(
+                inc.withColumn("__has_inc", F.lit(True)).alias("__inc"),
+                list(keys),
+                "full_outer",
+            )
+        )
+        keep_open = j.filter(
+            F.col("__has_cur").isNotNull()
+            & (F.col("__has_inc").isNull() | ~changed)
+        ).select(
+            *keys, *[F.col(f"__cur.{c}").alias(c) for c in tracked],
+            "valid_from", "valid_to", "is_current",
+        )
+        closed_now = j.filter(
+            F.col("__has_cur").isNotNull() & F.col("__has_inc").isNotNull() & changed
+        ).select(
+            *keys, *[F.col(f"__cur.{c}").alias(c) for c in tracked],
+            "valid_from", ts.alias("valid_to"), F.lit(False).alias("is_current"),
+        )
+        opened_now = j.filter(
+            F.col("__has_inc").isNotNull()
+            & (F.col("__has_cur").isNull() | changed)
+        ).select(
+            *keys, *[F.col(f"__inc.{c}").alias(c) for c in tracked],
+            ts.alias("valid_from"),
+            F.lit(None).cast(ts_type(ts, spark)).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        merged = closed_rows.unionByName(keep_open).unionByName(
+            closed_now
+        ).unionByName(opened_now)
+    else:
+        merged = inc.select(
+            *keys, *tracked,
+            ts.alias("valid_from"),
+            F.lit(None).cast(ts_type(ts, spark)).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+
+    staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
+    _swap_dirs(staging, path)
     return n
+
+
+def ts_type(ts, spark: SparkSession) -> str:
+    """DDL type of the effective-timestamp expression, so the open
+    rows' null valid_to matches valid_from's type exactly."""
+    return spark.range(1).select(ts.alias("t")).schema[0].dataType.simpleString()

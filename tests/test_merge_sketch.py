@@ -143,3 +143,44 @@ def test_heavy_hitters_misra_gries_bound_under_compression(spark):
 
     with pytest.raises(ValueError, match="capacity"):
         heavy_hitters(df, "v", k=0)
+
+
+def test_scd2_merge_history_semantics(spark, tmp_path):
+    """Type-2 merge: change → close + reopen; no change → untouched
+    (incl. a same-batch rerun = idempotent); NULL→value counts as a
+    change (null-safe comparison); new keys open at the batch ts."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.merge import scd2_merge
+
+    path = str(tmp_path / "dim")
+    keys, tracked = ["k"], ["seg", "score"]
+    b1 = spark.createDataFrame([(1, "A", 10), (2, "B", 20), (3, None, 30)], ["k", "seg", "score"])
+    assert scd2_merge(spark, b1, path, keys, tracked, "t1") == 3
+    # rerun of the identical batch must be a no-op
+    assert scd2_merge(spark, b1, path, keys, tracked, "t1b") == 3
+    b2 = spark.createDataFrame(
+        [(1, "A", 10), (2, "C", 20), (3, "X", 30), (4, "D", 40)], ["k", "seg", "score"]
+    )
+    assert scd2_merge(spark, b2, path, keys, tracked, "t2") == 6
+    rows = {
+        (r["k"], r["valid_from"]): (r["seg"], r["score"], r["valid_to"], r["is_current"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rows[(1, "t1")] == ("A", 10, None, True)          # unchanged
+    assert rows[(2, "t1")] == ("B", 20, "t2", False)         # closed
+    assert rows[(2, "t2")] == ("C", 20, None, True)          # reopened
+    assert rows[(3, "t1")] == (None, 30, "t2", False)        # NULL -> X closed
+    assert rows[(3, "t2")] == ("X", 30, None, True)
+    assert rows[(4, "t2")] == ("D", 40, None, True)          # new key
+    # closed history rows never rejoin: a third batch touching key 2
+    # leaves the (2, t1) row bit-identical
+    b3 = spark.createDataFrame([(2, "C", 25)], ["k", "seg", "score"])
+    assert scd2_merge(spark, b3, path, keys, tracked, "t3") == 7
+    rows3 = {
+        (r["k"], r["valid_from"]): (r["seg"], r["score"], r["valid_to"], r["is_current"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rows3[(2, "t1")] == ("B", 20, "t2", False)
+    assert rows3[(2, "t2")] == ("C", 20, "t3", False)
+    assert rows3[(2, "t3")] == ("C", 25, None, True)
+    # keys absent from b3 pass through untouched
+    assert rows3[(1, "t1")] == ("A", 10, None, True)
