@@ -895,13 +895,14 @@ asg AS (
 dropped AS (
   SELECT DISTINCT b.vec_id AS dropped FROM asg a JOIN asg b
     ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+  WHERE ROUND(
+        list_sum(list_transform(range(1, len(a.embedding) + 1),
           j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)))
         / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
              j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE))))
          * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-             j -> CAST(b.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)))))
-        >= 0.4
+             j -> CAST(b.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE))))),
+        6) >= 0.4
 )
 SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
        (p.dropped IS NULL) AS keep

@@ -454,7 +454,9 @@ def test_semantic_dedup_matches_bruteforce(spark):
         drop = any(
             asg[j] == asg[i]
             and j < i
-            and float(v[i] @ v[j] / (np.linalg.norm(v[i]) * np.linalg.norm(v[j]))) >= t
+            and round(
+                float(v[i] @ v[j] / (np.linalg.norm(v[i]) * np.linalg.norm(v[j]))), 6
+            ) >= t
             for j in v
         )
         want[i] = (asg[i], not drop)
