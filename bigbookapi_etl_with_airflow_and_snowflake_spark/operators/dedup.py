@@ -140,6 +140,69 @@ def passage_dedup(
     )
 
 
+def boilerplate_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_df: int = 3,
+) -> DataFrame:
+    """CCNet-style boilerplate filtering: a passage (k-word window, as
+    in :func:`passage_dedup`) appearing in MORE than ``max_df`` distinct
+    documents is template chrome — navigation, license banners, cookie
+    notices — and is removed from EVERY document (unlike keep-first
+    dedup, no occurrence survives). Documents are re-emitted with their
+    remaining passages in order.
+
+    Plan: passages → per-passage DISTINCT-document frequency (one
+    hash aggregate, map-side partial) → frequency joined back on the
+    16-byte md5 → per-doc rebuild. The df table is corpus-sized but
+    narrow (hash, count); the join key is uniform by construction.
+
+    Output: (id_col, n_passages, n_boilerplate, clean_text).
+    """
+    if k < 1 or max_df < 1:
+        raise ValueError(f"k and max_df must be >= 1, got k={k}, max_df={max_df}")
+    arr = F.split(F.col(text_col), " ")
+    npass = F.ceil(F.size(arr) / F.lit(k)).cast("int")
+    passages = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), npass - 1),
+                lambda j: F.array_join(F.slice(arr, j * k + 1, k), " "),
+            )
+        ).alias("__pidx", "__passage"),
+    ).withColumn("__h", F.md5(F.col("__passage").cast("binary")))
+    docfreq = passages.groupBy("__h").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    flagged = passages.join(docfreq, "__h").withColumn(
+        "__boiler", F.col("__df") > max_df
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_passages"),
+            F.sum(F.col("__boiler").cast("long")).alias("n_boilerplate"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("__boiler"),
+                                F.struct("__pidx", "__passage"),
+                            )
+                        )
+                    ),
+                    lambda s: s["__passage"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
 def drop_duplicates(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
     """Arbitrary-row dedup — Spark's native ``dropDuplicates`` (the
     non-deterministic fast path; prefer :func:`keep_first_dedup` when the

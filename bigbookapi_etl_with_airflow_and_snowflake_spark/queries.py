@@ -2219,6 +2219,7 @@ _DRIVER_PRIORITY = [
     "zorder_key_events",
     "semantic_dedup",
     "scd2_customer_history",
+    "boilerplate_removal",
     # the two stateful streaming operators newly under the oracle gate
     "streaming_join",
     "streaming_user_state",

@@ -966,6 +966,44 @@ WHERE sample_rank <= 25
 """
 
 
+def q_boilerplate_removal(spark, sf):
+    """CCNet-style boilerplate filter (operators/dedup.py
+    boilerplate_removal): 8-word passages occurring in more than 3
+    distinct documents are removed from every document. The
+    frequency-threshold complement of passage_dedup's keep-first rule,
+    under the same window arithmetic oracle."""
+    from .operators.dedup import boilerplate_removal
+
+    return boilerplate_removal(
+        _t(spark, sf, "documents"), "text", "doc_id", k=8, max_df=3
+    )
+
+
+SQL_BOILERPLATE_REMOVAL = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS wd,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), p AS (
+  SELECT doc_id, (i - 1) // 8 AS pidx, string_agg(wd, ' ' ORDER BY i) AS passage
+  FROM w GROUP BY doc_id, (i - 1) // 8
+), df AS (
+  SELECT md5(passage) AS h, COUNT(DISTINCT doc_id) AS ndocs
+  FROM p GROUP BY md5(passage)
+), f AS (
+  SELECT p.doc_id, p.pidx, p.passage, df.ndocs > 3 AS boiler
+  FROM p JOIN df ON md5(p.passage) = df.h
+)
+SELECT doc_id,
+       COUNT(*) AS n_passages,
+       CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       COALESCE(string_agg(CASE WHEN NOT boiler THEN passage END, ' '
+                           ORDER BY pidx), '') AS clean_text
+FROM f GROUP BY doc_id
+"""
+
+
 def q_zorder_key_events(spark, sf):
     """Z-order layout key (operators/zorder.py) under the HARD oracle
     gate: the Morton key over (user_id, value) — min-max normalization
@@ -1026,6 +1064,7 @@ FROM r GROUP BY doc_id
 OPS_REGISTRY = {
     "passage_dedup": (q_passage_dedup, SQL_PASSAGE_DEDUP),
     "zorder_key_events": (q_zorder_key_events, _sql_zorder_key_events()),
+    "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
     "rollup_refresh": (q_rollup_refresh, SQL_ROLLUP_REFRESH),
     "salted_agg_events": (q_salted_agg_events, SQL_SALTED_AGG_EVENTS),
     "user_features": (q_user_features, SQL_USER_FEATURES),

@@ -101,6 +101,8 @@ QUERIES = [
     "video_meta",
     "zorder_key_events",
     "semantic_dedup",
+    "scd2_customer_history",
+    "boilerplate_removal",
 ]
 
 

@@ -280,3 +280,50 @@ def test_passage_dedup_matches_naive(spark):
 
     with pytest.raises(ValueError, match="passage length"):
         passage_dedup(df, "text", "doc_id", k=0)
+
+
+def test_boilerplate_removal_matches_naive(spark):
+    """Frequency-threshold passage filtering: passages in > max_df
+    distinct docs vanish from EVERY doc (no survivor), rare passages
+    stay, intra-doc repeats count once toward document frequency."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.dedup import (
+        boilerplate_removal,
+    )
+
+    k, max_df = 2, 2
+    chrome = "cookie notice"
+    docs = [
+        (1, f"{chrome} real content one"),
+        (2, f"{chrome} other words here"),
+        (3, f"{chrome} third body text"),          # chrome df=3 > 2 → boiler
+        (4, "rare pair stays put"),
+        (5, f"{chrome} {chrome} solo tail"),        # intra-doc repeat: df counts docs
+    ]
+    from collections import defaultdict
+
+    parts = {}
+    for did, text in docs:
+        ws = text.split(" ")
+        parts[did] = [" ".join(ws[i : i + k]) for i in range(0, len(ws), k)]
+    dfreq = defaultdict(set)
+    for did, ps in parts.items():
+        for p in ps:
+            dfreq[p].add(did)
+    want = {}
+    for did, ps in parts.items():
+        kept = [p for p in ps if len(dfreq[p]) <= max_df]
+        want[did] = (len(ps), len(ps) - len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_passages"], r["n_boilerplate"], r["clean_text"])
+        for r in boilerplate_removal(df, "text", "doc_id", k=k, max_df=max_df).collect()
+    }
+    assert got == want
+    # chrome appears in 4 distinct docs → removed everywhere, incl. both
+    # copies in doc 5
+    assert got[1][1] == 1 and got[5][1] == 2
+    assert got[4] == (2, 0, "rare pair stays put")
+
+    with pytest.raises(ValueError, match="max_df"):
+        boilerplate_removal(df, "text", "doc_id", k=2, max_df=0)
