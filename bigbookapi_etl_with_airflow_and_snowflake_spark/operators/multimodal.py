@@ -763,6 +763,100 @@ def mux_avi(frames: list[bytes], width: int, height: int, fps: int = 25) -> byte
 
 
 @quarantine_decoder
+def demux_flac_meta(payload: bytes) -> dict:
+    """FLAC container metadata WITHOUT decoding audio — 'fLaC' magic,
+    then the metadata-block chain; STREAMINFO (block type 0, mandatory
+    first) carries everything triage needs. Same demux-not-decode tier
+    as the MP3/AVI/MP4 walks. Returns ``{"sample_rate", "channels",
+    "bits_per_sample", "total_samples", "duration_s", "min_block",
+    "max_block"}``; raises ``ValueError`` on malformed structure."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    if len(payload) < 8 + 34:
+        raise ValueError("truncated FLAC header")
+    hdr = payload[4]
+    if hdr & 0x7F != 0:
+        raise ValueError("first FLAC metadata block must be STREAMINFO")
+    (blen,) = struct.unpack(">I", b"\x00" + payload[5:8])
+    if blen != 34:
+        raise ValueError("STREAMINFO must be 34 bytes")
+    b = payload[8 : 8 + 34]
+    min_block, max_block = struct.unpack_from(">HH", b, 0)
+    # 64-bit field packing: rate:20 | channels-1:3 | bps-1:5 | total:36
+    packed = int.from_bytes(b[10:18], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bps = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if rate == 0:
+        raise ValueError("FLAC sample rate of zero")
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": bps,
+        "total_samples": total,
+        "duration_s": total / rate,
+        "min_block": min_block,
+        "max_block": max_block,
+    }
+
+
+def mux_flac_header(
+    sample_rate: int = 44100,
+    channels: int = 2,
+    bits_per_sample: int = 16,
+    total_samples: int = 44100,
+    block_size: int = 4096,
+) -> bytes:
+    """Fixture-side inverse of :func:`demux_flac_meta`: a valid FLAC
+    stream head ('fLaC' + last-block STREAMINFO); no frames — the
+    demuxer never reads them by contract."""
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | (total_samples & ((1 << 36) - 1))
+    )
+    body = (
+        struct.pack(">HH", block_size, block_size)
+        + struct.pack(">I", 0)[1:] * 2  # min/max frame size: unknown
+        + packed.to_bytes(8, "big")
+        + bytes(16)  # md5 of unencoded audio: unset
+    )
+    assert len(body) == 34
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def flac_meta(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Distributed FLAC STREAMINFO demux — Arrow-batched, null-row
+    quarantine, payload projected only here."""
+    cols = [
+        "sample_rate", "channels", "bits_per_sample", "total_samples",
+        "duration_s", "min_block", "max_block",
+    ]
+    out_schema = (
+        f"{id_col} long, sample_rate long, channels int, bits_per_sample int, "
+        "total_samples long, duration_s double, min_block int, max_block int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {id_col: [], **{c: [] for c in cols}}
+            for rid, p in zip(pdf[id_col], pdf[payload_col]):
+                out[id_col].append(rid)
+                try:
+                    meta = demux_flac_meta(bytes(p) if p is not None else b"")
+                    for c in cols:
+                        out[c].append(meta[c])
+                except ValueError:
+                    for c in cols:
+                        out[c].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+@quarantine_decoder
 def demux_mp4_meta(payload: bytes) -> dict:
     """Walk an ISO BMFF (MP4/MOV/M4A) box tree WITHOUT decoding media —
     the same demux-not-decode tier as :func:`demux_mp3_frames` and

@@ -2220,6 +2220,7 @@ _DRIVER_PRIORITY = [
     "semantic_dedup",
     "scd2_customer_history",
     "boilerplate_removal",
+    "flac_meta",
     # the two stateful streaming operators newly under the oracle gate
     "streaming_join",
     "streaming_user_state",

@@ -690,6 +690,71 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+def q_flac_meta(spark, sf):
+    """N5 FLAC STREAMINFO demux under the oracle gate: a valid FLAC
+    stream head is synthesized per document from (doc_id, text length)
+    arithmetic — rate 44100/48000/96000 by id%3, channels tlen%8+1,
+    bits 8/16/24 by tlen%3, total samples tlen*1000+id — and the
+    oracle predicts every column (duration is one IEEE divide of exact
+    integers) straight from the same arithmetic; any bit-packing slip
+    in the 64-bit STREAMINFO field breaks the match."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    from .operators.multimodal import flac_meta, mux_flac_header
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.length("text").alias("tlen"))
+    )
+
+    def synth(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        rates = (44100, 48000, 96000)
+        bits = (8, 16, 24)
+
+        def mk(doc_id: int, tlen: int) -> bytes:
+            return mux_flac_header(
+                sample_rate=rates[doc_id % 3],
+                channels=tlen % 8 + 1,
+                bits_per_sample=bits[tlen % 3],
+                total_samples=tlen * 1000 + doc_id,
+                block_size=4096,
+            )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mk(int(i), int(t))
+                        for i, t in zip(pdf["doc_id"], pdf["tlen"])
+                    ],
+                }
+            )
+
+    flacs = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return flac_meta(flacs, "payload", "doc_id")
+
+
+SQL_FLAC_META = """
+SELECT doc_id,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+            ELSE 96000 END AS BIGINT) AS sample_rate,
+       CAST(length(text) % 8 + 1 AS INTEGER) AS channels,
+       CAST(CASE length(text) % 3 WHEN 0 THEN 8 WHEN 1 THEN 16
+            ELSE 24 END AS INTEGER) AS bits_per_sample,
+       CAST(length(text) * 1000 + doc_id AS BIGINT) AS total_samples,
+       CAST(length(text) * 1000 + doc_id AS DOUBLE)
+         / (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+            ELSE 96000 END) AS duration_s,
+       CAST(4096 AS INTEGER) AS min_block,
+       CAST(4096 AS INTEGER) AS max_block
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def q_audio_meta(spark, sf):
     """N5 MP3 frame-header demux under the oracle gate: a CBR MPEG-1
     Layer III stream is synthesized per document from (doc_id, text
@@ -1079,6 +1144,7 @@ OPS_REGISTRY = {
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
     "audio_meta": (q_audio_meta, SQL_AUDIO_META),
     "video_meta": (q_video_meta, SQL_VIDEO_META),
+    "flac_meta": (q_flac_meta, SQL_FLAC_META),
     "rest_pages_distributed": (q_rest_pages_distributed, SQL_REST_PAGES_DISTRIBUTED),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),

@@ -103,6 +103,7 @@ QUERIES = [
     "semantic_dedup",
     "scd2_customer_history",
     "boilerplate_removal",
+    "flac_meta",
 ]
 
 

@@ -809,3 +809,45 @@ def test_mp4_demux_roundtrip_and_quarantine(spark):
     got = {r["vid_id"]: r for r in mp4_meta(df, "payload", "vid_id").collect()}
     assert got[1]["video_codec"] == "avc1" and got[1]["n_tracks"] == 2
     assert got[2]["major_brand"] is None and got[2]["n_tracks"] is None
+
+
+def test_flac_demux_roundtrip_and_quarantine(spark):
+    """FLAC STREAMINFO bit unpacking: header fixtures round-trip every
+    field (incl. 20-bit rates and 36-bit sample counts at their edges);
+    corrupt payloads raise ValueError only; distributed path nulls."""
+    import numpy as np
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.multimodal import (
+        demux_flac_meta,
+        flac_meta,
+        mux_flac_header,
+    )
+
+    m = demux_flac_meta(mux_flac_header(96000, 8, 24, 2**35 + 7, 1024))
+    assert m["sample_rate"] == 96000 and m["channels"] == 8
+    assert m["bits_per_sample"] == 24 and m["total_samples"] == 2**35 + 7
+    assert m["min_block"] == 1024 and m["duration_s"] == (2**35 + 7) / 96000
+    mono = demux_flac_meta(mux_flac_header(8000, 1, 8, 1))
+    assert mono["channels"] == 1 and mono["bits_per_sample"] == 8
+    with pytest.raises(ValueError):
+        demux_flac_meta(b"fLaX" + bytes(40))
+    with pytest.raises(ValueError):
+        demux_flac_meta(mux_flac_header()[:20])  # truncated STREAMINFO
+
+    payload = mux_flac_header()
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        q = bytearray(payload)
+        for _k in range(rng.integers(1, 4)):
+            q[rng.integers(0, len(q))] ^= 1 << rng.integers(0, 8)
+        try:
+            demux_flac_meta(bytes(q))
+        except ValueError:
+            pass
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"junk"))],
+        "aud_id long, payload binary",
+    )
+    got = {r["aud_id"]: r for r in flac_meta(df, "payload", "aud_id").collect()}
+    assert got[1]["sample_rate"] == 44100 and got[2]["sample_rate"] is None
