@@ -2221,6 +2221,7 @@ _DRIVER_PRIORITY = [
     "scd2_customer_history",
     "boilerplate_removal",
     "flac_meta",
+    "parquet_stats_events",
     # the two stateful streaming operators newly under the oracle gate
     "streaming_join",
     "streaming_user_state",

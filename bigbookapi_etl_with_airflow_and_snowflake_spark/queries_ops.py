@@ -1031,6 +1031,60 @@ WHERE sample_rank <= 25
 """
 
 
+def q_parquet_stats_events(spark, sf):
+    """Distributed parquet FOOTER introspection (operators/lake.py
+    parquet_footer_stats) under the oracle gate: events split into four
+    deterministic ``event_id % 4`` bucket tables, footers read back on
+    executors via pyarrow, per-bucket stats aggregated over files and
+    row groups. The oracle predicts every number from the data itself
+    (GROUP BY event_id % 4) — so the footer statistics parquet readers
+    prune by are cross-validated against a second engine's full-scan
+    ground truth."""
+    from .operators.lake import parquet_footer_stats
+
+    ev = _t(spark, sf, "events").select("event_id", "value")
+    d = tempfile.mkdtemp(prefix="q_pqstats_")
+    try:
+        parts = []
+        for b in range(4):
+            sub = os.path.join(d, f"b{b}")
+            ev.filter(F.col("event_id") % 4 == b).write.parquet(sub)
+            parts.append(
+                parquet_footer_stats(spark, sub, ["event_id", "value"])
+                .withColumn("bucket", F.lit(b))
+            )
+        import functools
+
+        stats = functools.reduce(lambda a, c: a.unionByName(c), parts)
+        out = (
+            stats.groupBy("bucket", "column")
+            .agg(
+                F.sum("n_values").alias("n_values"),
+                F.sum("null_count").alias("null_count"),
+                F.min("min_val").alias("min_val"),
+                F.max("max_val").alias("max_val"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_PARQUET_STATS_EVENTS = """
+SELECT CAST(event_id % 4 AS INTEGER) AS bucket, 'event_id' AS column,
+       COUNT(event_id) AS n_values, CAST(0 AS BIGINT) AS null_count,
+       CAST(MIN(event_id) AS DOUBLE) AS min_val,
+       CAST(MAX(event_id) AS DOUBLE) AS max_val
+FROM events GROUP BY event_id % 4
+UNION ALL
+SELECT CAST(event_id % 4 AS INTEGER), 'value',
+       COUNT(value), CAST(COUNT(*) - COUNT(value) AS BIGINT),
+       CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE)
+FROM events GROUP BY event_id % 4
+"""
+
+
 def q_boilerplate_removal(spark, sf):
     """CCNet-style boilerplate filter (operators/dedup.py
     boilerplate_removal): 8-word passages occurring in more than 3
@@ -1130,6 +1184,7 @@ OPS_REGISTRY = {
     "passage_dedup": (q_passage_dedup, SQL_PASSAGE_DEDUP),
     "zorder_key_events": (q_zorder_key_events, _sql_zorder_key_events()),
     "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
+    "parquet_stats_events": (q_parquet_stats_events, SQL_PARQUET_STATS_EVENTS),
     "rollup_refresh": (q_rollup_refresh, SQL_ROLLUP_REFRESH),
     "salted_agg_events": (q_salted_agg_events, SQL_SALTED_AGG_EVENTS),
     "user_features": (q_user_features, SQL_USER_FEATURES),

@@ -104,6 +104,7 @@ QUERIES = [
     "scd2_customer_history",
     "boilerplate_removal",
     "flac_meta",
+    "parquet_stats_events",
 ]
 
 

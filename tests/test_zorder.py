@@ -5,6 +5,8 @@ dimension."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -92,3 +94,43 @@ def test_zorder_key_validations(spark):
     # with the constant dim zeroed, key order follows the varying dim
     keys = [r["zkey"] for r in sorted(rows, key=lambda r: r["a"])]
     assert keys == sorted(keys)
+
+
+def test_parquet_footer_stats_audits_layout(spark, sf_dir, tmp_path):
+    """parquet_footer_stats must agree with a full scan of the same
+    files, and the zorder-vs-linear envelope comparison must be
+    reproducible from footers alone (the operator's audit use-case)."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lake import (
+        parquet_footer_stats,
+    )
+
+    e = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    zpath = str(tmp_path / "z")
+    zorder_layout(e, ["user_id", "value"], zpath, n_files=8)
+
+    stats = {
+        (r["file"], r["column"]): r
+        for r in parquet_footer_stats(spark, zpath, ["user_id", "value"]).collect()
+    }
+    truth = {
+        (r["f"], r["c"]): r
+        for c in ("user_id", "value")
+        for r in spark.read.parquet(zpath)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.count(c).alias("nv"),
+            F.min(F.col(c).cast("double")).alias("mn"),
+            F.max(F.col(c).cast("double")).alias("mx"),
+        )
+        .withColumn("c", F.lit(c))
+        .collect()
+    }
+    assert len(stats) == len(truth) == 16
+    for (f, c), t in truth.items():
+        s = stats[(os.path.basename(f), c)]
+        assert (s["n_values"], s["min_val"], s["max_val"]) == (
+            t["nv"], t["mn"], t["mx"],
+        ), (f, c)
+
+    with pytest.raises(ValueError, match="not in"):
+        parquet_footer_stats(spark, zpath, ["no_such_col"]).collect()
