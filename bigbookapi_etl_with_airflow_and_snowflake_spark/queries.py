@@ -2222,6 +2222,7 @@ _DRIVER_PRIORITY = [
     "boilerplate_removal",
     "flac_meta",
     "parquet_stats_events",
+    "webdataset_members",
     # the two stateful streaming operators newly under the oracle gate
     "streaming_join",
     "streaming_user_state",

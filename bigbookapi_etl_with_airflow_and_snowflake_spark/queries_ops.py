@@ -1031,6 +1031,56 @@ WHERE sample_rank <= 25
 """
 
 
+def q_webdataset_members(spark, sf):
+    """WebDataset tar-shard source (sources/webdataset.py) under the
+    oracle gate: documents are packed 50-per-shard into deterministic
+    tar archives (two members per sample: ``{doc_id}.txt`` = the text
+    bytes, ``{doc_id}.len`` = the decimal n_chars), shards are exploded
+    distributed by webdataset_members, and the oracle predicts every
+    (key, ext, n_bytes) row straight from the documents table — any
+    tar-walk slip (member sizing, extension split, dropped sample)
+    breaks the match."""
+    from .sources.webdataset import mux_webdataset, webdataset_members
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text", "n_chars",
+                (F.col("doc_id") / 50).cast("long").alias("__g"))
+    )
+
+    def pack(pdf):
+        import pandas as _pd
+
+        pdf = pdf.sort_values("doc_id")
+        samples = [
+            (str(int(r.doc_id)),
+             {"txt": str(r.text).encode("utf-8"),
+              "len": str(int(r.n_chars)).encode("ascii")})
+            for r in pdf.itertuples()
+        ]
+        return _pd.DataFrame(
+            {"path": [f"shard-{int(pdf['__g'].iloc[0]):05d}.tar"],
+             "content": [mux_webdataset(samples)]}
+        )
+
+    shards = d.groupBy("__g").applyInPandas(
+        pack, schema="path string, content binary"
+    )
+    return webdataset_members(shards).select("key", "ext", "n_bytes")
+
+
+SQL_WEBDATASET_MEMBERS = """
+SELECT CAST(doc_id AS VARCHAR) AS key, 'txt' AS ext,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents WHERE text IS NOT NULL
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'len',
+       CAST(length(CAST(n_chars AS VARCHAR)) AS BIGINT)
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def q_parquet_stats_events(spark, sf):
     """Distributed parquet FOOTER introspection (operators/lake.py
     parquet_footer_stats) under the oracle gate: events split into four
@@ -1185,6 +1235,7 @@ OPS_REGISTRY = {
     "zorder_key_events": (q_zorder_key_events, _sql_zorder_key_events()),
     "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
     "parquet_stats_events": (q_parquet_stats_events, SQL_PARQUET_STATS_EVENTS),
+    "webdataset_members": (q_webdataset_members, SQL_WEBDATASET_MEMBERS),
     "rollup_refresh": (q_rollup_refresh, SQL_ROLLUP_REFRESH),
     "salted_agg_events": (q_salted_agg_events, SQL_SALTED_AGG_EVENTS),
     "user_features": (q_user_features, SQL_USER_FEATURES),

@@ -105,6 +105,7 @@ QUERIES = [
     "boilerplate_removal",
     "flac_meta",
     "parquet_stats_events",
+    "webdataset_members",
 ]
 
 
