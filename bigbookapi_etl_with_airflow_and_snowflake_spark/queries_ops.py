@@ -1031,6 +1031,83 @@ WHERE sample_rank <= 25
 """
 
 
+def q_orc_roundtrip(spark, sf):
+    """ORC source/sink breadth: orders written as ORC (zlib, Spark's
+    native writer) and read back — values must survive the format
+    round-trip exactly. The oracle reads the same rows from parquet,
+    so any ORC type-mapping slip (decimal/timestamp/string) surfaces
+    as a value mismatch."""
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    d = tempfile.mkdtemp(prefix="q_orc_")
+    path = os.path.join(d, "orders_orc")
+    try:
+        o.write.mode("overwrite").orc(path)
+        out = spark.read.orc(path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders
+"""
+
+
+def q_csv_tolerant_read(spark, sf):
+    """CSV source with declared schema + malformed-row quarantine
+    (PERMISSIVE + columnNameOfCorruptRecord — the production posture
+    for hand-me-down CSV): a CSV is written per customer row with
+    every 7th line corrupted (a non-numeric account balance), read
+    back with the tolerant schema; good rows keep exact values, bad
+    rows land nulled with the raw line captured. The oracle predicts
+    both populations from the customer table."""
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    d = tempfile.mkdtemp(prefix="q_csv_")
+    path = os.path.join(d, "customers_csv")
+    try:
+        (
+            c.select(
+                F.col("c_custkey").cast("string"),
+                "c_name",
+                F.when(
+                    F.col("c_custkey") % 7 == 0, F.lit("NOT_A_NUMBER")
+                ).otherwise(F.col("c_acctbal").cast("string")).alias("bal"),
+            )
+            .write.mode("overwrite")
+            .option("header", "false")
+            .csv(path)
+        )
+        out = (
+            spark.read.schema(
+                "c_custkey long, c_name string, c_acctbal double, _bad string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_bad")
+            .csv(path)
+            .select(
+                "c_custkey", "c_name", "c_acctbal",
+                F.col("_bad").isNotNull().alias("quarantined"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_CSV_TOLERANT_READ = """
+SELECT c_custkey, c_name,
+       CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+       c_custkey % 7 = 0 AS quarantined
+FROM customer
+"""
+
+
 def q_webdataset_members(spark, sf):
     """WebDataset tar-shard source (sources/webdataset.py) under the
     oracle gate: documents are packed 50-per-shard into deterministic
@@ -1236,6 +1313,8 @@ OPS_REGISTRY = {
     "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
     "parquet_stats_events": (q_parquet_stats_events, SQL_PARQUET_STATS_EVENTS),
     "webdataset_members": (q_webdataset_members, SQL_WEBDATASET_MEMBERS),
+    "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
+    "csv_tolerant_read": (q_csv_tolerant_read, SQL_CSV_TOLERANT_READ),
     "rollup_refresh": (q_rollup_refresh, SQL_ROLLUP_REFRESH),
     "salted_agg_events": (q_salted_agg_events, SQL_SALTED_AGG_EVENTS),
     "user_features": (q_user_features, SQL_USER_FEATURES),
