@@ -2223,6 +2223,7 @@ _DRIVER_PRIORITY = [
     "flac_meta",
     "parquet_stats_events",
     "webdataset_members",
+    "webdataset_pipeline",
     "orc_roundtrip",
     "csv_tolerant_read",
     # the two stateful streaming operators newly under the oracle gate

@@ -1031,6 +1031,72 @@ WHERE sample_rank <= 25
 """
 
 
+def q_webdataset_pipeline(spark, sf):
+    """The multimodal ingest composed end-to-end, as a user would run
+    it: documents become image+caption samples packed into WebDataset
+    tar shards (a REAL 4×2 PNG per sample from the text's first 24
+    ASCII bytes + the text as the .txt caption), shards are exploded
+    distributed, PNG members decode through the pure-numpy decoder,
+    caption members contribute byte lengths, and the two member
+    streams rejoin per sample. The oracle recomputes everything —
+    raster stats AND caption sizes — from the documents table, so the
+    whole chain (tar mux/demux → format sniff → zlib inflate → filter
+    inversion → stats → join) is pinned by one hard row."""
+    from .sources.webdataset import mux_webdataset, webdataset_members
+    from .operators.multimodal import encode_png
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").rlike("^[ -~]+$") & (F.length("text") >= 24))
+        .select("doc_id", "text",
+                (F.col("doc_id") / 50).cast("long").alias("__g"))
+    )
+
+    def pack(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        pdf = pdf.sort_values("doc_id")
+        samples = []
+        for r in pdf.itertuples():
+            raster = _np.frombuffer(
+                str(r.text)[:24].encode("ascii"), dtype=_np.uint8
+            ).reshape(2, 4, 3)
+            samples.append(
+                (str(int(r.doc_id)),
+                 {"png": encode_png(raster),
+                  "txt": str(r.text).encode("utf-8")})
+            )
+        return _pd.DataFrame(
+            {"path": [f"shard-{int(pdf['__g'].iloc[0]):05d}.tar"],
+             "content": [mux_webdataset(samples)]}
+        )
+
+    shards = d.groupBy("__g").applyInPandas(
+        pack, schema="path string, content binary"
+    )
+    members = webdataset_members(shards)
+    pngs = members.filter(F.col("ext") == "png").select(
+        F.col("key").cast("long").alias("doc_id"), "payload"
+    )
+    caps = members.filter(F.col("ext") == "txt").select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.col("n_bytes").alias("caption_bytes"),
+    )
+    return image_stats(pngs, "payload", "doc_id").join(caps, "doc_id")
+
+
+SQL_WEBDATASET_PIPELINE = """
+SELECT doc_id, 4 AS width, 2 AS height, 3 AS channels,
+       ROUND(list_sum(list_transform(range(1, 25),
+                      i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE))) / 24, 6)
+         AS mean_pixel,
+       CAST(octet_length(encode(text)) AS BIGINT) AS caption_bytes
+FROM documents
+WHERE regexp_matches(text, '^[ -~]+$') AND length(text) >= 24
+"""
+
+
 def q_orc_roundtrip(spark, sf):
     """ORC source/sink breadth: orders written as ORC (zlib, Spark's
     native writer) and read back — values must survive the format
@@ -1313,6 +1379,7 @@ OPS_REGISTRY = {
     "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
     "parquet_stats_events": (q_parquet_stats_events, SQL_PARQUET_STATS_EVENTS),
     "webdataset_members": (q_webdataset_members, SQL_WEBDATASET_MEMBERS),
+    "webdataset_pipeline": (q_webdataset_pipeline, SQL_WEBDATASET_PIPELINE),
     "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
     "csv_tolerant_read": (q_csv_tolerant_read, SQL_CSV_TOLERANT_READ),
     "rollup_refresh": (q_rollup_refresh, SQL_ROLLUP_REFRESH),

@@ -106,6 +106,9 @@ QUERIES = [
     "flac_meta",
     "parquet_stats_events",
     "webdataset_members",
+    "webdataset_pipeline",
+    "orc_roundtrip",
+    "csv_tolerant_read",
 ]
 
 
