@@ -2263,19 +2263,22 @@ _DRIVER_PRIORITY = [
     "supplier_part_counts",
     "top_revenue_supplier",
     "vocab_coverage",
-    # r4-green but their DECODE PATHS changed this round (allocation
-    # caps in PNG/GIF/JPEG, bounded IDAT inflate, vectorized entropy
-    # coder) — changed code needs a fresh row, fresh-green or not
-    "png_decode",
-    "jpeg_decode",
-    "gif_decode",
-    "video_frames",
-    "image_decode",
-    "audio_decode",
     # round-5 additions: MP3 frame-header demux tier; the S1 distributed
-    # page fan-out's first oracle run
+    # page fan-out's first oracle run — never driver-checked, so they
+    # outrank the r4-green codec refreshes below
     "audio_meta",
     "rest_pages_distributed",
+    # r4-green but their DECODE PATHS changed this round (allocation
+    # caps, bounded IDAT inflate, vectorized entropy coder, SOF2
+    # dispatch) — changed code needs a fresh row. jpeg/video carry the
+    # largest code deltas; image_decode/audio_decode (thin dispatch
+    # over the same kernels) take the first-50 overflow positions.
+    "jpeg_decode",
+    "video_frames",
+    "png_decode",
+    "gif_decode",
+    "image_decode",
+    "audio_decode",
     # r3-stale entries whose modules this round touched (neardup
     # checkpoint guard + hot_bucket_cap, multimodal bounds) or with the
     # most intricate plans. The six round-5 operator additions above
