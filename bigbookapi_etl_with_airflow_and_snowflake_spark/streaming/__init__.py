@@ -12,4 +12,5 @@ from .events import (  # noqa: F401
     stream_stream_join,
     tumbling_window_counts,
     user_running_state,
+    user_running_state_tws,
 )

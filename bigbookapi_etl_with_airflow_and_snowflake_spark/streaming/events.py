@@ -314,6 +314,55 @@ def user_running_state(events: DataFrame) -> DataFrame:
     )
 
 
+def user_running_state_tws(events: DataFrame) -> DataFrame:
+    """The per-user running profile on the Spark-4-native
+    ``transformWithStateInPandas`` API (StatefulProcessor + named
+    ValueState handles — typed, store-backed, independently evolvable)
+    — same semantics as :func:`user_running_state` (the
+    ``applyInPandasWithState`` form), kept side by side because the
+    new API is where timers, TTL state, and state-schema evolution
+    live going forward. Tests pin both forms to the same batch ground
+    truth (skipping where the environment lacks google.protobuf — the
+    wire format of the API's JVM↔Python state server; the
+    ``applyInPandasWithState`` form has no such dependency and is the
+    one the oracle entry runs). The processor class is defined lazily
+    so importing this module never requires the new API surface."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class UserProfileProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "profile", "n_events long, sum_value double, last_ts timestamp"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, s, last = self._state.get()
+            else:
+                n, s, last = 0, 0.0, None
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].fillna(0.0).sum())
+                batch_max = pdf["ts"].max()
+                if last is None or (batch_max is not None and batch_max > last):
+                    last = batch_max
+            self._state.update((n, s, last))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s],
+                 "last_ts": [last]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfileProcessor(),
+        outputStructType=_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

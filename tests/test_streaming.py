@@ -337,6 +337,36 @@ def test_user_running_state(spark, events_dir, events_batch):
     assert _rows(final, *cols) == _rows(want, *cols)
 
 
+def test_user_running_state_tws_matches_batch_and_legacy(spark, events_dir, events_batch):
+    """The Spark-4 transformWithStateInPandas form must produce the
+    same final per-user profile as the batch GROUP BY — and therefore
+    as the applyInPandasWithState form the previous test pins.
+
+    Environment gate: the transformWithState state server speaks
+    protobuf between the JVM and a Python runner; without
+    google.protobuf (not in this container, installs forbidden) the
+    runner cannot start, so the test SKIPS — the operator itself is
+    plain PySpark API and runs wherever pyspark's full requirements
+    are installed."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf for its state server",
+    )
+    stream = S.read_events_stream(spark, events_dir)
+    got = S.run_to_memory(
+        S.user_running_state_tws(stream), "t_state_tws", output_mode="update"
+    )
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("last_ts").alias("last_ts"),
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.max("ts").alias("last_ts")
+    )
+    cols = ["user_id", "n_events", "last_ts"]
+    assert _rows(final, *cols) == _rows(want, *cols)
+
+
 def test_rate_source_deterministic_and_feeds_operators(spark):
     """Non-file source: rate-micro-batch is deterministic (batch N =
     values [N*rows, (N+1)*rows)), so exact assertions hold; the mapped
