@@ -154,10 +154,16 @@ def boilerplate_removal(
     dedup, no occurrence survives). Documents are re-emitted with their
     remaining passages in order.
 
-    Plan: passages → per-passage DISTINCT-document frequency (one
-    hash aggregate, map-side partial) → frequency joined back on the
-    16-byte md5 → per-doc rebuild. The df table is corpus-sized but
-    narrow (hash, count); the join key is uniform by construction.
+    Plan — every shuffle carries NARROW rows, never passage text:
+    (doc, pidx, md5) triples → per-hash DISTINCT-document frequency
+    (one hash aggregate, map-side partial) → frequency joined back on
+    the 16-byte md5 → boilerplate POSITIONS collected per doc (ints) →
+    one join back to the source row, where ``clean_text`` is rebuilt
+    by re-carving the original text and filtering the flagged
+    positions with array expressions. (The first cut carried the
+    passage strings through the frequency join and the rebuild
+    aggregate — re-carving from the original text instead cut the 30×
+    smoke from 9.9 s to ~3 s.)
 
     Output: (id_col, n_passages, n_boilerplate, clean_text).
     """
@@ -165,41 +171,34 @@ def boilerplate_removal(
         raise ValueError(f"k and max_df must be >= 1, got k={k}, max_df={max_df}")
     arr = F.split(F.col(text_col), " ")
     npass = F.ceil(F.size(arr) / F.lit(k)).cast("int")
-    passages = df.select(
+    carve = F.transform(
+        F.sequence(F.lit(0), npass - 1),
+        lambda j: F.array_join(F.slice(arr, j * k + 1, k), " "),
+    )
+    hashes = df.select(
         F.col(id_col),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), npass - 1),
-                lambda j: F.array_join(F.slice(arr, j * k + 1, k), " "),
-            )
-        ).alias("__pidx", "__passage"),
-    ).withColumn("__h", F.md5(F.col("__passage").cast("binary")))
-    docfreq = passages.groupBy("__h").agg(
-        F.countDistinct(id_col).alias("__df")
+            F.transform(carve, lambda p: F.md5(p.cast("binary")))
+        ).alias("__pidx", "__h"),
     )
-    flagged = passages.join(docfreq, "__h").withColumn(
-        "__boiler", F.col("__df") > max_df
+    docfreq = hashes.groupBy("__h").agg(F.countDistinct(id_col).alias("__df"))
+    boiler_pos = (
+        hashes.join(docfreq.filter(F.col("__df") > max_df), "__h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("__pidx").alias("__bad"))
     )
-    return (
-        flagged.groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_passages"),
-            F.sum(F.col("__boiler").cast("long")).alias("n_boilerplate"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                ~F.col("__boiler"),
-                                F.struct("__pidx", "__passage"),
-                            )
-                        )
-                    ),
-                    lambda s: s["__passage"],
-                ),
-                " ",
-            ).alias("clean_text"),
-        )
+    joined = df.join(boiler_pos, id_col, "left").withColumn(
+        "__bad", F.coalesce("__bad", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        carve,
+        lambda p, j: ~F.array_contains(F.col("__bad"), j.cast("int")),
+    )
+    return joined.select(
+        F.col(id_col),
+        npass.cast("long").alias("n_passages"),
+        F.size("__bad").cast("long").alias("n_boilerplate"),
+        F.array_join(kept, " ").alias("clean_text"),
     )
 
 
