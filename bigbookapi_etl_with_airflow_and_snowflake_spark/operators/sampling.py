@@ -1,0 +1,230 @@
+"""Distributed sampling operators: prefix sums, stable row ids, PPS
+systematic sampling, and weighted reservoir (A-ES) sampling.
+
+The reference pipeline samples implicitly (API quota caps the corpus at
+~5k records/run — ``/root/reference/scripts/extract.py:61-64``); a 100 TB
+curation pipeline samples explicitly and the sample must be reproducible
+on any cluster topology. Three primitives:
+
+- ``distributed_prefix_sum`` / ``assign_stable_ids``: the classic
+  two-pass prefix computation. A window ``SUM() OVER (ORDER BY key)``
+  with no PARTITION BY collapses Spark to ONE task — correct and fine
+  for an oracle, fatal at 100 TB. The two-pass form range-partitions by
+  the order key, aggregates one partial per partition (a collect of
+  #partitions rows, not data rows), broadcasts exclusive offsets, and
+  streams each partition once adding offset + local running total.
+  Wall-clock is two narrow passes; nothing ever concentrates.
+
+- ``pps_systematic_sample``: probability-proportional-to-size
+  systematic sampling (Madow's method): lay the rows on the integer
+  weight line in key order, take one row at each multiple of
+  ``step = total // k``. Deterministic by construction — pure integer
+  arithmetic over the prefix sums, no RNG — so the sample is identical
+  on any partitioning AND independently replayable in SQL (the oracle
+  recomputes it with a window sum).
+
+- ``weighted_sample_aes``: Efraimidis–Spirakis A-ES weighted sampling
+  without replacement: per-row key ``-ln(u)/w`` with ``u`` derived from
+  a portable md5 (NOT ``rand()``, which is seed+partition dependent);
+  the k smallest keys are the sample. One scan, per-partition top-k
+  heaps (TakeOrderedAndProject), no shuffle of the data. ``ln`` is the
+  one non-exactly-rounded operation in this module; both engines agree
+  to within 1 ulp, so a rank flip needs two keys within ~2 ulp of each
+  other at the k-boundary (probability ~2^-50 under md5 uniformity).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "distributed_prefix_sum",
+    "assign_stable_ids",
+    "pps_systematic_sample",
+    "weighted_sample_aes",
+]
+
+_PID = "__sampling_pid"
+
+
+def _check_collisions(df: DataFrame, names: list[str]) -> None:
+    clash = [c for c in names if c in df.columns]
+    if clash:
+        raise ValueError(f"column name collision with operator temps: {clash}")
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = inclusive running sum of ``value_col`` over the
+    global ``order_col`` order, without ever forming a global window.
+
+    Two-pass plan (scale posture — the whole point of this operator):
+
+    1. ``repartitionByRange(order_col).sortWithinPartitions(order_col)``
+       gives a globally ordered partitioning (partition *i* holds keys
+       strictly below partition *i+1*). ``localCheckpoint`` pins it so
+       pass 1 and pass 2 see the SAME sampled range boundaries.
+    2. Pass 1 aggregates one ``(partition_id, sum)`` row per partition —
+       the driver collects #partitions rows, never data.
+    3. Pass 2 streams each partition once (``mapInPandas``, Arrow
+       batches), adding the partition's exclusive offset plus a running
+       in-partition cumsum carried across batches.
+
+    ``order_col`` must be unique (it defines "the" order); ``value_col``
+    must be integral — integer prefix sums are exact and associative,
+    so the result is bit-identical on any partitioning.
+    """
+    _check_collisions(df, [_PID, out_col])
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    partials = parted.groupBy(_PID).agg(
+        F.sum(F.col(value_col).cast("long")).alias("s")
+    ).collect()
+    sums = {r[_PID]: r["s"] or 0 for r in partials}
+    offsets = {}
+    run = 0
+    for pid in sorted(sums):
+        offsets[pid] = run
+        run += sums[pid]
+
+    schema = parted.drop(_PID).schema.add(out_col, "long", False)
+    out_names = [f.name for f in schema.fields]
+
+    def add_cum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry = None
+        for b in batches:
+            if len(b) == 0:
+                continue
+            if carry is None:
+                carry = offsets.get(int(b[_PID].iloc[0]), 0)
+            cum = b[value_col].astype("int64").cumsum() + carry
+            carry = int(cum.iloc[-1])
+            b = b.drop(columns=[_PID])
+            b[out_col] = cum.astype("int64").values
+            yield b[out_names]
+
+    return parted.mapInPandas(add_cum, schema)
+
+
+def assign_stable_ids(
+    df: DataFrame,
+    order_col: str,
+    id_col: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign dense 0-based ids by global ``order_col`` order —
+    ``ROW_NUMBER() OVER (ORDER BY order_col) - 1`` without the
+    single-partition window (and unlike ``monotonically_increasing_id``,
+    dense AND stable across re-runs/partitionings).
+
+    Prefix-sum of 1s: each row's id is (#rows before it). Reuses the
+    two-pass machinery with a constant value column.
+    """
+    _check_collisions(df, ["__one", id_col])
+    with_one = df.withColumn("__one", F.lit(1).cast("long"))
+    cum = distributed_prefix_sum(
+        with_one, order_col, "__one", out_col=id_col, num_partitions=num_partitions
+    )
+    return cum.withColumn(id_col, F.col(id_col) - 1).drop("__one")
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    k: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sample of ~``k`` rows.
+
+    Rows are laid end-to-end on an integer line in ``order_col`` order,
+    each spanning its (positive integer) weight; a row is selected iff a
+    multiple of ``step = total_weight // k`` (multiples 1..k only) falls
+    inside its span. Inclusion probability is proportional to weight
+    (rows with weight ≥ step are always included, once). Zero random
+    offset → fully deterministic and SQL-replayable.
+
+    Scale: two narrow passes (the prefix sum) + a filter. Nothing
+    collects but per-partition partials.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    cum = distributed_prefix_sum(
+        df, order_col, weight_col, out_col="__cum", num_partitions=num_partitions
+    ).localCheckpoint(eager=True)
+    row = cum.agg(F.max("__cum").alias("t"), F.min(weight_col).alias("w")).first()
+    total = row["t"] or 0
+    if row["w"] is not None and row["w"] <= 0:
+        raise ValueError("weights must be positive integers")
+    if total < k:
+        raise ValueError(f"total weight {total} < k {k}")
+    step = total // k
+    # Integer `div`, not double `/` + floor: at 100 TB the cumulative
+    # weights pass 2^53 and double division would misplace sample points.
+    lo = F.expr(
+        f"(__cum - CAST({weight_col} AS BIGINT)) div CAST({step} AS BIGINT)"
+    )
+    hi = F.least(F.expr(f"__cum div CAST({step} AS BIGINT)"), F.lit(k))
+    return cum.filter(lo < hi).drop("__cum")
+
+
+def weighted_sample_aes(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "#aes",
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement.
+
+    Per row: ``u = (md5_52bit(key || salt) + 1) / 2^52`` (portable,
+    uniform on (0, 1]), sort key ``-ln(u) / w``; the ``k`` smallest sort
+    keys are the sample — inclusion probabilities follow successive
+    weighted draws without replacement (Efraimidis & Spirakis 2006).
+
+    One scan; ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject — per-partition bounded heaps merged on the
+    driver, no global sort, no shuffle of the data. The score column is
+    dropped from the output (it is an implementation detail; keeping
+    results to original columns also keeps the oracle hash free of the
+    one ~1-ulp-sensitive value in the operator).
+    """
+    _check_collisions(df, ["__u", "__aes"])
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + 1.0) / float(1 << 52)
+    score = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("__aes", score)
+        .orderBy(F.col("__aes"), F.col(key_col))
+        .limit(k)
+        .drop("__aes")
+    )
+
+
+def _aes_replay(rows: list[tuple], k: int, salt: str = "#aes") -> list:
+    """Pure-Python replay of ``weighted_sample_aes`` for tests: rows are
+    ``(key, weight)``; returns the selected keys."""
+    import hashlib
+
+    scored = []
+    for key, w in rows:
+        hx = hashlib.md5((str(key) + salt).encode()).hexdigest()
+        u = (int(hx[:13], 16) + 1) / float(1 << 52)
+        scored.append((-math.log(u) / float(w), key))
+    scored.sort()
+    return [key for _, key in scored[:k]]

@@ -1373,6 +1373,94 @@ FROM r GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# sampling (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def q_stable_row_ids(spark, sf):
+    """Dense 0-based ids by global o_orderkey order via the two-pass
+    distributed prefix sum (operators/sampling.py assign_stable_ids) —
+    the scale-safe form of ROW_NUMBER() OVER (ORDER BY key), which the
+    oracle replays directly."""
+    from .operators.sampling import assign_stable_ids
+
+    o = _t(spark, sf, "orders").select("o_orderkey")
+    return assign_stable_ids(o, "o_orderkey", num_partitions=8)
+
+
+SQL_STABLE_ROW_IDS = """
+SELECT o_orderkey,
+       ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id
+FROM orders
+"""
+
+
+def q_pps_sample_orders(spark, sf):
+    """Deterministic systematic PPS sample (~500 orders, inclusion
+    probability ∝ floor(o_totalprice)+1) via pure integer arithmetic
+    over the distributed prefix sum — no RNG, so the oracle replays the
+    identical sample with a window sum."""
+    from .operators.sampling import pps_systematic_sample
+
+    o = (
+        _t(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.floor("o_totalprice").cast("long") + 1).alias("w"),
+        )
+    )
+    return pps_systematic_sample(o, "o_orderkey", "w", 500, num_partitions=8).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+SQL_PPS_SAMPLE_ORDERS = """
+WITH w AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(FLOOR(o_totalprice) AS BIGINT) + 1 AS w
+  FROM orders
+), c AS (
+  SELECT *, SUM(w) OVER (ORDER BY o_orderkey) AS cum FROM w
+), p AS (
+  SELECT CAST(MAX(cum) AS BIGINT) // 500 AS step FROM c
+)
+SELECT o_orderkey, o_totalprice
+FROM c, p
+WHERE (cum - w) // step < LEAST(cum // step, 500)
+"""
+
+
+def q_weighted_sample_orders(spark, sf):
+    """Efraimidis–Spirakis weighted sample without replacement (k=300,
+    weight = floor(o_totalprice)+1), md5-derived uniforms so both
+    engines draw the SAME sample; plan is TakeOrderedAndProject (per-
+    partition heaps), not a global sort."""
+    from .operators.sampling import weighted_sample_aes
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.floor("o_totalprice").cast("long") + 1).alias("w"),
+    )
+    return weighted_sample_aes(o, "o_orderkey", "w", 300).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+SQL_WEIGHTED_SAMPLE_ORDERS = """
+WITH s AS (
+  SELECT o_orderkey, o_totalprice,
+         -ln((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#aes'), 1, 13))
+                   AS BIGINT) + 1) / 4503599627370496.0)
+           / (CAST(FLOOR(o_totalprice) AS BIGINT) + 1) AS sc
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice FROM s ORDER BY sc, o_orderkey LIMIT 300
+"""
+
+
 OPS_REGISTRY = {
     "passage_dedup": (q_passage_dedup, SQL_PASSAGE_DEDUP),
     "zorder_key_events": (q_zorder_key_events, _sql_zorder_key_events()),
@@ -1404,4 +1492,7 @@ OPS_REGISTRY = {
     "cluster_balanced_sample": (q_cluster_balanced_sample, None),
     "cluster_sample_init": (q_cluster_sample_init, SQL_CLUSTER_SAMPLE_INIT),
     "bucketed_join_revenue": (q_bucketed_join_revenue, SQL_BUCKETED_JOIN_REVENUE),
+    "stable_row_ids": (q_stable_row_ids, SQL_STABLE_ROW_IDS),
+    "pps_sample_orders": (q_pps_sample_orders, SQL_PPS_SAMPLE_ORDERS),
+    "weighted_sample_orders": (q_weighted_sample_orders, SQL_WEIGHTED_SAMPLE_ORDERS),
 }

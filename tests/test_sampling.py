@@ -1,0 +1,110 @@
+"""Sampling operators: two-pass prefix sums, stable ids, PPS systematic,
+A-ES weighted reservoir."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.sampling import (
+    _aes_replay,
+    assign_stable_ids,
+    distributed_prefix_sum,
+    pps_systematic_sample,
+    weighted_sample_aes,
+)
+
+
+@pytest.fixture(scope="module")
+def jumbled(spark):
+    # 997 rows in a deliberately scrambled, skewed partitioning
+    rows = [(i * 7919 % 997, (i % 13) + 1) for i in range(997)]
+    return (
+        spark.createDataFrame(rows, "k int, w int")
+        .repartition(7, F.col("w"))  # nothing to do with the key order
+    )
+
+
+def test_prefix_sum_matches_window(spark, jumbled):
+    got = {
+        r["k"]: r["cum"]
+        for r in distributed_prefix_sum(jumbled, "k", "w", num_partitions=5).collect()
+    }
+    rows = sorted(jumbled.collect(), key=lambda r: r["k"])
+    run = 0
+    for r in rows:
+        run += r["w"]
+        assert got[r["k"]] == run
+    assert len(got) == 997
+
+
+def test_prefix_sum_partition_invariance(spark, jumbled):
+    a = distributed_prefix_sum(jumbled, "k", "w", num_partitions=2).collect()
+    b = distributed_prefix_sum(jumbled.coalesce(1), "k", "w", num_partitions=9).collect()
+    assert sorted((r["k"], r["cum"]) for r in a) == sorted(
+        (r["k"], r["cum"]) for r in b
+    )
+
+
+def test_prefix_sum_collision_guard(spark):
+    df = spark.createDataFrame([(1, 1)], "k int, cum int")
+    with pytest.raises(ValueError, match="collision"):
+        distributed_prefix_sum(df, "k", "cum")
+
+
+def test_stable_ids_dense_and_ordered(spark, jumbled):
+    out = assign_stable_ids(jumbled, "k", num_partitions=6).collect()
+    ids = {r["k"]: r["row_id"] for r in out}
+    assert sorted(ids.values()) == list(range(997))
+    # id order == key order
+    by_key = sorted(ids)
+    assert [ids[k] for k in by_key] == list(range(997))
+    assert "__one" not in {c for r in out for c in r.asDict()}
+
+
+def test_pps_deterministic_and_weight_biased(spark, jumbled):
+    k = 100
+    a = pps_systematic_sample(jumbled, "k", "w", k, num_partitions=3).collect()
+    b = pps_systematic_sample(jumbled, "k", "w", k, num_partitions=8).collect()
+    assert sorted(r["k"] for r in a) == sorted(r["k"] for r in b)
+    assert k <= len(a) <= 2 * k  # floor(total/step) overshoot is < k
+    # inclusion is weight-biased: mean weight of sample > population mean
+    pop_mean = jumbled.agg(F.avg("w")).first()[0]
+    samp_mean = sum(r["w"] for r in a) / len(a)
+    assert samp_mean > pop_mean
+
+
+def test_pps_heavy_row_always_included(spark):
+    rows = [(i, 1) for i in range(100)] + [(100, 1000)]
+    df = spark.createDataFrame(rows, "k int, w int")
+    out = pps_systematic_sample(df, "k", "w", 10)
+    assert 100 in {r["k"] for r in out.collect()}
+
+
+def test_pps_rejects_bad_weights(spark):
+    df = spark.createDataFrame([(1, 0), (2, 5)], "k int, w int")
+    with pytest.raises(ValueError, match="positive"):
+        pps_systematic_sample(df, "k", "w", 1)
+
+
+def test_aes_matches_pure_replay(spark):
+    rows = [(i, (i % 7) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "k int, w int").repartition(5)
+    got = sorted(r["k"] for r in weighted_sample_aes(df, "k", "w", 50).collect())
+    want = sorted(_aes_replay([(k, w) for k, w in rows], 50))
+    assert got == want
+
+
+def test_aes_weight_bias(spark):
+    # two strata, heavy weights 10x: heavies should dominate the sample
+    rows = [(i, 10 if i < 250 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "k int, w int")
+    out = weighted_sample_aes(df, "k", "w", 100).collect()
+    heavies = sum(1 for r in out if r["k"] < 250)
+    assert heavies > 70  # E[heavies] ≈ 91; md5-deterministic so no flake
+
+
+def test_aes_plan_is_take_ordered(spark):
+    df = spark.createDataFrame([(i, 1) for i in range(100)], "k int, w int")
+    plan = weighted_sample_aes(df, "k", "w", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
