@@ -1461,6 +1461,77 @@ SELECT o_orderkey, o_totalprice FROM s ORDER BY sc, o_orderkey LIMIT 300
 """
 
 
+# ---------------------------------------------------------------------------
+# link analysis (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank_2iter(spark, sf):
+    """Two fixed-point PageRank iterations over the customer↔supplier
+    trade graph (distinct pairs from orders ⋈ lineitem, both
+    directions). Integer arithmetic end-to-end, so the oracle unrolls
+    the identical recurrence in SQL and the ranks match bit-for-bit."""
+    from .operators.graph import pagerank_fixed
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("c AS src", "s AS dst").union(
+        pairs.selectExpr("s AS src", "c AS dst")
+    )
+    return pagerank_fixed(edges, iters=2)
+
+
+SQL_PAGERANK_2ITER = """
+WITH pairs AS (
+  SELECT DISTINCT 'C' || CAST(o.o_custkey AS VARCHAR) AS c,
+                  'S' || CAST(l.l_suppkey AS VARCHAR) AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), e AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION
+  SELECT s AS src, c AS dst FROM pairs
+), deg AS (
+  SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+), params AS (
+  SELECT COUNT(*) AS n,
+         1000000000000000 // COUNT(*) AS r0,
+         (15 * (1000000000000000 // COUNT(*))) // 100 AS jump
+  FROM nodes
+), r1 AS (
+  SELECT nd.node,
+         CAST(p.jump + (85 * COALESCE(inf.s, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM nodes nd
+  CROSS JOIN params p
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p2.r0 // d.outdeg) AS s
+    FROM e JOIN deg d ON d.src = e.src CROSS JOIN params p2
+    GROUP BY e.dst
+  ) inf ON inf.node = nd.node
+), r2 AS (
+  SELECT nd.node,
+         CAST(p.jump + (85 * COALESCE(inf.s, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM nodes nd
+  CROSS JOIN params p
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r1.rank_fp // d.outdeg) AS s
+    FROM e JOIN deg d ON d.src = e.src JOIN r1 ON r1.node = e.src
+    GROUP BY e.dst
+  ) inf ON inf.node = nd.node
+)
+SELECT node, rank_fp FROM r2
+"""
+
+
 OPS_REGISTRY = {
     "passage_dedup": (q_passage_dedup, SQL_PASSAGE_DEDUP),
     "zorder_key_events": (q_zorder_key_events, _sql_zorder_key_events()),
@@ -1495,4 +1566,5 @@ OPS_REGISTRY = {
     "stable_row_ids": (q_stable_row_ids, SQL_STABLE_ROW_IDS),
     "pps_sample_orders": (q_pps_sample_orders, SQL_PPS_SAMPLE_ORDERS),
     "weighted_sample_orders": (q_weighted_sample_orders, SQL_WEIGHTED_SAMPLE_ORDERS),
+    "pagerank_2iter": (q_pagerank_2iter, SQL_PAGERANK_2ITER),
 }
