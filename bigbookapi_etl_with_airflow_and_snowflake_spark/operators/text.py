@@ -211,3 +211,33 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     for cross-system dedup."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def strip_html(text: Column) -> Column:
+    """Strip HTML to visible text: drop <script>/<style> blocks whole,
+    then every remaining tag, decode the six common entities, squeeze
+    whitespace. Pure built-in expressions (regexp_replace / replace) —
+    codegen'd, no Python — and every pattern is chosen to mean the same
+    thing in Java regex (Spark) and RE2 (the DuckDB oracle): no
+    backreferences (RE2 lacks them — script and style get separate
+    patterns), explicit [ \\t\\n\\r\\f] instead of \\s (whose class
+    differs between the engines), and (?is) flags both support.
+
+    The web-corpus extraction step (HTML → text) ahead of every text
+    filter; the reference ingests pre-extracted JSON and never faces
+    markup.
+    """
+    t = F.regexp_replace(text, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, ch in [
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", "\""),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # last, so &amp;lt; -> &lt; stays literal
+    ]:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, "[ \t\n\r\f]+", " "))

@@ -1603,7 +1603,71 @@ FROM documents
 """
 
 
+def q_html_strip(spark, sf):
+    """HTML → visible-text extraction (operators/text.py strip_html):
+    each document is wrapped in a deterministic page shell (style block,
+    headings, a script with a stray '<', comment, entities) and the
+    operator must recover exactly the visible text; the oracle replays
+    the same shell and the same RE2-safe strip in SQL."""
+    from .operators.text import strip_html
+
+    d = _t(spark, sf, "documents")
+    page = F.concat(
+        F.lit(
+            '<html><head><style>p { color: red; }</style></head>'
+            '<body><h1>Doc</h1><p class="main">'
+        ),
+        F.col("text"),
+        F.lit(
+            '</p><p>Q&amp;A &lt;raw&gt;</p>'
+            '<script type="text/javascript">var x = 1 < 2;</script>'
+            "<!-- hidden --></body></html>"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        strip_html(page).alias("clean"),
+    ).withColumn("clean_chars", F.length("clean").cast("long"))
+
+
+SQL_HTML_STRIP = r"""
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><style>p { color: red; }</style></head><body><h1>Doc</h1><p class="main">'
+         || text ||
+         '</p><p>Q&amp;A &lt;raw&gt;</p><script type="text/javascript">var x = 1 < 2;</script><!-- hidden --></body></html>'
+         AS h
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(h, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+           '<[^>]+>', ' ', 'g') AS t
+  FROM page
+), e AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(t,
+           '&nbsp;', ' '),
+           '&lt;', '<'),
+           '&gt;', '>'),
+           '&quot;', '"'),
+           '&#39;', ''''),
+           '&amp;', '&') AS t
+  FROM s
+)
+SELECT doc_id,
+       trim(regexp_replace(t, '[ ' || chr(9) || chr(10) || chr(13) || chr(12) || ']+', ' ', 'g')) AS clean,
+       CAST(length(trim(regexp_replace(t, '[ ' || chr(9) || chr(10) || chr(13) || chr(12) || ']+', ' ', 'g'))) AS BIGINT) AS clean_chars
+FROM e
+"""
+
+
 EXT_REGISTRY = {
+    "html_strip": (q_html_strip, SQL_HTML_STRIP),
     # remaining TPC-H query shapes
     "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST_SUPPLIER),
     "priority_exists_orders": (q_priority_exists_orders, SQL_PRIORITY_EXISTS_ORDERS),

@@ -197,3 +197,26 @@ def test_incremental_dedup_consistent_with_band_pairs(spark, sf_dir):
         elif b % 10 == 0 and a % 10 != 0:
             crossing.add((b, a))
     assert inc == crossing
+
+
+def test_strip_html_visible_text_only(spark):
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.text import (
+        strip_html,
+    )
+
+    cases = [
+        # (html, expected visible text)
+        ("<p>hello <b>world</b></p>", "hello world"),
+        ("<script>var a = '<p>not text</p>';</script>after", "after"),
+        ("<style>p>span { x: 1 }</style>kept", "kept"),
+        ("<!-- note -->a&nbsp;b&amp;c &lt;tag&gt;", "a b&c <tag>"),
+        ("&amp;lt; stays literal", "&lt; stays literal"),
+        ("no  markup\n at\tall", "no markup at all"),
+        ("<SCRIPT TYPE='x'>s</SCRIPT><P>case</P>", "case"),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)], "i int, h string")
+    got = {r["i"]: r["c"] for r in df.select("i", strip_html(F.col("h")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
