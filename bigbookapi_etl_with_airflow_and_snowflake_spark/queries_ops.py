@@ -1532,6 +1532,84 @@ SELECT node, rank_fp FROM r2
 """
 
 
+# ---------------------------------------------------------------------------
+# profiling / DQ screening (operators/profile.py)
+# ---------------------------------------------------------------------------
+
+
+def q_column_profile_events(spark, sf):
+    """First-look dataset profile of the events table — null count,
+    exact distinct count, min/max for every column, computed in ONE
+    aggregation pass (operators/profile.py profile_columns); the oracle
+    recomputes each column's row via UNION ALL."""
+    from .operators.profile import profile_columns
+
+    return profile_columns(_t(spark, sf, "events"))
+
+
+def _sql_profile_events() -> str:
+    def num(c, expr):
+        return f"""
+SELECT '{c}' AS col_name,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({expr}) AS DOUBLE) AS min_num,
+       CAST(MAX({expr}) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM events"""
+
+    def st(c):
+        return f"""
+SELECT '{c}' AS col_name,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       MIN({c}) AS min_str, MAX({c}) AS max_str
+FROM events"""
+
+    parts = [
+        num("event_id", "event_id"),
+        num("ts", "epoch_us(ts)"),
+        num("user_id", "user_id"),
+        st("event_type"),
+        num("value", "value"),
+        st("props"),
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_outlier_events(spark, sf):
+    """3σ outlier screen on event value per event type (the long-tail
+    distribution in the corpus — ~190 hits at sf0.01), decided in exact
+    integer cents arithmetic ((n·x−S)² > 9(n·Q−S²)) — bit-identical
+    verdicts on any partitioning and in the DuckDB replay; group stats
+    broadcast, no window over the fact table."""
+    from .operators.profile import integer_sigma_outliers
+
+    e = _t(spark, sf, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100 + 0.5).cast("long")
+    )
+    return integer_sigma_outliers(e, ["event_type"], "cents", k=3).select(
+        "event_id", "event_type", "value"
+    )
+
+
+SQL_OUTLIER_EVENTS = """
+WITH c AS (
+  SELECT event_id, event_type, value,
+         CAST(FLOOR(value * 100 + 0.5) AS HUGEINT) AS x
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(x * x) AS q
+  FROM c GROUP BY event_type
+)
+SELECT event_id, event_type, value
+FROM c JOIN s USING (event_type)
+WHERE (n * x - sx) * (n * x - sx) > 9 * (n * q - sx * sx)
+"""
+
+
 OPS_REGISTRY = {
     "passage_dedup": (q_passage_dedup, SQL_PASSAGE_DEDUP),
     "zorder_key_events": (q_zorder_key_events, _sql_zorder_key_events()),
@@ -1567,4 +1645,6 @@ OPS_REGISTRY = {
     "pps_sample_orders": (q_pps_sample_orders, SQL_PPS_SAMPLE_ORDERS),
     "weighted_sample_orders": (q_weighted_sample_orders, SQL_WEIGHTED_SAMPLE_ORDERS),
     "pagerank_2iter": (q_pagerank_2iter, SQL_PAGERANK_2ITER),
+    "column_profile_events": (q_column_profile_events, _sql_profile_events()),
+    "outlier_events": (q_outlier_events, SQL_OUTLIER_EVENTS),
 }
