@@ -2243,6 +2243,8 @@ _DRIVER_PRIORITY = [
     "html_strip",
     "column_profile_events",
     "outlier_events",
+    "compaction_roundtrip",
+    "schema_evolution_union",
     # never driver-checked in any round: the exact twins the sketch
     # entries' credibility rests on (registered at position 51+ in r4)
     "distinct_users_exact",

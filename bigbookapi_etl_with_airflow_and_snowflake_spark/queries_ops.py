@@ -1610,6 +1610,80 @@ WHERE (n * x - sx) * (n * x - sx) > 9 * (n * q - sx * sx)
 """
 
 
+# ---------------------------------------------------------------------------
+# lake maintenance (operators/lake.py)
+# ---------------------------------------------------------------------------
+
+
+def q_compaction_roundtrip(spark, sf):
+    """Small-file compaction through its REAL write path: events are
+    fragmented into 48 shard files, compact_small_files bin-packs them
+    (range-clustered on ts), and the compacted copy must aggregate
+    identically to the source table — content preservation under
+    re-layout, checked by the oracle on the original."""
+    from .operators.lake import compact_small_files
+
+    d = tempfile.mkdtemp(prefix="q_compact_")
+    frag, packed = os.path.join(d, "frag"), os.path.join(d, "packed")
+    try:
+        _t(spark, sf, "events").repartition(48).write.parquet(frag)
+        stats = compact_small_files(
+            spark, frag, packed, target_file_bytes=64 * 1024 * 1024,
+            order_cols=["ts"],
+        )
+        assert stats["n_files_out"] < stats["n_files_in"], stats
+        out = (
+            spark.read.parquet(packed)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias(
+                    "cents"
+                ),
+                F.min("event_id").alias("min_id"),
+                F.max("event_id").alias("max_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_COMPACTION_ROUNDTRIP = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id
+FROM events GROUP BY event_type
+"""
+
+
+def q_schema_evolution_union(spark, sf):
+    """Schema-evolution append: a v1 batch (no props column) unions a
+    v2 batch (adds props) by NAME with missing columns null-filled —
+    the unionByName(allowMissingColumns=True) path every long-lived
+    ingest needs; the oracle replays it with UNION ALL BY NAME."""
+    e = _t(spark, sf, "events")
+    v1 = e.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    v2 = e.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
+SQL_SCHEMA_EVOLUTION_UNION = """
+SELECT event_id, user_id, event_type, value, NULL AS props
+FROM events WHERE event_id % 2 = 0
+UNION ALL BY NAME
+SELECT event_id, user_id, event_type, value, props
+FROM events WHERE event_id % 2 = 1
+"""
+
+
 OPS_REGISTRY = {
     "passage_dedup": (q_passage_dedup, SQL_PASSAGE_DEDUP),
     "zorder_key_events": (q_zorder_key_events, _sql_zorder_key_events()),
@@ -1647,4 +1721,6 @@ OPS_REGISTRY = {
     "pagerank_2iter": (q_pagerank_2iter, SQL_PAGERANK_2ITER),
     "column_profile_events": (q_column_profile_events, _sql_profile_events()),
     "outlier_events": (q_outlier_events, SQL_OUTLIER_EVENTS),
+    "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
+    "schema_evolution_union": (q_schema_evolution_union, SQL_SCHEMA_EVOLUTION_UNION),
 }

@@ -134,3 +134,46 @@ def test_parquet_footer_stats_audits_layout(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="not in"):
         parquet_footer_stats(spark, zpath, ["no_such_col"]).collect()
+
+
+def test_compact_small_files_bin_packs_and_clusters(spark, tmp_path):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lake import (
+        compact_small_files,
+        parquet_footer_stats,
+    )
+
+    frag = str(tmp_path / "frag")
+    packed = str(tmp_path / "packed")
+    df = spark.range(20000).selectExpr("id", "CAST(id % 1000 AS DOUBLE) AS v")
+    df.repartition(32).write.parquet(frag)
+
+    stats = compact_small_files(
+        spark, frag, packed, target_file_bytes=64 * 1024, order_cols=["id"]
+    )
+    assert stats["n_files_in"] == 32
+    assert 1 < stats["n_files_out"] < 32
+
+    # contents preserved exactly
+    back = spark.read.parquet(packed)
+    assert back.count() == 20000
+    assert back.agg({"id": "sum"}).first()[0] == sum(range(20000))
+
+    # range clustering: per-file id envelopes must be disjoint-ish —
+    # total envelope width ~ N, not n_files * N (round-robin would give
+    # every file the full [0, 20000) span)
+    foot = parquet_footer_stats(spark, packed, ["id"]).collect()
+    width = sum(r["max_val"] - r["min_val"] for r in foot)
+    assert width < 20000 * 1.2
+
+
+def test_compact_single_file_floor(spark, tmp_path):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lake import (
+        compact_small_files,
+    )
+
+    frag = str(tmp_path / "f2")
+    packed = str(tmp_path / "p2")
+    spark.range(100).repartition(8).write.parquet(frag)
+    stats = compact_small_files(spark, frag, packed)  # default 128 MB target
+    assert stats["n_files_out"] == 1
+    assert spark.read.parquet(packed).count() == 100
