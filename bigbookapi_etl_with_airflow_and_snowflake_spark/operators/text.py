@@ -241,3 +241,49 @@ def strip_html(text: Column) -> Column:
     ]:
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, "[ \t\n\r\f]+", " "))
+
+
+def normalize_nfc(text: Column) -> Column:
+    """Unicode NFC normalization — the canonicalization step ahead of
+    any hash-keyed text operator (dedup keys, fingerprints: 'café'
+    composed and decomposed must hash identically).
+
+    Spark has no built-in Unicode normalizer, so this is the honest
+    Python tier: an Arrow-batched pandas UDF over ``unicodedata``
+    (both Python's unicodedata and DuckDB's utf8proc implement the same
+    Unicode canonical composition, so the oracle's nfc_normalize
+    replays it exactly). Vectorized batch transfer; no row-at-a-time
+    Python UDF.
+    """
+    import unicodedata
+
+    import pandas as pd
+
+    def _nfc_batch(s: "pd.Series") -> "pd.Series":
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    _nfc_batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_nfc_batch, "string")(text)
+
+
+def url_parts(url: Column) -> Column:
+    """Decompose a URL into (scheme, host, domain, path, q) — the
+    web-curation splitter behind domain blocklists and per-site quotas.
+    Pure ``regexp_extract`` in the Java-regex ∩ RE2 intersection (see
+    strip_html), so the SQL oracle runs the same patterns verbatim;
+    ``domain`` is the last two host labels (the blocklist key).
+    """
+    scheme = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*)://", 1)
+    host = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    domain = F.regexp_extract(host, r"([^./]+\.[^./]+)$", 1)
+    path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    q = F.regexp_extract(url, r"[?&]q=([^&#]*)", 1)
+    return F.struct(
+        scheme.alias("scheme"),
+        host.alias("host"),
+        domain.alias("domain"),
+        path.alias("path"),
+        q.alias("q"),
+    )

@@ -2245,6 +2245,9 @@ _DRIVER_PRIORITY = [
     "outlier_events",
     "compaction_roundtrip",
     "schema_evolution_union",
+    "snapshot_diff_orders",
+    "unicode_nfc",
+    "url_parts",
     # never driver-checked in any round: the exact twins the sketch
     # entries' credibility rests on (registered at position 51+ in r4)
     "distinct_users_exact",
@@ -2261,13 +2264,10 @@ _DRIVER_PRIORITY = [
     "corr_stats",
     "cust_order_distribution",
     "daily_activity_full_outer",
-    "excess_supply",
     "pii_scrub",
     "priority_line_counts",
     "product_profit",
-    "region_nation_matrix",
     "repetition_stats",
-    "returned_vs_kept_custkeys",
     "source_mixture",
     "stratified_sample",
     "top_revenue_supplier",
@@ -2289,6 +2289,9 @@ _DRIVER_PRIORITY = [
     "image_decode",
     "audio_decode",
     # r2-stale rotated out this round to fund the late additions above
+    "excess_supply",
+    "returned_vs_kept_custkeys",
+    "region_nation_matrix",
     "embedding_norms",
     "embedding_quantize",
     "length_histogram",

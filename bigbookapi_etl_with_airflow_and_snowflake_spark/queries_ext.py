@@ -1666,8 +1666,89 @@ FROM e
 """
 
 
+def q_unicode_nfc(spark, sf):
+    """Unicode NFC canonicalization (operators/text.py normalize_nfc,
+    the Arrow-batched pandas-UDF tier): every document gets a
+    deterministic decomposed suffix (e + combining acute, A + ring)
+    that NFC must compose; output proves composition happened
+    (char length shrinks) and matches DuckDB's utf8proc replay."""
+    from .operators.text import normalize_nfc
+
+    d = _t(spark, sf, "documents")
+    raw = F.concat(F.col("text"), F.lit(" café Å"))
+    return d.select(
+        "doc_id",
+        normalize_nfc(raw).alias("norm"),
+        F.length(raw).cast("long").alias("raw_chars"),
+    ).withColumn("norm_chars", F.length("norm").cast("long"))
+
+
+SQL_UNICODE_NFC = """
+WITH r AS (
+  SELECT doc_id, text || ' cafe' || chr(769) || ' A' || chr(778) AS raw
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(raw) AS norm,
+       CAST(length(raw) AS BIGINT) AS raw_chars,
+       CAST(length(nfc_normalize(raw)) AS BIGINT) AS norm_chars
+FROM r
+"""
+
+
+def q_url_parts(spark, sf):
+    """URL decomposition for domain blocklists / per-site quotas
+    (operators/text.py url_parts): deterministic per-doc URLs are split
+    into scheme/host/domain/path/query-param with portable regexes the
+    oracle runs verbatim."""
+    from .operators.text import url_parts
+
+    d = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://sub"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="),
+        F.col("lang"),
+        F.lit("&r=1#frag"),
+    )
+    p = url_parts(url)
+    return d.select(
+        "doc_id",
+        p["scheme"].alias("scheme"),
+        p["host"].alias("host"),
+        p["domain"].alias("domain"),
+        p["path"].alias("path"),
+        p["q"].alias("q"),
+    )
+
+
+SQL_URL_PARTS = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://sub' || CAST(doc_id % 5 AS VARCHAR) || '.example' ||
+         CAST(doc_id % 3 AS VARCHAR) || '.com/p/' || CAST(doc_id AS VARCHAR) ||
+         '?q=' || lang || '&r=1#frag' AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+       regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+       regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                      '([^./]+\.[^./]+)$', 1) AS domain,
+       regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '[?&]q=([^&#]*)', 1) AS q
+FROM u
+"""
+
+
 EXT_REGISTRY = {
     "html_strip": (q_html_strip, SQL_HTML_STRIP),
+    "unicode_nfc": (q_unicode_nfc, SQL_UNICODE_NFC),
+    "url_parts": (q_url_parts, SQL_URL_PARTS),
     # remaining TPC-H query shapes
     "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST_SUPPLIER),
     "priority_exists_orders": (q_priority_exists_orders, SQL_PRIORITY_EXISTS_ORDERS),

@@ -1611,6 +1611,70 @@ WHERE (n * x - sx) * (n * x - sx) > 9 * (n * q - sx * sx)
 
 
 # ---------------------------------------------------------------------------
+# CDC snapshot diff (operators/cdc.py)
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_diff_orders(spark, sf):
+    """CDC delta between two deterministic snapshots of orders: keys
+    ≡0 mod 7 deleted, ≡3 mod 5 re-priced (decimal-exact ×1.1),
+    synthetic negative-key rows inserted. One full-outer join + one
+    null-safe struct compare; unchanged rows are not emitted."""
+    from .operators.cdc import snapshot_diff
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new = (
+        o.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 3,
+                (_dec("o_totalprice") * F.lit("1.1").cast("decimal(2,1)")).cast(
+                    "double"
+                ),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 1).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.col("o_totalprice"),
+            )
+        )
+    )
+    return snapshot_diff(o, new, keys=["o_orderkey"])
+
+
+SQL_SNAPSHOT_DIFF_ORDERS = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 3
+              THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 != 0
+  UNION ALL
+  SELECT -o_orderkey, 'N', o_totalprice FROM orders WHERE o_orderkey % 11 = 1
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            WHEN (o.o_orderstatus, o.o_totalprice) IS DISTINCT FROM
+                 (n.o_orderstatus, n.o_totalprice) THEN 'update'
+       END AS change_type,
+       o.o_orderstatus AS old_o_orderstatus, n.o_orderstatus AS new_o_orderstatus,
+       o.o_totalprice AS old_o_totalprice, n.o_totalprice AS new_o_totalprice
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+           WHEN n.o_orderkey IS NULL THEN 'delete'
+           WHEN (o.o_orderstatus, o.o_totalprice) IS DISTINCT FROM
+                (n.o_orderstatus, n.o_totalprice) THEN 'update'
+      END IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
 # lake maintenance (operators/lake.py)
 # ---------------------------------------------------------------------------
 
@@ -1723,4 +1787,5 @@ OPS_REGISTRY = {
     "outlier_events": (q_outlier_events, SQL_OUTLIER_EVENTS),
     "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
     "schema_evolution_union": (q_schema_evolution_union, SQL_SCHEMA_EVOLUTION_UNION),
+    "snapshot_diff_orders": (q_snapshot_diff_orders, SQL_SNAPSHOT_DIFF_ORDERS),
 }
