@@ -1,0 +1,113 @@
+"""Distributed BPE (byte-pair-encoding) merge training.
+
+Sennrich et al. 2016 subword learning as Spark dataflow. The reference
+tokenizes nothing (its corpus is book metadata); a training-data engine
+that counts tokens (operators/text.py ``bpe_token_count``) should also
+be able to LEARN the merge table from its own corpus.
+
+Scale shape — the part that matters at 100 TB:
+
+- The corpus collapses to a **word-frequency table** first (one
+  explode + groupBy). Every subsequent iteration works on |vocab| rows
+  (≈10⁵–10⁷), not corpus rows (≈10¹¹); corpus size only ever affects
+  the one initial aggregation.
+- Each merge round is: one pair-count aggregation (weighted by word
+  freq, array-algebra pair extraction — no Python), one driver-side
+  argmax of a single row (count desc, pair lex asc — deterministic
+  total order), one ``transform`` applying the merge to the symbol
+  arrays. Lineage is truncated every round.
+- Merge application is the standard greedy leftmost-nonoverlapping
+  fold, expressed with ``aggregate`` (fold) over the symbol array:
+  'aaa' under merge (a,a) → ['aa','a'], never ['a','aa'] — the same
+  result as the reference Python implementation, asserted by replay
+  tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["word_freq_table", "pair_counts", "bpe_train"]
+
+END = "</w>"
+
+
+def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, syms) — distinct corpus words with frequencies and
+    initial symbol arrays (characters + end-of-word marker)."""
+    w = (
+        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END)))
+    return w.withColumn("syms", syms)
+
+
+def pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency:
+    (a, b, cnt). One array-algebra projection + one aggregation."""
+    # guard: sequence(1, 0) DESCENDS in Spark, so a fully-merged
+    # single-symbol word would index out of bounds without the size gate
+    pairs = F.expr(
+        "CASE WHEN size(syms) >= 2 THEN "
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b)) "
+        "ELSE array() END"
+    )
+    return (
+        words.select(F.col("freq"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _apply_merge(syms_col, a: str, b: str):
+    """Greedy leftmost-nonoverlapping replacement of adjacent (a, b) →
+    a+b inside a symbol array, as a fold: append each symbol; when the
+    accumulator's tail is `a` (and was not itself just produced by this
+    round's merge) and the next symbol is `b`, fuse them."""
+    merged = a + b
+    la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
+    return F.aggregate(
+        syms_col,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == la)
+            & (x == lb)
+            # tail == a is enough: if a==merged this round can't occur
+            # (merged is strictly longer than a since b is non-empty)
+            ,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lm)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns
+    [(merge_idx, left, right, pair_count)] in merge order. Stops early
+    if no pair occurs twice."""
+    words = word_freq_table(df, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for i in range(n_merges):
+        top = (
+            pair_counts(words)
+            .orderBy(F.desc("cnt"), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((i, a, b, cnt))
+        words = words.withColumn(
+            "syms", _apply_merge(F.col("syms"), a, b)
+        ).localCheckpoint(eager=True)
+    return merges

@@ -2248,6 +2248,8 @@ _DRIVER_PRIORITY = [
     "snapshot_diff_orders",
     "unicode_nfc",
     "url_parts",
+    "chunk_documents",
+    "bpe_pair_counts",
     # never driver-checked in any round: the exact twins the sketch
     # entries' credibility rests on (registered at position 51+ in r4)
     "distinct_users_exact",
@@ -2270,8 +2272,6 @@ _DRIVER_PRIORITY = [
     "repetition_stats",
     "source_mixture",
     "stratified_sample",
-    "top_revenue_supplier",
-    "vocab_coverage",
     # round-5 additions: MP3 frame-header demux tier; the S1 distributed
     # page fan-out's first oracle run — never driver-checked, so they
     # outrank the r4-green codec refreshes below
@@ -2289,6 +2289,8 @@ _DRIVER_PRIORITY = [
     "image_decode",
     "audio_decode",
     # r2-stale rotated out this round to fund the late additions above
+    "top_revenue_supplier",
+    "vocab_coverage",
     "excess_supply",
     "returned_vs_kept_custkeys",
     "region_nation_matrix",

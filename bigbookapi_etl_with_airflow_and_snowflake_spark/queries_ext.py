@@ -1745,8 +1745,58 @@ FROM u
 """
 
 
+def q_chunk_documents(spark, sf):
+    """Overlapping token-window chunking (window 40, stride 30) — the
+    retrieval/context-packing splitter. Pure array algebra: one
+    tokenize, one sequence-of-offsets transform, one explode; no
+    Python, no shuffle before the explode. Every token appears in
+    ≥1 chunk (tail chunks shorter than the window are kept)."""
+    from .operators.text import tokens
+
+    w, s = 40, 30
+    d = _t(spark, sf, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    # chunk starts: 0, s, 2s, … while start < n  (ceil(n/s) of them)
+    starts = F.sequence(F.lit(0), F.ceil(n / F.lit(s)).cast("int") - 1)
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.slice(t, i * s + 1, w).alias("toks"),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("c"))
+        .filter(F.size("c.toks") > 0)
+        .select(
+            "doc_id",
+            F.col("c.idx").cast("long").alias("chunk_idx"),
+            F.array_join("c.toks", " ").alias("chunk_text"),
+            F.size("c.toks").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), st AS (
+  SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / 30.0) AS BIGINT))) AS i
+  FROM toks
+)
+SELECT doc_id,
+       i AS chunk_idx,
+       array_to_string(t[i*30 + 1 : i*30 + 40], ' ') AS chunk_text,
+       CAST(len(t[i*30 + 1 : i*30 + 40]) AS BIGINT) AS n_tokens
+FROM st
+WHERE len(t[i*30 + 1 : i*30 + 40]) > 0
+"""
+
+
 EXT_REGISTRY = {
     "html_strip": (q_html_strip, SQL_HTML_STRIP),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "unicode_nfc": (q_unicode_nfc, SQL_UNICODE_NFC),
     "url_parts": (q_url_parts, SQL_URL_PARTS),
     # remaining TPC-H query shapes

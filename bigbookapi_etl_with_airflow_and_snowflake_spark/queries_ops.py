@@ -1611,6 +1611,40 @@ WHERE (n * x - sx) * (n * x - sx) > 9 * (n * q - sx * sx)
 
 
 # ---------------------------------------------------------------------------
+# BPE merge training (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_pair_counts(spark, sf):
+    """Round-1 of distributed BPE training through the real operator
+    path (word-frequency collapse → weighted adjacent-pair counts):
+    the full (a, b, cnt) pair table the first merge argmax reads. The
+    iterative trainer (bpe_train) reuses exactly this aggregation per
+    round; its multi-round behavior is locked by pure-Python replay
+    tests (test_bpe.py)."""
+    from .operators.bpe import pair_counts, word_freq_table
+
+    return pair_counts(word_freq_table(_t(spark, sf, "documents"))).select(
+        "a", "b", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+SQL_BPE_PAIR_COUNTS = r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+), wf AS (
+  SELECT w, COUNT(*) AS freq FROM words WHERE w != '' GROUP BY w
+), pairs AS (
+  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, freq
+  FROM wf, unnest(range(1, len(w))) AS t(i)
+  UNION ALL
+  SELECT substr(w, len(w), 1) AS a, '</w>' AS b, freq FROM wf
+)
+SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM pairs GROUP BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
 # CDC snapshot diff (operators/cdc.py)
 # ---------------------------------------------------------------------------
 
@@ -1788,4 +1822,5 @@ OPS_REGISTRY = {
     "compaction_roundtrip": (q_compaction_roundtrip, SQL_COMPACTION_ROUNDTRIP),
     "schema_evolution_union": (q_schema_evolution_union, SQL_SCHEMA_EVOLUTION_UNION),
     "snapshot_diff_orders": (q_snapshot_diff_orders, SQL_SNAPSHOT_DIFF_ORDERS),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
 }

@@ -1,0 +1,103 @@
+"""Distributed BPE training vs the reference Python algorithm."""
+
+from __future__ import annotations
+
+from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.bpe import (
+    END,
+    bpe_train,
+    pair_counts,
+    word_freq_table,
+)
+
+
+def _py_bpe(texts: list[str], n_merges: int):
+    """Reference implementation (Sennrich et al.), greedy leftmost."""
+    freq: dict[tuple[str, ...], int] = {}
+    for t in texts:
+        for w in t.split():
+            syms = tuple(list(w) + [END])
+            freq[syms] = freq.get(syms, 0) + 1
+    merges = []
+    for i in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, f in freq.items():
+            for j in range(len(syms) - 1):
+                pc[(syms[j], syms[j + 1])] = pc.get((syms[j], syms[j + 1]), 0) + f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < 2:
+            break
+        merges.append((i, a, b, cnt))
+        new_freq: dict[tuple[str, ...], int] = {}
+        for syms, f in freq.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            k = tuple(out)
+            new_freq[k] = new_freq.get(k, 0) + f
+        freq = new_freq
+    return merges
+
+
+CORPUS = [
+    "low lower lowest low low",
+    "new newer newest new",
+    "wide wider widest",
+    "low new low",
+]
+
+
+def test_bpe_matches_python_reference(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    got = bpe_train(df, n_merges=8)
+    want = _py_bpe(CORPUS, 8)
+    assert got == want
+    assert len(got) == 8  # corpus is rich enough to not stop early
+
+
+def test_bpe_partition_invariance(spark):
+    df1 = spark.createDataFrame([(t,) for t in CORPUS], "text string").coalesce(1)
+    df2 = spark.createDataFrame([(t,) for t in CORPUS], "text string").repartition(7)
+    assert bpe_train(df1, n_merges=5) == bpe_train(df2, n_merges=5)
+
+
+def test_bpe_greedy_leftmost_on_runs(spark):
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.bpe import (
+        _apply_merge,
+    )
+
+    # 'aaaa' + END under merge (a,a): greedy leftmost fuses pairs 1-2
+    # and 3-4 -> [aa, aa, </w>], never [a, aa, a, ...] or right-biased
+    df = spark.createDataFrame([(["a", "a", "a", "a", END],)], "syms array<string>")
+    got = df.select(_apply_merge(F.col("syms"), "a", "a").alias("m")).first()["m"]
+    assert got == ["aa", "aa", END]
+    # odd run: trailing singleton survives
+    df3 = spark.createDataFrame([(["a", "a", "a", END],)], "syms array<string>")
+    got3 = df3.select(_apply_merge(F.col("syms"), "a", "a").alias("m")).first()["m"]
+    assert got3 == ["aa", "a", END]
+
+
+def test_bpe_stops_when_dry(spark):
+    df = spark.createDataFrame([("ab cd ef",)], "text string")
+    # every pair occurs once -> no merge has cnt >= 2
+    assert bpe_train(df, n_merges=5) == []
+
+
+def test_pair_counts_weighted_by_word_freq(spark):
+    df = spark.createDataFrame([("go go go stop",)], "text string")
+    pc = {
+        (r["a"], r["b"]): r["cnt"]
+        for r in pair_counts(word_freq_table(df)).collect()
+    }
+    assert pc[("g", "o")] == 3
+    assert pc[("o", END)] == 3
+    assert pc[("s", "t")] == 1
