@@ -109,6 +109,22 @@ QUERIES = [
     "webdataset_pipeline",
     "orc_roundtrip",
     "csv_tolerant_read",
+    # round-5 late additions: sampling tier (two-pass prefix sums must
+    # not collapse to one task at scale), link analysis, text/profiling
+    # tiers, CDC diff, lake compaction companions
+    "stable_row_ids",
+    "pps_sample_orders",
+    "weighted_sample_orders",
+    "pagerank_2iter",
+    "html_strip",
+    "column_profile_events",
+    "outlier_events",
+    "schema_evolution_union",
+    "snapshot_diff_orders",
+    "unicode_nfc",
+    "url_parts",
+    "chunk_documents",
+    "bpe_pair_counts",
 ]
 
 
