@@ -209,7 +209,12 @@ def weighted_sample_aes(
     u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + 1.0) / float(1 << 52)
     score = -F.log(u) / F.col(weight_col).cast("double")
     return (
-        df.withColumn("__aes", score)
+        # A-ES is defined for w > 0. A w=0 row's score is +inf (never
+        # sampled — the correct w→0 limit), but a NEGATIVE w would get
+        # a negative score and always win; filter both out rather than
+        # silently inverting the caller's intent.
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__aes", score)
         .orderBy(F.col("__aes"), F.col(key_col))
         .limit(k)
         .drop("__aes")

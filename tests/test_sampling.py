@@ -108,3 +108,10 @@ def test_aes_plan_is_take_ordered(spark):
     df = spark.createDataFrame([(i, 1) for i in range(100)], "k int, w int")
     plan = weighted_sample_aes(df, "k", "w", 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_aes_nonpositive_weights_never_sampled(spark):
+    rows = [(1, 5), (2, 0), (3, -4), (4, 5), (5, 5)]
+    df = spark.createDataFrame(rows, "k int, w int")
+    got = {r["k"] for r in weighted_sample_aes(df, "k", "w", 10).collect()}
+    assert got == {1, 4, 5}
