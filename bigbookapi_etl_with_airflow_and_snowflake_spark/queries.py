@@ -2250,6 +2250,8 @@ _DRIVER_PRIORITY = [
     "url_parts",
     "chunk_documents",
     "bpe_pair_counts",
+    "gapfill_locf",
+    "cohort_retention",
     # never driver-checked in any round: the exact twins the sketch
     # entries' credibility rests on (registered at position 51+ in r4)
     "distinct_users_exact",
@@ -2267,9 +2269,7 @@ _DRIVER_PRIORITY = [
     "cust_order_distribution",
     "daily_activity_full_outer",
     "pii_scrub",
-    "priority_line_counts",
     "product_profit",
-    "repetition_stats",
     "source_mixture",
     "stratified_sample",
     # round-5 additions: MP3 frame-header demux tier; the S1 distributed
@@ -2289,6 +2289,8 @@ _DRIVER_PRIORITY = [
     "image_decode",
     "audio_decode",
     # r2-stale rotated out this round to fund the late additions above
+    "repetition_stats",
+    "priority_line_counts",
     "top_revenue_supplier",
     "vocab_coverage",
     "excess_supply",

@@ -1794,8 +1794,108 @@ WHERE len(t[i*30 + 1 : i*30 + 40]) > 0
 """
 
 
+def q_gapfill_locf(spark, sf):
+    """Hypertable-style gap-fill: per-user DAILY series over the full
+    corpus span with last-observation-carried-forward. Daily downsample
+    picks the latest event per (user, day) with a deterministic
+    (ts, event_id) tiebreak; the date spine is users × sequence(days);
+    LOCF is last(ignorenulls) over a user-partitioned window — the
+    partition key is the high-cardinality user id, so the window
+    parallelizes (never a global sort)."""
+    e = _t(spark, sf, "events")
+    daily = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+        .select("user_id", "day", F.col("m.value").alias("v"))
+    )
+    span = e.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    ).first()
+    days = F.explode(
+        F.sequence(F.lit(span["lo"]), F.lit(span["hi"]), F.expr("interval 1 day"))
+    ).alias("day")
+    spine = e.select("user_id").distinct().select("user_id", days)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            # date → timestamp for driver dtype parity (registry-wide
+            # convention; see daily_activity_full_outer)
+            F.col("day").cast("timestamp").alias("day"),
+            F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("v").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+SQL_GAPFILL_LOCF = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), d1 AS (
+  SELECT user_id, day, v FROM daily WHERE rn = 1
+), span AS (
+  SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events
+), spine AS (
+  SELECT u.user_id,
+         CAST(unnest(generate_series(s.lo, s.hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM events) u, span s
+)
+SELECT s.user_id, s.day,
+       LAST_VALUE(d1.v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       d1.v IS NOT NULL AS is_observed
+FROM spine s LEFT JOIN d1 ON d1.user_id = s.user_id AND d1.day = s.day
+"""
+
+
+def q_cohort_retention(spark, sf):
+    """Weekly cohort-retention matrix: users cohorted by first-activity
+    week, counted once per (cohort, week-offset) they return in. Two
+    narrow aggregations + one broadcast-sized self join; all integer
+    counts, exactly replayable."""
+    e = _t(spark, sf, "events")
+    wk = (F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))) / 7).cast("int")
+    activity = e.select("user_id", wk.alias("week")).distinct()
+    first = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0)
+              AS INTEGER) AS week
+  FROM events
+), first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY user_id
+)
+SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN first f ON a.user_id = f.user_id
+GROUP BY f.cohort_week, a.week - f.cohort_week
+"""
+
+
 EXT_REGISTRY = {
     "html_strip": (q_html_strip, SQL_HTML_STRIP),
+    "gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "unicode_nfc": (q_unicode_nfc, SQL_UNICODE_NFC),
     "url_parts": (q_url_parts, SQL_URL_PARTS),
