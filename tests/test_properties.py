@@ -327,3 +327,78 @@ def test_boilerplate_removal_matches_naive(spark):
 
     with pytest.raises(ValueError, match="max_df"):
         boilerplate_removal(df, "text", "doc_id", k=2, max_df=0)
+
+
+# --- round-5: snapshot-diff apply law, prefix-sum equivalence, strip_html ---
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.one_of(st.none(), st.integers(0, 5))),
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 30), st.one_of(st.none(), st.integers(0, 5))),
+        max_size=25,
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_snapshot_diff_apply_roundtrip(spark, old_rows, new_rows):
+    """Applying the diff to the old snapshot reconstructs the new one:
+    (old − deleted − updated) ∪ (inserted ∪ updated-new) == new."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.cdc import (
+        snapshot_diff,
+    )
+
+    dedup_old = {k: v for k, v in old_rows}
+    dedup_new = {k: v for k, v in new_rows}
+    old = spark.createDataFrame(
+        [(k, v) for k, v in dedup_old.items()] or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+    new = spark.createDataFrame(
+        [(k, v) for k, v in dedup_new.items()] or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+    diff = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+
+    rebuilt = dict(dedup_old)
+    for k, r in diff.items():
+        if r["change_type"] == "delete":
+            rebuilt.pop(k)
+        else:  # insert or update
+            rebuilt[k] = r["new_v"]
+    assert rebuilt == dedup_new
+
+
+@given(st.lists(st.integers(1, 100), min_size=1, max_size=60), st.integers(2, 9))
+@settings(max_examples=15, deadline=None)
+def test_prefix_sum_matches_cumsum(spark, weights, nparts):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.sampling import (
+        distributed_prefix_sum,
+    )
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "k int, w int").repartition(3)
+    got = {
+        r["k"]: r["cum"]
+        for r in distributed_prefix_sum(df, "k", "w", num_partitions=nparts).collect()
+    }
+    run = 0
+    for i, w in enumerate(weights):
+        run += w
+        assert got[i] == run
+
+
+@given(st.text(alphabet="ab<>/&; npscrit=\"'-!", max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_strip_html_idempotent_and_tagfree(spark, s):
+    """strip(strip(x)) == strip(x) up to entity re-decoding, and the
+    output never contains a full <...> tag."""
+    import re
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.text import (
+        strip_html,
+    )
+
+    df = spark.createDataFrame([(s,)], "t string")
+    once = df.select(strip_html(F.col("t")).alias("o")).first()["o"]
+    assert not re.search(r"<[^>]+>", once)
