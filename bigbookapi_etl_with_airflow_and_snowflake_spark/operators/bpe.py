@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["word_freq_table", "pair_counts", "bpe_train"]
+__all__ = ["word_freq_table", "pair_counts", "bpe_train", "bpe_encode"]
 
 END = "</w>"
 
@@ -111,3 +111,46 @@ def bpe_train(
             "syms", _apply_merge(F.col("syms"), a, b)
         ).localCheckpoint(eager=True)
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize a corpus with a learned merge list: per word, start from
+    characters + end-marker and apply every merge in training order
+    (greedy leftmost, the same fold as training). Returns
+    ``(id, tokens, n_tokens)``.
+
+    Scale shape mirrors training: encoding runs once per DISTINCT word
+    (the vocab trick — |vocab| fold chains, not corpus·|word| work),
+    then words map back to documents by a join on the word string and
+    reassemble in position order. The merge list is a plan-time literal
+    (K chained fold expressions); keep K ≲ a few hundred per encode
+    call — for full production vocabularies, apply in chunks of K
+    (encode is associative over merge-list prefixes by construction).
+    """
+    words_pos = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__pos", "word"),
+    ).filter(F.col("word") != "")
+    vocab = words_pos.select("word").distinct()
+    syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END)))
+    for _, a, b, _cnt in merges:
+        syms = _apply_merge(syms, a, b)
+    encoded = vocab.select("word", syms.alias("__toks"))
+    return (
+        words_pos.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__toks"))),
+                    lambda s: s["__toks"],
+                )
+            ).alias("tokens")
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
+    )

@@ -101,3 +101,54 @@ def test_pair_counts_weighted_by_word_freq(spark):
     assert pc[("g", "o")] == 3
     assert pc[("o", END)] == 3
     assert pc[("s", "t")] == 1
+
+
+def _py_encode(texts, merges):
+    out = {}
+    for i, t in enumerate(texts):
+        toks = []
+        for w in t.split():
+            syms = list(w) + [END]
+            for _, a, b, _c in merges:
+                res, j = [], 0
+                while j < len(syms):
+                    if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                        res.append(a + b)
+                        j += 2
+                    else:
+                        res.append(syms[j])
+                        j += 1
+                syms = res
+            toks.extend(syms)
+        out[i] = toks
+    return out
+
+
+def test_bpe_encode_matches_python(spark):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.bpe import (
+        bpe_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id int, text string"
+    )
+    merges = bpe_train(df, n_merges=6)
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode(df, merges, id_col="doc_id").collect()
+    }
+    assert got == _py_encode(CORPUS, merges)
+
+
+def test_bpe_encode_token_count_shrinks_with_merges(spark):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.bpe import (
+        bpe_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id int, text string"
+    )
+    merges = bpe_train(df, n_merges=6)
+    n0 = bpe_encode(df, [], id_col="doc_id").agg({"n_tokens": "sum"}).first()[0]
+    n6 = bpe_encode(df, merges, id_col="doc_id").agg({"n_tokens": "sum"}).first()[0]
+    assert n6 < n0
