@@ -156,3 +156,43 @@ def cluster_balanced_sample(
         .filter(F.col("sample_rank") <= per_cluster)
         .select(id_col, "cluster", "sample_rank")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quantum: int = 10**6,
+) -> DataFrame:
+    """Per-label embedding centroids (class prototypes) with
+    cross-engine, cross-topology exact semantics.
+
+    Float vector sums are shuffle-order dependent, and double→decimal
+    casts round differently across engines (Spark HALF_UP vs DuckDB) —
+    so the operator SPECIFIES fixed-point arithmetic: each component is
+    quantized to integer ``1/quantum`` units via floor(v·q + 0.5)
+    (multiply, add, floor — all exactly-rounded IEEE ops, identical
+    everywhere), summed as int64 (associative → partition-invariant),
+    and the mean is one IEEE division. Output: (label, dim, mean_q, n)
+    with ``dim`` 0-based; mean error vs true float mean ≤ 1/(2·quantum).
+
+    One explode + one aggregation; the shuffle key (label, dim) is
+    well-distributed for any real label/dim cardinality.
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "v"),
+    )
+    q = F.floor(F.col("v") * F.lit(float(quantum)) + F.lit(0.5)).cast("long")
+    return (
+        ex.groupBy("label", "dim")
+        .agg(F.sum(q).alias("s"), F.count("*").alias("n"))
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            (F.col("s").cast("double") / F.col("n") / F.lit(float(quantum))).alias(
+                "mean_q"
+            ),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

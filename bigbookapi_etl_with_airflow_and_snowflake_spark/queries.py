@@ -2252,6 +2252,7 @@ _DRIVER_PRIORITY = [
     "bpe_pair_counts",
     "gapfill_locf",
     "cohort_retention",
+    "label_centroids",
     # never driver-checked in any round: the exact twins the sketch
     # entries' credibility rests on (registered at position 51+ in r4)
     "distinct_users_exact",
@@ -2268,7 +2269,6 @@ _DRIVER_PRIORITY = [
     "corr_stats",
     "cust_order_distribution",
     "daily_activity_full_outer",
-    "pii_scrub",
     "product_profit",
     "source_mixture",
     "stratified_sample",
@@ -2289,6 +2289,7 @@ _DRIVER_PRIORITY = [
     "image_decode",
     "audio_decode",
     # r2-stale rotated out this round to fund the late additions above
+    "pii_scrub",
     "repetition_stats",
     "priority_line_counts",
     "top_revenue_supplier",

@@ -1611,6 +1611,40 @@ WHERE (n * x - sx) * (n * x - sx) > 9 * (n * q - sx * sx)
 
 
 # ---------------------------------------------------------------------------
+# class prototypes (operators/clustering.py label_centroids)
+# ---------------------------------------------------------------------------
+
+
+def q_label_centroids(spark, sf):
+    """Per-label embedding centroids in specified fixed-point
+    arithmetic (micro-unit quantization → int64 sums → one IEEE
+    division chain): partition-invariant AND engine-exact, unlike
+    float sums or double→decimal casts (which round differently per
+    engine). One explode + one aggregation on (label, dim)."""
+    from .operators.clustering import label_centroids
+
+    return label_centroids(_t(spark, sf, "embeddings"))
+
+
+SQL_LABEL_CENTROIDS = """
+WITH ex AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+), qq AS (
+  SELECT label, dim,
+         CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+  FROM ex
+)
+SELECT label, dim,
+       CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_q,
+       COUNT(*) AS n
+FROM qq GROUP BY label, dim
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE merge training (operators/bpe.py)
 # ---------------------------------------------------------------------------
 
@@ -1823,4 +1857,5 @@ OPS_REGISTRY = {
     "schema_evolution_union": (q_schema_evolution_union, SQL_SCHEMA_EVOLUTION_UNION),
     "snapshot_diff_orders": (q_snapshot_diff_orders, SQL_SNAPSHOT_DIFF_ORDERS),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
 }

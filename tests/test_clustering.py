@@ -114,3 +114,36 @@ def test_kmeans_empty_input_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="no rows"):
         C.kmeans_lloyd(df, k=4, iters=1)
+
+
+def test_label_centroids_fixed_point_exact(spark):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.clustering import (
+        label_centroids,
+    )
+
+    rows = [
+        ("a", [1.0, 2.0]),
+        ("a", [3.0, 4.0]),
+        ("b", [-0.5, 0.25]),
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    got = {
+        (r["label"], r["dim"]): (r["mean_q"], r["n"])
+        for r in label_centroids(df).collect()
+    }
+    assert got[("a", 0)] == (2.0, 2)
+    assert got[("a", 1)] == (3.0, 2)
+    assert got[("b", 0)] == (-0.5, 1)
+    assert got[("b", 1)] == (0.25, 1)
+
+
+def test_label_centroids_partition_invariant(spark):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.clustering import (
+        label_centroids,
+    )
+
+    rows = [("g", [((i * 37) % 101) / 7.0, -i / 3.0]) for i in range(200)]
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    a = sorted(map(tuple, label_centroids(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, label_centroids(df.repartition(13)).collect()))
+    assert a == b
