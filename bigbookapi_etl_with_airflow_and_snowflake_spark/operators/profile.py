@@ -70,8 +70,8 @@ def profile_columns(df: DataFrame, approx: bool = False) -> DataFrame:
     out = [
         (
             c,
-            int(row[f"{c}__nn"]),
-            int(row[f"{c}__nd"]),
+            int(row[f"{c}__nn"] or 0),  # SUM over zero rows is NULL
+            int(row[f"{c}__nd"] or 0),
             float(row[f"{c}__mn"]) if kind == "num" and row[f"{c}__mn"] is not None else None,
             float(row[f"{c}__mx"]) if kind == "num" and row[f"{c}__mx"] is not None else None,
             row[f"{c}__mn"] if kind == "str" else None,

@@ -347,6 +347,8 @@ def _kmeans_centroids(
     O(10³) centroids regardless of corpus size). Deterministic seed."""
     import numpy as np
 
+    if not vectors:
+        raise ValueError("ivf training: no vectors to train centroids on")
     x = np.asarray(vectors, dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -1811,6 +1811,11 @@ def q_gapfill_locf(spark, sf):
     span = e.agg(
         F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
     ).first()
+    if span["lo"] is None:  # empty corpus: no span, no spine
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, day timestamp, value_filled double, is_observed boolean",
+        )
     days = F.explode(
         F.sequence(F.lit(span["lo"]), F.lit(span["hi"]), F.expr("interval 1 day"))
     ).alias("day")

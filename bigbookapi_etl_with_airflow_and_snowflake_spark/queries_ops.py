@@ -1763,7 +1763,10 @@ def q_compaction_roundtrip(spark, sf):
             spark, frag, packed, target_file_bytes=64 * 1024 * 1024,
             order_cols=["ts"],
         )
-        assert stats["n_files_out"] < stats["n_files_in"], stats
+        # strict reduction only when there is something to compact (an
+        # empty/tiny input already sits in one file)
+        if stats["n_files_in"] > 1:
+            assert stats["n_files_out"] < stats["n_files_in"], stats
         out = (
             spark.read.parquet(packed)
             .groupBy("event_type")

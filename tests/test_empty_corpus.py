@@ -1,0 +1,48 @@
+"""Empty-corpus sweep: every registry entry must either return a valid
+(possibly empty) result or fail with a clean, documented ValueError /
+RuntimeError — never an engine-level crash. The driver corpus is never
+empty, but a library user's partition of it will be."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigbookapi_etl_with_airflow_and_snowflake_spark.queries import REGISTRY
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# Entries whose contract REQUIRES data (documented ValueError/RuntimeError
+# on an empty corpus): sampling needs total weight ≥ k, clustering and
+# IVF need at least one vector to train on.
+EXPECT_RAISE = {
+    "pps_sample_orders",
+    "semantic_dedup",
+    "kmeans_clusters",
+    "kmeans_assign_init",
+    "cluster_balanced_sample",
+    "cluster_sample_init",
+    "ivf_topk",
+    "ivf_topk_exact",
+}
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_corpus")
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(0).write.parquet(
+            str(d / f"{t}.parquet")
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_entry_survives_empty_corpus(spark, empty_dir, name):
+    fn = REGISTRY[name][0]
+    if name in EXPECT_RAISE:
+        with pytest.raises((ValueError, RuntimeError)):
+            fn(spark, empty_dir).count()
+    else:
+        assert fn(spark, empty_dir).count() >= 0
