@@ -253,11 +253,18 @@ def embedding_neardup_pairs(
         "_id",
         "_vec",
     )
+    # The right side's payload gets FRESH column names (hence fresh
+    # attribute ids): both sides share the `base` lineage, and with
+    # identical names+ids Catalyst dedups the right child's _id/_vec
+    # references onto the LEFT child and prunes them from the right —
+    # the UDF then receives a right block with only the key columns.
+    # (Surfaced by a plan whose parent needs no output columns, e.g.
+    # result.count(); locked by test_empty_corpus/test_similarity.)
     right = base.select(
         F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("bi"),
         F.col("_blk").alias("bj"),
-        "_id",
-        "_vec",
+        F.col("_id").alias("_rid"),
+        F.col("_vec").alias("_rvec"),
     )
 
     def cell(key, lpdf, rpdf):
@@ -270,9 +277,9 @@ def embedding_neardup_pairs(
         if not len(lpdf) or not len(rpdf):
             return empty
         a_ids = lpdf["_id"].to_numpy(dtype=np.int64)
-        b_ids = rpdf["_id"].to_numpy(dtype=np.int64)
+        b_ids = rpdf["_rid"].to_numpy(dtype=np.int64)
         a = np.array([list(v) for v in lpdf["_vec"]], dtype=np.float64)
-        b = np.array([list(v) for v in rpdf["_vec"]], dtype=np.float64)
+        b = np.array([list(v) for v in rpdf["_rvec"]], dtype=np.float64)
         a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-300)
         b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-300)
         sims = np.round(a @ b.T, round_to)

@@ -46,3 +46,45 @@ def test_entry_survives_empty_corpus(spark, empty_dir, name):
             fn(spark, empty_dir).count()
     else:
         assert fn(spark, empty_dir).count() >= 0
+
+
+@pytest.fixture(scope="module")
+def dirty_dir(spark, sf_dir, tmp_path_factory):
+    """Corpus with realistic dirt: null/empty/whitespace document text,
+    null event values and props. Keys stay intact."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("dirty_corpus")
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+                .when(F.col("doc_id") % 7 == 1, F.lit(""))
+                .when(F.col("doc_id") % 7 == 2, F.lit("   "))
+                .otherwise(F.col("text")),
+            )
+        if t == "events":
+            df = df.withColumn(
+                "value",
+                F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+                    F.col("value")
+                ),
+            ).withColumn(
+                "props",
+                F.when(F.col("event_id") % 6 == 0, F.lit(None)).otherwise(
+                    F.col("props")
+                ),
+            )
+        df.write.parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_entry_survives_dirty_corpus(spark, dirty_dir, name):
+    fn = REGISTRY[name][0]
+    try:
+        assert fn(spark, dirty_dir).count() >= 0
+    except (ValueError, RuntimeError):
+        pass  # documented data-requirement errors are acceptable

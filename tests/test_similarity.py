@@ -465,3 +465,19 @@ def test_semantic_dedup_matches_bruteforce(spark):
     assert all(not got[i * 10 + 1][1] or got[i * 10][0] != got[i * 10 + 1][0]
                for i in range(0, 12, 3))
     assert all(got[i * 10][1] for i in range(12))
+
+
+def test_embedding_neardup_survives_full_column_pruning(spark, sf_dir):
+    """A parent plan that needs NO output columns (count) must not let
+    Catalyst prune the cogroup children's payload: the two cell sides
+    share lineage, and same-name/same-id attributes were deduped onto
+    the left child, handing the UDF a right block with only key
+    columns (fixed by fresh right-side names)."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb, threshold=0.4)
+    assert out.count() == len(out.collect())
