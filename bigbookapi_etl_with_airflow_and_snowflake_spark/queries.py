@@ -2253,6 +2253,7 @@ _DRIVER_PRIORITY = [
     "gapfill_locf",
     "cohort_retention",
     "label_centroids",
+    "versioned_time_travel",
     # never driver-checked in any round: the exact twins the sketch
     # entries' credibility rests on (registered at position 51+ in r4)
     "distinct_users_exact",
@@ -2269,7 +2270,6 @@ _DRIVER_PRIORITY = [
     "corr_stats",
     "cust_order_distribution",
     "daily_activity_full_outer",
-    "product_profit",
     "source_mixture",
     "stratified_sample",
     # round-5 additions: MP3 frame-header demux tier; the S1 distributed
@@ -2289,6 +2289,7 @@ _DRIVER_PRIORITY = [
     "image_decode",
     "audio_decode",
     # r2-stale rotated out this round to fund the late additions above
+    "product_profit",
     "pii_scrub",
     "repetition_stats",
     "priority_line_counts",

@@ -1611,6 +1611,80 @@ WHERE (n * x - sx) * (n * x - sx) > 9 * (n * q - sx * sx)
 
 
 # ---------------------------------------------------------------------------
+# versioned tables (sinks/versioned.py)
+# ---------------------------------------------------------------------------
+
+
+def q_versioned_time_travel(spark, sf):
+    """Snapshot isolation + time travel through the real manifest path:
+    v1 = orders as-is, v2 = overwrite with even-keyed prices doubled,
+    v3 = append of a duplicate batch (keys ≡0 mod 10). The query reads
+    v1 AND v3 side by side — v1 must be bit-identical to the original
+    table even though two commits happened after it, and v3 must equal
+    v2's content plus the increment. The oracle states both snapshots
+    directly from the source table."""
+    from .sinks.versioned import read_version, write_version
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    d = tempfile.mkdtemp(prefix="q_versioned_")
+    t = os.path.join(d, "orders_v")
+    try:
+        write_version(spark, o, t)
+        v2 = o.withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 2 == 0,
+                (_dec("o_totalprice") * 2).cast("double"),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        write_version(spark, v2, t)
+        inc = o.filter(F.col("o_orderkey") % 10 == 0)
+        write_version(spark, inc, t, mode="append")
+
+        def agg(df, tag):
+            return df.groupBy("o_orderstatus").agg(
+                F.lit(tag).alias("snapshot"),
+                F.count("*").alias("n"),
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+                    "cents"
+                ),
+            )
+
+        out = (
+            agg(read_version(spark, t, version=1), "v1")
+            .unionByName(agg(read_version(spark, t, version=3), "v3"))
+            .select("snapshot", "o_orderstatus", "n", "cents")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_TIME_TRAVEL = """
+WITH v2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 2 = 0
+              THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+), v3 AS (
+  SELECT * FROM v2
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 10 = 0
+)
+SELECT 'v1' AS snapshot, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 'v3' AS snapshot, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM v3 GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
 # class prototypes (operators/clustering.py label_centroids)
 # ---------------------------------------------------------------------------
 
@@ -1861,4 +1935,5 @@ OPS_REGISTRY = {
     "snapshot_diff_orders": (q_snapshot_diff_orders, SQL_SNAPSHOT_DIFF_ORDERS),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "versioned_time_travel": (q_versioned_time_travel, SQL_VERSIONED_TIME_TRAVEL),
 }
