@@ -95,3 +95,39 @@ def test_commit_collision_is_detected_not_overwritten(spark, table):
     assert read_version(spark, table, version=3).count() == 4
     # the racing writer's manifest is untouched
     assert __manifest_files(table, 2) == []
+
+
+def test_streaming_ingest_commits_a_version_per_batch(spark, table):
+    """Structured Streaming → versioned table: each micro-batch lands
+    as one append commit, so the table gains a readable, time-travelable
+    version per batch and a reader pinned mid-stream is isolated from
+    later batches."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        read_version,
+        versions,
+        write_version,
+    )
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.streaming.events import (
+        read_rate_stream,
+    )
+
+    stream = read_rate_stream(spark, rows_per_batch=50, num_partitions=2)
+
+    def commit_batch(batch_df, batch_id):
+        write_version(batch_df.sparkSession, batch_df, table, mode="append")
+
+    qy = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", table + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination(120)
+    vs = versions(table)
+    assert len(vs) >= 1
+    latest = read_version(spark, table)
+    assert latest.count() == sum(v["n_rows"] for v in [vs[-1]])
+    assert latest.count() == 50 * len(vs)
+    # a pinned early version stays smaller than the latest
+    if len(vs) > 1:
+        assert read_version(spark, table, version=1).count() == 50
