@@ -1684,6 +1684,95 @@ FROM v3 GROUP BY o_orderstatus
 """
 
 
+def q_versioned_merge_delete(spark, sf):
+    """Copy-on-write MERGE + DELETE on a versioned table through the
+    real manifest path: v1 = orders range-clustered into 8 files; v2 =
+    merge of a CDC-style increment (keys ≡0 mod 5 with price doubled =
+    updates, keys −k−1 for k ≡0 mod 13 = inserts) rewriting ONLY the
+    files holding matched keys; v3 = delete of finished orders with
+    key ≡0 mod 3. The query reads v2 AND v3 — v2 checks merge
+    semantics (incoming wins per key, inserts land, untouched rows
+    carried bit-identically through reused files), v3 checks SQL
+    DELETE semantics on top. The oracle replays both table states from
+    the source rows."""
+    from .sinks.versioned import (
+        delete_version,
+        merge_version,
+        read_version,
+        write_version,
+    )
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    d = tempfile.mkdtemp(prefix="q_versioned_cow_")
+    t = os.path.join(d, "orders_v")
+    try:
+        write_version(spark, o.repartitionByRange(8, "o_orderkey"), t)
+        upd = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_totalprice", (_dec("o_totalprice") * 2).cast("double")
+        )
+        # -k-1, not -k: the corpus contains o_orderkey = 0, whose
+        # negation would collide with the updated key 0 (MERGE keeps one
+        # row per key; the oracle's UNION ALL would keep both).
+        ins = o.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+            "o_orderkey", -F.col("o_orderkey") - 1
+        )
+        merge_version(spark, upd.unionByName(ins), t, keys=["o_orderkey"])
+        delete_version(
+            spark,
+            t,
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0),
+        )
+
+        def agg(df, tag):
+            return df.groupBy("o_orderstatus").agg(
+                F.lit(tag).alias("snapshot"),
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+                    "cents"
+                ),
+            )
+
+        out = (
+            agg(read_version(spark, t, version=2), "v2")
+            .unionByName(agg(read_version(spark, t, version=3), "v3"))
+            .select("snapshot", "o_orderstatus", "n", "key_sum", "cents")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_MERGE_DELETE = """
+WITH inc AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT -o_orderkey - 1 AS o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0
+), v2 AS (
+  SELECT * FROM inc
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+), v3 AS (
+  SELECT * FROM v2
+  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+)
+SELECT 'v2' AS snapshot, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM v2 GROUP BY o_orderstatus
+UNION ALL
+SELECT 'v3' AS snapshot, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM v3 GROUP BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # class prototypes (operators/clustering.py label_centroids)
 # ---------------------------------------------------------------------------
@@ -1936,4 +2025,5 @@ OPS_REGISTRY = {
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "versioned_time_travel": (q_versioned_time_travel, SQL_VERSIONED_TIME_TRAVEL),
+    "versioned_merge_delete": (q_versioned_merge_delete, SQL_VERSIONED_MERGE_DELETE),
 }

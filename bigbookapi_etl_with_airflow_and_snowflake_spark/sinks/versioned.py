@@ -36,12 +36,30 @@ import json
 import os
 import time
 import uuid
+from collections.abc import Callable, Sequence
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_version", "read_version", "versions", "vacuum"]
+__all__ = [
+    "write_version",
+    "read_version",
+    "versions",
+    "vacuum",
+    "merge_version",
+    "delete_version",
+    "CommitConflict",
+]
 
 _MANIFEST_DIR = "_versions"
+
+
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency failure: the table advanced past the
+    snapshot a copy-on-write operation was computed against. The
+    operation committed nothing; re-run it against the new latest
+    version (Delta/Iceberg surface the same way — the conflicting
+    writer retries, it never silently merges)."""
 
 
 def _manifest_path(table_dir: str, version: int) -> str:
@@ -108,41 +126,228 @@ def write_version(
     )
     n_new = spark.read.parquet(data_dir).count()
 
+    def build(prior: dict | None) -> dict:
+        files, n_rows = new_files, n_new
+        if mode == "append" and prior is not None:
+            files = prior["files"] + new_files
+            n_rows = prior["n_rows"] + n_new
+        return {"mode": mode, "files": files, "n_rows": n_rows}
+
+    return _commit(table_dir, build)
+
+
+def _commit(table_dir: str, build: Callable[[dict | None], dict]) -> int:
+    """Atomic manifest commit. ``build(prior_manifest_or_None)`` returns
+    the manifest body (``mode``/``files``/``n_rows``) computed against
+    the CURRENT latest version; the commit point is ``os.link`` of a
+    fully-written temp file onto the final v{N} path — link fails with
+    EEXIST if another writer won the version number (the loser loops
+    and rebuilds against the longer chain), and readers can never
+    observe a half-written manifest because content is durable before
+    the name exists. ``build`` may raise :class:`CommitConflict` to
+    abort instead of rebasing (copy-on-write ops do)."""
     os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
     while True:
-        prior = versions(table_dir)
-        next_v = (prior[-1]["version"] + 1) if prior else 1
-        files, n_rows = new_files, n_new
-        if mode == "append" and prior:
-            pm = _load_manifest(table_dir, prior[-1]["version"])
-            files = pm["files"] + new_files
-            n_rows = pm["n_rows"] + n_new
-        manifest = {
-            "version": next_v,
-            "mode": mode,
-            "files": files,
-            "n_rows": n_rows,
-            "committed_at": time.time(),
-        }
+        prior_list = versions(table_dir)
+        prior = (
+            _load_manifest(table_dir, prior_list[-1]["version"])
+            if prior_list
+            else None
+        )
+        body = build(prior)
+        next_v = (prior["version"] + 1) if prior else 1
+        manifest = {"version": next_v, "committed_at": time.time(), **body}
         path = _manifest_path(table_dir, next_v)
-        tmp = path + f".tmp.{commit_id}"
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
         try:
-            # O_EXCL on the FINAL path is the commit lock: two racing
-            # writers can both stage, but only one creates v{N} — the
-            # loser loops and re-reads the (now longer) version chain.
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError:
-            continue
-        try:
-            with open(tmp, "w") as fh:
-                json.dump(manifest, fh)
-            with os.fdopen(fd, "w") as fh:
-                with open(tmp) as src:
-                    fh.write(src.read())
+            continue  # lost the race — rebuild against the new chain
         finally:
-            if os.path.exists(tmp):
-                os.remove(tmp)
+            os.remove(tmp)
         return next_v
+
+
+def _local_path(uri: str) -> str:
+    """``_metadata.file_path`` is a URI (``file:///x/y``); manifests
+    store OS paths. Normalize for set membership."""
+    p = urlparse(uri)
+    return unquote(p.path) if p.scheme else uri
+
+
+def _write_data_files(
+    spark: SparkSession, df: DataFrame, table_dir: str
+) -> tuple[list[str], int]:
+    """Stage ``df`` under a fresh immutable commit subdirectory; return
+    (file list, row count)."""
+    data_dir = os.path.join(table_dir, "data", uuid.uuid4().hex)
+    df.write.parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    return files, spark.read.parquet(data_dir).count()
+
+
+def merge_version(
+    spark: SparkSession,
+    incoming: DataFrame,
+    table_dir: str,
+    keys: Sequence[str],
+    order_by: Sequence = (),
+    base_version: int | None = None,
+) -> dict:
+    """Copy-on-write MERGE (upsert) into a versioned table.
+
+    Only data files that contain at least one incoming key are
+    rewritten; every other file is carried into the new manifest
+    untouched — the Delta/Iceberg cost profile, O(files touched) +
+    O(increment), never O(table). Contrast ``sinks/merge.py``'s
+    staging-swap merge, which rewrites the whole table per run (fine
+    for the reference's dimension tables, ruinous at 100 TB).
+
+    Semantics match :func:`merge_parquet`: per ``keys``, incoming rows
+    beat existing rows, ties broken by ``order_by`` first. New keys
+    insert. Commits as the next version with snapshot isolation;
+    raises :class:`CommitConflict` if the table advanced past
+    ``base_version`` (default: latest at read time) before the commit —
+    optimistic concurrency, nothing is half-applied.
+
+    Returns ``{"version", "files_rewritten", "files_carried",
+    "n_rows"}``.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import keep_first_dedup
+
+    key_cols = list(keys)
+    vs = versions(table_dir)
+    if not vs:
+        v = write_version(spark, incoming, table_dir)
+        m = _load_manifest(table_dir, v)
+        return {
+            "version": v,
+            "files_rewritten": 0,
+            "files_carried": 0,
+            "n_rows": m["n_rows"],
+        }
+    base = _load_manifest(
+        table_dir, vs[-1]["version"] if base_version is None else base_version
+    )
+    cur = spark.read.parquet(*base["files"]).withColumn(
+        "__file", F.col("_metadata.file_path")
+    )
+    # Files holding a matched key. AQE broadcasts the key side when the
+    # increment is small (the common CDC case); the collect is bounded
+    # by the table's FILE count, not its rows.
+    touched = {
+        _local_path(r["__file"])
+        for r in cur.join(incoming.select(*key_cols).distinct(), key_cols, "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    }
+    carried = [f for f in base["files"] if f not in touched]
+    inc = incoming.withColumn("__src", F.lit(0))
+    if touched:
+        existing = (
+            spark.read.parquet(*sorted(touched))
+            .select(*incoming.columns)
+            .withColumn("__src", F.lit(1))
+        )
+        unioned = inc.unionByName(existing)
+        n_touched = existing.count()
+    else:
+        unioned, n_touched = inc, 0
+    order = list(order_by) + [F.asc("__src")]  # incoming (0) wins ties
+    merged = keep_first_dedup(unioned, key_cols, order).drop("__src")
+    new_files, n_new = _write_data_files(spark, merged, table_dir)
+
+    def build(prior: dict | None) -> dict:
+        if prior is None or prior["version"] != base["version"]:
+            raise CommitConflict(
+                f"table advanced past v{base['version']} "
+                f"(latest: v{prior['version'] if prior else 0}) — re-run the merge"
+            )
+        return {
+            "mode": "merge",
+            "files": carried + new_files,
+            "n_rows": base["n_rows"] - n_touched + n_new,
+        }
+
+    v = _commit(table_dir, build)
+    return {
+        "version": v,
+        "files_rewritten": len(touched),
+        "files_carried": len(carried),
+        "n_rows": base["n_rows"] - n_touched + n_new,
+    }
+
+
+def delete_version(
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+    base_version: int | None = None,
+) -> dict:
+    """Copy-on-write DELETE: rows where ``predicate`` is TRUE leave the
+    table; rows where it is FALSE or NULL stay (SQL DELETE semantics).
+    Only files containing at least one matching row are rewritten —
+    with a clustered layout (:mod:`operators/zorder`) a selective
+    delete touches few files. Same optimistic-concurrency commit as
+    :func:`merge_version`. ``predicate`` is a Column or SQL string.
+
+    Returns ``{"version", "files_rewritten", "files_carried",
+    "n_deleted", "n_rows"}``.
+    """
+    from pyspark.sql import functions as F
+
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    vs = versions(table_dir)
+    if not vs:
+        raise ValueError(f"no committed versions under {table_dir!r}")
+    base = _load_manifest(
+        table_dir, vs[-1]["version"] if base_version is None else base_version
+    )
+    cur = spark.read.parquet(*base["files"]).withColumn(
+        "__file", F.col("_metadata.file_path")
+    )
+    touched = {
+        _local_path(r["__file"])
+        for r in cur.filter(cond).select("__file").distinct().collect()
+    }
+    carried = [f for f in base["files"] if f not in touched]
+    if touched:
+        scope = spark.read.parquet(*sorted(touched))
+        n_touched = scope.count()
+        kept = scope.filter(~F.coalesce(cond, F.lit(False)))
+        new_files, n_new = _write_data_files(spark, kept, table_dir)
+    else:
+        n_touched, new_files, n_new = 0, [], 0
+
+    def build(prior: dict | None) -> dict:
+        if prior is None or prior["version"] != base["version"]:
+            raise CommitConflict(
+                f"table advanced past v{base['version']} "
+                f"(latest: v{prior['version'] if prior else 0}) — re-run the delete"
+            )
+        return {
+            "mode": "delete",
+            "files": carried + new_files,
+            "n_rows": base["n_rows"] - n_touched + n_new,
+        }
+
+    v = _commit(table_dir, build)
+    return {
+        "version": v,
+        "files_rewritten": len(touched),
+        "files_carried": len(carried),
+        "n_deleted": n_touched - n_new,
+        "n_rows": base["n_rows"] - n_touched + n_new,
+    }
 
 
 def read_version(

@@ -131,3 +131,127 @@ def test_streaming_ingest_commits_a_version_per_batch(spark, table):
     # a pinned early version stays smaller than the latest
     if len(vs) > 1:
         assert read_version(spark, table, version=1).count() == 50
+
+
+# ---------------------------------------------------------------------------
+# copy-on-write MERGE / DELETE
+# ---------------------------------------------------------------------------
+
+
+def _clustered_table(spark, table, n=100, files=4):
+    """v1 = ids 0..n-1 with val=id, range-clustered so each data file
+    holds a contiguous id span (a selective merge touches one file)."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(n)
+        .withColumn("val", F.col("id").cast("long"))
+        .repartitionByRange(files, "id")
+    )
+    write_version(spark, df, table)
+    return __manifest_files(table, 1)
+
+
+def test_merge_rewrites_only_touched_files(spark, table):
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        merge_version,
+    )
+
+    v1_files = _clustered_table(spark, table)
+    # update ids 0..4 (one range file) + insert ids 1000..1004
+    inc = spark.range(5).union(spark.range(1000, 1005)).withColumn(
+        "val", (F.col("id") * 10).cast("long")
+    )
+    stats = merge_version(spark, inc, table, keys=["id"])
+    assert stats["version"] == 2
+    assert stats["files_rewritten"] >= 1
+    assert stats["files_carried"] >= 1
+    assert stats["files_rewritten"] + stats["files_carried"] == len(v1_files)
+    v2_files = set(__manifest_files(table, 2))
+    carried = set(v1_files) & v2_files
+    assert len(carried) == stats["files_carried"]  # untouched files reused
+
+    got = {r["id"]: r["val"] for r in read_version(spark, table).collect()}
+    assert len(got) == 105 and stats["n_rows"] == 105
+    assert got[3] == 30 and got[1002] == 10020  # updates + inserts win
+    assert got[50] == 50  # carried rows untouched
+    # snapshot isolation: v1 still reads the pre-merge state
+    v1 = {r["id"]: r["val"] for r in read_version(spark, table, version=1).collect()}
+    assert v1[3] == 3 and 1002 not in v1
+
+
+def test_merge_pure_insert_carries_every_file(spark, table):
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        merge_version,
+    )
+
+    v1_files = _clustered_table(spark, table)
+    inc = spark.range(500, 510).withColumn("val", F.col("id").cast("long"))
+    stats = merge_version(spark, inc, table, keys=["id"])
+    assert stats["files_rewritten"] == 0
+    assert stats["files_carried"] == len(v1_files)
+    assert read_version(spark, table).count() == 110
+
+
+def test_merge_on_empty_table_bootstraps_v1(spark, table):
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        merge_version,
+    )
+
+    inc = spark.range(7).withColumn("val", F.col("id").cast("long"))
+    stats = merge_version(spark, inc, table, keys=["id"])
+    assert stats == {
+        "version": 1,
+        "files_rewritten": 0,
+        "files_carried": 0,
+        "n_rows": 7,
+    }
+
+
+def test_delete_semantics_and_file_carry(spark, table):
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        delete_version,
+    )
+
+    v1_files = _clustered_table(spark, table)
+    stats = delete_version(spark, table, F.col("id") < 10)
+    assert stats["n_deleted"] == 10
+    assert stats["files_rewritten"] >= 1
+    assert stats["files_carried"] + stats["files_rewritten"] == len(v1_files)
+    assert read_version(spark, table).count() == 90
+    assert read_version(spark, table, version=1).count() == 100
+
+    # NULL predicate rows are KEPT (SQL DELETE semantics)
+    null_stats = delete_version(
+        spark, table, F.when(F.col("id") < 20, F.lit(None)).otherwise(F.lit(False))
+    )
+    assert null_stats["n_deleted"] == 0
+    assert read_version(spark, table).count() == 90
+
+
+def test_cow_commit_conflict_is_loud(spark, table):
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        CommitConflict,
+        delete_version,
+        merge_version,
+    )
+
+    _clustered_table(spark, table)
+    write_version(spark, spark.range(3).withColumn("val", F.lit(0)), table)  # v2
+    inc = spark.range(2).withColumn("val", F.lit(9))
+    with pytest.raises(CommitConflict, match="advanced past v1"):
+        merge_version(spark, inc, table, keys=["id"], base_version=1)
+    with pytest.raises(CommitConflict, match="advanced past v1"):
+        delete_version(spark, table, F.col("id") < 1, base_version=1)
+    # nothing committed
+    assert [v["version"] for v in versions(table)] == [1, 2]
