@@ -148,3 +148,124 @@ def compact_small_files(
         "n_files_out": n_files_out,
         "bytes_in": bytes_in,
     }
+
+
+def build_file_bloom_index(
+    spark: SparkSession,
+    files: Sequence[str],
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Per-FILE Bloom index for point-lookup scan pruning — the
+    Delta/Iceberg bloom-index analog, in pure DataFrame algebra.
+
+    Min-max envelopes (``parquet_footer_stats`` / ``zorder_layout``)
+    prune range predicates on CLUSTERED columns; they are useless for
+    equality lookups on a high-cardinality column the layout was not
+    sorted by — every file's [min,max] spans the whole domain. A
+    per-file Bloom bitmap answers "can file F contain key x?" in
+    O(k) bit tests regardless of layout.
+
+    Returns a sparse ``(file string, word long, bits long)`` frame — at
+    most ``m_bits/64`` rows per file; persist it as parquet next to the
+    table (or pass a versioned table's manifest file list) and it is an
+    at-rest index maintained per commit. Build is one map-side-combined
+    groupBy over ``(file, word)``; hashes are ``xxhash64`` (same family
+    as ``operators/bloom.py``) computed JVM-side, and need no
+    cross-engine portability because probes hash in-engine too.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*files).select(
+        F.col(key_col),
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "").alias(
+            "file"
+        ),
+    )
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_seed")
+    pos = F.pmod(F.xxhash64(F.col(key_col), F.col("_seed")), F.lit(m_bits))
+    return (
+        df.select("file", F.col(key_col), seeds)
+        .select("file", pos.alias("_pos"))
+        .select(
+            "file",
+            (F.col("_pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias(
+                "_mask"
+            ),
+        )
+        .groupBy("file", "word")
+        .agg(F.bit_or("_mask").alias("bits"))
+    )
+
+
+def bloom_file_lookup(
+    spark: SparkSession,
+    files: Sequence[str],
+    index: DataFrame,
+    key_col: str,
+    keys: Sequence,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """``SELECT * WHERE key_col IN keys`` reading ONLY the files the
+    Bloom index cannot rule out.
+
+    Exact by construction: Bloom filters have no false negatives, so
+    the pruned file set is a superset of the files holding matches and
+    the final ``isin`` filter makes the result identical to a full
+    scan — false positives cost extra file reads, never wrong rows.
+    The probe is one broadcast join of the (tiny) key-probe frame
+    against the index plus a collect bounded by the table's FILE count;
+    ``keys`` is a driver-side list by contract (point-lookup workload —
+    for key sets at data scale use ``operators/bloom.py``'s
+    ``bloom_semi_join`` instead).
+    """
+    from pyspark.sql import functions as F
+
+    from pyspark.sql.types import StructField, StructType
+
+    if not len(files):
+        raise ValueError("bloom_file_lookup needs a non-empty file list")
+    base = spark.read.parquet(*files)
+    if not len(keys):
+        return base.filter(F.lit(False))
+    # probes must hash the same bytes the build hashed: bind the key
+    # column to the TABLE's type, not whatever Python inference picks
+    key_type = {f.name: f.dataType for f in base.schema}[key_col]
+    kdf = spark.createDataFrame(
+        [(x,) for x in keys], schema=StructType([StructField(key_col, key_type)])
+    )
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_seed")
+    probes = (
+        kdf.select(F.col(key_col), seeds)
+        .select(
+            F.col(key_col),
+            F.col("_seed"),
+            F.pmod(F.xxhash64(F.col(key_col), F.col("_seed")), F.lit(m_bits)).alias(
+                "_pos"
+            ),
+        )
+        .select(
+            F.col(key_col),
+            F.col("_seed"),
+            (F.col("_pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias(
+                "_mask"
+            ),
+        )
+    )
+    qualified = (
+        index.join(F.broadcast(probes), "word")
+        .filter(F.col("bits").bitwiseAND(F.col("_mask")) != 0)
+        .groupBy("file", key_col)
+        .agg(F.count_distinct("_seed").alias("_hits"))
+        .filter(F.col("_hits") == k)
+        .select("file")
+        .distinct()
+    )
+    hit_files = sorted(r["file"] for r in qualified.collect())
+    if not hit_files:
+        return base.filter(F.lit(False))
+    return spark.read.parquet(*hit_files).filter(F.col(key_col).isin(list(keys)))

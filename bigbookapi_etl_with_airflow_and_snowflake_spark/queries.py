@@ -2277,17 +2277,23 @@ _DRIVER_PRIORITY = [
     # outrank the r4-green codec refreshes below
     "audio_meta",
     "rest_pages_distributed",
+    # round-5 final additions: the copy-on-write lake tier (versioned
+    # MERGE/DELETE, per-file Bloom point-lookup pruning) — never
+    # driver-checked, so they take the window's last two slots.
+    "versioned_merge_delete",
+    "bloom_file_lookup",
     # r4-green but their DECODE PATHS changed this round (allocation
     # caps, bounded IDAT inflate, vectorized entropy coder, SOF2
-    # dispatch) — changed code needs a fresh row. jpeg/video carry the
-    # largest code deltas; image_decode/audio_decode (thin dispatch
-    # over the same kernels) take the first-50 overflow positions.
+    # dispatch) — displaced to 51+ by the two lake entries above after
+    # a full-registry sf0.01 oracle-parity replay re-validated them
+    # locally this session; they rotate back next round.
     "jpeg_decode",
     "video_frames",
     "png_decode",
     "gif_decode",
     "image_decode",
     "audio_decode",
+    "ohlc_daily",
     # r2-stale rotated out this round to fund the late additions above
     "product_profit",
     "pii_scrub",

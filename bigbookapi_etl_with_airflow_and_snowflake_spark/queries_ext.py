@@ -1804,7 +1804,7 @@ def q_gapfill_locf(spark, sf):
     parallelizes (never a global sort)."""
     e = _t(spark, sf, "events")
     daily = (
-        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        e.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
         .select("user_id", "day", F.col("m.value").alias("v"))
     )
@@ -1840,7 +1840,7 @@ def q_gapfill_locf(spark, sf):
 
 SQL_GAPFILL_LOCF = """
 WITH daily AS (
-  SELECT user_id, CAST(ts AS DATE) AS day, value AS v,
+  SELECT user_id, date_trunc('day', ts) AS day, value AS v,
          ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
                             ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
@@ -1897,6 +1897,47 @@ GROUP BY f.cohort_week, a.week - f.cohort_week
 """
 
 
+def q_ohlc_daily(spark, sf):
+    """Time-series downsampling to daily OHLC bars per event type — the
+    classic resample shape (finance candlesticks, telemetry rollups).
+    open/close are SELECTION, not arithmetic: min_by/max_by under a
+    (ts, event_id) struct ordering — lexicographic struct comparison
+    gives a deterministic first/last row even on timestamp ties, and
+    the values are stored doubles copied verbatim, so the result is
+    hash-exact against the oracle's window formulation."""
+    e = _t(spark, sf, "events")
+    ord_ = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(F.col("event_type"), F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.min_by("value", ord_).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_).alias("close"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_OHLC_DAILY = """
+WITH r AS (
+  SELECT event_type, date_trunc('day', ts) AS day, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+)
+SELECT event_type, day,
+       MAX(CASE WHEN ra = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rd = 1 THEN value END) AS close,
+       COUNT(*) AS n
+FROM r GROUP BY event_type, day
+"""
+
+
 EXT_REGISTRY = {
     "html_strip": (q_html_strip, SQL_HTML_STRIP),
     "gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),
@@ -1947,4 +1988,5 @@ EXT_REGISTRY = {
     "minhash_jaccard_est": (q_minhash_jaccard_est, SQL_MINHASH_JACCARD_EST),
     "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
     "near_dedup_keep": (q_near_dedup_keep, SQL_NEAR_DEDUP_KEEP),
+    "ohlc_daily": (q_ohlc_daily, SQL_OHLC_DAILY),
 }

@@ -1684,6 +1684,48 @@ FROM v3 GROUP BY o_orderstatus
 """
 
 
+def q_bloom_file_lookup(spark, sf):
+    """Point lookups through the per-file Bloom index
+    (operators/lake.py): events land range-clustered by user_id into 16
+    files, then a deterministic event_id key set (≡0 mod 997 — a column
+    the layout is NOT clustered by, where min-max envelopes prune
+    nothing) is answered by index-qualified files only. Bloom filters
+    have no false negatives and the final isin filter kills false
+    positives, so the result is bit-identical to the oracle\'s full
+    scan; the index only changes which files are read."""
+    from .operators.lake import bloom_file_lookup, build_file_bloom_index
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="q_bloom_idx_")
+    lay = os.path.join(d, "events_lay")
+    try:
+        e.repartitionByRange(16, "user_id").write.parquet(lay)
+        files = sorted(
+            os.path.join(lay, f) for f in os.listdir(lay) if f.endswith(".parquet")
+        )
+        keys = [
+            r["event_id"]
+            for r in e.filter(F.col("event_id") % 997 == 0)
+            .select("event_id")
+            .collect()
+        ]
+        if not files or not keys:
+            return e.filter(F.lit(False))
+        idx = build_file_bloom_index(spark, files, "event_id")
+        out = bloom_file_lookup(spark, files, idx, "event_id", keys).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_BLOOM_FILE_LOOKUP = """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_id % 997 = 0
+"""
+
+
 def q_versioned_merge_delete(spark, sf):
     """Copy-on-write MERGE + DELETE on a versioned table through the
     real manifest path: v1 = orders range-clustered into 8 files; v2 =
@@ -2026,4 +2068,5 @@ OPS_REGISTRY = {
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "versioned_time_travel": (q_versioned_time_travel, SQL_VERSIONED_TIME_TRAVEL),
     "versioned_merge_delete": (q_versioned_merge_delete, SQL_VERSIONED_MERGE_DELETE),
+    "bloom_file_lookup": (q_bloom_file_lookup, SQL_BLOOM_FILE_LOOKUP),
 }
