@@ -125,6 +125,10 @@ QUERIES = [
     "url_parts",
     "chunk_documents",
     "bpe_pair_counts",
+    # round-5 final additions: copy-on-write lake tier + resample
+    "versioned_merge_delete",
+    "bloom_file_lookup",
+    "ohlc_daily",
 ]
 
 
