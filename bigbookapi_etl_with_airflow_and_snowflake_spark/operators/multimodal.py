@@ -1166,3 +1166,69 @@ def sample_frames(
             yield pd.DataFrame({id_col: ids, "frame_no": frame_nos, "frame": frames})
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def dhash_images(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: decode → integer
+    luma → nearest-neighbor resample to (hash_h, hash_w+1) → bit (i,j)
+    set iff gray[i,j] < gray[i,j+1]. Near-identical images (re-encodes,
+    small edits, resizes) land within a few bits of each other, so the
+    output feeds the SAME banded Hamming near-dup machinery as text
+    SimHash (`operators/neardup.py hamming_bits_pairs`) — image-level
+    dedup for multimodal training corpora with zero new join shapes.
+
+    Every step is exact integer arithmetic ((299R+587G+114B)//1000
+    luma, floor-index resample), so the hash is bit-replayable by any
+    engine — no float resize kernels. Output: (id, dhash long — bits
+    LSB-first at position i*hash_w+j, two's-complement-wrapped;
+    dhash_bits string — the same bits as a '0'/'1' string in position
+    order, ready for banding). Arrow-batched ``mapInPandas``;
+    undecodable payloads yield null hash columns (quarantine contract,
+    as ``image_stats``)."""
+    out_schema = f"{id_col} long, dhash long, dhash_bits string"
+    nbits = hash_w * hash_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids: list = []
+            hashes: list = []
+            bitstrs: list = []
+            for rid, p in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(rid)
+                try:
+                    img = decode_image(bytes(p) if p is not None else b"")
+                    arr = img.astype(np.int64)
+                    h, w = arr.shape[0], arr.shape[1]
+                    if arr.shape[2] >= 3:
+                        gray = (
+                            299 * arr[:, :, 0]
+                            + 587 * arr[:, :, 1]
+                            + 114 * arr[:, :, 2]
+                        ) // 1000
+                    else:
+                        gray = arr[:, :, 0]
+                    ri = (np.arange(hash_h) * h) // hash_h
+                    cj = (np.arange(hash_w + 1) * w) // (hash_w + 1)
+                    g = gray[np.ix_(ri, cj)]
+                    bits = (g[:, :-1] < g[:, 1:]).reshape(-1)
+                    val = 0
+                    for pos in np.nonzero(bits)[0]:
+                        val |= 1 << int(pos)
+                    if val >= 1 << (nbits - 1) and nbits == 64:
+                        val -= 1 << 64
+                    hashes.append(val)
+                    bitstrs.append("".join("1" if b else "0" for b in bits))
+                except ValueError:
+                    hashes.append(None)
+                    bitstrs.append(None)
+            yield pd.DataFrame({id_col: ids, "dhash": hashes, "dhash_bits": bitstrs})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

@@ -499,15 +499,44 @@ def simhash_pairs(
     ``checkpoint_dir`` selects the lineage-truncation tier (see
     :func:`_materialize`). Output: (id_a, id_b, hamming), id_a < id_b.
     """
+    sig = _materialize(portable_simhash(df, text_col, id_col, bits), checkpoint_dir)
+    return hamming_bits_pairs(sig, id_col, "simhash_bits", bands, max_hamming)
+
+
+def hamming_bits_pairs(
+    sig: DataFrame,
+    id_col: str,
+    bits_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over ANY '0'/'1' bit-string
+    signature column — the banded candidate machinery behind
+    :func:`simhash_pairs`, factored out so other signatures (image
+    dHash from ``operators/multimodal.py``, audio fingerprints, …)
+    reuse it unchanged.
+
+    The signature splits into ``bands`` equal substrings; candidates
+    join on (band_no, band_bits). Complete by pigeonhole for
+    ``max_hamming ≤ bands − 1`` (that few differing bits cannot touch
+    every band), then exact Hamming verifies per candidate. One
+    shuffle on the band key, pair volume = actual collisions, no n².
+    Null signatures (quarantined decodes) drop out before banding.
+    Output: (id_a, id_b, hamming), id_a < id_b.
+    """
     if max_hamming > bands - 1:
         raise ValueError(
             f"banding guarantees completeness only for max_hamming <= bands-1 "
             f"({max_hamming} > {bands - 1})"
         )
+    sig = sig.select(F.col(id_col), F.col(bits_col)).filter(
+        F.col(bits_col).isNotNull()
+    )
+    head = sig.select(F.length(bits_col).alias("n")).first()
+    bits = int(head["n"]) if head is not None else 0
     if bits % bands:
-        raise ValueError("bits must divide evenly into bands")
+        raise ValueError("signature length must divide evenly into bands")
     width = bits // bands
-    sig = _materialize(portable_simhash(df, text_col, id_col, bits), checkpoint_dir)
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -516,7 +545,7 @@ def simhash_pairs(
                     F.concat_ws(
                         "|",
                         F.lit(str(b)),
-                        F.substring("simhash_bits", b * width + 1, width),
+                        F.substring(bits_col, b * width + 1, width),
                     )
                     for b in range(bands)
                 ]
@@ -524,8 +553,8 @@ def simhash_pairs(
         ).alias("band_key"),
     )
     cand = _bucket_pairs(banded, "band_key", id_col).distinct()
-    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash_bits").alias("__sa"))
-    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash_bits").alias("__sb"))
+    a = sig.select(F.col(id_col).alias("id_a"), F.col(bits_col).alias("__sa"))
+    b = sig.select(F.col(id_col).alias("id_b"), F.col(bits_col).alias("__sb"))
     hamming = F.aggregate(
         F.zip_with(
             F.split("__sa", ""),

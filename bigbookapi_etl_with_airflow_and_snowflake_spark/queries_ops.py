@@ -351,31 +351,7 @@ def q_png_decode(spark, sf):
     by the stdlib-zlib + numpy PNG decoder. The oracle recomputes
     (width, height, channels, mean_pixel) from the same characters —
     decode must invert the deflate + filter encoding exactly."""
-    from collections.abc import Iterator as _Iter
-
-    import pandas as _pd
-
-    from .operators.multimodal import encode_png
-
-    d = (
-        _t(spark, sf, "documents")
-        .filter(F.col("text").rlike("^[ -~]+$") & (F.length("text") >= 24))
-        .select("doc_id", F.substring("text", 1, 24).cast("binary").alias("raster"))
-    )
-
-    def enc(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
-        import numpy as _np
-
-        for pdf in batches:
-            payloads = [
-                encode_png(
-                    _np.frombuffer(bytes(r), dtype=_np.uint8).reshape(2, 4, 3)
-                )
-                for r in pdf["raster"]
-            ]
-            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    pngs = d.mapInPandas(enc, schema="doc_id long, payload binary")
+    pngs = _doc_png_frames(spark, sf)
     return image_stats(pngs, "payload", "doc_id")
 
 
@@ -1684,6 +1660,122 @@ FROM v3 GROUP BY o_orderstatus
 """
 
 
+def _doc_png_frames(spark, sf, pre_filter=None):
+    """Shared fixture pipeline for the image-hash entries: each ASCII
+    document\'s first 24 bytes become a REAL 4×2 RGB PNG (same
+    generator as q_png_decode, encoded distributed). ``pre_filter``
+    (a Column) is applied ON THE SCAN, before the encode — mapInPandas
+    is opaque to Catalyst, so a filter placed after it cannot push
+    down and every document would pay the encode."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    from .operators.multimodal import encode_png
+
+    d = _t(spark, sf, "documents").filter(
+        F.col("text").rlike("^[ -~]+$") & (F.length("text") >= 24)
+    )
+    if pre_filter is not None:
+        d = d.filter(pre_filter)
+    d = d.select("doc_id", F.substring("text", 1, 24).cast("binary").alias("raster"))
+
+    def enc(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    _np.frombuffer(bytes(r), dtype=_np.uint8).reshape(2, 4, 3)
+                )
+                for r in pdf["raster"]
+            ]
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return d.mapInPandas(enc, schema="doc_id long, payload binary")
+
+
+def q_image_dhash(spark, sf):
+    """Perceptual dHash over REAL decoded PNGs, under a closed-form
+    HARD oracle. The 4×2 source raster makes the 8×9 nearest-neighbor
+    resample collapse to index patterns the oracle can replay exactly:
+    rows 0-3 sample source row 0, rows 4-7 row 1; of the 8 per-row
+    comparisons only columns (2,4,6) compare distinct source pixels
+    (the rest compare a pixel with itself → bit 0). So
+    dhash = 16843009·(m0 + m1·2³²) with
+    m_y = 4·[g_y0<g_y1] + 16·[g_y1<g_y2] + 64·[g_y2<g_y3] over integer
+    luma (299R+587G+114B)//1000 — every decode, luma, resample and bit
+    placement must be exact for the hashes to match."""
+    from .operators.multimodal import dhash_images
+
+    pngs = _doc_png_frames(spark, sf)
+    return dhash_images(pngs, "payload", "doc_id").select("doc_id", "dhash")
+
+
+def _sql_dhash_core() -> str:
+    """Shared oracle CTE: per-doc integer-luma values and the dhash
+    closed form (see q_image_dhash)."""
+    def g(y, x):
+        base = y * 12 + x * 3
+        return (
+            f"(299*ascii(substr(text,{base + 1},1))"
+            f" + 587*ascii(substr(text,{base + 2},1))"
+            f" + 114*ascii(substr(text,{base + 3},1))) // 1000"
+        )
+
+    def m(y):
+        return (
+            f"(CASE WHEN {g(y,0)} < {g(y,1)} THEN 4 ELSE 0 END"
+            f" + CASE WHEN {g(y,1)} < {g(y,2)} THEN 16 ELSE 0 END"
+            f" + CASE WHEN {g(y,2)} < {g(y,3)} THEN 64 ELSE 0 END)"
+        )
+
+    return f"""
+SELECT doc_id,
+       CAST(16843009 * ({m(0)} + {m(1)} * 4294967296) AS BIGINT) AS dhash
+FROM documents
+WHERE regexp_matches(text, '^[ -~]+$') AND length(text) >= 24
+"""
+
+
+SQL_IMAGE_DHASH = _sql_dhash_core()
+
+
+def q_image_dhash_pairs(spark, sf):
+    """Image near-dup pairs: dHash signatures through the SAME banded
+    Hamming machinery as text SimHash (hamming_bits_pairs — pigeonhole-
+    complete for ≤3 differing bits over 4 bands), restricted to a FIXED
+    doc window (doc_id ≡ 0 mod 20, doc_id < 20000) so the all-pairs
+    oracle stays tractable AND the pair volume stays bounded at every
+    SF: the 4×2 fixture rasters span only 6 effective hash bits, so an
+    unbounded corpus collides quadratically — a fixture artifact (real
+    images fill 64 bits), not an operator property; the cap is this
+    documented line, not a silent default. The
+    banded plan must find EXACTLY the pairs the oracle\'s exhaustive
+    bit_count(xor) scan finds — no recall loss, no phantom pairs."""
+    from .operators.multimodal import dhash_images
+    from .operators.neardup import hamming_bits_pairs
+
+    pngs = _doc_png_frames(
+        spark,
+        sf,
+        pre_filter=(F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 20000),
+    )
+    sig = dhash_images(pngs, "payload", "doc_id").localCheckpoint(eager=True)
+    return hamming_bits_pairs(sig, "doc_id", "dhash_bits", bands=4, max_hamming=3)
+
+
+SQL_IMAGE_DHASH_PAIRS = f"""
+WITH h AS (
+  SELECT * FROM ({_sql_dhash_core()}) WHERE doc_id % 20 = 0 AND doc_id < 20000
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+"""
+
+
 def q_bloom_file_lookup(spark, sf):
     """Point lookups through the per-file Bloom index
     (operators/lake.py): events land range-clustered by user_id into 16
@@ -2069,4 +2161,6 @@ OPS_REGISTRY = {
     "versioned_time_travel": (q_versioned_time_travel, SQL_VERSIONED_TIME_TRAVEL),
     "versioned_merge_delete": (q_versioned_merge_delete, SQL_VERSIONED_MERGE_DELETE),
     "bloom_file_lookup": (q_bloom_file_lookup, SQL_BLOOM_FILE_LOOKUP),
+    "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
+    "image_dhash_pairs": (q_image_dhash_pairs, SQL_IMAGE_DHASH_PAIRS),
 }

@@ -851,3 +851,44 @@ def test_flac_demux_roundtrip_and_quarantine(spark):
     )
     got = {r["aud_id"]: r for r in flac_meta(df, "payload", "aud_id").collect()}
     assert got[1]["sample_rate"] == 44100 and got[2]["sample_rate"] is None
+
+
+def test_dhash_locality_and_quarantine(spark):
+    """dHash contract: re-encoded identical images collide exactly, a
+    small pixel edit moves few bits, structurally different images are
+    far apart, and undecodable payloads yield null hashes (quarantine)
+    without failing the job."""
+    import numpy as np
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.multimodal import (
+        dhash_images,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    near = base.copy()
+    near[3, 4] = (int(near[3, 4, 0]) + 40) % 256  # one-pixel edit
+    far = base[::-1, ::-1].copy()  # structural change
+    rows = [
+        (1, bytearray(encode_png(base))),
+        (2, bytearray(encode_png(base))),  # byte-identical content
+        (3, bytearray(encode_png(near))),
+        (4, bytearray(encode_png(far))),
+        (5, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["dhash"], r["dhash_bits"]) for r in dhash_images(
+        df, "payload", "doc_id"
+    ).collect()}
+    assert got[1] == got[2]  # exact collision on identical content
+    ham = lambda a, b: sum(x != y for x, y in zip(got[a][1], got[b][1]))
+    assert 0 <= ham(1, 3) <= 8  # near-dup lands within banding reach
+    assert ham(1, 4) > 8  # structurally different stays far
+    assert got[5] == (None, None)  # quarantined, not failed
+    # bit string and integer agree (LSB-first positions)
+    bits = got[1][1]
+    assert len(bits) == 64
+    val = sum(1 << i for i, b in enumerate(bits) if b == "1")
+    val = val - (1 << 64) if val >= 1 << 63 else val
+    assert val == got[1][0]
