@@ -1938,6 +1938,97 @@ FROM r GROUP BY event_type, day
 """
 
 
+def q_winsorize_events(spark, sf):
+    """Per-group winsorization — the standard pre-training outlier
+    clip: values clamp to the group\'s exact discrete [p5, p95]
+    thresholds. All arithmetic is integer cents; the thresholds are
+    DISCRETE rank statistics (smallest value whose cumulative count
+    reaches ⌈p·n⌉) computed with the aggregate-then-rank shape from
+    price_quantiles_exact — the fact table compresses to
+    (group, cents) counts before any window, so the sort input is
+    distinct values, not rows, and parallelism never collapses to the
+    group count. Thresholds broadcast back; one more narrow groupBy
+    emits per-group totals and clip counts."""
+    from pyspark.sql import Window
+
+    e = (
+        _t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    counts = e.groupBy("event_type", "cents").agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        "cents",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    thr = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(0.05) * F.col("n")).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(0.95) * F.col("n")).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("hi"),
+    )
+    j = e.join(F.broadcast(thr), "event_type")
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("cents")))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(clipped).cast("long").alias("clipped_cents"),
+        F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_low"),
+        F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_high"),
+    )
+
+
+SQL_WINSORIZE_EVENTS = """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, cents
+), cum AS (
+  SELECT event_type, cents,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM c
+), thr AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= CAST(CEIL(0.05 * n) AS BIGINT) THEN cents END) AS lo,
+         MIN(CASE WHEN cum >= CAST(CEIL(0.95 * n) AS BIGINT) THEN cents END) AS hi
+  FROM cum GROUP BY event_type
+), ec AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+)
+SELECT ec.event_type, COUNT(*) AS n,
+       CAST(SUM(GREATEST(t.lo, LEAST(t.hi, ec.cents))) AS BIGINT) AS clipped_cents,
+       CAST(SUM(CASE WHEN ec.cents < t.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN ec.cents > t.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM ec JOIN thr t USING (event_type)
+GROUP BY ec.event_type
+"""
+
+
 EXT_REGISTRY = {
     "html_strip": (q_html_strip, SQL_HTML_STRIP),
     "gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),
@@ -1989,4 +2080,5 @@ EXT_REGISTRY = {
     "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
     "near_dedup_keep": (q_near_dedup_keep, SQL_NEAR_DEDUP_KEEP),
     "ohlc_daily": (q_ohlc_daily, SQL_OHLC_DAILY),
+    "winsorize_events": (q_winsorize_events, SQL_WINSORIZE_EVENTS),
 }
