@@ -27,9 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 def parquet_footer_stats(
     spark: SparkSession,
-    path: str,
+    path: str | Sequence[str],
     columns: Sequence[str],
     files_per_task: int = 64,
+    strict: bool = True,
 ) -> DataFrame:
     """Per-(file, column) footer statistics for numeric ``columns``,
     aggregated over the file's row groups: (file, column, n_values,
@@ -38,13 +39,24 @@ def parquet_footer_stats(
 
     The driver only LISTS file names (what any parquet reader does);
     footers are read on executors via pyarrow, ``files_per_task``
-    names per task. Local paths here; object-store URIs ride pyarrow's
-    filesystems at the same call site.
+    names per task. ``path`` is a directory, a single file, or an
+    explicit file list (a versioned table's manifest). Local paths
+    here; object-store URIs ride pyarrow's filesystems at the same
+    call site.
+
+    ``strict=True`` (default) raises on a row group missing statistics
+    for a requested column — the audit contract. ``strict=False``
+    reports unknown envelopes as null min/max instead (a pruning
+    caller must treat null as "cannot skip", never as empty).
     """
-    names = sorted(
-        f for f in os.listdir(path) if f.endswith(".parquet")
-    ) if os.path.isdir(path) else [os.path.basename(path)]
-    base = path if os.path.isdir(path) else os.path.dirname(path)
+    if isinstance(path, str):
+        names = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        ) if os.path.isdir(path) else [os.path.basename(path)]
+        base = path if os.path.isdir(path) else os.path.dirname(path)
+    else:
+        names = sorted(path)
+        base = ""
     if not names:
         raise ValueError(f"no parquet files under {path!r}")
     cols = list(columns)
@@ -79,17 +91,28 @@ def parquet_footer_stats(
                     nv = 0
                     nulls = 0
                     mn = mx = None
+                    unknown = False
                     for rg in range(md.num_row_groups):
                         st = md.row_group(rg).column(idx[c]).statistics
-                        if st is None:
-                            raise ValueError(
-                                f"no statistics for {c!r} in {fname} rg{rg}"
-                            )
+                        if st is None or st.min is None or st.max is None:
+                            if strict:
+                                raise ValueError(
+                                    f"no statistics for {c!r} in {fname} rg{rg}"
+                                )
+                            unknown = True
+                            if st is not None:
+                                nv += st.num_values
+                                nulls += st.null_count
+                            continue
                         nv += st.num_values
                         nulls += st.null_count
                         lo, hi = float(st.min), float(st.max)
                         mn = lo if mn is None else min(mn, lo)
                         mx = hi if mx is None else max(mx, hi)
+                    if unknown:
+                        # a single stat-less row group poisons the whole
+                        # file's envelope: the file may hold anything
+                        mn = mx = None
                     out["file"].append(fname)
                     out["column"].append(c)
                     out["n_values"].append(nv)

@@ -19,11 +19,13 @@ see ``write_version``):
   (``read_version(..., version=3)``); audits and reproducible training
   runs read the manifest the run recorded.
 - **Atomicity**: data lands first (under a per-commit subdirectory),
-  then the manifest appears via ``os.open(O_CREAT|O_EXCL)`` + rename —
-  readers either see the complete new version or keep the old one. The
-  O_EXCL create also makes two racing writers of the same version
-  number a loud error (the loser retries at the next number), not a
-  silent overwrite.
+  then the manifest is staged as a fully-written temp file and
+  ``os.link``ed onto its final ``v{N}`` name — the link is the commit
+  point, so a reader can never observe a half-written (or empty)
+  manifest: the content is durable before the name exists. ``os.link``
+  fails with EEXIST when another writer won the version number, which
+  makes racing writers a loud retry (the loser rebuilds against the
+  longer chain), never a silent overwrite.
 
 At 100 TB the same layout works on an object store by swapping the
 os-level file ops for conditional PUTs; the plan shapes (parquet scan
@@ -44,6 +46,8 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "write_version",
     "read_version",
+    "read_version_pruned",
+    "prune_manifest_files",
     "versions",
     "vacuum",
     "merge_version",
@@ -52,6 +56,16 @@ __all__ = [
 ]
 
 _MANIFEST_DIR = "_versions"
+
+
+def _canon(path: str) -> str:
+    """Canonical on-disk identity for a data file: absolute + symlinks
+    resolved. Manifests store canonical paths and every touched-file
+    set is canonicalized the same way, so a relative ``table_dir`` or a
+    symlinked component (e.g. macOS ``/tmp``) can never make the
+    copy-on-write paths miss the carried-file comparison and silently
+    duplicate rows."""
+    return os.path.realpath(os.path.abspath(path))
 
 
 class CommitConflict(RuntimeError):
@@ -120,7 +134,7 @@ def write_version(
     data_dir = os.path.join(table_dir, "data", commit_id)
     df.write.parquet(data_dir)
     new_files = sorted(
-        os.path.join(data_dir, f)
+        _canon(os.path.join(data_dir, f))
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
@@ -172,9 +186,37 @@ def _commit(table_dir: str, build: Callable[[dict | None], dict]) -> int:
 
 def _local_path(uri: str) -> str:
     """``_metadata.file_path`` is a URI (``file:///x/y``); manifests
-    store OS paths. Normalize for set membership."""
+    store canonical OS paths (see :func:`_canon`). Normalize for set
+    membership."""
     p = urlparse(uri)
-    return unquote(p.path) if p.scheme else uri
+    return _canon(unquote(p.path) if p.scheme else uri)
+
+
+def _carried_files(base_files: Sequence[str], touched: set[str]) -> list[str]:
+    """Carried = base files not rewritten. Every scanned file came from
+    ``base_files``, so a touched path that fails canonical membership
+    means the path normalization broke — fail loudly rather than carry
+    a file whose rows were ALSO rewritten (silent row duplication)."""
+    canon_base = {_canon(f): f for f in base_files}
+    stray = touched - set(canon_base)
+    if stray:
+        raise RuntimeError(
+            f"touched files not in the base manifest ({sorted(stray)[:3]}…) "
+            "— path canonicalization mismatch; aborting instead of "
+            "duplicating rows"
+        )
+    return [f for c, f in canon_base.items() if c not in touched]
+
+
+def _discard_staged(files: Sequence[str]) -> None:
+    """Remove a conflict-aborted commit's staged data subdirectory —
+    nothing references it (the manifest never committed) and vacuum()
+    only sweeps files dropped manifests reference, so without this the
+    orphans would never be reclaimable."""
+    import shutil
+
+    if files:
+        shutil.rmtree(os.path.dirname(files[0]), ignore_errors=True)
 
 
 def _write_data_files(
@@ -185,7 +227,7 @@ def _write_data_files(
     data_dir = os.path.join(table_dir, "data", uuid.uuid4().hex)
     df.write.parquet(data_dir)
     files = sorted(
-        os.path.join(data_dir, f)
+        _canon(os.path.join(data_dir, f))
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
@@ -250,7 +292,7 @@ def merge_version(
         .distinct()
         .collect()
     }
-    carried = [f for f in base["files"] if f not in touched]
+    carried = _carried_files(base["files"], touched)
     inc = incoming.withColumn("__src", F.lit(0))
     if touched:
         existing = (
@@ -278,7 +320,11 @@ def merge_version(
             "n_rows": base["n_rows"] - n_touched + n_new,
         }
 
-    v = _commit(table_dir, build)
+    try:
+        v = _commit(table_dir, build)
+    except CommitConflict:
+        _discard_staged(new_files)
+        raise
     return {
         "version": v,
         "files_rewritten": len(touched),
@@ -319,7 +365,7 @@ def delete_version(
         _local_path(r["__file"])
         for r in cur.filter(cond).select("__file").distinct().collect()
     }
-    carried = [f for f in base["files"] if f not in touched]
+    carried = _carried_files(base["files"], touched)
     if touched:
         scope = spark.read.parquet(*sorted(touched))
         n_touched = scope.count()
@@ -340,7 +386,11 @@ def delete_version(
             "n_rows": base["n_rows"] - n_touched + n_new,
         }
 
-    v = _commit(table_dir, build)
+    try:
+        v = _commit(table_dir, build)
+    except CommitConflict:
+        _discard_staged(new_files)
+        raise
     return {
         "version": v,
         "files_rewritten": len(touched),
@@ -358,6 +408,81 @@ def read_version(
     change what this returns."""
     m = _load_manifest(table_dir, version)
     return spark.read.parquet(*m["files"])
+
+
+def prune_manifest_files(
+    spark: SparkSession,
+    files: Sequence[str],
+    ranges: dict[str, tuple],
+) -> list[str]:
+    """File skipping over an explicit file list: keep only files whose
+    per-file min/max footer envelope can intersect EVERY ``col: (lo,
+    hi)`` range (inclusive bounds; ``None`` = unbounded on that side).
+
+    This is what makes a predicate read of a 100 TB versioned table
+    O(matching files) instead of O(table): the envelopes the layout
+    job tightened (``operators/zorder.zorder_layout`` / range-clustered
+    commits) are consulted BEFORE ``spark.read.parquet`` ever sees the
+    file list. Footers are read distributed (``operators/lake.
+    parquet_footer_stats``, non-strict); a file with unknown statistics
+    for a range column is conservatively kept — pruning may only ever
+    drop files that provably contain no qualifying row, so composing
+    with the exact predicate is bit-identical to a full scan. The
+    collect is bounded by file count × range columns, the same cost
+    profile as any table format's metadata pass.
+    """
+    from ..operators.lake import parquet_footer_stats
+
+    if not ranges:
+        return list(files)
+    stats = parquet_footer_stats(
+        spark, list(files), list(ranges), strict=False
+    ).collect()
+    drop: set[str] = set()
+    for r in stats:
+        lo, hi = ranges[r["column"]]
+        if r["min_val"] is None or r["max_val"] is None:
+            continue  # unknown envelope — cannot prove absence, keep
+        if (hi is not None and r["min_val"] > hi) or (
+            lo is not None and r["max_val"] < lo
+        ):
+            drop.add(r["file"])
+    return [f for f in files if f not in drop]
+
+
+def read_version_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    ranges: dict[str, tuple],
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Predicate read of a versioned table WITH file skipping: the
+    manifest's file list is pruned by per-file min/max envelopes
+    (:func:`prune_manifest_files`), then the exact range predicate is
+    applied on the scan — the result is bit-identical to
+    ``read_version(...).filter(...)``, only the files read change.
+
+    Returns ``(df, info)`` with ``info = {"files_total",
+    "files_read"}`` so callers (and tests) can assert the skipping
+    actually happened. An empty surviving list short-circuits to an
+    empty frame with the table's schema — zero data files opened.
+    """
+    from pyspark.sql import functions as F
+
+    m = _load_manifest(table_dir, version)
+    kept = prune_manifest_files(spark, m["files"], ranges)
+    info = {"files_total": len(m["files"]), "files_read": len(kept)}
+    if kept:
+        df = spark.read.parquet(*kept)
+    else:
+        # schema-only read: parquet footers of the full list, no rows
+        df = spark.read.parquet(*m["files"]).filter(F.lit(False))
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+    return df, info
 
 
 def vacuum(table_dir: str, keep_last: int = 2) -> dict:
