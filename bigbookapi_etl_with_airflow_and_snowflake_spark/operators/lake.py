@@ -47,7 +47,17 @@ def parquet_footer_stats(
     ``strict=True`` (default) raises on a row group missing statistics
     for a requested column — the audit contract. ``strict=False``
     reports unknown envelopes as null min/max instead (a pruning
-    caller must treat null as "cannot skip", never as empty).
+    caller must treat null as "cannot skip", never as empty); a column
+    absent from a file's schema entirely (older-schema files carried
+    through a versioned table's manifest after a column was added) is
+    likewise an unknown envelope, not an error. Counts are nulled
+    whenever any row group lacked a statistics object, so partial
+    totals are never mistaken for exact ones.
+
+    Integer stats are rounded OUTWARD when the exact value does not
+    fit a double (|v| ≥ 2⁵³): the reported envelope may be one ulp
+    wider than the true one, never narrower — so pruning on it can
+    only keep extra files, never drop a qualifying one.
     """
     if isinstance(path, str):
         names = sorted(
@@ -64,18 +74,33 @@ def parquet_footer_stats(
     # (the same cheap metadata fetch any reader does for schema)
     import pyarrow.parquet as pq
 
-    first = pq.ParquetFile(os.path.join(base, names[0])).metadata
-    have = {first.schema.column(i).name for i in range(first.num_columns)}
-    missing = [c for c in cols if c not in have]
-    if missing:
-        raise ValueError(f"columns {missing} not in {names[0]} (has {sorted(have)})")
+    if strict:
+        first = pq.ParquetFile(os.path.join(base, names[0])).metadata
+        have = {first.schema.column(i).name for i in range(first.num_columns)}
+        missing = [c for c in cols if c not in have]
+        if missing:
+            raise ValueError(
+                f"columns {missing} not in {names[0]} (has {sorted(have)})"
+            )
 
     files_df = spark.createDataFrame(
         [(n,) for n in names], "file string"
     ).repartition(max(1, len(names) // files_per_task))
 
     def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         import pyarrow.parquet as pq
+
+        def to_lo(v) -> float:
+            # exact Python int-vs-float comparison: if float() rounded
+            # the min UP, step one ulp down so the envelope stays outer
+            f = float(v)
+            return math.nextafter(f, -math.inf) if f > v else f
+
+        def to_hi(v) -> float:
+            f = float(v)
+            return math.nextafter(f, math.inf) if f < v else f
 
         for pdf in batches:
             out: dict[str, list] = {
@@ -87,11 +112,22 @@ def parquet_footer_stats(
                 idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
                 for c in cols:
                     if c not in idx:
-                        raise ValueError(f"column {c!r} not in {fname}")
+                        if strict:
+                            raise ValueError(f"column {c!r} not in {fname}")
+                        # older-schema file (column added by a later
+                        # commit): unknown envelope, unknown counts
+                        out["file"].append(fname)
+                        out["column"].append(c)
+                        out["n_values"].append(None)
+                        out["null_count"].append(None)
+                        out["min_val"].append(None)
+                        out["max_val"].append(None)
+                        continue
                     nv = 0
                     nulls = 0
                     mn = mx = None
                     unknown = False
+                    counts_exact = True
                     for rg in range(md.num_row_groups):
                         st = md.row_group(rg).column(idx[c]).statistics
                         if st is None or st.min is None or st.max is None:
@@ -103,10 +139,15 @@ def parquet_footer_stats(
                             if st is not None:
                                 nv += st.num_values
                                 nulls += st.null_count
+                            else:
+                                # no statistics object at all: this row
+                                # group contributed nothing — the totals
+                                # are partial, not exact
+                                counts_exact = False
                             continue
                         nv += st.num_values
                         nulls += st.null_count
-                        lo, hi = float(st.min), float(st.max)
+                        lo, hi = to_lo(st.min), to_hi(st.max)
                         mn = lo if mn is None else min(mn, lo)
                         mx = hi if mx is None else max(mx, hi)
                     if unknown:
@@ -115,11 +156,14 @@ def parquet_footer_stats(
                         mn = mx = None
                     out["file"].append(fname)
                     out["column"].append(c)
-                    out["n_values"].append(nv)
-                    out["null_count"].append(nulls)
+                    out["n_values"].append(nv if counts_exact else None)
+                    out["null_count"].append(nulls if counts_exact else None)
                     out["min_val"].append(mn)
                     out["max_val"].append(mx)
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            res["n_values"] = pd.array(out["n_values"], dtype="Int64")
+            res["null_count"] = pd.array(out["null_count"], dtype="Int64")
+            yield res
 
     return files_df.mapInPandas(
         read_footers,
@@ -223,40 +267,32 @@ def build_file_bloom_index(
     )
 
 
-def bloom_file_lookup(
+def bloom_qualified_files(
     spark: SparkSession,
-    files: Sequence[str],
     index: DataFrame,
     key_col: str,
+    key_type,
     keys: Sequence,
     m_bits: int = 1 << 16,
     k: int = 3,
-) -> DataFrame:
-    """``SELECT * WHERE key_col IN keys`` reading ONLY the files the
-    Bloom index cannot rule out.
+) -> set[str]:
+    """Files the per-file Bloom ``index`` cannot rule out for ``key_col
+    IN keys`` — the probe half of :func:`build_file_bloom_index`,
+    shared by :func:`bloom_file_lookup` and the versioned pruned read.
 
-    Exact by construction: Bloom filters have no false negatives, so
-    the pruned file set is a superset of the files holding matches and
-    the final ``isin`` filter makes the result identical to a full
-    scan — false positives cost extra file reads, never wrong rows.
-    The probe is one broadcast join of the (tiny) key-probe frame
-    against the index plus a collect bounded by the table's FILE count;
-    ``keys`` is a driver-side list by contract (point-lookup workload —
-    for key sets at data scale use ``operators/bloom.py``'s
-    ``bloom_semi_join`` instead).
+    No false negatives by Bloom construction: the returned set is a
+    superset of the files holding matches, so intersecting a scan's
+    file list with it and re-applying the exact predicate is
+    bit-identical to a full scan. One broadcast join probe against the
+    index; the collect is bounded by the table's FILE count.
+    ``key_type`` must be the TABLE's Spark type for ``key_col`` so the
+    probe hashes the same bytes the build hashed.
     """
     from pyspark.sql import functions as F
-
     from pyspark.sql.types import StructField, StructType
 
-    if not len(files):
-        raise ValueError("bloom_file_lookup needs a non-empty file list")
-    base = spark.read.parquet(*files)
     if not len(keys):
-        return base.filter(F.lit(False))
-    # probes must hash the same bytes the build hashed: bind the key
-    # column to the TABLE's type, not whatever Python inference picks
-    key_type = {f.name: f.dataType for f in base.schema}[key_col]
+        return set()
     kdf = spark.createDataFrame(
         [(x,) for x in keys], schema=StructType([StructField(key_col, key_type)])
     )
@@ -288,7 +324,44 @@ def bloom_file_lookup(
         .select("file")
         .distinct()
     )
-    hit_files = sorted(r["file"] for r in qualified.collect())
+    return {r["file"] for r in qualified.collect()}
+
+
+def bloom_file_lookup(
+    spark: SparkSession,
+    files: Sequence[str],
+    index: DataFrame,
+    key_col: str,
+    keys: Sequence,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """``SELECT * WHERE key_col IN keys`` reading ONLY the files the
+    Bloom index cannot rule out.
+
+    Exact by construction: Bloom filters have no false negatives, so
+    the pruned file set is a superset of the files holding matches and
+    the final ``isin`` filter makes the result identical to a full
+    scan — false positives cost extra file reads, never wrong rows.
+    The probe is one broadcast join of the (tiny) key-probe frame
+    against the index plus a collect bounded by the table's FILE count;
+    ``keys`` is a driver-side list by contract (point-lookup workload —
+    for key sets at data scale use ``operators/bloom.py``'s
+    ``bloom_semi_join`` instead).
+    """
+    from pyspark.sql import functions as F
+
+    if not len(files):
+        raise ValueError("bloom_file_lookup needs a non-empty file list")
+    base = spark.read.parquet(*files)
+    if not len(keys):
+        return base.filter(F.lit(False))
+    # probes must hash the same bytes the build hashed: bind the key
+    # column to the TABLE's type, not whatever Python inference picks
+    key_type = {f.name: f.dataType for f in base.schema}[key_col]
+    hit_files = sorted(
+        bloom_qualified_files(spark, index, key_col, key_type, keys, m_bits, k)
+    )
     if not hit_files:
         return base.filter(F.lit(False))
     return spark.read.parquet(*hit_files).filter(F.col(key_col).isin(list(keys)))

@@ -2220,7 +2220,7 @@ _DRIVER_PRIORITY = [
     "image_dhash",
     "image_dhash_pairs",
     # -- (2) new round-7 entries get their first driver row ----------------
-    # (inserted here as they are registered)
+    "versioned_pruned_read",
     # -- (3) the 16 r2-stale entries ----------------------------------------
     "product_profit",
     "pii_scrub",
@@ -2268,7 +2268,6 @@ _DRIVER_PRIORITY = [
     "range_join_buckets",
     "embedding_neardup",
     "knn_label_vote",
-    "tfidf_topterms",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

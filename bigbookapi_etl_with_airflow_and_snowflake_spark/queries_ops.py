@@ -2116,6 +2116,51 @@ FROM events WHERE event_id % 2 = 1
 """
 
 
+def q_versioned_pruned_read(spark, sf):
+    """Predicate read of a versioned table WITH file skipping
+    (sinks/versioned.read_version_pruned): v1 = events range-clustered
+    by event_id into 8 files, then a selective range predicate is
+    answered consulting ONLY per-file min/max footer envelopes before
+    any data page is opened. HARD oracle in two parts: the aggregate
+    must match a plain filtered scan of the source table bit-for-bit
+    (pruning may change which files are read, never the result), and
+    the emitted ``pruned`` column asserts files_read < files_total
+    against the oracle's literal TRUE — if skipping silently stops
+    engaging, the driver goes red, not just slow."""
+    from .sinks.versioned import read_version_pruned, write_version
+
+    e = _t(spark, sf, "events").select("event_id", "event_type", "user_id")
+    d = tempfile.mkdtemp(prefix="q_vpruned_")
+    t = os.path.join(d, "events_v")
+    try:
+        write_version(spark, e.repartitionByRange(8, "event_id"), t)
+        df, info = read_version_pruned(spark, t, ranges={"event_id": (100, 199)})
+        out = (
+            df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("event_id").alias("sum_id"),
+                F.sum("user_id").alias("sum_user"),
+            )
+            .withColumn("pruned", F.lit(info["files_read"] < info["files_total"]))
+            .select("event_type", "n", "sum_id", "sum_user", "pruned")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_PRUNED_READ = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user,
+       TRUE AS pruned
+FROM events WHERE event_id BETWEEN 100 AND 199
+GROUP BY event_type
+"""
+
+
 OPS_REGISTRY = {
     "passage_dedup": (q_passage_dedup, SQL_PASSAGE_DEDUP),
     "zorder_key_events": (q_zorder_key_events, _sql_zorder_key_events()),
@@ -2160,6 +2205,7 @@ OPS_REGISTRY = {
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "versioned_time_travel": (q_versioned_time_travel, SQL_VERSIONED_TIME_TRAVEL),
     "versioned_merge_delete": (q_versioned_merge_delete, SQL_VERSIONED_MERGE_DELETE),
+    "versioned_pruned_read": (q_versioned_pruned_read, SQL_VERSIONED_PRUNED_READ),
     "bloom_file_lookup": (q_bloom_file_lookup, SQL_BLOOM_FILE_LOOKUP),
     "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
     "image_dhash_pairs": (q_image_dhash_pairs, SQL_IMAGE_DHASH_PAIRS),

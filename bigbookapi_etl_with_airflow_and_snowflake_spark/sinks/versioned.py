@@ -48,6 +48,7 @@ __all__ = [
     "read_version",
     "read_version_pruned",
     "prune_manifest_files",
+    "write_bloom_index",
     "versions",
     "vacuum",
     "merge_version",
@@ -139,13 +140,19 @@ def write_version(
         if f.endswith(".parquet")
     )
     n_new = spark.read.parquet(data_dir).count()
+    schema_json = df.schema.json()
 
     def build(prior: dict | None) -> dict:
         files, n_rows = new_files, n_new
         if mode == "append" and prior is not None:
             files = prior["files"] + new_files
             n_rows = prior["n_rows"] + n_new
-        return {"mode": mode, "files": files, "n_rows": n_rows}
+        return {
+            "mode": mode,
+            "files": files,
+            "n_rows": n_rows,
+            "schema": schema_json,
+        }
 
     return _commit(table_dir, build)
 
@@ -307,6 +314,7 @@ def merge_version(
     order = list(order_by) + [F.asc("__src")]  # incoming (0) wins ties
     merged = keep_first_dedup(unioned, key_cols, order).drop("__src")
     new_files, n_new = _write_data_files(spark, merged, table_dir)
+    schema_json = merged.schema.json()
 
     def build(prior: dict | None) -> dict:
         if prior is None or prior["version"] != base["version"]:
@@ -318,6 +326,7 @@ def merge_version(
             "mode": "merge",
             "files": carried + new_files,
             "n_rows": base["n_rows"] - n_touched + n_new,
+            "schema": schema_json,
         }
 
     try:
@@ -358,13 +367,19 @@ def delete_version(
     base = _load_manifest(
         table_dir, vs[-1]["version"] if base_version is None else base_version
     )
-    cur = spark.read.parquet(*base["files"]).withColumn(
-        "__file", F.col("_metadata.file_path")
-    )
-    touched = {
-        _local_path(r["__file"])
-        for r in cur.filter(cond).select("__file").distinct().collect()
-    }
+    if base["files"]:
+        tbl = spark.read.parquet(*base["files"])
+        schema_json = tbl.schema.json()
+        cur = tbl.withColumn("__file", F.col("_metadata.file_path"))
+        touched = {
+            _local_path(r["__file"])
+            for r in cur.filter(cond).select("__file").distinct().collect()
+        }
+    else:
+        # already-empty snapshot (a prior delete removed every row and
+        # staged no part files): the delete is a no-op commit
+        schema_json = base.get("schema")
+        touched = set()
     carried = _carried_files(base["files"], touched)
     if touched:
         scope = spark.read.parquet(*sorted(touched))
@@ -384,6 +399,7 @@ def delete_version(
             "mode": "delete",
             "files": carried + new_files,
             "n_rows": base["n_rows"] - n_touched + n_new,
+            "schema": schema_json,
         }
 
     try:
@@ -400,13 +416,34 @@ def delete_version(
     }
 
 
+def _empty_snapshot(spark: SparkSession, m: dict) -> DataFrame:
+    """Zero-row frame for a manifest with NO data files (a delete can
+    remove every row and stage no part files). Uses the schema the
+    commit recorded; a pre-schema manifest that is also empty is
+    unreadable and says so, instead of the bare parquet-reader
+    TypeError."""
+    from pyspark.sql.types import StructType
+
+    sch = m.get("schema")
+    if sch is None:
+        raise ValueError(
+            "snapshot has no data files and no recorded schema (manifest "
+            "written before schemas were stored) — cannot construct the "
+            "empty frame; read a non-empty version instead"
+        )
+    return spark.createDataFrame([], StructType.fromJson(json.loads(sch)))
+
+
 def read_version(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
     """The table at ``version`` (default: latest) — a parquet scan of
     exactly that manifest's file list; nothing a later commit does can
-    change what this returns."""
+    change what this returns. A snapshot whose file list is empty reads
+    as a zero-row frame with the committed schema."""
     m = _load_manifest(table_dir, version)
+    if not m["files"]:
+        return _empty_snapshot(spark, m)
     return spark.read.parquet(*m["files"])
 
 
@@ -450,27 +487,128 @@ def prune_manifest_files(
     return [f for f in files if f not in drop]
 
 
+def _bloom_index_dir(table_dir: str, key_col: str, version: int) -> str:
+    return os.path.join(table_dir, "_index", f"bloom_{key_col}", f"v{version:08d}")
+
+
+def write_bloom_index(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    version: int | None = None,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> str:
+    """Build and persist the per-file Bloom index for ``key_col`` over
+    one version's manifest (default: latest) — the at-rest half of
+    equality-predicate file skipping. Run it after a commit (the
+    Delta/Iceberg pattern: index maintenance rides the write path, so
+    reads stay metadata-only); :func:`read_version_pruned` picks it up
+    automatically for ``keys=`` predicates on that version.
+
+    One pass over the key column (map-side-combined groupBy, sparse
+    ``(file, word, bits)`` rows — at most ``m_bits/64`` per file);
+    the index parquet lands under ``table_dir/_index`` keyed by
+    version, so it is immutable alongside the snapshot it describes.
+    Returns the index directory path.
+    """
+    from ..operators.lake import build_file_bloom_index
+
+    vs = versions(table_dir)
+    if not vs:
+        raise ValueError(f"no committed versions under {table_dir!r}")
+    v = vs[-1]["version"] if version is None else version
+    m = _load_manifest(table_dir, v)
+    out = _bloom_index_dir(table_dir, key_col, v)
+    if not m["files"]:
+        os.makedirs(out, exist_ok=True)
+        return out
+    idx = build_file_bloom_index(spark, m["files"], key_col, m_bits=m_bits, k=k)
+    idx.write.mode("overwrite").parquet(out)
+    return out
+
+
 def read_version_pruned(
     spark: SparkSession,
     table_dir: str,
-    ranges: dict[str, tuple],
+    ranges: dict[str, tuple] | None = None,
     version: int | None = None,
+    keys: dict[str, Sequence] | None = None,
+    bloom_m_bits: int = 1 << 16,
+    bloom_k: int = 3,
 ) -> tuple[DataFrame, dict]:
-    """Predicate read of a versioned table WITH file skipping: the
-    manifest's file list is pruned by per-file min/max envelopes
-    (:func:`prune_manifest_files`), then the exact range predicate is
-    applied on the scan — the result is bit-identical to
+    """Predicate read of a versioned table WITH file skipping, then the
+    exact predicate on the scan — bit-identical to
     ``read_version(...).filter(...)``, only the files read change.
 
-    Returns ``(df, info)`` with ``info = {"files_total",
+    Two pruning passes, both metadata-only:
+
+    - ``ranges`` (``{col: (lo, hi)}``, inclusive, ``None`` =
+      unbounded): per-file min/max footer envelopes
+      (:func:`prune_manifest_files`) — effective on CLUSTERED columns.
+    - ``keys`` (``{col: [values...]}``): the version's at-rest per-file
+      Bloom index (:func:`write_bloom_index`), which prunes equality
+      lookups on UNCLUSTERED high-cardinality columns where every
+      envelope spans the whole domain. A key column with no persisted
+      index for this version simply doesn't prune (the exact ``isin``
+      filter still applies) — reads never build an index on the fly,
+      because that would scan the very data pruning exists to skip.
+
+    Both passes are conservative (unknown envelope → keep; Bloom has
+    no false negatives), so composing with the exact predicate cannot
+    lose rows. Returns ``(df, info)`` with ``info = {"files_total",
     "files_read"}`` so callers (and tests) can assert the skipping
     actually happened. An empty surviving list short-circuits to an
     empty frame with the table's schema — zero data files opened.
     """
     from pyspark.sql import functions as F
 
-    m = _load_manifest(table_dir, version)
+    ranges = ranges or {}
+    keys = keys or {}
+    vs = versions(table_dir)
+    if not vs:
+        raise ValueError(f"no committed versions under {table_dir!r}")
+    v = vs[-1]["version"] if version is None else version
+    m = _load_manifest(table_dir, v)
+    if not m["files"]:
+        df = _empty_snapshot(spark, m)
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        for col, vals in keys.items():
+            df = df.filter(F.col(col).isin(list(vals)))
+        return df, {"files_total": 0, "files_read": 0}
     kept = prune_manifest_files(spark, m["files"], ranges)
+    if kept and keys:
+        from ..operators.lake import bloom_qualified_files
+
+        # schema from footers only (no data pages) to type the probes
+        types = {
+            f.name: f.dataType for f in spark.read.parquet(*m["files"]).schema
+        }
+        for col, vals in keys.items():
+            idx_dir = _bloom_index_dir(table_dir, col, v)
+            if not os.path.isdir(idx_dir) or not any(
+                f.endswith(".parquet") for f in os.listdir(idx_dir)
+            ):
+                continue  # no at-rest index for this version: no pruning
+            qualified = {
+                _local_path(q)
+                for q in bloom_qualified_files(
+                    spark,
+                    spark.read.parquet(idx_dir),
+                    col,
+                    types[col],
+                    list(vals),
+                    m_bits=bloom_m_bits,
+                    k=bloom_k,
+                )
+            }
+            kept = [f for f in kept if _canon(f) in qualified]
+            if not kept:
+                break
     info = {"files_total": len(m["files"]), "files_read": len(kept)}
     if kept:
         df = spark.read.parquet(*kept)
@@ -482,6 +620,8 @@ def read_version_pruned(
             df = df.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
+    for col, vals in keys.items():
+        df = df.filter(F.col(col).isin(list(vals)))
     return df, info
 
 

@@ -315,3 +315,242 @@ def test_streaming_cdc_upserts_via_copy_on_write_merge(spark, table):
     merge_version(spark, replay, table, keys=["id"], order_by=[F.desc("rev")])
     after = {r["id"]: r["rev"] for r in read_version(spark, table).collect()}
     assert after == latest
+
+
+# ---------------------------------------------------------------------------
+# file skipping: prune_manifest_files / read_version_pruned / Bloom keys
+# ---------------------------------------------------------------------------
+
+
+def _spanned_table(spark, table, n=800, files=8):
+    """v1 = ids 0..n-1 range-clustered into ``files`` contiguous spans,
+    plus 'tag' — a scrambled column every file's min/max envelope spans
+    (what envelope pruning CANNOT skip and Bloom pruning can)."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(n)
+        .withColumn("val", (F.col("id") * 3).cast("long"))
+        .withColumn(
+            "tag", F.pmod(F.col("id") * F.lit(2654435761), F.lit(100003))
+        )
+        .repartitionByRange(files, "id")
+    )
+    write_version(spark, df, table)
+
+
+def test_pruned_read_skips_files_and_matches_full_scan(spark, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        read_version_pruned,
+    )
+
+    _spanned_table(spark, table)
+    # multi-commit: append a second clustered batch — more files to skip
+    from pyspark.sql import functions as F
+
+    extra = (
+        spark.range(800, 1200)
+        .withColumn("val", (F.col("id") * 3).cast("long"))
+        .withColumn("tag", F.pmod(F.col("id") * F.lit(2654435761), F.lit(100003)))
+        .repartitionByRange(4, "id")
+    )
+    write_version(spark, extra, table, mode="append")
+
+    df, info = read_version_pruned(spark, table, ranges={"id": (100, 199)})
+    assert info["files_total"] >= 12
+    assert 1 <= info["files_read"] < info["files_total"]
+    full = read_version(spark, table).filter("id >= 100 AND id <= 199")
+    assert df.exceptAll(full).count() == 0
+    assert full.exceptAll(df).count() == 0
+    assert df.count() == 100
+
+
+def test_pruned_read_zero_survivor_short_circuit(spark, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        read_version_pruned,
+    )
+
+    _spanned_table(spark, table)
+    df, info = read_version_pruned(spark, table, ranges={"id": (10_000, 20_000)})
+    assert info["files_read"] == 0
+    assert df.count() == 0
+    assert df.columns == ["id", "val", "tag"]
+
+
+def test_prune_keeps_unknown_stats_and_missing_columns(spark, tmp_path):
+    """Conservative-keep contract: a file with NO statistics (or without
+    the range column at all — an older-schema file carried through a
+    manifest) must never be pruned; a provably-disjoint file must be."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lake import (
+        parquet_footer_stats,
+    )
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        prune_manifest_files,
+    )
+
+    good = str(tmp_path / "good.parquet")
+    pq.write_table(pa.table({"id": pa.array([0, 1, 2], pa.int64())}), good)
+    nostats = str(tmp_path / "nostats.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([500, 501], pa.int64())}),
+        nostats,
+        write_statistics=False,
+    )
+    oldschema = str(tmp_path / "oldschema.parquet")
+    pq.write_table(pa.table({"other": pa.array([9], pa.int64())}), oldschema)
+
+    kept = prune_manifest_files(
+        spark, [good, nostats, oldschema], {"id": (400, 600)}
+    )
+    # good is provably disjoint → dropped; the other two cannot be proven
+    assert sorted(kept) == sorted([nostats, oldschema])
+
+    # and the audit surface: unknown stats null the envelope AND counts
+    rows = {
+        r["file"]: r
+        for r in parquet_footer_stats(
+            spark, [good, nostats, oldschema], ["id"], strict=False
+        ).collect()
+    }
+    assert rows[good]["n_values"] == 3 and rows[good]["min_val"] == 0.0
+    assert rows[nostats]["min_val"] is None and rows[nostats]["max_val"] is None
+    assert rows[nostats]["n_values"] is None  # partial counts never look exact
+    assert rows[oldschema]["min_val"] is None
+    assert rows[oldschema]["n_values"] is None
+    # strict mode still refuses both defects
+    with pytest.raises(Exception, match="statistics|not in"):
+        parquet_footer_stats(spark, [nostats], ["id"], strict=True).collect()
+
+
+def test_footer_stats_int64_envelope_rounds_outward(spark, tmp_path):
+    """int64 stats beyond 2^53 must round OUTWARD into the double
+    envelope — an inward-rounded bound would let the prune test drop a
+    file that contains qualifying rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lake import (
+        parquet_footer_stats,
+    )
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        prune_manifest_files,
+    )
+
+    big = 2**53 + 1  # float(big) rounds DOWN to 2^53
+    f = str(tmp_path / "big.parquet")
+    pq.write_table(pa.table({"v": pa.array([-big, big], pa.int64())}), f)
+    [row] = parquet_footer_stats(spark, [f], ["v"]).collect()
+    assert row["min_val"] <= -big
+    assert row["max_val"] >= big
+    # a point-range on the exact value must keep the file
+    assert prune_manifest_files(spark, [f], {"v": (big, big)}) == [f]
+    assert prune_manifest_files(spark, [f], {"v": (-big, -big)}) == [f]
+
+
+def test_bloom_index_prunes_unclustered_point_lookup(spark, table):
+    """Equality lookup on a column the layout is NOT clustered by:
+    min/max envelopes span the domain (no pruning), the at-rest Bloom
+    index reads fewer files; results stay bit-identical either way."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        read_version_pruned,
+        write_bloom_index,
+    )
+
+    _spanned_table(spark, table)
+    write_bloom_index(spark, table, "tag")
+    t = (400 * 2654435761) % 100003  # tag of id=400 — one file holds it
+
+    env_df, env_info = read_version_pruned(spark, table, ranges={"tag": (t, t)})
+    bloom_df, bloom_info = read_version_pruned(spark, table, keys={"tag": [t]})
+    assert env_info["files_total"] == bloom_info["files_total"] == 8
+    # scrambled column: envelopes prune nothing, the Bloom index does
+    assert env_info["files_read"] == 8
+    assert bloom_info["files_read"] < env_info["files_read"]
+    got_env = sorted(r["id"] for r in env_df.collect())
+    got_bloom = sorted(r["id"] for r in bloom_df.collect())
+    assert got_env == got_bloom
+    assert 400 in got_bloom
+
+
+def test_bloom_keys_without_index_is_exact_but_unpruned(spark, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        read_version_pruned,
+    )
+
+    _spanned_table(spark, table)
+    t = (400 * 2654435761) % 100003
+    df, info = read_version_pruned(spark, table, keys={"tag": [t]})
+    assert info["files_read"] == info["files_total"]  # no index: no pruning
+    assert sorted(r["id"] for r in df.collect()) == [400]
+
+
+def test_empty_manifest_reads_via_recorded_schema(spark, table):
+    """A snapshot whose manifest lists NO data files (a delete can
+    remove every row and stage no part files) reads as a zero-row frame
+    with the committed schema; a pre-schema empty manifest says so
+    loudly instead of a bare parquet-reader error."""
+    import json
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        read_version_pruned,
+    )
+
+    write_version(spark, spark.range(5), table)
+    with open(os.path.join(table, "_versions", "v00000001.json")) as fh:
+        m1 = json.load(fh)
+    m2 = dict(m1, files=[], n_rows=0, version=2)
+    with open(os.path.join(table, "_versions", "v00000002.json"), "w") as fh:
+        json.dump(m2, fh)
+
+    empty = read_version(spark, table, version=2)
+    assert empty.count() == 0 and empty.columns == ["id"]
+    df, info = read_version_pruned(
+        spark, table, ranges={"id": (0, 10)}, version=2
+    )
+    assert df.count() == 0 and info == {"files_total": 0, "files_read": 0}
+
+    m3 = {k: v for k, v in m2.items() if k != "schema"}
+    m3["version"] = 3
+    with open(os.path.join(table, "_versions", "v00000003.json"), "w") as fh:
+        json.dump(m3, fh)
+    with pytest.raises(ValueError, match="no recorded schema"):
+        read_version(spark, table, version=3)
+
+
+def test_merge_with_relative_table_dir_does_not_duplicate(spark):
+    """Regression for the r5 path-canonicalization bug: a relative
+    ``table_dir`` must not make copy-on-write miss the carried-file
+    comparison and silently duplicate rewritten rows. The relative path
+    lives under the PROCESS cwd (no chdir — Spark's JVM resolves
+    relative write paths against its launch cwd, not a later Python
+    os.chdir)."""
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        merge_version,
+    )
+
+    rel = f"tmp_rel_tbl_{_uuid.uuid4().hex}"
+    try:
+        df = (
+            spark.range(100)
+            .withColumn("val", F.col("id").cast("long"))
+            .repartitionByRange(4, "id")
+        )
+        write_version(spark, df, rel)
+        inc = spark.range(5).union(spark.range(1000, 1001)).withColumn(
+            "val", (F.col("id") * 10).cast("long")
+        )
+        stats = merge_version(spark, inc, rel, keys=["id"])
+        assert stats["n_rows"] == 101
+        got = read_version(spark, rel)
+        assert got.count() == 101
+        assert got.select("id").distinct().count() == 101  # zero duplicates
+    finally:
+        shutil.rmtree(rel, ignore_errors=True)
