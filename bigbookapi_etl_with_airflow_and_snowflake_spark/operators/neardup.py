@@ -500,7 +500,9 @@ def simhash_pairs(
     :func:`_materialize`). Output: (id_a, id_b, hamming), id_a < id_b.
     """
     sig = _materialize(portable_simhash(df, text_col, id_col, bits), checkpoint_dir)
-    return hamming_bits_pairs(sig, id_col, "simhash_bits", bands, max_hamming)
+    return hamming_bits_pairs(
+        sig, id_col, "simhash_bits", bands, max_hamming, bits=bits
+    )
 
 
 def hamming_bits_pairs(
@@ -509,6 +511,7 @@ def hamming_bits_pairs(
     bits_col: str,
     bands: int = 4,
     max_hamming: int = 3,
+    bits: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance over ANY '0'/'1' bit-string
     signature column — the banded candidate machinery behind
@@ -523,6 +526,14 @@ def hamming_bits_pairs(
     shuffle on the band key, pair volume = actual collisions, no n².
     Null signatures (quarantined decodes) drop out before banding.
     Output: (id_a, id_b, hamming), id_a < id_b.
+
+    Callers that know their signature width (every generator here does:
+    SimHash/dHash fix it by construction) pass ``bits`` and the plan
+    stays one job — without it, a ``first()`` probe infers the width,
+    one extra (tiny) Spark job per call. Either way the banding stage
+    VALIDATES length uniformity per row (``assert_true`` rides the
+    existing projection): a mixed-width signature column raises instead
+    of silently comparing null-padded tails as matches.
     """
     if max_hamming > bands - 1:
         raise ValueError(
@@ -532,11 +543,25 @@ def hamming_bits_pairs(
     sig = sig.select(F.col(id_col), F.col(bits_col)).filter(
         F.col(bits_col).isNotNull()
     )
-    head = sig.select(F.length(bits_col).alias("n")).first()
-    bits = int(head["n"]) if head is not None else 0
+    if bits is None:
+        head = sig.select(F.length(bits_col).alias("n")).first()
+        bits = int(head["n"]) if head is not None else 0
     if bits % bands:
         raise ValueError("signature length must divide evenly into bands")
     width = bits // bands
+    # per-row width check, fused into the banding projection (no extra
+    # job, no extra pass): uniform by contract, loud when violated
+    sig = sig.filter(
+        F.assert_true(
+            F.length(bits_col) == F.lit(bits),
+            F.concat(
+                F.lit(f"non-uniform signature width in {bits_col!r}: expected "),
+                F.lit(str(bits)),
+                F.lit(" bits, got "),
+                F.length(bits_col).cast("string"),
+            ),
+        ).isNull()
+    )
     banded = sig.select(
         F.col(id_col),
         F.explode(

@@ -1667,6 +1667,20 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 """
 
 
+def q_jaccard_pairs_capped(spark, sf):
+    """N2 with the SALTED hot-shingle skew join engaged: same exact
+    Jaccard semantics and the same oracle as ``jaccard_pairs``, but
+    ``hot_bucket_cap=2`` forces every prefix posting list larger than 2
+    through the replicated salt-bucket path (``__nsalt > 1`` — on this
+    corpus most df≥2 prefix shingles qualify). Bit-identical output is
+    the whole point: the cap changes partitioning, never results, and
+    this entry keeps the skew path under the driver's DuckDB oracle
+    every round instead of only the default cold path."""
+    return neardup.jaccard_pairs(
+        _t(spark, sf, "documents"), threshold=0.5, hot_bucket_cap=2
+    )
+
+
 def q_minhash_signatures(spark, sf):
     """N2: portable MinHash signatures (md5-based, engine-independent)."""
     return neardup.minhash_signatures(_t(spark, sf, "documents"))
@@ -2164,6 +2178,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "rolling_fingerprints": (q_rolling_fingerprints, SQL_ROLLING_FINGERPRINTS),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "jaccard_pairs_capped": (q_jaccard_pairs_capped, SQL_JACCARD_PAIRS),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_band_pairs": (q_minhash_band_pairs, SQL_MINHASH_BAND_PAIRS),
     "simhash": (q_simhash, None),
@@ -2221,6 +2236,7 @@ _DRIVER_PRIORITY = [
     "image_dhash_pairs",
     # -- (2) new round-7 entries get their first driver row ----------------
     "versioned_pruned_read",
+    "jaccard_pairs_capped",
     # -- (3) the 16 r2-stale entries ----------------------------------------
     "product_profit",
     "pii_scrub",
@@ -2267,7 +2283,6 @@ _DRIVER_PRIORITY = [
     "asof_join_generic",
     "range_join_buckets",
     "embedding_neardup",
-    "knn_label_vote",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

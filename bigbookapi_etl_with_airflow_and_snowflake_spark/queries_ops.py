@@ -1762,7 +1762,9 @@ def q_image_dhash_pairs(spark, sf):
         pre_filter=(F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 20000),
     )
     sig = dhash_images(pngs, "payload", "doc_id").localCheckpoint(eager=True)
-    return hamming_bits_pairs(sig, "doc_id", "dhash_bits", bands=4, max_hamming=3)
+    return hamming_bits_pairs(
+        sig, "doc_id", "dhash_bits", bands=4, max_hamming=3, bits=64
+    )
 
 
 SQL_IMAGE_DHASH_PAIRS = f"""

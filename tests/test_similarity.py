@@ -481,3 +481,74 @@ def test_embedding_neardup_survives_full_column_pruning(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     out = embedding_neardup_pairs(emb, threshold=0.4)
     assert out.count() == len(out.collect())
+
+
+def test_jaccard_capped_entry_is_salted_and_exact_on_testdata(spark, sf_dir):
+    """The registry's ``jaccard_pairs_capped`` entry must (a) produce
+    the EXACT ``jaccard_pairs`` result on the real corpus and (b)
+    actually route through the salted skew join. Engagement proof:
+    every result pair is witnessed by a shared prefix shingle, so that
+    shingle's posting list holds >= 2 reps — with cap=1 its
+    ``__nsalt = ceil(len/1) >= 2 > 1``. The entry's plan must carry the
+    build-side salt replication (explode over sequence(0, nsalt-1))."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark import queries as q
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators import neardup
+
+    base_fn, _ = q.REGISTRY["jaccard_pairs"]
+    capped_fn, capped_sql = q.REGISTRY["jaccard_pairs_capped"]
+    assert capped_sql == q.REGISTRY["jaccard_pairs"][1]  # same oracle
+
+    want = sorted(map(tuple, base_fn(spark, sf_dir).collect()))
+    assert want, "corpus must yield pairs for engagement to be provable"
+    got = sorted(map(tuple, capped_fn(spark, sf_dir).collect()))
+    assert got == want
+
+    # cap=1: every pair-witnessing posting list (>= 2 reps) splits
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cap1 = sorted(
+        map(
+            tuple,
+            neardup.jaccard_pairs(docs, threshold=0.5, hot_bucket_cap=1).collect(),
+        )
+    )
+    assert cap1 == want
+
+    # the salt machinery is in the entry's optimized plan
+    plan = (
+        capped_fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "sequence(" in plan and "__salt" in plan
+
+
+def test_hamming_bits_param_and_mixed_width_raises(spark):
+    """``bits=`` skips the width-inference job and must give identical
+    results; a mixed-width signature column raises loudly instead of
+    silently null-padding the comparison."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.neardup import (
+        hamming_bits_pairs,
+    )
+
+    sig = spark.createDataFrame(
+        [(1, "00001111"), (2, "00001110"), (3, "11110000"), (4, "00001111")],
+        ["doc_id", "bits"],
+    )
+    inferred = sorted(
+        map(tuple, hamming_bits_pairs(sig, "doc_id", "bits", 4, 3).collect())
+    )
+    explicit = sorted(
+        map(
+            tuple,
+            hamming_bits_pairs(sig, "doc_id", "bits", 4, 3, bits=8).collect(),
+        )
+    )
+    assert inferred == explicit
+    assert (1, 4, 0) in explicit and (1, 2, 1) in explicit
+
+    mixed = spark.createDataFrame(
+        [(1, "00001111"), (2, "0000")], ["doc_id", "bits"]
+    )
+    with pytest.raises(Exception, match="non-uniform signature width"):
+        hamming_bits_pairs(mixed, "doc_id", "bits", 4, 3, bits=8).collect()
