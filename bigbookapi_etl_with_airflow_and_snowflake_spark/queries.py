@@ -2237,6 +2237,7 @@ _DRIVER_PRIORITY = [
     # -- (2) new round-7 entries get their first driver row ----------------
     "versioned_pruned_read",
     "jaccard_pairs_capped",
+    "image_neardup_keep",
     # -- (3) the 16 r2-stale entries ----------------------------------------
     "product_profit",
     "pii_scrub",
@@ -2282,7 +2283,6 @@ _DRIVER_PRIORITY = [
     "asof_join",
     "asof_join_generic",
     "range_join_buckets",
-    "embedding_neardup",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

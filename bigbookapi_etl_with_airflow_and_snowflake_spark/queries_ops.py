@@ -1778,6 +1778,62 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 """
 
 
+def q_image_neardup_keep(spark, sf):
+    """Image dedup carried to its END PRODUCT — what text dedup already
+    had (near_dedup_keep/dedup_clusters) and image dedup stopped short
+    of at the pair list: dHash signatures → banded Hamming pairs
+    (pigeonhole-complete for ≤3 bits over 4 bands) → connected
+    components → canonical election (min doc_id per component keeps;
+    every other member drops; pairless images are their own keepers).
+    Same fixed doc window as image_dhash_pairs so the oracle's
+    exhaustive pair scan + recursive-CTE closure stays tractable.
+    Output: (doc_id, cluster, is_keeper) over the image universe."""
+    from .operators.dedup import connected_components
+    from .operators.multimodal import dhash_images
+    from .operators.neardup import hamming_bits_pairs
+
+    pngs = _doc_png_frames(
+        spark,
+        sf,
+        pre_filter=(F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 20000),
+    )
+    sig = dhash_images(pngs, "payload", "doc_id").localCheckpoint(eager=True)
+    pairs = hamming_bits_pairs(
+        sig, "doc_id", "dhash_bits", bands=4, max_hamming=3, bits=64
+    )
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    labeled = sig.select("doc_id").join(comp, "doc_id", "left")
+    cluster = F.coalesce(F.col("label"), F.col("doc_id"))
+    return labeled.select(
+        "doc_id",
+        cluster.alias("cluster"),
+        (cluster == F.col("doc_id")).alias("is_keeper"),
+    )
+
+
+SQL_IMAGE_NEARDUP_KEEP = f"""
+WITH RECURSIVE h AS (
+  SELECT * FROM ({_sql_dhash_core()}) WHERE doc_id % 20 = 0 AND doc_id < 20000
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM h a JOIN h b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+),
+reach(n, l) AS (
+  SELECT d, d FROM (SELECT id_a AS d FROM pairs UNION SELECT id_b FROM pairs) t(d)
+  UNION
+  SELECT CASE WHEN r.n = p.id_a THEN p.id_b ELSE p.id_a END, r.l
+  FROM reach r JOIN pairs p ON r.n = p.id_a OR r.n = p.id_b
+),
+lab AS (SELECT n AS doc_id, MIN(l) AS cluster FROM reach GROUP BY n)
+SELECT h.doc_id,
+       COALESCE(lab.cluster, h.doc_id) AS cluster,
+       COALESCE(lab.cluster, h.doc_id) = h.doc_id AS is_keeper
+FROM h LEFT JOIN lab ON lab.doc_id = h.doc_id
+"""
+
+
 def q_bloom_file_lookup(spark, sf):
     """Point lookups through the per-file Bloom index
     (operators/lake.py): events land range-clustered by user_id into 16
@@ -2211,4 +2267,5 @@ OPS_REGISTRY = {
     "bloom_file_lookup": (q_bloom_file_lookup, SQL_BLOOM_FILE_LOOKUP),
     "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
     "image_dhash_pairs": (q_image_dhash_pairs, SQL_IMAGE_DHASH_PAIRS),
+    "image_neardup_keep": (q_image_neardup_keep, SQL_IMAGE_NEARDUP_KEEP),
 }
