@@ -90,26 +90,75 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
+    batch_k: int = 1,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns
     [(merge_idx, left, right, pair_count)] in merge order. Stops early
-    if no pair occurs twice."""
+    if no pair occurs twice.
+
+    ``batch_k=1`` (default) is classic sequential BPE — one pair-count
+    aggregation, one single-row argmax collect, one merge application
+    per learned merge: the EXACTNESS twin, byte-identical to the
+    pure-Python reference replay, but 32k merges = 32k sequential Spark
+    jobs with a driver round-trip each. Nobody should train a
+    production vocabulary that way.
+
+    ``batch_k>1`` is the production path: per ROUND, collect the top
+    pair-count rows once and greedily select up to ``batch_k`` merges
+    whose symbol sets are pairwise DISJOINT (and none of which names a
+    symbol another selection of this round creates) — merging (a,b)
+    cannot change the occurrence count of any pair touching neither a
+    nor b, so every selected pair's count is still exact when its turn
+    comes. The selected merges apply as ``batch_k`` chained folds in
+    ONE projection + ONE lineage truncation, so a 32k-merge vocabulary
+    costs ~32k/K aggregation rounds instead of 32k. The standard
+    batched-BPE approximation (fastBPE / tokenizers train the same
+    way): within a round, a pair NEWLY CREATED by an earlier selection
+    never competes, so the merge LIST can differ from the sequential
+    twin's even though every selected count is exact — callers that
+    need bit-identical classic output keep ``batch_k=1``.
+    """
+    if batch_k < 1:
+        raise ValueError(f"batch_k must be >= 1, got {batch_k}")
     words = word_freq_table(df, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    for i in range(n_merges):
+    while len(merges) < n_merges:
+        want = min(batch_k, n_merges - len(merges))
+        # disjointness skips candidates (a hot symbol like the
+        # end-of-word marker can sit in MANY top pairs, of which only
+        # one is selectable per round), so fetch a much deeper pool
+        # than the per-round target — still one collect, O(pool)
+        # driver rows, nothing at corpus scale
+        pool = want if want == 1 else max(16 * want, 256)
         top = (
             pair_counts(words)
             .orderBy(F.desc("cnt"), F.col("a"), F.col("b"))
-            .limit(1)
+            .limit(pool)
             .collect()
         )
-        if not top or top[0]["cnt"] < 2:
+        cand = [r for r in top if r["cnt"] >= 2]
+        if not cand:
             break
-        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-        merges.append((i, a, b, cnt))
-        words = words.withColumn(
-            "syms", _apply_merge(F.col("syms"), a, b)
-        ).localCheckpoint(eager=True)
+        used: set[str] = set()
+        batch: list[tuple[str, str, int]] = []
+        for r in cand:
+            if len(batch) >= want:
+                break
+            a, b = r["a"], r["b"]
+            if a in used or b in used or (a + b) in used:
+                continue
+            batch.append((a, b, int(r["cnt"])))
+            # the merged symbol joins the exclusion set too: a pair
+            # naming it has a stale (pre-merge) count this round
+            used.update((a, b, a + b))
+        if not batch:
+            break
+        syms = F.col("syms")
+        for a, b, _cnt in batch:
+            syms = _apply_merge(syms, a, b)
+        words = words.withColumn("syms", syms).localCheckpoint(eager=True)
+        for a, b, cnt in batch:
+            merges.append((len(merges), a, b, cnt))
     return merges
 
 

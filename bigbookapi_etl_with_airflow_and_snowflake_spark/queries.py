@@ -2238,6 +2238,7 @@ _DRIVER_PRIORITY = [
     "versioned_pruned_read",
     "jaccard_pairs_capped",
     "image_neardup_keep",
+    "bpe_encode",
     # -- (3) the 16 r2-stale entries ----------------------------------------
     "product_profit",
     "pii_scrub",
@@ -2282,7 +2283,6 @@ _DRIVER_PRIORITY = [
     "streaming_sliding",
     "asof_join",
     "asof_join_generic",
-    "range_join_buckets",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

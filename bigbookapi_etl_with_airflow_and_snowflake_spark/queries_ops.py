@@ -2033,6 +2033,100 @@ SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM pairs GROUP BY a, b
 """
 
 
+def q_bpe_encode(spark, sf):
+    """Multi-merge BPE end-to-end through the BATCHED trainer
+    (operators/bpe.py bpe_train(batch_k=3)): ONE pair-count round
+    selects the top-3 count-disjoint merges (greedy by cnt desc, pair
+    lex asc, skipping any pair sharing a symbol with an earlier
+    selection), then bpe_encode applies them as chained greedy-leftmost
+    folds per distinct word. The oracle replays the whole thing in
+    SQL: the same pair counts, the same greedy disjoint selection
+    (ranked CTE + anti-membership), and the same merge application —
+    each merge as a recursive CTE rewriting the leftmost occurrence in
+    a unit-separator-delimited symbol string until none remains (one
+    occurrence per step ≡ the fold's greedy-leftmost semantics).
+    Corpus restricted to printable-ASCII docs so chr(31) is a safe
+    delimiter. Output: (doc_id, n_tokens, tok_md5)."""
+    from .operators.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf, "documents").filter(F.col("text").rlike("^[ -~]+$"))
+    merges = bpe_train(docs, n_merges=3, batch_k=3)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.concat_ws(" ", "tokens")).alias("tok_md5"),
+    )
+
+
+def _sql_bpe_apply(src: str, m: str, out_cte: str, rec_cte: str) -> str:
+    """One recursive-CTE merge application: rewrite the leftmost
+    ``US a US b US`` occurrence to ``US ab US`` until none remains."""
+    pat = f"(SELECT chr(31) || a || chr(31) || b || chr(31) FROM {m})"
+    rep = f"(SELECT chr(31) || a || b || chr(31) FROM {m})"
+    return f"""
+{rec_cte}(word, s) AS (
+  SELECT word, s FROM {src}
+  UNION
+  SELECT word,
+         substr(s, 1, strpos(s, {pat}) - 1) || {rep}
+           || substr(s, strpos(s, {pat}) + length({pat}))
+  FROM {rec_cte}
+  WHERE strpos(s, {pat}) > 0
+),
+{out_cte} AS (SELECT word, s FROM {rec_cte} WHERE strpos(s, {pat}) = 0)"""
+
+
+SQL_BPE_ENCODE = f"""
+WITH RECURSIVE
+tok AS (
+  SELECT doc_id, i AS pos, t[i] AS word
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE regexp_matches(text, '^[ -~]+$')),
+       UNNEST(range(1, len(t) + 1)) AS u(i)
+  WHERE t[i] <> ''
+),
+wf AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word),
+w0 AS (
+  SELECT word,
+         chr(31) || array_to_string(
+           list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)),
+           chr(31)) || chr(31) || '</w>' || chr(31) AS s
+  FROM wf
+),
+p1 AS (
+  SELECT a, b, SUM(freq) AS cnt FROM (
+    SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, freq
+    FROM wf, UNNEST(range(1, length(word))) AS t(i)
+    UNION ALL
+    SELECT substr(word, length(word), 1) AS a, '</w>' AS b, freq FROM wf
+  ) GROUP BY a, b
+),
+r1 AS (SELECT a, b, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rk
+       FROM p1 WHERE cnt >= 2),
+m1 AS (SELECT a, b FROM r1 ORDER BY rk LIMIT 1),
+m2 AS (SELECT y.a, y.b FROM r1 y, m1
+       WHERE y.a NOT IN (m1.a, m1.b) AND y.b NOT IN (m1.a, m1.b)
+       ORDER BY y.rk LIMIT 1),
+m3 AS (SELECT y.a, y.b FROM r1 y, m1, m2
+       WHERE y.a NOT IN (m1.a, m1.b, m2.a, m2.b)
+         AND y.b NOT IN (m1.a, m1.b, m2.a, m2.b)
+       ORDER BY y.rk LIMIT 1),
+{_sql_bpe_apply('w0', 'm1', 'w1', 'a1')},
+{_sql_bpe_apply('w1', 'm2', 'w2', 'a2')},
+{_sql_bpe_apply('w2', 'm3', 'w3', 'a3')},
+enc AS (SELECT word, string_split(trim(s, chr(31)), chr(31)) AS toks FROM w3),
+assembled AS (
+  SELECT t.doc_id, flatten(list(e.toks ORDER BY t.pos)) AS tokens
+  FROM tok t JOIN enc e USING (word)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+       md5(array_to_string(tokens, ' ')) AS tok_md5
+FROM assembled
+"""
+
+
 # ---------------------------------------------------------------------------
 # CDC snapshot diff (operators/cdc.py)
 # ---------------------------------------------------------------------------
@@ -2268,4 +2362,5 @@ OPS_REGISTRY = {
     "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
     "image_dhash_pairs": (q_image_dhash_pairs, SQL_IMAGE_DHASH_PAIRS),
     "image_neardup_keep": (q_image_neardup_keep, SQL_IMAGE_NEARDUP_KEEP),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
 }

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.bpe import (
     END,
     bpe_train,
@@ -152,3 +154,51 @@ def test_bpe_encode_token_count_shrinks_with_merges(spark):
     n0 = bpe_encode(df, [], id_col="doc_id").agg({"n_tokens": "sum"}).first()[0]
     n6 = bpe_encode(df, merges, id_col="doc_id").agg({"n_tokens": "sum"}).first()[0]
     assert n6 < n0
+
+
+def test_bpe_train_batched_builds_64_merges_in_4_rounds(spark, monkeypatch):
+    """The production path: batch_k=16 must learn 64 merges in
+    ceil(64/16) = 4 pair-count rounds — not 64 sequential Spark jobs.
+    Fixture: 64 words over pairwise-disjoint character pairs, distinct
+    frequencies, so each round has >= 16 count-disjoint selections
+    (the per-word (last_char, </w>) sibling is skipped via the shared
+    member, and at most one (merged, </w>) pair is selectable per
+    round since they all share '</w>')."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators import bpe
+
+    rounds = {"n": 0}
+    orig = bpe.pair_counts
+
+    def counting(words):
+        rounds["n"] += 1
+        return orig(words)
+
+    monkeypatch.setattr(bpe, "pair_counts", counting)
+
+    words = [chr(0x4E00 + 2 * i) + chr(0x4E00 + 2 * i + 1) for i in range(64)]
+    rows = [(i, " ".join([w] * (10 + i))) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    merges = bpe.bpe_train(df, n_merges=64, batch_k=16)
+    assert len(merges) == 64
+    assert rounds["n"] <= 4  # == ceil(64 / 16)
+    # merge indices are dense and ordered
+    assert [m[0] for m in merges] == list(range(64))
+    # within every round's selections the symbol sets are disjoint —
+    # replay the invariant over the returned list
+    for lo in range(0, 64, 16):
+        seen: set[str] = set()
+        for _, a, b, _cnt in merges[lo : lo + 16]:
+            assert a not in seen and b not in seen
+            seen.update((a, b, a + b))
+
+    with pytest.raises(ValueError, match="batch_k"):
+        bpe.bpe_train(df, n_merges=2, batch_k=0)
+
+
+def test_bpe_train_batch_k1_is_classic_sequential(spark):
+    """batch_k=1 must stay byte-identical to the exactness twin."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id int, text string"
+    )
+    assert bpe_train(df, n_merges=6, batch_k=1) == bpe_train(df, n_merges=6)
