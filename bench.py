@@ -64,16 +64,22 @@ def main() -> None:
     # warm the JVM + parquet footer cache so timings measure the queries
     _q.q_count_audit(spark, sf_dir).collect()
 
+    # min over TWO end-to-end passes (not back-to-back min-of-2): a
+    # sustained ambient-load window inflates two consecutive runs of
+    # the same query together, but rarely covers both of a query's
+    # samples when they are separated by a full suite pass (~minutes).
+    # Same total work as before; the two samples are just spread out.
     timings: dict[str, float] = {}
     registry = _q.queries()
-    for name in BENCH_QUERIES:
-        fn = registry[name]
-        best = float("inf")
-        for _ in range(2):  # min-of-2: damp ambient machine noise
+    for _pass in range(2):
+        for name in BENCH_QUERIES:
+            fn = registry[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            dt = time.perf_counter() - t0
+            if dt < timings.get(name, float("inf")):
+                timings[name] = dt
+    timings = {k: round(v, 4) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 4)
     # ambient-load annotation: this box is multi-tenant and VERDICT
@@ -91,7 +97,7 @@ def main() -> None:
                 "sf": sf,
                 "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
                 "ncpus": os.cpu_count(),
-                "timing": "min-of-2 per query",
+                "timing": "per-query min over 2 end-to-end suite passes",
             }
         )
     )
