@@ -857,6 +857,35 @@ def flac_meta(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
 
 
 @quarantine_decoder
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Iterate ``(type, body_start, box_end)`` over the ISO-BMFF boxes
+    in ``payload[start:end]`` — ``[size:4][type:4]`` with 64-bit
+    largesize honored; raises on overruns (quarantine contract)."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack_from(">I", payload, i)
+        btype = payload[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("truncated largesize box")
+            (size,) = struct.unpack_from(">Q", payload, i + 8)
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < 8 or i + size > end:
+            raise ValueError(f"mp4 box {btype!r} overruns container")
+        yield btype, body, i + size
+        i += size
+
+
+def _mp4_find(payload: bytes, start: int, end: int, btype: bytes):
+    for t, b, e in _mp4_boxes(payload, start, end):
+        if t == btype:
+            return b, e
+    return None
+
+
 def demux_mp4_meta(payload: bytes) -> dict:
     """Walk an ISO BMFF (MP4/MOV/M4A) box tree WITHOUT decoding media —
     the same demux-not-decode tier as :func:`demux_mp3_frames` and
@@ -873,28 +902,10 @@ def demux_mp4_meta(payload: bytes) -> dict:
     n = len(payload)
 
     def boxes(start: int, end: int):
-        i = start
-        while i + 8 <= end:
-            (size,) = struct.unpack_from(">I", payload, i)
-            btype = payload[i + 4 : i + 8]
-            body = i + 8
-            if size == 1:
-                if i + 16 > end:
-                    raise ValueError("truncated largesize box")
-                (size,) = struct.unpack_from(">Q", payload, i + 8)
-                body = i + 16
-            elif size == 0:
-                size = end - i
-            if size < 8 or i + size > end:
-                raise ValueError(f"mp4 box {btype!r} overruns container")
-            yield btype, body, i + size
-            i += size
+        return _mp4_boxes(payload, start, end)
 
     def find(start: int, end: int, btype: bytes):
-        for t, b, e in boxes(start, end):
-            if t == btype:
-                return b, e
-        return None
+        return _mp4_find(payload, start, end, btype)
 
     out = {
         "major_brand": None, "duration_s": None, "n_tracks": 0,
@@ -1012,7 +1023,18 @@ def mux_mp4(
         )
         stsz = box(b"stsz", b"\x00\x00\x00\x00" + struct.pack(">II", 0, nsamp)
                    + b"".join(struct.pack(">I", 100 + i) for i in range(nsamp)))
-        stbl = box(b"stbl", stsd + stsz)
+        # stts: two duration runs — first ceil(n/2) samples at 500
+        # ticks, the rest at 700 (the per-sample walk in
+        # demux_mp4_samples reads these back; deterministic from nsamp)
+        half = (nsamp + 1) // 2
+        runs = [(half, 500)] + ([(nsamp - half, 700)] if nsamp - half else [])
+        runs = [(c, d) for c, d in runs if c]
+        stts = box(
+            b"stts",
+            b"\x00\x00\x00\x00" + struct.pack(">I", len(runs))
+            + b"".join(struct.pack(">II", c, d) for c, d in runs),
+        )
+        stbl = box(b"stbl", stsd + stts + stsz)
         minf = box(b"minf", stbl)
         hdlr = box(b"hdlr", b"\x00\x00\x00\x00" + bytes(4) + b"vide" + bytes(13))
         mdhd = box(b"mdhd", b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, timescale, duration) + bytes(4))
@@ -1040,6 +1062,112 @@ def mux_mp4(
     ftyp = box(b"ftyp", major_brand + struct.pack(">I", 0x200) + b"isomiso2")
     moov = box(b"moov", mvhd + traks)
     return ftyp + moov
+
+
+def demux_mp4_samples(payload: bytes) -> list[dict]:
+    """Per-sample stts/stsz walk of the FIRST video track — the sample
+    table a seek/clip/frame-sample pipeline actually needs: for every
+    sample, its byte size (stsz), duration (stts run expansion) and
+    cumulative decode timestamp, all in media-timescale ticks. Still
+    demux-not-decode: O(sample count) arithmetic over two metadata
+    boxes, zero mdat bytes touched.
+
+    Returns ``[{"sample_idx", "size_bytes", "dt_ticks", "ts_ticks"}]``
+    in decode order. Raises ``ValueError`` on malformed structure or an
+    stts/stsz sample-count disagreement (quarantine contract — a
+    corrupt sample table must never silently truncate a clip job).
+    """
+    n = len(payload)
+    moov = _mp4_find(payload, 0, n, b"moov")
+    if moov is None:
+        raise ValueError("no moov box in mp4 payload")
+    for t, tb, te in _mp4_boxes(payload, *moov):
+        if t != b"trak":
+            continue
+        mdia = _mp4_find(payload, tb, te, b"mdia")
+        if mdia is None:
+            raise ValueError("trak without mdia")
+        hdlr = _mp4_find(payload, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None:
+            raise ValueError("mdia without hdlr")
+        if payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = _mp4_find(payload, mdia[0], mdia[1], b"minf")
+        stbl = minf and _mp4_find(payload, minf[0], minf[1], b"stbl")
+        if not stbl:
+            raise ValueError("video trak without minf/stbl")
+        stsz = _mp4_find(payload, stbl[0], stbl[1], b"stsz")
+        stts = _mp4_find(payload, stbl[0], stbl[1], b"stts")
+        if stsz is None or stts is None:
+            raise ValueError("video stbl without stsz/stts")
+        fixed, count = struct.unpack_from(">II", payload, stsz[0] + 4)
+        if fixed:
+            sizes = [fixed] * count
+        else:
+            if stsz[0] + 12 + 4 * count > stsz[1]:
+                raise ValueError("stsz entry table overruns its box")
+            sizes = list(struct.unpack_from(f">{count}I", payload, stsz[0] + 12))
+        (nruns,) = struct.unpack_from(">I", payload, stts[0] + 4)
+        if stts[0] + 8 + 8 * nruns > stts[1]:
+            raise ValueError("stts run table overruns its box")
+        runs = [
+            struct.unpack_from(">II", payload, stts[0] + 8 + 8 * k)
+            for k in range(nruns)
+        ]
+        if sum(c for c, _ in runs) != count:
+            raise ValueError(
+                f"stts covers {sum(c for c, _ in runs)} samples, stsz has {count}"
+            )
+        out: list[dict] = []
+        ts = 0
+        i = 0
+        for c, delta in runs:
+            for _ in range(c):
+                out.append(
+                    {
+                        "sample_idx": i,
+                        "size_bytes": sizes[i],
+                        "dt_ticks": delta,
+                        "ts_ticks": ts,
+                    }
+                )
+                ts += delta
+                i += 1
+        return out
+    raise ValueError("no video track in mp4 payload")
+
+
+def mp4_samples(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Distributed per-sample MP4 sample-table expansion: one
+    Arrow-batched ``mapInPandas`` pass emitting one row per video
+    sample — ``(id, sample_idx, size_bytes, dt_ticks, ts_ticks)``.
+    Corrupt payloads emit no rows (quarantine; pair with
+    :func:`mp4_meta` for the per-file null-row audit)."""
+    out_schema = (
+        f"{id_col} long, sample_idx long, size_bytes long, "
+        "dt_ticks long, ts_ticks long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                id_col: [], "sample_idx": [], "size_bytes": [],
+                "dt_ticks": [], "ts_ticks": [],
+            }
+            for rid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    samples = demux_mp4_samples(bytes(p) if p is not None else b"")
+                except ValueError:
+                    continue
+                for s in samples:
+                    out[id_col].append(rid)
+                    out["sample_idx"].append(s["sample_idx"])
+                    out["size_bytes"].append(s["size_bytes"])
+                    out["dt_ticks"].append(s["dt_ticks"])
+                    out["ts_ticks"].append(s["ts_ticks"])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
 def mp4_meta(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:

@@ -2239,6 +2239,7 @@ _DRIVER_PRIORITY = [
     "jaccard_pairs_capped",
     "image_neardup_keep",
     "bpe_encode",
+    "mp4_samples",
     # -- (3) the 16 r2-stale entries ----------------------------------------
     "product_profit",
     "pii_scrub",
@@ -2282,7 +2283,6 @@ _DRIVER_PRIORITY = [
     "streaming_session",
     "streaming_sliding",
     "asof_join",
-    "asof_join_generic",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

@@ -666,6 +666,70 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+def q_mp4_samples(spark, sf):
+    """N5 per-sample MP4 sample-table walk under the oracle gate: the
+    same synthesized box trees as ``video_meta`` (video-track docs
+    only, n = tlen%9+1 samples), but demuxed down to the SAMPLE level —
+    stsz per-sample sizes (100+i by construction) and stts run
+    expansion (the muxer writes ceil(n/2) samples at 500 ticks then the
+    rest at 700), with cumulative decode timestamps. The oracle
+    predicts every row from closed-form arithmetic: size = 100+i,
+    dt = 500 or 700 by run membership, ts = 500·i or
+    500·⌈n/2⌉ + 700·(i−⌈n/2⌉). Any slip in run expansion, size-table
+    bounds, or the stts/stsz count cross-check breaks the match."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    from .operators.multimodal import mp4_samples, mux_mp4
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") % 7 != 0))
+        .select("doc_id", F.length("text").alias("tlen"))
+    )
+
+    def synth(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        def mk(doc_id: int, tlen: int) -> bytes:
+            codec = b"avc1" if doc_id % 2 == 0 else b"hvc1"
+            return mux_mp4(
+                b"mp42" if doc_id % 2 == 0 else b"isom",
+                (tlen % 100) / 10.0,
+                (codec, 16 * (tlen % 20 + 1), 16 * (tlen % 12 + 1),
+                 tlen % 9 + 1),
+                None,
+            )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mk(int(i), int(t))
+                        for i, t in zip(pdf["doc_id"], pdf["tlen"])
+                    ],
+                }
+            )
+
+    vids = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return mp4_samples(vids, "payload", "doc_id")
+
+
+SQL_MP4_SAMPLES = """
+WITH d AS (
+  SELECT doc_id, length(text) % 9 + 1 AS n, (length(text) % 9 + 2) // 2 AS h
+  FROM documents WHERE text IS NOT NULL AND doc_id % 7 <> 0
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS sample_idx,
+       CAST(100 + i AS BIGINT) AS size_bytes,
+       CAST(CASE WHEN i < h THEN 500 ELSE 700 END AS BIGINT) AS dt_ticks,
+       CAST(CASE WHEN i < h THEN 500 * i
+                 ELSE 500 * h + 700 * (i - h) END AS BIGINT) AS ts_ticks
+FROM d, UNNEST(range(0, n)) AS u(i)
+"""
+
+
 def q_flac_meta(spark, sf):
     """N5 FLAC STREAMINFO demux under the oracle gate: a valid FLAC
     stream head is synthesized per document from (doc_id, text length)
@@ -2363,4 +2427,5 @@ OPS_REGISTRY = {
     "image_dhash_pairs": (q_image_dhash_pairs, SQL_IMAGE_DHASH_PAIRS),
     "image_neardup_keep": (q_image_neardup_keep, SQL_IMAGE_NEARDUP_KEEP),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "mp4_samples": (q_mp4_samples, SQL_MP4_SAMPLES),
 }

@@ -892,3 +892,46 @@ def test_dhash_locality_and_quarantine(spark):
     val = sum(1 << i for i, b in enumerate(bits) if b == "1")
     val = val - (1 << 64) if val >= 1 << 63 else val
     assert val == got[1][0]
+
+
+def test_demux_mp4_samples_walks_stts_stsz(spark):
+    import struct
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.multimodal import (
+        demux_mp4_samples,
+        mp4_samples,
+        mux_mp4,
+    )
+
+    p = mux_mp4(video=(b"avc1", 64, 48, 5), audio=(b"mp4a", 44100))
+    rows = demux_mp4_samples(p)
+    assert [r["sample_idx"] for r in rows] == [0, 1, 2, 3, 4]
+    assert [r["size_bytes"] for r in rows] == [100, 101, 102, 103, 104]
+    # ceil(5/2)=3 samples at 500 ticks, 2 at 700
+    assert [r["dt_ticks"] for r in rows] == [500, 500, 500, 700, 700]
+    assert [r["ts_ticks"] for r in rows] == [0, 500, 1000, 1500, 2200]
+
+    # stts/stsz count mismatch raises (corrupt sample table must be loud)
+    bad = bytearray(p)
+    i = bad.find(b"stts")
+    # rewrite the first run's sample count from 3 to 2: box type at i,
+    # body at i+4 (ver/flags), entry_count at i+8, first run at i+12
+    struct.pack_into(">I", bad, i + 12, 2)
+    with pytest.raises(ValueError, match="stts covers"):
+        demux_mp4_samples(bytes(bad))
+
+    # fixed-size stsz path: patch sample_size field to 77
+    fixed = bytearray(p)
+    j = fixed.find(b"stsz")
+    struct.pack_into(">I", fixed, j + 4 + 4, 77)
+    rows2 = demux_mp4_samples(bytes(fixed))
+    assert [r["size_bytes"] for r in rows2] == [77] * 5
+
+    # the distributed operator quarantines corrupt payloads to zero rows
+    df = spark.createDataFrame(
+        [(1, bytearray(p)), (2, bytearray(b"garbage"))],
+        "doc_id long, payload binary",
+    )
+    got = mp4_samples(df, "payload", "doc_id").collect()
+    assert sorted({r["doc_id"] for r in got}) == [1]
+    assert len(got) == 5
