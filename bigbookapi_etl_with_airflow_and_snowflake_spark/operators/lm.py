@@ -1,0 +1,126 @@
+"""Bigram language-model quality scoring (the CCNet-style LM filter).
+
+Production pretraining pipelines score every document against a
+reference-domain language model and drop the high-perplexity tail
+(CCNet, Gopher/MassiveText, RefinedWeb all do a variant). The reference
+repo has no corpus-quality tier at all; this is the Spark-first
+formulation:
+
+- **Train** = two aggregations over the reference slice's token
+  stream: bigram counts c(a,b) and context counts c(a) (the latter a
+  rollup of the former, so training is ONE pass over the corpus).
+- **Score** = explode each document into bigrams, LEFT JOIN the two
+  count tables, aggregate per document. No Python in the hot path; the
+  joins shuffle on the bigram/context keys and AQE handles hot-token
+  skew (stopword bigrams) the same way it handles any hot join key.
+
+At 100 TB the count tables are |distinct bigrams| rows — millions, not
+corpus-sized — and broadcast when they fit; the per-doc score is one
+pass over the document stream. Add-one smoothing keeps the model free
+of hyperparameter state beyond the vocabulary size.
+
+Cross-entropy sums IEEE doubles, so it is deterministic only up to
+aggregation order — the registry entry (`lm_quality` in
+queries_ops.py) therefore exposes the INTEGER-exact signals
+(bigram/context hit counts and a fixed-point coverage score) under the
+DuckDB oracle, while `cross_entropy`/`perplexity` are locked by the
+pure-Python replay in tests/test_lm.py. (Same pattern as the sketch
+tier: engine-order-sensitive floats ride rows-only, exact twins carry
+the oracle.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["doc_bigrams", "train_bigram_lm", "score_bigram_lm"]
+
+
+def doc_bigrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, a, b) — one row per adjacent whitespace-token pair; docs
+    with fewer than two tokens contribute nothing."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = F.expr(
+        "CASE WHEN size(__t) >= 2 THEN "
+        "transform(sequence(1, size(__t) - 1), "
+        "i -> struct(element_at(__t, i) AS a, element_at(__t, i + 1) AS b)) "
+        "ELSE array() END"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(F.col(id_col), F.explode(pairs).alias("__p"))
+        .select(F.col(id_col), F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+    )
+
+
+def train_bigram_lm(
+    ref: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train on the reference slice: returns ``(bigrams, contexts,
+    vocab_size)`` where ``bigrams`` = (a, b, c_ab), ``contexts`` =
+    (a, c_a) (the per-context rollup of the same counts), and
+    ``vocab_size`` = distinct context tokens — the V in add-one
+    smoothing. One corpus pass; the rollup and the distinct both read
+    the already-aggregated bigram table."""
+    bigrams = (
+        doc_bigrams(ref, text_col, id_col)
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    contexts = bigrams.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    vocab_size = contexts.count()
+    return bigrams, contexts, vocab_size
+
+
+def score_bigram_lm(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    contexts: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document LM quality: explode to bigrams, LEFT JOIN the count
+    tables, aggregate. Output per doc (docs with ≥2 tokens):
+
+    - ``n_bigrams``, ``known_bigrams`` (c(a,b) > 0 in training),
+      ``known_contexts`` (context token seen in training) — exact ints;
+    - ``coverage_pm`` — known_bigrams per mille of n_bigrams, exact
+      integer arithmetic (the oracle-friendly fixed-point score);
+    - ``cross_entropy`` — −mean ln((c(a,b)+1)/(c(a)+V)), add-one
+      smoothed, nats; ``perplexity`` = exp(cross_entropy). IEEE sums:
+      deterministic up to aggregation order (see module docstring).
+    """
+    d = doc_bigrams(docs, text_col, id_col)
+    joined = (
+        d.join(bigrams, ["a", "b"], "left")
+        .join(contexts, ["a"], "left")
+        .select(
+            F.col(id_col),
+            F.col("c_ab"),
+            F.col("c_a"),
+        )
+    )
+    v = F.lit(float(vocab_size))
+    logp = F.log(
+        (F.coalesce(F.col("c_ab"), F.lit(0)).cast("double") + F.lit(1.0))
+        / (F.coalesce(F.col("c_a"), F.lit(0)).cast("double") + v)
+    )
+    out = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.count("c_ab").alias("known_bigrams"),
+        F.count("c_a").alias("known_contexts"),
+        F.avg(-logp).alias("cross_entropy"),
+    )
+    return out.select(
+        id_col,
+        "n_bigrams",
+        "known_bigrams",
+        "known_contexts",
+        F.floor(F.lit(1000) * F.col("known_bigrams") / F.col("n_bigrams"))
+        .cast("long")
+        .alias("coverage_pm"),
+        "cross_entropy",
+        F.exp("cross_entropy").alias("perplexity"),
+    )

@@ -2240,6 +2240,7 @@ _DRIVER_PRIORITY = [
     "image_neardup_keep",
     "bpe_encode",
     "mp4_samples",
+    "lm_quality",
     # -- (3) the 16 r2-stale entries ----------------------------------------
     "product_profit",
     "pii_scrub",
@@ -2282,7 +2283,6 @@ _DRIVER_PRIORITY = [
     "streaming_tumbling",
     "streaming_session",
     "streaming_sliding",
-    "asof_join",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

@@ -730,6 +730,51 @@ FROM d, UNNEST(range(0, n)) AS u(i)
 """
 
 
+def q_lm_quality(spark, sf):
+    """CCNet-style LM quality scoring (operators/lm.py): a bigram LM
+    trains on the src0 reference slice (two aggregations, one corpus
+    pass), every document is scored by LEFT-JOINing its exploded
+    bigrams against the count tables. The entry exposes the
+    INTEGER-exact signals — bigram/context hit counts and a per-mille
+    coverage score — under the oracle; the float cross-entropy/
+    perplexity the same aggregation computes ride the pure-Python
+    replay in tests/test_lm.py (IEEE sum order, same policy as the
+    sketch tier's exact twins)."""
+    from .operators.lm import score_bigram_lm, train_bigram_lm
+
+    docs = _t(spark, sf, "documents")
+    bigrams, contexts, v = train_bigram_lm(docs.filter(F.col("source") == "src0"))
+    return score_bigram_lm(docs, bigrams, contexts, v).select(
+        "doc_id", "n_bigrams", "known_bigrams", "known_contexts", "coverage_pm"
+    )
+
+
+SQL_LM_QUALITY = r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+big AS (
+  SELECT doc_id, source, t[i] AS a, t[i + 1] AS b
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+ref AS (SELECT a, b, COUNT(*) AS c_ab FROM big WHERE source = 'src0' GROUP BY a, b),
+ctx AS (SELECT a, SUM(c_ab) AS c_a FROM ref GROUP BY a)
+SELECT d.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN r.c_ab IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS known_bigrams,
+       CAST(SUM(CASE WHEN c.c_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS known_contexts,
+       CAST(1000 * SUM(CASE WHEN r.c_ab IS NOT NULL THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS coverage_pm
+FROM big d
+LEFT JOIN ref r ON d.a = r.a AND d.b = r.b
+LEFT JOIN ctx c ON d.a = c.a
+GROUP BY d.doc_id
+"""
+
+
 def q_flac_meta(spark, sf):
     """N5 FLAC STREAMINFO demux under the oracle gate: a valid FLAC
     stream head is synthesized per document from (doc_id, text length)
@@ -2428,4 +2473,5 @@ OPS_REGISTRY = {
     "image_neardup_keep": (q_image_neardup_keep, SQL_IMAGE_NEARDUP_KEEP),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "mp4_samples": (q_mp4_samples, SQL_MP4_SAMPLES),
+    "lm_quality": (q_lm_quality, SQL_LM_QUALITY),
 }

@@ -1,0 +1,97 @@
+"""Bigram-LM quality scoring vs a pure-Python reference."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lm import (
+    score_bigram_lm,
+    train_bigram_lm,
+)
+
+REF = [
+    (0, "the cat sat on the mat", "src0"),
+    (1, "the dog sat on the rug", "src0"),
+    (2, "the cat ate the fish", "src0"),
+]
+EVAL = [
+    (10, "the cat sat on the rug", "src1"),  # fully in-domain bigrams
+    (11, "quantum flux capacitors misfire", "src1"),  # fully OOV
+    (12, "the cat juggled flaming torches", "src1"),  # mixed
+    (13, "single", "src1"),  # <2 tokens: no bigrams, no output row
+]
+
+
+def _py_lm(ref_texts):
+    c_ab: dict[tuple[str, str], int] = {}
+    for t in ref_texts:
+        w = t.split()
+        for a, b in zip(w, w[1:]):
+            c_ab[(a, b)] = c_ab.get((a, b), 0) + 1
+    c_a: dict[str, int] = {}
+    for (a, _), c in c_ab.items():
+        c_a[a] = c_a.get(a, 0) + c
+    return c_ab, c_a, len(c_a)
+
+
+def _py_score(text, c_ab, c_a, v):
+    w = text.split()
+    pairs = list(zip(w, w[1:]))
+    if not pairs:
+        return None
+    lps = [
+        math.log((c_ab.get(p, 0) + 1) / (c_a.get(p[0], 0) + v)) for p in pairs
+    ]
+    ce = -sum(lps) / len(pairs)
+    return {
+        "n_bigrams": len(pairs),
+        "known_bigrams": sum(1 for p in pairs if p in c_ab),
+        "known_contexts": sum(1 for p in pairs if p[0] in c_a),
+        "coverage_pm": 1000 * sum(1 for p in pairs if p in c_ab) // len(pairs),
+        "cross_entropy": ce,
+        "perplexity": math.exp(ce),
+    }
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    df = spark.createDataFrame(REF + EVAL, "doc_id long, text string, source string")
+    bigrams, contexts, v = train_bigram_lm(df.filter("source = 'src0'"))
+    c_ab, c_a, v_py = _py_lm([t for _, t, _ in REF])
+    assert v == v_py
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in score_bigram_lm(df, bigrams, contexts, v).collect()
+    }
+    # doc 13 has one token: no bigrams, no row
+    assert 13 not in got
+    for doc_id, text, _ in REF + EVAL[:3]:
+        want = _py_score(text, c_ab, c_a, v_py)
+        g = got[doc_id]
+        for k in ("n_bigrams", "known_bigrams", "known_contexts", "coverage_pm"):
+            assert g[k] == want[k], (doc_id, k)
+        assert g["cross_entropy"] == pytest.approx(want["cross_entropy"], rel=1e-12)
+        assert g["perplexity"] == pytest.approx(want["perplexity"], rel=1e-12)
+
+    # the filter signal orders docs as a quality score should: in-domain
+    # beats mixed beats fully-OOV
+    assert got[10]["cross_entropy"] < got[12]["cross_entropy"] < got[11]["cross_entropy"]
+    assert got[10]["coverage_pm"] == 1000
+    assert got[11]["known_bigrams"] == 0 and got[11]["known_contexts"] == 0
+
+
+def test_bigram_lm_training_is_one_pass_shape(spark):
+    """Contexts are a rollup of the bigram table (no second corpus
+    scan): the context counts must equal the bigram-table sums."""
+    df = spark.createDataFrame(REF, "doc_id long, text string, source string")
+    bigrams, contexts, v = train_bigram_lm(df)
+    from collections import defaultdict
+
+    sums = defaultdict(int)
+    for r in bigrams.collect():
+        sums[r["a"]] += r["c_ab"]
+    got = {r["a"]: r["c_a"] for r in contexts.collect()}
+    assert got == dict(sums)
+    assert v == len(sums)
