@@ -129,6 +129,14 @@ QUERIES = [
     "versioned_merge_delete",
     "bloom_file_lookup",
     "ohlc_daily",
+    # round-7 additions: pruned versioned read, salted jaccard, image
+    # dedup end product, batched BPE encode, MP4 sample walk, LM filter
+    "versioned_pruned_read",
+    "jaccard_pairs_capped",
+    "image_neardup_keep",
+    "bpe_encode",
+    "mp4_samples",
+    "lm_quality",
 ]
 
 
