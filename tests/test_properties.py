@@ -402,3 +402,78 @@ def test_strip_html_idempotent_and_tagfree(spark, s):
     df = spark.createDataFrame([(s,)], "t string")
     once = df.select(strip_html(F.col("t")).alias("o")).first()["o"]
     assert not re.search(r"<[^>]+>", once)
+
+
+# ---------------------------------------------------------------------------
+# file-skipping safety: pruning may NEVER drop a file holding in-range rows
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.integers(min_value=0, max_value=2**10),
+)
+def test_prune_never_drops_qualifying_files(spark, tmp_path_factory, files, lo, span):
+    """Random int64 file contents (including beyond-2^53 magnitudes
+    where double conversion rounds) and a random inclusive range: every
+    file containing at least one in-range value must survive
+    prune_manifest_files — conservative-keep is the operator's safety
+    contract, double rounding notwithstanding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        prune_manifest_files,
+    )
+
+    hi = lo + span
+    d = tmp_path_factory.mktemp("prune_prop")
+    paths = []
+    for i, vals in enumerate(files):
+        p = str(d / f"f{i}.parquet")
+        pq.write_table(pa.table({"v": pa.array(vals, pa.int64())}), p)
+        paths.append(p)
+    kept = set(prune_manifest_files(spark, paths, {"v": (lo, hi)}))
+    for p, vals in zip(paths, files):
+        if any(lo <= v <= hi for v in vals):
+            assert p in kept, (vals, lo, hi)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6), min_size=3, max_size=30
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_bpe_batched_encode_reassembles_words(spark, words, batch_k):
+    """For any corpus and batch width, encoding with the learned merges
+    must yield tokens that concatenate back to each word + the
+    end-of-word marker — merges can never lose or invent characters."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.bpe import (
+        END,
+        bpe_encode,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i in range(2)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=6, batch_k=batch_k)
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode(df, merges, id_col="doc_id").collect()
+    }
+    expect_stream = "".join(w + END for w in words)
+    for doc_id in (0, 1):
+        assert "".join(got[doc_id]) == expect_stream
