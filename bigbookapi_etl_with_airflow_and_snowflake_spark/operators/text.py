@@ -287,3 +287,84 @@ def url_parts(url: Column) -> Column:
         path.alias("path"),
         q.alias("q"),
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The published Gopher/MassiveText document-quality gates (Rae et
+    al. 2021, App. A) as per-rule boolean flags — the filter bundle a
+    pretraining pipeline applies verbatim, kept INTEGER-exact so the
+    decision is engine-portable (every threshold is a cross-multiplied
+    integer comparison, no float ratios):
+
+    - ``word_count_ok``: 50 ≤ words ≤ 100 000
+    - ``mean_word_len_ok``: 3 ≤ mean word length ≤ 10
+      (as 3·n ≤ Σlen ≤ 10·n)
+    - ``hash_ellipsis_ok``: (# + …) symbols ≤ 10% of words
+    - ``ellipsis_line_ok``: ≤ 30% of lines end with an ellipsis
+    - ``bullet_line_ok``: ≤ 90% of lines start with a bullet
+    - ``alpha_word_ok``: ≥ 80% of words contain an alphabetic char
+    - ``stopword_ok``: ≥ 2 distinct stopwords from the Gopher list
+    - ``gopher_pass``: AND of the above
+
+    One narrow projection per document — no shuffle, no UDF; the whole
+    ruleset is whole-stage-codegen'd expressions over the token and
+    line arrays.
+    """
+    t = tokens(F.col(text_col))
+    lines = F.split(F.col(text_col), "\n")
+    n_words = F.size(t)
+    sum_len = F.aggregate(
+        t, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    # '…' plus the three-dot spelling, counted as symbols
+    n_ell = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), "…", ""))
+        + F.size(F.split(F.col(text_col), r"\.\.\.")) - 1
+    )
+    n_lines = F.size(lines)
+    n_ell_lines = F.size(
+        F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))
+    )
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(t, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    word_count_ok = (n_words >= 50) & (n_words <= 100_000)
+    mean_word_len_ok = (F.lit(3) * n_words <= sum_len) & (
+        sum_len <= F.lit(10) * n_words
+    )
+    hash_ellipsis_ok = F.lit(10) * (n_hash + n_ell) <= n_words
+    ellipsis_line_ok = F.lit(10) * n_ell_lines <= F.lit(3) * n_lines
+    bullet_line_ok = F.lit(10) * n_bullet_lines <= F.lit(9) * n_lines
+    alpha_word_ok = F.lit(5) * n_alpha >= F.lit(4) * n_words
+    stopword_ok = n_stop >= 2
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        word_count_ok.alias("word_count_ok"),
+        mean_word_len_ok.alias("mean_word_len_ok"),
+        hash_ellipsis_ok.alias("hash_ellipsis_ok"),
+        ellipsis_line_ok.alias("ellipsis_line_ok"),
+        bullet_line_ok.alias("bullet_line_ok"),
+        alpha_word_ok.alias("alpha_word_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (
+            word_count_ok & mean_word_len_ok & hash_ellipsis_ok
+            & ellipsis_line_ok & bullet_line_ok & alpha_word_ok & stopword_ok
+        ).alias("gopher_pass"),
+    )

@@ -1588,6 +1588,58 @@ FROM t
 """
 
 
+def q_gopher_quality(spark, sf):
+    """N4: the published Gopher/MassiveText quality gates
+    (operators/text.py gopher_rules) — per-rule boolean flags plus the
+    combined pass, every threshold an integer cross-multiplication so
+    the decision replays exactly in any engine. The oracle restates all
+    seven rules in SQL over the same token/line arrays."""
+    from .operators.text import gopher_rules
+
+    return gopher_rules(_t(spark, sf, "documents").filter(F.col("text").isNotNull()))
+
+
+SQL_GOPHER_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT doc_id,
+    len(toks) AS n_words,
+    list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    length(text) - length(replace(text, '…', ''))
+      + len(string_split(text, '...')) - 1 AS n_ell,
+    len(lines) AS n_lines,
+    len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS n_ell_lines,
+    len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]'))) AS n_bullet_lines,
+    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+        ['the','be','to','of','and','that','have','with'])) AS n_stop
+  FROM t
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+  3 * n_words <= sum_len AND sum_len <= 10 * n_words AS mean_word_len_ok,
+  10 * (n_hash + n_ell) <= n_words AS hash_ellipsis_ok,
+  10 * n_ell_lines <= 3 * n_lines AS ellipsis_line_ok,
+  10 * n_bullet_lines <= 9 * n_lines AS bullet_line_ok,
+  5 * n_alpha >= 4 * n_words AS alpha_word_ok,
+  n_stop >= 2 AS stopword_ok,
+  (n_words >= 50 AND n_words <= 100000)
+    AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+    AND (10 * (n_hash + n_ell) <= n_words)
+    AND (10 * n_ell_lines <= 3 * n_lines)
+    AND (10 * n_bullet_lines <= 9 * n_lines)
+    AND (5 * n_alpha >= 4 * n_words)
+    AND (n_stop >= 2) AS gopher_pass
+FROM m
+"""
+
+
 def q_lang_id(spark, sf):
     return text.lang_id(_t(spark, sf, "documents"))
 
@@ -2174,6 +2226,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # C. LLM-data-pipeline
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "rolling_fingerprints": (q_rolling_fingerprints, SQL_ROLLING_FINGERPRINTS),
@@ -2241,6 +2294,7 @@ _DRIVER_PRIORITY = [
     "bpe_encode",
     "mp4_samples",
     "lm_quality",
+    "gopher_quality",
     # -- (3) the 16 r2-stale entries ----------------------------------------
     "product_profit",
     "pii_scrub",
@@ -2279,7 +2333,6 @@ _DRIVER_PRIORITY = [
     "lang_id",
     "text_stats",
     "sessionize",
-    "tumbling_window",
     "streaming_tumbling",
     "streaming_session",
     "streaming_sliding",
