@@ -368,3 +368,57 @@ def gopher_rules(
             & ellipsis_line_ok & bullet_line_ok & alpha_word_ok & stopword_ok
         ).alias("gopher_pass"),
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Cross-document duplicated k-token spans (the ExactSubstr metric
+    of Lee et al. 2022 at token granularity): every overlapping
+    k-token window is hashed (md5 of the space-joined tokens —
+    engine-portable); a window value occurring in ≥2 DISTINCT documents
+    marks each of its instances as duplicated. Per document:
+    ``n_windows``, ``dup_windows``, and ``dup_pm`` (duplicated
+    instances per mille, exact integer arithmetic). Documents with
+    fewer than ``k`` tokens emit nothing.
+
+    Scale shape: the window table is corpus-token-sized but NARROW
+    (id, md5) — one map-side-combined groupBy over the hash finds the
+    duplicated values, one semi-join back marks instances, one per-doc
+    aggregation emits stats. No n² anywhere; the hot-hash skew of
+    boilerplate spans lands on the same AQE skew handling every hot
+    join key gets.
+    """
+    t = tokens(F.col(text_col))
+    wins = F.expr(
+        f"transform(sequence(0, size(__t) - {k}), "
+        f"i -> struct(i AS pos, md5(concat_ws(' ', slice(__t, i + 1, {k}))) AS h))"
+    )
+    w = (
+        df.select(F.col(id_col), t.alias("__t"))
+        .filter(F.size("__t") >= k)
+        .select(F.col(id_col), F.explode(wins).alias("__w"))
+        .select(F.col(id_col), F.col("__w.h").alias("__h"))
+    )
+    dup = (
+        w.groupBy("__h")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    marked = w.join(dup.withColumn("__dup", F.lit(1)), "__h", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("__dup").alias("dup_windows"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "dup_windows",
+            F.floor(F.lit(1000) * F.col("dup_windows") / F.col("n_windows"))
+            .cast("long")
+            .alias("dup_pm"),
+        )
+    )

@@ -1640,6 +1640,40 @@ FROM m
 """
 
 
+def q_dup_span_stats(spark, sf):
+    """N1/N2: cross-document duplicated 8-token spans (Lee et al.
+    ExactSubstr at token granularity, operators/text.py
+    duplicated_span_stats): per doc, how many of its overlapping
+    windows also occur in another document — the signal ExactSubstr
+    dedup cuts on. md5 window hashes keep it engine-portable; the
+    oracle replays windows, the ≥2-distinct-docs set, and the per-doc
+    counts exactly."""
+    from .operators.text import duplicated_span_stats
+
+    return duplicated_span_stats(_t(spark, sf, "documents"))
+
+
+SQL_DUP_SPAN_STATS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+wins AS (
+  SELECT doc_id, md5(array_to_string(t[i + 1 : i + 8], ' ')) AS h
+  FROM toks, UNNEST(range(0, len(t) - 8 + 1)) AS u(i)
+  WHERE len(t) >= 8
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT w.doc_id,
+       COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_windows,
+       CAST(1000 * SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS dup_pm
+FROM wins w LEFT JOIN dup d USING (h)
+GROUP BY w.doc_id
+"""
+
+
 def q_lang_id(spark, sf):
     return text.lang_id(_t(spark, sf, "documents"))
 
@@ -2227,6 +2261,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "dup_span_stats": (q_dup_span_stats, SQL_DUP_SPAN_STATS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "rolling_fingerprints": (q_rolling_fingerprints, SQL_ROLLING_FINGERPRINTS),
@@ -2295,6 +2330,7 @@ _DRIVER_PRIORITY = [
     "mp4_samples",
     "lm_quality",
     "gopher_quality",
+    "dup_span_stats",
     # -- (3) the 16 r2-stale entries ----------------------------------------
     "product_profit",
     "pii_scrub",
@@ -2331,7 +2367,6 @@ _DRIVER_PRIORITY = [
     "minhash_band_pairs",
     "cosine_topk",
     "lang_id",
-    "text_stats",
     "sessionize",
     "streaming_tumbling",
     "streaming_session",

@@ -137,6 +137,8 @@ QUERIES = [
     "bpe_encode",
     "mp4_samples",
     "lm_quality",
+    "gopher_quality",
+    "dup_span_stats",
 ]
 
 
