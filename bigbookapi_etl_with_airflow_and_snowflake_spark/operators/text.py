@@ -422,3 +422,117 @@ def duplicated_span_stats(
             .alias("dup_pm"),
         )
     )
+
+
+def gopher_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The REPETITION half of the Gopher/MassiveText ruleset (Rae et
+    al. 2021 App. A; the static gates are :func:`gopher_rules`):
+    per-document duplicate-line and repeated-n-gram screens, all
+    integer-exact so the decision replays in any engine.
+
+    - ``dup_line_ok``: duplicate-line fraction ≤ 0.30
+      (10·(n_lines − n_distinct) ≤ 3·n_lines)
+    - ``dup_line_char_ok``: characters inside duplicated lines ≤ 0.20
+      of the document (5·dup_line_chars ≤ n_chars; line chars only,
+      separators excluded — documented simplification)
+    - ``top_2gram_char_ok``: characters covered by ALL occurrences of
+      the most frequent word 2-gram ≤ 0.20 (ties broken lexically)
+    - ``dup_5gram_char_ok``: characters covered by 5-grams occurring
+      more than once ≤ 0.15 (20·dup5_chars ≤ 3·n_chars; the
+      all-occurrences accounting, not Gopher's overlap-dedup — a
+      stricter, still deterministic variant)
+    - ``repetition_pass``: AND of the above.
+
+    Scale shape: three narrow explode→groupBy aggregations (lines,
+    2-grams, 5-grams) re-joined on the doc id — the same corpus-token-
+    sized shuffles every shingling operator here pays, nothing n².
+    """
+    from pyspark.sql import Window as _W
+
+    base = df.select(F.col(id_col), F.col(text_col).alias("__text")).filter(
+        F.col("__text").isNotNull()
+    )
+    total = base.select(F.col(id_col), F.length("__text").alias("n_chars"))
+    lines = base.select(
+        F.col(id_col), F.explode(F.split("__text", "\n")).alias("__line")
+    )
+    line_stats = (
+        lines.groupBy(id_col, "__line")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_lines"),
+            F.count("*").alias("__nd"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__c") >= 2, F.col("__c") * F.length("__line")
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("dup_line_chars"),
+        )
+    )
+    toks = base.select(F.col(id_col), tokens(F.col("__text")).alias("__t"))
+
+    def grams(n: int):
+        return F.expr(
+            f"CASE WHEN size(__t) >= {n} THEN "
+            f"transform(sequence(1, size(__t) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(__t, i, {n}))) "
+            "ELSE array() END"
+        )
+
+    c2 = (
+        toks.select(F.col(id_col), F.explode(grams(2)).alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count("*").alias("__c"))
+    )
+    w = _W.partitionBy(id_col).orderBy(F.desc("__c"), F.asc("__g"))
+    top2 = (
+        c2.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), (F.col("__c") * F.length("__g")).alias("top2_chars"))
+    )
+    dup5 = (
+        toks.select(F.col(id_col), F.explode(grams(5)).alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__c") * F.length("__g")).alias("dup5_chars"))
+    )
+    j = (
+        total.join(line_stats, id_col, "left")
+        .join(top2, id_col, "left")
+        .join(dup5, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_chars",
+            F.col("n_lines"),
+            F.col("__nd"),
+            F.col("dup_line_chars"),
+            F.coalesce("top2_chars", F.lit(0)).alias("top2_chars"),
+            F.coalesce("dup5_chars", F.lit(0)).alias("dup5_chars"),
+        )
+    )
+    dup_line_ok = F.lit(10) * (F.col("n_lines") - F.col("__nd")) <= F.lit(3) * F.col(
+        "n_lines"
+    )
+    dup_line_char_ok = F.lit(5) * F.col("dup_line_chars") <= F.col("n_chars")
+    top_2gram_char_ok = F.lit(5) * F.col("top2_chars") <= F.col("n_chars")
+    dup_5gram_char_ok = F.lit(20) * F.col("dup5_chars") <= F.lit(3) * F.col("n_chars")
+    return j.select(
+        id_col,
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        dup_line_ok.alias("dup_line_ok"),
+        dup_line_char_ok.alias("dup_line_char_ok"),
+        top_2gram_char_ok.alias("top_2gram_char_ok"),
+        dup_5gram_char_ok.alias("dup_5gram_char_ok"),
+        (dup_line_ok & dup_line_char_ok & top_2gram_char_ok & dup_5gram_char_ok).alias(
+            "repetition_pass"
+        ),
+    )

@@ -1640,6 +1640,60 @@ FROM m
 """
 
 
+def q_gopher_repetition(spark, sf):
+    """N4: the repetition half of the Gopher ruleset
+    (operators/text.py gopher_repetition) — duplicate-line and
+    repeated-n-gram screens as integer-exact flags; the oracle replays
+    the line counts, the deterministic top-2-gram election (count desc,
+    gram lex asc), and the duplicated-5-gram char accounting."""
+    from .operators.text import gopher_repetition
+
+    return gopher_repetition(_t(spark, sf, "documents"))
+
+
+SQL_GOPHER_REPETITION = r"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n_chars
+  FROM documents WHERE text IS NOT NULL
+),
+l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d),
+lc AS (SELECT doc_id, line, COUNT(*) AS c FROM l GROUP BY doc_id, line),
+ls AS (SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS nd,
+              COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(line) END), 0)
+                AS dup_line_chars
+       FROM lc GROUP BY doc_id),
+t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM d),
+g2 AS (SELECT doc_id, array_to_string(tk[i : i + 1], ' ') AS g
+       FROM t, UNNEST(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2),
+c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+top2 AS (SELECT doc_id, c * length(g) AS top2_chars FROM (
+           SELECT doc_id, g, c,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+           FROM c2) WHERE rn = 1),
+g5 AS (SELECT doc_id, array_to_string(tk[i : i + 4], ' ') AS g
+       FROM t, UNNEST(range(1, len(tk) - 3)) AS u(i) WHERE len(tk) >= 5),
+c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g),
+dup5 AS (SELECT doc_id, SUM(c * length(g)) AS dup5_chars FROM c5
+         WHERE c >= 2 GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(d.n_chars AS BIGINT) AS n_chars,
+  CAST(ls.n_lines AS BIGINT) AS n_lines,
+  10 * (ls.n_lines - ls.nd) <= 3 * ls.n_lines AS dup_line_ok,
+  5 * ls.dup_line_chars <= d.n_chars AS dup_line_char_ok,
+  5 * COALESCE(top2.top2_chars, 0) <= d.n_chars AS top_2gram_char_ok,
+  20 * COALESCE(dup5.dup5_chars, 0) <= 3 * d.n_chars AS dup_5gram_char_ok,
+  (10 * (ls.n_lines - ls.nd) <= 3 * ls.n_lines)
+    AND (5 * ls.dup_line_chars <= d.n_chars)
+    AND (5 * COALESCE(top2.top2_chars, 0) <= d.n_chars)
+    AND (20 * COALESCE(dup5.dup5_chars, 0) <= 3 * d.n_chars)
+    AS repetition_pass
+FROM d
+LEFT JOIN ls ON ls.doc_id = d.doc_id
+LEFT JOIN top2 ON top2.doc_id = d.doc_id
+LEFT JOIN dup5 ON dup5.doc_id = d.doc_id
+"""
+
+
 def q_dup_span_stats(spark, sf):
     """N1/N2: cross-document duplicated 8-token spans (Lee et al.
     ExactSubstr at token granularity, operators/text.py
@@ -2262,6 +2316,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "dup_span_stats": (q_dup_span_stats, SQL_DUP_SPAN_STATS),
+    "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "rolling_fingerprints": (q_rolling_fingerprints, SQL_ROLLING_FINGERPRINTS),
@@ -2331,6 +2386,7 @@ _DRIVER_PRIORITY = [
     "lm_quality",
     "gopher_quality",
     "dup_span_stats",
+    "gopher_repetition",
     # -- (3) the 16 r2-stale entries ----------------------------------------
     "product_profit",
     "pii_scrub",
@@ -2367,7 +2423,6 @@ _DRIVER_PRIORITY = [
     "minhash_band_pairs",
     "cosine_topk",
     "lang_id",
-    "sessionize",
     "streaming_tumbling",
     "streaming_session",
     "streaming_sliding",

@@ -139,6 +139,7 @@ QUERIES = [
     "lm_quality",
     "gopher_quality",
     "dup_span_stats",
+    "gopher_repetition",
 ]
 
 
