@@ -220,3 +220,51 @@ def test_strip_html_visible_text_only(spark):
     got = {r["i"]: r["c"] for r in df.select("i", strip_html(F.col("h")).alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_gopher_rules_and_repetition_on_crafted_docs(spark):
+    """The oracle corpus is single-line, so the line-based Gopher
+    branches (bullet lines, ellipsis-ending lines, duplicate lines)
+    only get exercised here, on crafted multi-line fixtures."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.text import (
+        gopher_repetition,
+        gopher_rules,
+    )
+
+    good_words = ("the quick brown fox jumps over with lazy dogs and cats "
+                  "that have been seen to run of late in every field ") * 3
+    # genuinely non-repetitive two-line doc: 64 distinct words, two
+    # distinct lines, no repeated 2-/5-grams
+    clean = (
+        "the " + " ".join(f"worda{i:02d}" for i in range(30)) + " of\n"
+        "and " + " ".join(f"wordb{i:02d}" for i in range(30)) + " that"
+    )
+    docs = [
+        # 0: clean multi-line prose — passes everything
+        (0, clean),
+        # 1: all bullet lines — bullet_line_ok must fail
+        (1, "\n".join(f"- {good_words}" for _ in range(10))),
+        # 2: every line ends with an ellipsis — ellipsis_line_ok fails
+        (2, "\n".join(f"{good_words}..." for _ in range(10))),
+        # 3: one line duplicated 9x — dup_line_ok and dup_line_char_ok fail
+        (3, "\n".join(["copy of the same line with that and of"] * 10)),
+        # 4: one 2-gram dominating — top_2gram_char_ok fails
+        (4, "spam ham " * 40),
+        # 5: hash-heavy — hash_ellipsis_ok fails
+        (5, "# " * 60 + good_words),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    r = {x["doc_id"]: x.asDict() for x in gopher_rules(df).collect()}
+    assert r[0]["gopher_pass"] is True
+    assert r[1]["bullet_line_ok"] is False and r[1]["gopher_pass"] is False
+    assert r[2]["ellipsis_line_ok"] is False
+    assert r[5]["hash_ellipsis_ok"] is False
+    # the clean doc passes each individual line rule
+    assert r[0]["bullet_line_ok"] and r[0]["ellipsis_line_ok"]
+
+    p = {x["doc_id"]: x.asDict() for x in gopher_repetition(df).collect()}
+    assert p[0]["repetition_pass"] is True
+    assert p[3]["dup_line_ok"] is False and p[3]["dup_line_char_ok"] is False
+    assert p[4]["top_2gram_char_ok"] is False
+    assert p[4]["dup_5gram_char_ok"] is False  # "spam ham" repeats as 5-grams too
