@@ -626,10 +626,16 @@ def read_version_pruned(
 
 
 def vacuum(table_dir: str, keep_last: int = 2) -> dict:
-    """Drop manifests older than the newest ``keep_last`` versions and
-    delete data files no retained version references. Returns
-    {"versions_dropped", "files_deleted"}. Time travel shrinks to the
-    retained window — run it when the audit horizon allows."""
+    """Drop manifests older than the newest ``keep_last`` versions,
+    delete data files no retained version references, and remove the
+    dropped versions' at-rest Bloom index directories (an index is
+    version-pinned metadata — once its snapshot is unreadable it can
+    never be consulted again, so leaving it is a pure disk leak).
+    Returns {"versions_dropped", "files_deleted", "indexes_dropped"}.
+    Time travel shrinks to the retained window — run it when the audit
+    horizon allows."""
+    import shutil
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = versions(table_dir)
@@ -639,6 +645,8 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
     for v in keep:
         keep_files.update(_load_manifest(table_dir, v["version"])["files"])
     deleted = 0
+    indexes_dropped = 0
+    index_root = os.path.join(table_dir, "_index")
     for v in drop:
         m = _load_manifest(table_dir, v["version"])
         for f in m["files"]:
@@ -646,4 +654,15 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
                 os.remove(f)
                 deleted += 1
         os.remove(_manifest_path(table_dir, v["version"]))
-    return {"versions_dropped": len(drop), "files_deleted": deleted}
+        if os.path.isdir(index_root):
+            vdir = f"v{v['version']:08d}"
+            for idx in os.listdir(index_root):
+                path = os.path.join(index_root, idx, vdir)
+                if os.path.isdir(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                    indexes_dropped += 1
+    return {
+        "versions_dropped": len(drop),
+        "files_deleted": deleted,
+        "indexes_dropped": indexes_dropped,
+    }

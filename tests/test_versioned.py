@@ -554,3 +554,24 @@ def test_merge_with_relative_table_dir_does_not_duplicate(spark):
         assert got.select("id").distinct().count() == 101  # zero duplicates
     finally:
         shutil.rmtree(rel, ignore_errors=True)
+
+
+def test_vacuum_drops_at_rest_indexes_of_dropped_versions(spark, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        write_bloom_index,
+    )
+
+    _spanned_table(spark, table)             # v1
+    write_bloom_index(spark, table, "tag")   # index pinned to v1
+    write_version(spark, spark.range(5).selectExpr(
+        "id", "id AS val", "id AS tag"), table)  # v2
+    write_bloom_index(spark, table, "tag")   # index pinned to v2
+    v1_idx = os.path.join(table, "_index", "bloom_tag", "v00000001")
+    v2_idx = os.path.join(table, "_index", "bloom_tag", "v00000002")
+    assert os.path.isdir(v1_idx) and os.path.isdir(v2_idx)
+
+    stats = vacuum(table, keep_last=1)
+    assert stats["versions_dropped"] == 1
+    assert stats["indexes_dropped"] == 1
+    assert not os.path.isdir(v1_idx)   # dropped with its snapshot
+    assert os.path.isdir(v2_idx)       # retained version keeps its index
