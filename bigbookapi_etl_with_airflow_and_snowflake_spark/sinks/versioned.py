@@ -123,12 +123,18 @@ def write_version(
     df: DataFrame,
     table_dir: str,
     mode: str = "overwrite",
+    index_cols: Sequence[str] = (),
 ) -> int:
     """Commit ``df`` as the next version of the table; returns the new
     version number. ``mode='overwrite'`` → the snapshot is exactly
     ``df``; ``mode='append'`` → the snapshot is the previous version's
     files plus ``df``'s (no rewrite of existing data — append commits
-    cost O(increment), never O(table))."""
+    cost O(increment), never O(table)).
+
+    ``index_cols``: columns to build the at-rest per-file Bloom index
+    for after the commit (index maintenance riding the write path, the
+    Delta/Iceberg pattern) — :func:`read_version_pruned` then prunes
+    equality lookups on them with zero extra read-side work."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     commit_id = uuid.uuid4().hex
@@ -154,7 +160,10 @@ def write_version(
             "schema": schema_json,
         }
 
-    return _commit(table_dir, build)
+    v = _commit(table_dir, build)
+    for col in index_cols:
+        write_bloom_index(spark, table_dir, col, version=v)
+    return v
 
 
 def _commit(table_dir: str, build: Callable[[dict | None], dict]) -> int:
@@ -248,6 +257,7 @@ def merge_version(
     keys: Sequence[str],
     order_by: Sequence = (),
     base_version: int | None = None,
+    index_cols: Sequence[str] = (),
 ) -> dict:
     """Copy-on-write MERGE (upsert) into a versioned table.
 
@@ -334,6 +344,8 @@ def merge_version(
     except CommitConflict:
         _discard_staged(new_files)
         raise
+    for col in index_cols:
+        write_bloom_index(spark, table_dir, col, version=v)
     return {
         "version": v,
         "files_rewritten": len(touched),
@@ -347,6 +359,7 @@ def delete_version(
     table_dir: str,
     predicate,
     base_version: int | None = None,
+    index_cols: Sequence[str] = (),
 ) -> dict:
     """Copy-on-write DELETE: rows where ``predicate`` is TRUE leave the
     table; rows where it is FALSE or NULL stay (SQL DELETE semantics).
@@ -407,6 +420,8 @@ def delete_version(
     except CommitConflict:
         _discard_staged(new_files)
         raise
+    for col in index_cols:
+        write_bloom_index(spark, table_dir, col, version=v)
     return {
         "version": v,
         "files_rewritten": len(touched),

@@ -575,3 +575,44 @@ def test_vacuum_drops_at_rest_indexes_of_dropped_versions(spark, table):
     assert stats["indexes_dropped"] == 1
     assert not os.path.isdir(v1_idx)   # dropped with its snapshot
     assert os.path.isdir(v2_idx)       # retained version keeps its index
+
+
+def test_index_cols_ride_the_write_path(spark, table):
+    """index_cols= on write/merge/delete builds the version's at-rest
+    Bloom index as part of the commit, so a subsequent keys= pruned
+    read needs zero read-side index work."""
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        delete_version,
+        merge_version,
+        read_version_pruned,
+    )
+
+    df = (
+        spark.range(800)
+        .withColumn("val", (F.col("id") * 3).cast("long"))
+        .withColumn("tag", F.pmod(F.col("id") * F.lit(2654435761), F.lit(100003)))
+        .repartitionByRange(8, "id")
+    )
+    write_version(spark, df, table, index_cols=["tag"])
+    t = (400 * 2654435761) % 100003
+    got, info = read_version_pruned(spark, table, keys={"tag": [t]})
+    assert info["files_read"] < info["files_total"]
+    assert sorted(r["id"] for r in got.collect()) == [400]
+
+    # merge commits v2 and refreshes the index for v2
+    inc = spark.createDataFrame(
+        [(5000, 0, int(t))], "id long, val long, tag long"
+    )
+    merge_version(spark, inc, table, keys=["id"], index_cols=["tag"])
+    got2, info2 = read_version_pruned(spark, table, keys={"tag": [t]})
+    ids2 = sorted(r["id"] for r in got2.collect())
+    assert ids2 == [400, 5000]
+    assert info2["files_read"] < info2["files_total"]
+
+    # delete commits v3 with its own index
+    delete_version(spark, table, F.col("id") == 400, index_cols=["tag"])
+    got3, info3 = read_version_pruned(spark, table, keys={"tag": [t]})
+    assert sorted(r["id"] for r in got3.collect()) == [5000]
+    assert info3["files_read"] < info3["files_total"]
