@@ -136,6 +136,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     round_to: int = 6,
     checkpoint_dir: str | None = None,
+    target_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., *SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication*, 2023): k-means the
@@ -154,10 +155,16 @@ def semantic_dedup(
     minutes for a 1.9k-row cluster in the 30× smoke; this kernel does
     the same cluster in milliseconds) — and it is exactly how the
     paper computes it (per-cluster similarity matrix). Per-task memory
-    is |cluster|² floats: at 100 TB pick k ~ n/C for a target cluster
-    size C (the paper runs tens of thousands of clusters); a skewed
-    hot cluster bounds exactly like a hot PPJoin bucket (sub-cluster
-    it).
+    is |cluster|² floats, so a FIXED k is a scale cliff: the 100×
+    smoke measured k=8 over 200k vectors at 201s with ~5 GB sims
+    matrices per task. Pass ``target_cluster_size`` (the production
+    setting) and k scales with the data instead —
+    ``k = max(k, ⌈n / target⌉)`` (one count job; the paper runs tens
+    of thousands of clusters the same way), which bounds per-task
+    memory at ~``target²`` floats regardless of corpus size. The
+    SQL-replayed registry entry keeps the fixed k=8 oracle
+    configuration; a skewed hot cluster bounds exactly like a hot
+    PPJoin bucket (sub-cluster it).
 
     Similarities are rounded to ``round_to`` decimals before the
     threshold test — the module-standard bridge (see
@@ -179,6 +186,13 @@ def semantic_dedup(
     from .neardup import _materialize
 
     src = df.select(id_col, vec_col)
+    if target_cluster_size is not None:
+        if target_cluster_size < 1:
+            raise ValueError(
+                f"target_cluster_size must be >= 1, got {target_cluster_size}"
+            )
+        n = src.count()
+        k = max(k, -(-n // target_cluster_size))
     _, centroids = kmeans_lloyd(src, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     assigned = _materialize(assign_clusters(src, centroids, vec_col), checkpoint_dir)
 

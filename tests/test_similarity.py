@@ -552,3 +552,58 @@ def test_hamming_bits_param_and_mixed_width_raises(spark):
     )
     with pytest.raises(Exception, match="non-uniform signature width"):
         hamming_bits_pairs(mixed, "doc_id", "bits", 4, 3, bits=8).collect()
+
+
+def test_semantic_dedup_target_cluster_size_scales_k(spark, monkeypatch):
+    """target_cluster_size= bounds per-task memory by scaling k with
+    the corpus (k = max(k, ceil(n/target))): a corpus bigger than
+    k·target must cluster finer, a small one must be untouched (same
+    result as the fixed-k call), and the chosen k is observable via the
+    kmeans call."""
+    import numpy as np
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators import (
+        clustering,
+        similarity as sim,
+    )
+
+    rows = [
+        (i, [float((i * 37 + j * 11) % 19) for j in range(4)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    seen = {}
+    orig = clustering.kmeans_lloyd
+
+    def spy(src, k, iters, id_col, vec_col):
+        seen["k"] = k
+        return orig(src, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+
+    # semantic_dedup imports kmeans_lloyd from .clustering at call time
+    monkeypatch.setattr(clustering, "kmeans_lloyd", spy)
+
+    base = sorted(
+        map(tuple, sim.semantic_dedup(df, k=4, iters=0, threshold=0.9).collect())
+    )
+    assert seen["k"] == 4
+
+    # target smaller than n/k: k scales to ceil(300/50) = 6
+    sim.semantic_dedup(
+        df, k=4, iters=0, threshold=0.9, target_cluster_size=50
+    ).collect()
+    assert seen["k"] == 6
+
+    # target larger than n: k untouched, result identical to fixed-k
+    same = sorted(
+        map(
+            tuple,
+            sim.semantic_dedup(
+                df, k=4, iters=0, threshold=0.9, target_cluster_size=1000
+            ).collect(),
+        )
+    )
+    assert seen["k"] == 4
+    assert same == base
+
+    with pytest.raises(ValueError, match="target_cluster_size"):
+        sim.semantic_dedup(df, target_cluster_size=0).collect()
