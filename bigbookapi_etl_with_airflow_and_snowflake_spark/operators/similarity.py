@@ -230,6 +230,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     round_to: int = 6,
     n_blocks: int = 8,
+    target_block_rows: int | None = None,
 ) -> DataFrame:
     """N2 (embedding variant): exact cosine near-duplicate pairs —
     all (id_a < id_b) pairs with similarity ≥ ``threshold``.
@@ -245,15 +246,28 @@ def embedding_neardup_pairs(
     pair is scored; only the arithmetic is batched.
 
     Scale: per-executor memory is bounded by the two blocks of a cell
-    (~2·n/B rows), not the corpus — at 100 TB raise ``n_blocks`` so a
-    block fits an executor (B grows as n; total compute stays the
-    inherent O(n²) of exact all-pairs, data movement O(n·B)). For
-    sub-quadratic behavior prune candidates first with
-    :func:`lsh_topk`-style bucketing and exact-rescore inside buckets.
+    (~2·n/B rows) plus the cell's |bi|×|bj| similarity matrix, not the
+    corpus — so a FIXED B is a memory cliff exactly like
+    ``semantic_dedup``'s fixed k: the 100× smoke (200k vectors) timed
+    out past 590s at B=8 (~5 GB sims per cell) and ran **40s** at
+    B=100. Pass ``target_block_rows`` (the production setting) and B
+    scales with the data instead — ``B = max(n_blocks, ⌈n/target⌉)``
+    (one count job), bounding per-cell memory at ~``target²`` floats;
+    total compute stays the inherent O(n²) of exact all-pairs, data
+    movement O(n·B). For sub-quadratic behavior prune candidates first
+    with :func:`lsh_topk`-style bucketing and exact-rescore inside
+    buckets.
     Diagonal cells (bi == bj) dedup via ``id_a < id_b``; off-diagonal
     cells hold disjoint id sets (unique ids → disjoint hash blocks), so
     each unordered pair is emitted exactly once, ordered (min, max).
     """
+    if target_block_rows is not None:
+        if target_block_rows < 1:
+            raise ValueError(
+                f"target_block_rows must be >= 1, got {target_block_rows}"
+            )
+        n = df.count()
+        n_blocks = max(n_blocks, -(-n // target_block_rows))
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),

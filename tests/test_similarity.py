@@ -607,3 +607,46 @@ def test_semantic_dedup_target_cluster_size_scales_k(spark, monkeypatch):
 
     with pytest.raises(ValueError, match="target_cluster_size"):
         sim.semantic_dedup(df, target_cluster_size=0).collect()
+
+
+def test_embedding_neardup_target_block_rows_scales_grid(spark):
+    """target_block_rows= must scale the block grid with the corpus and
+    keep the exact pair set identical at any B."""
+    import random
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = sorted(
+        map(tuple, embedding_neardup_pairs(df, threshold=0.8).collect())
+    )
+    assert base  # fixture must produce pairs
+    # scaled grid (ceil(200/10) = 20 blocks) — identical exact pair set
+    scaled = sorted(
+        map(
+            tuple,
+            embedding_neardup_pairs(
+                df, threshold=0.8, target_block_rows=10
+            ).collect(),
+        )
+    )
+    assert scaled == base
+    # oversized target leaves the default grid untouched
+    same = sorted(
+        map(
+            tuple,
+            embedding_neardup_pairs(
+                df, threshold=0.8, target_block_rows=10_000
+            ).collect(),
+        )
+    )
+    assert same == base
+
+    with pytest.raises(ValueError, match="target_block_rows"):
+        embedding_neardup_pairs(df, target_block_rows=0).collect()
