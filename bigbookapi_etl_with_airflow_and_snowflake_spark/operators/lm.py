@@ -92,6 +92,12 @@ def score_bigram_lm(
       smoothed, nats; ``perplexity`` = exp(cross_entropy). IEEE sums:
       deterministic up to aggregation order (see module docstring).
     """
+    if vocab_size < 1:
+        raise ValueError(
+            "empty reference corpus (vocab_size == 0): the smoothed "
+            "probability (c+1)/(c+V) degenerates to division by zero — "
+            "train on a non-empty slice"
+        )
     d = doc_bigrams(docs, text_col, id_col)
     joined = (
         d.join(bigrams, ["a", "b"], "left")

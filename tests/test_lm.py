@@ -95,3 +95,16 @@ def test_bigram_lm_training_is_one_pass_shape(spark):
     got = {r["a"]: r["c_a"] for r in contexts.collect()}
     assert got == dict(sums)
     assert v == len(sums)
+
+
+def test_empty_reference_corpus_is_loud(spark):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lm import (
+        score_bigram_lm,
+        train_bigram_lm,
+    )
+
+    df = spark.createDataFrame(EVAL, "doc_id long, text string, source string")
+    bigrams, contexts, v = train_bigram_lm(df.filter("source = 'nope'"))
+    assert v == 0
+    with pytest.raises(ValueError, match="empty reference corpus"):
+        score_bigram_lm(df, bigrams, contexts, v)
