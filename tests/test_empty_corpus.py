@@ -15,8 +15,10 @@ TABLES = (
 
 # Entries whose contract REQUIRES data (documented ValueError/RuntimeError
 # on an empty corpus): sampling needs total weight ≥ k, clustering and
-# IVF need at least one vector to train on.
+# IVF need at least one vector to train on, LM scoring needs a
+# non-empty reference slice (empty vocab degenerates the smoothing).
 EXPECT_RAISE = {
+    "lm_quality",
     "pps_sample_orders",
     "semantic_dedup",
     "kmeans_clusters",
