@@ -1532,9 +1532,13 @@ FROM documents
 
 
 def q_embedding_neardup(spark, sf):
-    """N2 (embedding variant): exact cosine near-dup pairs, sim ≥ 0.4."""
+    """N2 (embedding variant): exact cosine near-dup pairs, sim ≥ 0.4.
+    ``target_block_rows`` scales the grid with the corpus (the exact
+    pair set is invariant in B, so the oracle holds at every scale) —
+    without it the fixed 8-block default OOMs the 100× smoke on
+    ~5 GB per-cell similarity matrices."""
     return similarity.embedding_neardup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.4
+        _t(spark, sf, "embeddings"), threshold=0.4, target_block_rows=4096
     )
 
 
