@@ -562,7 +562,21 @@ def hamming_bits_pairs(
             ),
         ).isNull()
     )
-    banded = sig.select(
+    # Duplicate-aware collapse (same move as jaccard_pairs' group
+    # collapse): docs with IDENTICAL signatures form one group, and only
+    # the group REP enters banding + verification. A duplicated corpus
+    # (the common 100 TB reality — the 100× smoke's fully-replicated
+    # corpus filled the disk with shuffle spill on the per-id form)
+    # collapses from n ids to |distinct signatures| rows for every
+    # shuffle; member pairs re-expand at the END through narrow explodes
+    # in the output stage, so the inherent pair volume is materialized
+    # exactly once and never shuffled with signatures attached.
+    groups = sig.groupBy(bits_col).agg(
+        F.min(id_col).alias("__rep"),
+        F.sort_array(F.collect_list(id_col)).alias("__members"),
+    )
+    reps = groups.select(F.col("__rep").alias(id_col), F.col(bits_col))
+    banded = reps.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -578,8 +592,8 @@ def hamming_bits_pairs(
         ).alias("band_key"),
     )
     cand = _bucket_pairs(banded, "band_key", id_col).distinct()
-    a = sig.select(F.col(id_col).alias("id_a"), F.col(bits_col).alias("__sa"))
-    b = sig.select(F.col(id_col).alias("id_b"), F.col(bits_col).alias("__sb"))
+    a = reps.select(F.col(id_col).alias("id_a"), F.col(bits_col).alias("__sa"))
+    b = reps.select(F.col(id_col).alias("id_b"), F.col(bits_col).alias("__sb"))
     hamming = F.aggregate(
         F.zip_with(
             F.split("__sa", ""),
@@ -589,7 +603,8 @@ def hamming_bits_pairs(
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    return (
+    # surviving REP pairs (distinct signatures, hamming in (0, max])
+    rep_pairs = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         # long, not int: the driver's value hash is dtype-sensitive and
@@ -597,6 +612,47 @@ def hamming_bits_pairs(
         .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+    # cross-group expansion: every member pair across two surviving
+    # groups shares the reps' exact hamming (identical signatures
+    # within a group). Joins shuffle only rep pairs + group tables;
+    # the explodes are narrow.
+    ga = groups.select(
+        F.col("__rep").alias("id_a"), F.col("__members").alias("__ma")
+    )
+    gb = groups.select(
+        F.col("__rep").alias("id_b"), F.col("__members").alias("__mb")
+    )
+    cross = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            F.explode("__ma").alias("__x"), F.col("__mb"), F.col("hamming")
+        )
+        .select(
+            F.col("__x"), F.explode("__mb").alias("__y"), F.col("hamming")
+        )
+        .select(
+            F.least("__x", "__y").alias("id_a"),
+            F.greatest("__x", "__y").alias("id_b"),
+            "hamming",
+        )
+    )
+    # within-group pairs: identical signatures, hamming 0 (always ≤
+    # max_hamming). Self-join keyed on the rep; output = inherent pairs.
+    mem = groups.filter(F.size("__members") >= 2).select(
+        F.col("__rep"), F.explode("__members").alias("__m")
+    )
+    within = (
+        mem.alias("x")
+        .join(mem.alias("y"), "__rep")
+        .filter(F.col("x.__m") < F.col("y.__m"))
+        .select(
+            F.col("x.__m").alias("id_a"),
+            F.col("y.__m").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def simhash(
