@@ -91,6 +91,7 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 10,
     batch_k: int = 1,
+    max_rounds: int | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns
     [(merge_idx, left, right, pair_count)] in merge order. Stops early
@@ -117,12 +118,20 @@ def bpe_train(
     never competes, so the merge LIST can differ from the sequential
     twin's even though every selected count is exact — callers that
     need bit-identical classic output keep ``batch_k=1``.
+
+    ``max_rounds`` caps the number of pair-count rounds — callers that
+    must stay replayable against a SINGLE-round oracle (the bpe_encode
+    registry entry) pass 1, so a round that selects fewer than
+    ``batch_k`` disjoint merges returns that shorter list instead of
+    continuing with post-merge counts the oracle never sees.
     """
     if batch_k < 1:
         raise ValueError(f"batch_k must be >= 1, got {batch_k}")
     words = word_freq_table(df, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    while len(merges) < n_merges:
+    rounds = 0
+    while len(merges) < n_merges and (max_rounds is None or rounds < max_rounds):
+        rounds += 1
         want = min(batch_k, n_merges - len(merges))
         # disjointness skips candidates (a hot symbol like the
         # end-of-word marker can sit in MANY top pairs, of which only

@@ -94,12 +94,19 @@ def parquet_footer_stats(
 
         def to_lo(v) -> float:
             # exact Python int-vs-float comparison: if float() rounded
-            # the min UP, step one ulp down so the envelope stays outer
+            # the min UP, step one ulp down so the envelope stays outer.
+            # Non-numeric stats (e.g. Decimal-as-string, numeric-string
+            # columns) take the plain conversion — the outward-rounding
+            # comparison is only meaningful for int/float values.
             f = float(v)
+            if not isinstance(v, (int, float)):
+                return f
             return math.nextafter(f, -math.inf) if f > v else f
 
         def to_hi(v) -> float:
             f = float(v)
+            if not isinstance(v, (int, float)):
+                return f
             return math.nextafter(f, math.inf) if f < v else f
 
         for pdf in batches:
@@ -234,7 +241,9 @@ def build_file_bloom_index(
     per-file Bloom bitmap answers "can file F contain key x?" in
     O(k) bit tests regardless of layout.
 
-    Returns a sparse ``(file string, word long, bits long)`` frame — at
+    Returns a sparse ``(file string, word long, bits long)`` frame (file
+    = the scan's ``_metadata.file_path`` URI, the unambiguous identity
+    — normalize with urlparse+unquote to compare against OS paths) — at
     most ``m_bits/64`` rows per file; persist it as parquet next to the
     table (or pass a versioned table's manifest file list) and it is an
     at-rest index maintained per commit. Build is one map-side-combined
@@ -244,11 +253,15 @@ def build_file_bloom_index(
     """
     from pyspark.sql import functions as F
 
+    # file identity = the RAW _metadata.file_path URI, verbatim. Stripping
+    # the scheme here used to leave paths percent-ENCODED but scheme-less,
+    # which no normalizer could safely decode (is '%20' an encoded space
+    # or a literal?): a table path containing a space then failed every
+    # identity comparison and a pruned read silently dropped all files.
+    # A full URI round-trips through urlparse+unquote unambiguously.
     df = spark.read.parquet(*files).select(
         F.col(key_col),
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "").alias(
-            "file"
-        ),
+        F.col("_metadata.file_path").alias("file"),
     )
     seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_seed")
     pos = F.pmod(F.xxhash64(F.col(key_col), F.col("_seed")), F.lit(m_bits))

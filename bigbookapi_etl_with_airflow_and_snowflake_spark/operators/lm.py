@@ -39,8 +39,13 @@ __all__ = ["doc_bigrams", "train_bigram_lm", "score_bigram_lm"]
 
 def doc_bigrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
     """(id, a, b) — one row per adjacent whitespace-token pair; docs
-    with fewer than two tokens contribute nothing."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    with fewer than two tokens contribute nothing. Tokenization is the
+    module-standard whitespace split (operators/text.py tokens) so the
+    LM tier can never silently diverge from the rest of the text
+    operators or their SQL-oracle convention."""
+    from .text import tokens
+
+    toks = tokens(F.col(text_col))
     pairs = F.expr(
         "CASE WHEN size(__t) >= 2 THEN "
         "transform(sequence(1, size(__t) - 1), "

@@ -856,11 +856,13 @@ def flac_meta(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
-@quarantine_decoder
 def _mp4_boxes(payload: bytes, start: int, end: int):
     """Iterate ``(type, body_start, box_end)`` over the ISO-BMFF boxes
     in ``payload[start:end]`` — ``[size:4][type:4]`` with 64-bit
-    largesize honored; raises on overruns (quarantine contract)."""
+    largesize honored; raises on overruns. NOT quarantine-decorated:
+    decorating a GENERATOR is a no-op (exceptions raise during
+    iteration in the caller's frame, after the decorator's try has
+    returned) — the public demuxers carry the decorator instead."""
     i = start
     while i + 8 <= end:
         (size,) = struct.unpack_from(">I", payload, i)
@@ -886,6 +888,7 @@ def _mp4_find(payload: bytes, start: int, end: int, btype: bytes):
     return None
 
 
+@quarantine_decoder
 def demux_mp4_meta(payload: bytes) -> dict:
     """Walk an ISO BMFF (MP4/MOV/M4A) box tree WITHOUT decoding media —
     the same demux-not-decode tier as :func:`demux_mp3_frames` and
@@ -1064,6 +1067,7 @@ def mux_mp4(
     return ftyp + moov
 
 
+@quarantine_decoder
 def demux_mp4_samples(payload: bytes) -> list[dict]:
     """Per-sample stts/stsz walk of the FIRST video track — the sample
     table a seek/clip/frame-sample pipeline actually needs: for every

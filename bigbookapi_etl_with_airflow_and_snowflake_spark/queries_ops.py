@@ -2159,7 +2159,12 @@ def q_bpe_encode(spark, sf):
     from .operators.bpe import bpe_encode, bpe_train
 
     docs = _t(spark, sf, "documents").filter(F.col("text").rlike("^[ -~]+$"))
-    merges = bpe_train(docs, n_merges=3, batch_k=3)
+    # max_rounds=1 pins the trainer to the SINGLE round the oracle
+    # replays: if the corpus yields fewer than 3 disjoint merges, both
+    # sides apply the same shorter list (the oracle's missing m2/m3
+    # degrade to sentinel pass-throughs) instead of the trainer
+    # continuing with post-merge counts the oracle never sees
+    merges = bpe_train(docs, n_merges=3, batch_k=3, max_rounds=1)
     enc = bpe_encode(docs, merges)
     return enc.select(
         "doc_id",
@@ -2170,9 +2175,17 @@ def q_bpe_encode(spark, sf):
 
 def _sql_bpe_apply(src: str, m: str, out_cte: str, rec_cte: str) -> str:
     """One recursive-CTE merge application: rewrite the leftmost
-    ``US a US b US`` occurrence to ``US ab US`` until none remains."""
-    pat = f"(SELECT chr(31) || a || chr(31) || b || chr(31) FROM {m})"
-    rep = f"(SELECT chr(31) || a || b || chr(31) FROM {m})"
+    ``US a US b US`` occurrence to ``US ab US`` until none remains.
+    An EMPTY merge selection (the corpus yielded fewer disjoint merges
+    than the oracle unrolls) coalesces the pattern to a chr(30)
+    sentinel that can never occur in the chr(31)-delimited
+    printable-ASCII symbol string — the stage degrades to an exact
+    pass-through, matching the trainer's shorter merge list."""
+    pat = (
+        f"COALESCE((SELECT chr(31) || a || chr(31) || b || chr(31) FROM {m}), "
+        "chr(30))"
+    )
+    rep = f"COALESCE((SELECT chr(31) || a || b || chr(31) FROM {m}), chr(30))"
     return f"""
 {rec_cte}(word, s) AS (
   SELECT word, s FROM {src}

@@ -296,19 +296,26 @@ def merge_version(
     base = _load_manifest(
         table_dir, vs[-1]["version"] if base_version is None else base_version
     )
-    cur = spark.read.parquet(*base["files"]).withColumn(
-        "__file", F.col("_metadata.file_path")
-    )
-    # Files holding a matched key. AQE broadcasts the key side when the
-    # increment is small (the common CDC case); the collect is bounded
-    # by the table's FILE count, not its rows.
-    touched = {
-        _local_path(r["__file"])
-        for r in cur.join(incoming.select(*key_cols).distinct(), key_cols, "left_semi")
-        .select("__file")
-        .distinct()
-        .collect()
-    }
+    if base["files"]:
+        cur = spark.read.parquet(*base["files"]).withColumn(
+            "__file", F.col("_metadata.file_path")
+        )
+        # Files holding a matched key. AQE broadcasts the key side when
+        # the increment is small (the common CDC case); the collect is
+        # bounded by the table's FILE count, not its rows.
+        touched = {
+            _local_path(r["__file"])
+            for r in cur.join(
+                incoming.select(*key_cols).distinct(), key_cols, "left_semi"
+            )
+            .select("__file")
+            .distinct()
+            .collect()
+        }
+    else:
+        # already-empty snapshot (a delete removed every row and staged
+        # no part files): the merge is a pure insert against zero rows
+        touched = set()
     carried = _carried_files(base["files"], touched)
     inc = incoming.withColumn("__src", F.lit(0))
     if touched:
@@ -525,21 +532,24 @@ def write_bloom_index(
     ``(file, word, bits)`` rows — at most ``m_bits/64`` per file);
     the index parquet lands under ``table_dir/_index`` keyed by
     version, so it is immutable alongside the snapshot it describes.
+    The (m_bits, k) geometry is RECORDED next to the index
+    (``_params.json``) and the pruned read probes with the recorded
+    values — a probe hashed with different parameters than the build
+    has false NEGATIVES, which would silently drop qualifying files.
     Returns the index directory path.
     """
     from ..operators.lake import build_file_bloom_index
 
-    vs = versions(table_dir)
-    if not vs:
-        raise ValueError(f"no committed versions under {table_dir!r}")
-    v = vs[-1]["version"] if version is None else version
-    m = _load_manifest(table_dir, v)
+    m = _load_manifest(table_dir, version)
+    v = m["version"]
     out = _bloom_index_dir(table_dir, key_col, v)
     if not m["files"]:
         os.makedirs(out, exist_ok=True)
         return out
     idx = build_file_bloom_index(spark, m["files"], key_col, m_bits=m_bits, k=k)
     idx.write.mode("overwrite").parquet(out)
+    with open(os.path.join(out, "_params.json"), "w") as fh:
+        json.dump({"m_bits": m_bits, "k": k}, fh)
     return out
 
 
@@ -549,8 +559,6 @@ def read_version_pruned(
     ranges: dict[str, tuple] | None = None,
     version: int | None = None,
     keys: dict[str, Sequence] | None = None,
-    bloom_m_bits: int = 1 << 16,
-    bloom_k: int = 3,
 ) -> tuple[DataFrame, dict]:
     """Predicate read of a versioned table WITH file skipping, then the
     exact predicate on the scan — bit-identical to
@@ -568,6 +576,10 @@ def read_version_pruned(
       index for this version simply doesn't prune (the exact ``isin``
       filter still applies) — reads never build an index on the fly,
       because that would scan the very data pruning exists to skip.
+      Probes use the (m_bits, k) geometry RECORDED with the index at
+      build time (``_params.json``); a legacy index directory without
+      recorded parameters is skipped entirely rather than probed with
+      guessed geometry (a geometry mismatch has false negatives).
 
     Both passes are conservative (unknown envelope → keep; Bloom has
     no false negatives), so composing with the exact predicate cannot
@@ -580,11 +592,8 @@ def read_version_pruned(
 
     ranges = ranges or {}
     keys = keys or {}
-    vs = versions(table_dir)
-    if not vs:
-        raise ValueError(f"no committed versions under {table_dir!r}")
-    v = vs[-1]["version"] if version is None else version
-    m = _load_manifest(table_dir, v)
+    m = _load_manifest(table_dir, version)
+    v = m["version"]
     if not m["files"]:
         df = _empty_snapshot(spark, m)
         for col, (lo, hi) in ranges.items():
@@ -599,16 +608,28 @@ def read_version_pruned(
     if kept and keys:
         from ..operators.lake import bloom_qualified_files
 
-        # schema from footers only (no data pages) to type the probes
-        types = {
-            f.name: f.dataType for f in spark.read.parquet(*m["files"]).schema
-        }
+        types = None
         for col, vals in keys.items():
             idx_dir = _bloom_index_dir(table_dir, col, v)
-            if not os.path.isdir(idx_dir) or not any(
-                f.endswith(".parquet") for f in os.listdir(idx_dir)
+            params_path = os.path.join(idx_dir, "_params.json")
+            if (
+                not os.path.isdir(idx_dir)
+                or not os.path.exists(params_path)
+                or not any(f.endswith(".parquet") for f in os.listdir(idx_dir))
             ):
-                continue  # no at-rest index for this version: no pruning
+                continue  # no usable at-rest index: no pruning
+            with open(params_path) as fh:
+                params = json.load(fh)
+            if types is None:
+                # probe typing: the manifest's recorded schema when
+                # present (zero I/O), else one footer pass
+                if m.get("schema") is not None:
+                    from pyspark.sql.types import StructType
+
+                    sch = StructType.fromJson(json.loads(m["schema"]))
+                else:
+                    sch = spark.read.parquet(*m["files"]).schema
+                types = {f.name: f.dataType for f in sch}
             qualified = {
                 _local_path(q)
                 for q in bloom_qualified_files(
@@ -617,8 +638,8 @@ def read_version_pruned(
                     col,
                     types[col],
                     list(vals),
-                    m_bits=bloom_m_bits,
-                    k=bloom_k,
+                    m_bits=int(params["m_bits"]),
+                    k=int(params["k"]),
                 )
             }
             kept = [f for f in kept if _canon(f) in qualified]

@@ -616,3 +616,45 @@ def test_index_cols_ride_the_write_path(spark, table):
     got3, info3 = read_version_pruned(spark, table, keys={"tag": [t]})
     assert sorted(r["id"] for r in got3.collect()) == [5000]
     assert info3["files_read"] < info3["files_total"]
+
+
+def test_bloom_probe_uses_recorded_index_geometry(spark, table):
+    """The index records its (m_bits, k); the pruned read probes with
+    the RECORDED values — probing a non-default-geometry index with
+    defaults would have Bloom false negatives and silently drop files."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        read_version_pruned,
+        write_bloom_index,
+    )
+
+    _spanned_table(spark, table)
+    write_bloom_index(spark, table, "tag", m_bits=1 << 12, k=2)
+    t = (400 * 2654435761) % 100003
+    df, info = read_version_pruned(spark, table, keys={"tag": [t]})
+    assert sorted(r["id"] for r in df.collect()) == [400]  # no lost rows
+    assert info["files_read"] <= info["files_total"]
+
+
+def test_merge_into_empty_snapshot_repopulates(spark, table):
+    """A files:[] snapshot (delete-all) must accept a merge as a pure
+    insert instead of crashing on a zero-path parquet read."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        merge_version,
+    )
+
+    write_version(spark, spark.range(5).withColumn("val", F.col("id")), table)
+    with open(os.path.join(table, "_versions", "v00000001.json")) as fh:
+        m1 = json.load(fh)
+    m2 = dict(m1, files=[], n_rows=0, version=2)
+    with open(os.path.join(table, "_versions", "v00000002.json"), "w") as fh:
+        json.dump(m2, fh)
+
+    inc = spark.range(3).withColumn("val", (F.col("id") * 7).cast("long"))
+    stats = merge_version(spark, inc, table, keys=["id"])
+    assert stats["files_rewritten"] == 0 and stats["n_rows"] == 3
+    got = {r["id"]: r["val"] for r in read_version(spark, table).collect()}
+    assert got == {0: 0, 1: 7, 2: 14}
