@@ -2391,6 +2391,7 @@ _DRIVER_PRIORITY = [
     "gopher_quality",
     "dup_span_stats",
     "gopher_repetition",
+    "corpus_manifest",
     # -- (3) the 16 r2-stale entries ----------------------------------------
     "product_profit",
     "pii_scrub",
@@ -2429,7 +2430,6 @@ _DRIVER_PRIORITY = [
     "lang_id",
     "streaming_tumbling",
     "streaming_session",
-    "streaming_sliding",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

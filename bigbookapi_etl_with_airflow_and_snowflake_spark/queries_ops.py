@@ -2435,6 +2435,60 @@ GROUP BY event_type
 """
 
 
+def q_corpus_manifest(spark, sf):
+    """The curation funnel's END PRODUCT, composed from the tiers this
+    engine already oracles individually: a document survives into the
+    training-set manifest iff it (1) is the kept representative under
+    MinHash near-dedup (near_dedup_keep), (2) passes the Gopher
+    repetition screens, (3) passes the corpus-appropriate static gates
+    (alpha-word + mean-word-length — the full stopword gate is
+    vocabulary-specific), and (4) covers ≥ 50% of its bigrams in the
+    src0 reference LM. Every input tier is individually HARD-oracled;
+    this entry locks their COMPOSITION — joins, null handling for docs
+    the LM cannot score, and the conjunctive keep rule."""
+    from pyspark.sql import functions as F
+
+    from .queries import q_gopher_quality, q_gopher_repetition
+    from .queries_ext import q_near_dedup_keep
+
+    keep = q_near_dedup_keep(spark, sf)
+    g = q_gopher_quality(spark, sf).select(
+        "doc_id", "alpha_word_ok", "mean_word_len_ok"
+    )
+    r = q_gopher_repetition(spark, sf).select("doc_id", "repetition_pass")
+    lm = q_lm_quality(spark, sf).select("doc_id", "coverage_pm")
+    return (
+        keep.join(g, "doc_id")
+        .join(r, "doc_id")
+        .join(lm, "doc_id", "left")
+        .filter(
+            F.col("repetition_pass")
+            & F.col("alpha_word_ok")
+            & F.col("mean_word_len_ok")
+            & (F.coalesce(F.col("coverage_pm"), F.lit(0)) >= 500)
+        )
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+def _sql_corpus_manifest() -> str:
+    """Composed oracle: each tier's standalone SQL nests as a
+    parenthesized subquery (their internal WITH clauses stay scoped),
+    then the same joins + conjunctive keep rule as the Spark side."""
+    from .queries import SQL_GOPHER_QUALITY, SQL_GOPHER_REPETITION
+    from .queries_ext import SQL_NEAR_DEDUP_KEEP
+
+    return f"""
+SELECT k.doc_id, k.source, k.n_chars
+FROM ({SQL_NEAR_DEDUP_KEEP}) k
+JOIN ({SQL_GOPHER_QUALITY}) g USING (doc_id)
+JOIN ({SQL_GOPHER_REPETITION}) r USING (doc_id)
+LEFT JOIN ({SQL_LM_QUALITY}) l USING (doc_id)
+WHERE r.repetition_pass AND g.alpha_word_ok AND g.mean_word_len_ok
+  AND COALESCE(l.coverage_pm, 0) >= 500
+"""
+
+
 OPS_REGISTRY = {
     "passage_dedup": (q_passage_dedup, SQL_PASSAGE_DEDUP),
     "zorder_key_events": (q_zorder_key_events, _sql_zorder_key_events()),
@@ -2487,4 +2541,5 @@ OPS_REGISTRY = {
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "mp4_samples": (q_mp4_samples, SQL_MP4_SAMPLES),
     "lm_quality": (q_lm_quality, SQL_LM_QUALITY),
+    "corpus_manifest": (q_corpus_manifest, _sql_corpus_manifest()),
 }

@@ -140,6 +140,7 @@ QUERIES = [
     "gopher_quality",
     "dup_span_stats",
     "gopher_repetition",
+    "corpus_manifest",
 ]
 
 
