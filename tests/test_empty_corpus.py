@@ -18,6 +18,7 @@ TABLES = (
 # IVF need at least one vector to train on, LM scoring needs a
 # non-empty reference slice (empty vocab degenerates the smoothing).
 EXPECT_RAISE = {
+    "corpus_manifest",  # composes lm_quality's reference-LM gate
     "lm_quality",
     "pps_sample_orders",
     "semantic_dedup",
