@@ -92,22 +92,32 @@ def parquet_footer_stats(
 
         import pyarrow.parquet as pq
 
-        def to_lo(v) -> float:
-            # exact Python int-vs-float comparison: if float() rounded
-            # the min UP, step one ulp down so the envelope stays outer.
-            # Non-numeric stats (e.g. Decimal-as-string, numeric-string
-            # columns) take the plain conversion — the outward-rounding
-            # comparison is only meaningful for int/float values.
-            f = float(v)
-            if not isinstance(v, (int, float)):
+        def to_lo(v):
+            # exact Python comparison against the original value (int
+            # and Decimal both compare exactly with float): if float()
+            # rounded the min UP, step one ulp down so the envelope
+            # stays outer. Values float() can convert but not compare
+            # (numeric strings) take the plain conversion; values it
+            # cannot convert at all (true text stats) return None =
+            # unusable, handled by the caller like missing statistics.
+            try:
+                f = float(v)
+            except (TypeError, ValueError):
+                return None
+            try:
+                return math.nextafter(f, -math.inf) if f > v else f
+            except TypeError:
                 return f
-            return math.nextafter(f, -math.inf) if f > v else f
 
-        def to_hi(v) -> float:
-            f = float(v)
-            if not isinstance(v, (int, float)):
+        def to_hi(v):
+            try:
+                f = float(v)
+            except (TypeError, ValueError):
+                return None
+            try:
+                return math.nextafter(f, math.inf) if f < v else f
+            except TypeError:
                 return f
-            return math.nextafter(f, math.inf) if f < v else f
 
         for pdf in batches:
             out: dict[str, list] = {
@@ -152,9 +162,21 @@ def parquet_footer_stats(
                                 # are partial, not exact
                                 counts_exact = False
                             continue
+                        lo, hi = to_lo(st.min), to_hi(st.max)
+                        if lo is None or hi is None:
+                            # stats exist but aren't float-convertible
+                            # (true text columns): unusable envelope
+                            if strict:
+                                raise ValueError(
+                                    f"non-numeric statistics for {c!r} in "
+                                    f"{fname} rg{rg}"
+                                )
+                            unknown = True
+                            nv += st.num_values
+                            nulls += st.null_count
+                            continue
                         nv += st.num_values
                         nulls += st.null_count
-                        lo, hi = to_lo(st.min), to_hi(st.max)
                         mn = lo if mn is None else min(mn, lo)
                         mx = hi if mx is None else max(mx, hi)
                     if unknown:

@@ -2224,8 +2224,14 @@ p1 AS (
     SELECT substr(word, length(word), 1) AS a, '</w>' AS b, freq FROM wf
   ) GROUP BY a, b
 ),
-r1 AS (SELECT a, b, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rk
-       FROM p1 WHERE cnt >= 2),
+-- rk <= 256 bounds the greedy search to the SAME candidate pool the
+-- trainer collects (bpe_train: pool = max(16*want, 256) = 256 for the
+-- entry's want=3) — an unbounded oracle search could find a disjoint
+-- pair past the trainer's pool horizon and apply a merge the trainer
+-- never saw
+r1 AS (SELECT a, b, cnt, rk FROM (
+         SELECT a, b, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rk
+         FROM p1 WHERE cnt >= 2) WHERE rk <= 256),
 m1 AS (SELECT a, b FROM r1 ORDER BY rk LIMIT 1),
 m2 AS (SELECT y.a, y.b FROM r1 y, m1
        WHERE y.a NOT IN (m1.a, m1.b) AND y.b NOT IN (m1.a, m1.b)

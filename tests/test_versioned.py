@@ -658,3 +658,45 @@ def test_merge_into_empty_snapshot_repopulates(spark, table):
     assert stats["files_rewritten"] == 0 and stats["n_rows"] == 3
     got = {r["id"]: r["val"] for r in read_version(spark, table).collect()}
     assert got == {0: 0, 1: 7, 2: 14}
+
+
+def test_footer_stats_decimal_outward_and_text_stats_unusable(spark, tmp_path):
+    """Decimal statistics keep the OUTWARD one-ulp rounding (Decimal
+    compares exactly with float, and float() can round a decimal min
+    up); true text statistics are unusable envelopes in non-strict
+    mode, not executor crashes."""
+    from decimal import Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lake import (
+        parquet_footer_stats,
+    )
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        prune_manifest_files,
+    )
+
+    dec = str(tmp_path / "dec.parquet")
+    pq.write_table(
+        pa.table({"v": pa.array([Decimal("0.10"), Decimal("0.30")],
+                                pa.decimal128(10, 2))}),
+        dec,
+    )
+    [row] = parquet_footer_stats(spark, [dec], ["v"]).collect()
+    # envelope must CONTAIN the exact decimal bounds
+    assert Decimal(str(row["min_val"])) <= Decimal("0.10")
+    assert Decimal(str(row["max_val"])) >= Decimal("0.30")
+    # a point-range on the exact decimal keeps the file
+    assert prune_manifest_files(
+        spark, [dec], {"v": (Decimal("0.10"), Decimal("0.10"))}
+    ) == [dec]
+
+    txt = str(tmp_path / "txt.parquet")
+    pq.write_table(pa.table({"v": pa.array(["apple", "pear"])}), txt)
+    [trow] = parquet_footer_stats(spark, [txt], ["v"], strict=False).collect()
+    assert trow["min_val"] is None and trow["max_val"] is None
+    # conservative keep: unusable envelope never prunes
+    assert prune_manifest_files(spark, [txt], {"v": (0, 1)}) == [txt]
+    with pytest.raises(Exception, match="non-numeric statistics"):
+        parquet_footer_stats(spark, [txt], ["v"], strict=True).collect()
