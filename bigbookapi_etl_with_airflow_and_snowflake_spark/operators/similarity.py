@@ -137,6 +137,7 @@ def semantic_dedup(
     round_to: int = 6,
     checkpoint_dir: str | None = None,
     target_cluster_size: int | None = None,
+    info: dict | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., *SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication*, 2023): k-means the
@@ -178,6 +179,15 @@ def semantic_dedup(
     Output: one row per input — (id, cluster, keep boolean).
     ``checkpoint_dir`` selects the lineage-truncation tier for the
     assignment table; see neardup._materialize.
+
+    ``info``: optional caller-supplied dict filled with how k was
+    resolved — ``n`` (corpus size, only counted when the target path
+    runs), ``k_requested``, ``k_from_target`` (⌈n / target⌉),
+    ``k_effective``, and ``target_engaged`` (True iff the data-scaled
+    branch executed). Lets the registry entry emit an ``engaged``
+    literal the oracle pins to TRUE — if the production scaling path
+    silently stops engaging, the driver goes red rather than the
+    cliff coming back quietly at 100×.
     """
     import numpy as np
     import pandas as pd
@@ -186,13 +196,20 @@ def semantic_dedup(
     from .neardup import _materialize
 
     src = df.select(id_col, vec_col)
+    if info is not None:
+        info.update(k_requested=k, target_engaged=False)
     if target_cluster_size is not None:
         if target_cluster_size < 1:
             raise ValueError(
                 f"target_cluster_size must be >= 1, got {target_cluster_size}"
             )
         n = src.count()
-        k = max(k, -(-n // target_cluster_size))
+        k_from_target = -(-n // target_cluster_size)
+        k = max(k, k_from_target)
+        if info is not None:
+            info.update(n=n, k_from_target=k_from_target, target_engaged=True)
+    if info is not None:
+        info["k_effective"] = k
     _, centroids = kmeans_lloyd(src, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     assigned = _materialize(assign_clusters(src, centroids, vec_col), checkpoint_dir)
 

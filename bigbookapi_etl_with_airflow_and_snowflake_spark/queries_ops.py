@@ -1060,6 +1060,42 @@ FROM asg a LEFT JOIN dropped p ON a.vec_id = p.dropped
 """
 
 
+def q_semantic_dedup_scaled(spark, sf):
+    """The PRODUCTION k-resolution path of SemDeDup under the hard
+    oracle gate: ``target_cluster_size`` is chosen as ⌈n/8⌉ so the
+    data-scaled branch (one count job → k = max(k, ⌈n/target⌉))
+    provably EXECUTES while resolving to the same k=8 the fixed-k
+    oracle replays — same clusters, same kept set, plus an ``engaged``
+    literal the oracle pins to TRUE. The literal is computed from the
+    operator's own ``info`` out-dict (branch ran AND resolved k == 8),
+    so if the scaling path is ever bypassed or resolves a different k,
+    this row goes red instead of the 100×-smoke memory cliff
+    (fixed k over a growing corpus → |cluster|² sims matrices)
+    silently returning. Complements the ``semantic_dedup`` entry,
+    which keeps the plain fixed-k configuration."""
+    from .operators.similarity import semantic_dedup
+
+    e = _t(spark, sf, "embeddings")
+    n = e.count()
+    info: dict = {}
+    out = semantic_dedup(
+        e,
+        k=8,
+        iters=0,
+        threshold=0.4,
+        target_cluster_size=-(-n // 8),
+        info=info,
+    )
+    engaged = bool(info["target_engaged"]) and info["k_effective"] == 8
+    return out.withColumn("engaged", F.lit(engaged))
+
+
+SQL_SEMANTIC_DEDUP_SCALED = f"""
+SELECT vec_id, cluster, keep, TRUE AS engaged
+FROM ({SQL_SEMANTIC_DEDUP}) base
+"""
+
+
 def q_cluster_balanced_sample(spark, sf):
     """Diversity sampling: md5-ordered top-N per k-means cluster —
     keeps long-tail content a uniform sample would drown. Iterative
@@ -2522,6 +2558,7 @@ OPS_REGISTRY = {
     "rest_pages_distributed": (q_rest_pages_distributed, SQL_REST_PAGES_DISTRIBUTED),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "semantic_dedup_scaled": (q_semantic_dedup_scaled, SQL_SEMANTIC_DEDUP_SCALED),
     "kmeans_assign_init": (q_kmeans_assign_init, SQL_KMEANS_ASSIGN_INIT),
     "cluster_balanced_sample": (q_cluster_balanced_sample, None),
     "cluster_sample_init": (q_cluster_sample_init, SQL_CLUSTER_SAMPLE_INIT),

@@ -467,6 +467,48 @@ def test_semantic_dedup_matches_bruteforce(spark):
     assert all(got[i * 10][1] for i in range(12))
 
 
+def test_semantic_dedup_info_reports_k_resolution(spark):
+    """The ``info`` out-dict mirrors how k was resolved: no target →
+    branch not engaged; target that resolves below the floor → engaged
+    but floor k wins; target that resolves above → engaged and the
+    data-scaled k wins. The engaged-at-same-k case must keep the exact
+    kept set of the fixed-k run (the property the
+    ``semantic_dedup_scaled`` registry entry's oracle relies on)."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    info: dict = {}
+    fixed = semantic_dedup(df, k=4, iters=0, threshold=0.99, info=info)
+    assert info == {"k_requested": 4, "target_engaged": False, "k_effective": 4}
+
+    # n=24, target=6 → ceil(24/6)=4 == floor: engaged, k unchanged,
+    # result identical to the fixed-k run
+    info = {}
+    same = semantic_dedup(
+        df, k=4, iters=0, threshold=0.99, target_cluster_size=6, info=info
+    )
+    assert info == {
+        "k_requested": 4,
+        "target_engaged": True,
+        "n": 24,
+        "k_from_target": 4,
+        "k_effective": 4,
+    }
+    assert sorted(map(tuple, same.collect())) == sorted(map(tuple, fixed.collect()))
+
+    # n=24, target=3 → ceil(24/3)=8 > floor: the data-scaled k wins
+    info = {}
+    out = semantic_dedup(
+        df, k=4, iters=0, threshold=0.99, target_cluster_size=3, info=info
+    )
+    assert info["k_effective"] == info["k_from_target"] == 8
+    assert out.select(F.max("cluster")).first()[0] == 7
+
+
 def test_embedding_neardup_survives_full_column_pruning(spark, sf_dir):
     """A parent plan that needs NO output columns (count) must not let
     Catalyst prune the cogroup children's payload: the two cell sides
