@@ -293,7 +293,11 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
 def gopher_rules(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+    min_stopwords: int = 2,
 ) -> DataFrame:
     """The published Gopher/MassiveText document-quality gates (Rae et
     al. 2021, App. A) as per-rule boolean flags — the filter bundle a
@@ -308,13 +312,21 @@ def gopher_rules(
     - ``ellipsis_line_ok``: ≤ 30% of lines end with an ellipsis
     - ``bullet_line_ok``: ≤ 90% of lines start with a bullet
     - ``alpha_word_ok``: ≥ 80% of words contain an alphabetic char
-    - ``stopword_ok``: ≥ 2 distinct stopwords from the Gopher list
+    - ``stopword_ok``: ≥ ``min_stopwords`` (default 2, the MassiveText
+      setting) DISTINCT stopwords from ``stopwords`` (default: the
+      8-word Gopher list ``GOPHER_STOPWORDS``; pass a corpus-specific
+      vocabulary for non-English data — the comparison is
+      case-insensitive, the list must be lowercase)
     - ``gopher_pass``: AND of the above
 
     One narrow projection per document — no shuffle, no UDF; the whole
     ruleset is whole-stage-codegen'd expressions over the token and
     line arrays.
     """
+    if stopwords is None:
+        stopwords = GOPHER_STOPWORDS
+    if not stopwords:
+        raise ValueError("stopwords must be a non-empty list")
     t = tokens(F.col(text_col))
     lines = F.split(F.col(text_col), "\n")
     n_words = F.size(t)
@@ -341,7 +353,7 @@ def gopher_rules(
     n_stop = F.size(
         F.array_intersect(
             F.array_distinct(F.transform(t, F.lower)),
-            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            F.array(*[F.lit(w) for w in stopwords]),
         )
     )
     word_count_ok = (n_words >= 50) & (n_words <= 100_000)
@@ -352,7 +364,7 @@ def gopher_rules(
     ellipsis_line_ok = F.lit(10) * n_ell_lines <= F.lit(3) * n_lines
     bullet_line_ok = F.lit(10) * n_bullet_lines <= F.lit(9) * n_lines
     alpha_word_ok = F.lit(5) * n_alpha >= F.lit(4) * n_words
-    stopword_ok = n_stop >= 2
+    stopword_ok = n_stop >= min_stopwords
     return df.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),

@@ -2477,6 +2477,91 @@ GROUP BY event_type
 """
 
 
+def q_streaming_curated_ingest(spark, sf):
+    """The production INGEST shape, composed end-to-end under one hard
+    oracle: documents arrive as a file stream in micro-batches
+    (``maxFilesPerTrigger=1`` over a 4-file range-clustered stage),
+    each batch flows through the batch-identical Gopher repetition
+    screens inside ``foreachBatch``, survivors append-commit into a
+    versioned table WITH ``index_cols=['doc_id']`` (Bloom index
+    maintenance riding the write path), and the final read is a
+    ``keys=`` probe through :func:`read_version_pruned`. Three things
+    are locked at once: streaming/batch gate parity (the kept set must
+    equal the oracle's batch SQL), multi-batch append semantics
+    (``multi_batch`` literal pins ≥2 commits — if the stream collapses
+    to one batch the row goes red), and at-rest index pruning
+    (``pruned`` literal pins files_read < files_total; the probe ids
+    live in the lowest range bucket, so a working index must skip the
+    other commits' files)."""
+    from .operators.text import gopher_repetition
+    from .sinks.versioned import read_version_pruned, versions, write_version
+    from .streaming import read_documents_stream
+
+    stage = tempfile.mkdtemp(prefix="q_stream_curate_src_")
+    tbl_root = tempfile.mkdtemp(prefix="q_stream_curate_tbl_")
+    tdir = os.path.join(tbl_root, "curated")
+    try:
+        _t(spark, sf, "documents").repartitionByRange(4, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(stage)
+
+        def ingest(batch, _batch_id):
+            if batch.isEmpty():
+                return
+            passing = (
+                gopher_repetition(batch)
+                .filter(F.col("repetition_pass"))
+                .select("doc_id")
+            )
+            kept = batch.join(passing, "doc_id").select(
+                "doc_id", "source", "n_chars"
+            )
+            write_version(
+                spark, kept, tdir, mode="append", index_cols=["doc_id"]
+            )
+
+        q = (
+            read_documents_stream(spark, stage, max_files_per_trigger=1)
+            .writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        n_versions = len(versions(tdir))
+        df, info = read_version_pruned(
+            spark, tdir, keys={"doc_id": list(range(120))}
+        )
+        out = (
+            df.groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .withColumn("multi_batch", F.lit(n_versions >= 2))
+            .withColumn(
+                "pruned", F.lit(info["files_read"] < info["files_total"])
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(tbl_root, ignore_errors=True)
+    return out
+
+
+def _sql_streaming_curated_ingest() -> str:
+    from .queries import SQL_GOPHER_REPETITION
+
+    return f"""
+SELECT d.source, COUNT(*) AS n_docs, CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+       TRUE AS multi_batch, TRUE AS pruned
+FROM documents d JOIN ({SQL_GOPHER_REPETITION}) rep USING (doc_id)
+WHERE rep.repetition_pass AND d.doc_id BETWEEN 0 AND 119
+GROUP BY d.source
+"""
+
+
 def q_corpus_manifest(spark, sf):
     """The curation funnel's END PRODUCT, composed from the tiers this
     engine already oracles individually: a document survives into the
@@ -2585,4 +2670,8 @@ OPS_REGISTRY = {
     "mp4_samples": (q_mp4_samples, SQL_MP4_SAMPLES),
     "lm_quality": (q_lm_quality, SQL_LM_QUALITY),
     "corpus_manifest": (q_corpus_manifest, _sql_corpus_manifest()),
+    "streaming_curated_ingest": (
+        q_streaming_curated_ingest,
+        _sql_streaming_curated_ingest(),
+    ),
 }

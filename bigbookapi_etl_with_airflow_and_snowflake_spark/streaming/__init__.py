@@ -3,6 +3,7 @@
 from .events import (  # noqa: F401
     dedup_within_watermark,
     foreach_batch_upsert,
+    read_documents_stream,
     read_events_stream,
     read_rate_stream,
     run_to_memory,

@@ -63,6 +63,35 @@ def read_events_stream(
     return reader.parquet(path)
 
 
+# documents table schema for the streaming curation-ingest path — like
+# EVENTS_SCHEMA, declared up front because streams never infer.
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based streaming source over a documents directory (parquet)
+    — the ingest edge of the streaming curation pipeline: raw documents
+    arrive as files, micro-batches flow through the batch-identical
+    quality gates via ``foreachBatch``, survivors land in a versioned
+    table. ``max_files_per_trigger`` bounds per-batch work (at 100 TB
+    the same knob is what keeps a backfill from becoming one giant
+    batch)."""
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
 def read_rate_stream(
     spark: SparkSession,
     rows_per_batch: int = 1000,

@@ -268,3 +268,45 @@ def test_gopher_rules_and_repetition_on_crafted_docs(spark):
     assert p[3]["dup_line_ok"] is False and p[3]["dup_line_char_ok"] is False
     assert p[4]["top_2gram_char_ok"] is False
     assert p[4]["dup_5gram_char_ok"] is False  # "spam ham" repeats as 5-grams too
+
+
+def test_gopher_stopword_gate_boundaries(spark):
+    """The MassiveText stopword screen at its exact boundary: 0, 1, and
+    2 DISTINCT Gopher stopwords (repeats of one stopword still count
+    once; matching is case-insensitive), plus the ``stopwords=`` /
+    ``min_stopwords=`` overrides for corpus-specific vocabularies."""
+    import pytest
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.text import (
+        gopher_rules,
+    )
+
+    filler = " ".join(f"word{i:02d}" for i in range(60))
+    docs = [
+        (0, filler),                                # 0 stopwords
+        (1, f"the {filler}"),                       # 1 stopword
+        (2, f"the the THE {filler}"),               # 1 DISTINCT (repeated, cased)
+        (3, f"the And {filler}"),                   # 2 distinct → passes
+        (4, f"the and that of {filler}"),           # 4 distinct → passes
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    r = {x["doc_id"]: x["stopword_ok"] for x in gopher_rules(df).collect()}
+    assert r == {0: False, 1: False, 2: False, 3: True, 4: True}
+
+    # corpus-specific list: the filler words themselves become stopwords
+    custom = {
+        x["doc_id"]: x["stopword_ok"]
+        for x in gopher_rules(df, stopwords=["word00", "word01"]).collect()
+    }
+    assert custom == {0: True, 1: True, 2: True, 3: True, 4: True}
+
+    # stricter threshold on the default list
+    strict = {
+        x["doc_id"]: x["stopword_ok"]
+        for x in gopher_rules(df, min_stopwords=4).collect()
+    }
+    assert strict == {0: False, 1: False, 2: False, 3: False, 4: True}
+
+    with pytest.raises(ValueError, match="non-empty"):
+        gopher_rules(df, stopwords=[])
