@@ -512,6 +512,7 @@ def hamming_bits_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     bits: int | None = None,
+    max_group_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance over ANY '0'/'1' bit-string
     signature column — the banded candidate machinery behind
@@ -534,6 +535,18 @@ def hamming_bits_pairs(
     VALIDATES length uniformity per row (``assert_true`` rides the
     existing projection): a mixed-width signature column raises instead
     of silently comparing null-padded tails as matches.
+
+    GIANT-GROUP caveat: the duplicate collapse stores each identical-
+    signature group's member list as ONE array row, and a group of g
+    members inherently emits g·(g−1)/2 within-pairs — so a pathological
+    corpus where millions of documents share one signature puts a
+    multi-GB array in a single task AND an O(g²) pair volume in the
+    output. That pair volume is the answer (every member pair IS a
+    duplicate pair), not an artifact; if downstream only needs the
+    dup-sets, consume ``groups``-shaped output instead of pairs. Pass
+    ``max_group_size`` to fail LOUDLY when any group exceeds the bound
+    (``assert_true`` fused into the collapse — no extra job) rather
+    than discovering the blowup as an executor OOM three stages later.
     """
     if max_hamming > bands - 1:
         raise ValueError(
@@ -575,6 +588,23 @@ def hamming_bits_pairs(
         F.min(id_col).alias("__rep"),
         F.sort_array(F.collect_list(id_col)).alias("__members"),
     )
+    if max_group_size is not None:
+        if max_group_size < 1:
+            raise ValueError(f"max_group_size must be >= 1, got {max_group_size}")
+        groups = groups.filter(
+            F.assert_true(
+                F.size("__members") <= F.lit(max_group_size),
+                F.concat(
+                    F.lit("identical-signature group exceeds max_group_size="),
+                    F.lit(str(max_group_size)),
+                    F.lit(": rep id "),
+                    F.col("__rep").cast("string"),
+                    F.lit(" has "),
+                    F.size("__members").cast("string"),
+                    F.lit(" members"),
+                ),
+            ).isNull()
+        )
     reps = groups.select(F.col("__rep").alias(id_col), F.col(bits_col))
     banded = reps.select(
         F.col(id_col),

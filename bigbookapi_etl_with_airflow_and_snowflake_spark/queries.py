@@ -2359,75 +2359,82 @@ REGISTRY.update(OPS_REGISTRY)
 # Driver-budget ordering. The grading driver checks the FIRST 50 registry
 # entries in insertion order (each CORRECTNESS_r{N} covers exactly
 # entries 1-50), so insertion order is a validation budget; testdata
-# regenerates between rounds, so green rows age. Round 8 spends the
+# regenerates between rounds, so green rows age. Round 9 spends the
 # budget, in order, on:
-#   (1) new round-8 entries + entries whose query/oracle changed this
-#       round — each change gets a fresh driver row;
-#   (2) the full 29-entry r3-stale block (last driver-checked three
-#       testdata regenerations ago), most intricate plans first
-#       (embedding near-dup, ANN, k-means, as-of/range joins,
-#       streaming, text/fingerprint tier);
-#   (3) the most intricate r4-stale entries (ANN exact twins,
-#       streaming dedup, codecs, windows, set ops, Q21) up to 50.
-# Displaced to 51+: everything r6/r7-green (checked against recent
-# testdata, code paths unchanged) and the simplest r4 scans.
-# All entries are still replayed locally against DuckDB at sf0.001
-# every pytest run by tests/test_oracle_parity.py.
+#   (1) new round-9 entries + entries whose code path changed this
+#       round (gopher_rules stopword parameterization,
+#       hamming_bits_pairs group-bound knob) — each change gets a
+#       fresh driver row;
+#   (2) the full 29-entry relational-core block last driver-checked in
+#       round 4 (four testdata regenerations ago — the queries a real
+#       user runs first);
+#   (3) the most intricate r6-green entries up to 50 (SemDeDup,
+#       passage/boilerplate dedup, the copy-on-write lakehouse tier,
+#       progressive JPEG, SCD2, BPE, WebDataset, sketch exact twins,
+#       stream-stream join and custom streaming state, PageRank,
+#       Z-order).
+# The seven no-oracle entries (approx/seeded/iterative by design) are
+# EXCLUDED from the first 50 — they can only ever produce a rows-only
+# row (r8 spent 14% of the budget on them); their hard-oracled exact
+# twins carry the signal. tests/test_registry_invariants.py enforces
+# this. Displaced to 51+: everything r7/r8-green. All entries are
+# still replayed locally against DuckDB at sf0.001 every pytest run by
+# tests/test_oracle_parity.py.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # -- (1) new/changed in round 8 (inserted as they are registered) ------
-    # -- (2) the 29 r3-stale entries, most intricate first ------------------
-    "embedding_neardup",
-    "lsh_topk",
-    "ivf_topk",
-    "kmeans_clusters",
-    "cluster_balanced_sample",
-    "simhash",
-    "streaming_sliding",
-    "asof_join",
-    "asof_join_generic",
-    "range_join_buckets",
-    "sessionize",
-    "tumbling_window",
-    "minhash_jaccard_est",
-    "token_count_bpe",
-    "tfidf_topterms",
-    "rolling_fingerprints",
-    "part_name_editdist",
-    "word_positions",
-    "text_stats",
-    "user_features",
-    "curation_decision",
-    "pack_sequences",
-    "train_test_split",
-    "knn_label_vote",
-    "approx_distinct_users",
-    "approx_price_quantiles",
-    "global_shuffle",
-    "scalar_function_showcase",
-    "bucketed_join_revenue",
-    # -- (3) most intricate r4-stale entries up to 50 ------------------------
-    "lsh_topk_exact",
-    "ivf_topk_exact",
-    "streaming_dedup",
-    "kmeans_assign_init",
-    "cluster_sample_init",
-    "png_decode",
-    "jpeg_decode",
-    "gif_decode",
-    "video_frames",
-    "bloom_prejoin_revenue",
-    "waiting_suppliers",
-    "window_running",
-    "window_rank_lag",
-    "window_percentiles",
-    "pivot_status",
-    "intersect_custkeys",
-    "except_custkeys",
-    "top_supplier_per_nation",
-    "json_extract",
-    "grouping_sets",
-    "quantity_quartiles",
+    # -- (1) new/changed in round 9 ------------------------------------------
+    "semantic_dedup_scaled",
+    "streaming_curated_ingest",
+    "image_corpus_manifest",
+    "gopher_quality",
+    "simhash_pairs",
+    # -- (2) the 29 r4-stale relational-core entries --------------------------
+    "pricing_summary",
+    "region_revenue",
+    "shipping_priority",
+    "join_enrich",
+    "semi_join",
+    "anti_join",
+    "rollup_status",
+    "cube_flags",
+    "above_nation_avg",
+    "forecast_revenue",
+    "returned_items",
+    "nation_trade_volume",
+    "branded_discount_revenue",
+    "dq_report",
+    "funnel_counts",
+    "top_ngrams",
+    "promo_revenue",
+    "late_ship_priority",
+    "orders_by_month",
+    "part_name_words",
+    "scan_filter_project",
+    "cast_truncate",
+    "rescale_pct",
+    "null_default",
+    "null_key_filter",
+    "dedup_exact_docs",
+    "union_pages",
+    "text_quality",
+    "doc_fingerprint",
+    # -- (3) most intricate r6-green entries up to 50 --------------------------
+    "semantic_dedup",
+    "passage_dedup",
+    "boilerplate_removal",
+    "versioned_time_travel",
+    "versioned_merge_delete",
+    "bloom_file_lookup",
+    "jpeg_progressive_decode",
+    "scd2_customer_history",
+    "bpe_pair_counts",
+    "webdataset_pipeline",
+    "distinct_users_exact",
+    "price_quantiles_exact",
+    "streaming_join",
+    "streaming_user_state",
+    "pagerank_2iter",
+    "zorder_key_events",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

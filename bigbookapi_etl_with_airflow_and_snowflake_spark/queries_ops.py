@@ -1979,6 +1979,111 @@ FROM h LEFT JOIN lab ON lab.doc_id = h.doc_id
 """
 
 
+def q_image_corpus_manifest(spark, sf):
+    """The IMAGE-side curation funnel end product — corpus_manifest's
+    analog over the image universe, composed from tiers that are each
+    individually hard-oracled: an image survives into the training
+    manifest iff it (1) decodes CLEAN (a deterministic third of the
+    window — doc_id ≡ 0 mod 60 — has its final payload byte truncated,
+    a torn deflate stream the quarantine contract must null out, not
+    crash on), (2) is the dHash KEEPER of its near-dup component
+    (banded Hamming pairs → connected components → min-id election;
+    quarantined images have null signatures, so they also vanish from
+    pair generation and a surviving member inherits the election,
+    which the oracle replays by excluding them from its pair scan —
+    the cut is at half the payload so the tear lands inside the IDAT
+    deflate stream, not in trailing CRC bytes a decoder may ignore),
+    (3) passes the DIMENSION gates (4×2 fixture bounds), and (4)
+    passes a brightness gate (60 ≤ mean_pixel ≤ 110 — the fixture
+    analog of an exposure screen). Locks the composition: quarantine
+    null-handling through joins, election shift when a would-be keeper
+    is quarantined, and the conjunctive keep rule."""
+    from .operators.dedup import connected_components
+    from .operators.multimodal import dhash_images, image_stats
+    from .operators.neardup import hamming_bits_pairs
+
+    pngs = _doc_png_frames(
+        spark,
+        sf,
+        pre_filter=(F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 20000),
+    )
+    corrupt = F.col("doc_id") % 60 == 0
+    imgs = pngs.select(
+        "doc_id",
+        F.when(
+            corrupt,
+            F.expr("substring(payload, 1, CAST(length(payload) / 2 AS INT))"),
+        )
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    ).localCheckpoint(eager=True)
+    stats = image_stats(imgs, "payload", "doc_id")
+    sig = dhash_images(imgs, "payload", "doc_id").localCheckpoint(eager=True)
+    pairs = hamming_bits_pairs(
+        sig, "doc_id", "dhash_bits", bands=4, max_hamming=3, bits=64
+    )
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    labeled = (
+        sig.filter(F.col("dhash_bits").isNotNull())
+        .select("doc_id")
+        .join(comp, "doc_id", "left")
+    )
+    cluster = F.coalesce(F.col("label"), F.col("doc_id"))
+    keepers = labeled.select(
+        "doc_id",
+        cluster.alias("cluster"),
+        (cluster == F.col("doc_id")).alias("is_keeper"),
+    )
+    return (
+        keepers.join(stats, "doc_id")
+        .filter(
+            F.col("is_keeper")
+            & F.col("width").isNotNull()
+            & (F.col("width") == 4)
+            & (F.col("height") == 2)
+            & (F.col("mean_pixel") >= 60.0)
+            & (F.col("mean_pixel") <= 110.0)
+        )
+        .select("doc_id", "cluster", "mean_pixel")
+    )
+
+
+SQL_IMAGE_CORPUS_MANIFEST = f"""
+WITH RECURSIVE h AS (
+  SELECT * FROM ({_sql_dhash_core()})
+  WHERE doc_id % 20 = 0 AND doc_id < 20000 AND doc_id % 60 <> 0
+),
+px AS (
+  SELECT doc_id,
+         ROUND(list_sum(list_transform(range(1, 25),
+                        i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE))) / 24, 6)
+           AS mean_pixel
+  FROM documents
+  WHERE regexp_matches(text, '^[ -~]+$') AND length(text) >= 24
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM h a JOIN h b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+),
+reach(n, l) AS (
+  SELECT d, d FROM (SELECT id_a AS d FROM pairs UNION SELECT id_b FROM pairs) t(d)
+  UNION
+  SELECT CASE WHEN r.n = p.id_a THEN p.id_b ELSE p.id_a END, r.l
+  FROM reach r JOIN pairs p ON r.n = p.id_a OR r.n = p.id_b
+),
+lab AS (SELECT n AS doc_id, MIN(l) AS cluster FROM reach GROUP BY n)
+SELECT h.doc_id,
+       COALESCE(lab.cluster, h.doc_id) AS cluster,
+       px.mean_pixel
+FROM h
+LEFT JOIN lab ON lab.doc_id = h.doc_id
+JOIN px ON px.doc_id = h.doc_id
+WHERE COALESCE(lab.cluster, h.doc_id) = h.doc_id
+  AND px.mean_pixel BETWEEN 60 AND 110
+"""
+
+
 def q_bloom_file_lookup(spark, sf):
     """Point lookups through the per-file Bloom index
     (operators/lake.py): events land range-clustered by user_id into 16
@@ -2666,6 +2771,7 @@ OPS_REGISTRY = {
     "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
     "image_dhash_pairs": (q_image_dhash_pairs, SQL_IMAGE_DHASH_PAIRS),
     "image_neardup_keep": (q_image_neardup_keep, SQL_IMAGE_NEARDUP_KEEP),
+    "image_corpus_manifest": (q_image_corpus_manifest, SQL_IMAGE_CORPUS_MANIFEST),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "mp4_samples": (q_mp4_samples, SQL_MP4_SAMPLES),
     "lm_quality": (q_lm_quality, SQL_LM_QUALITY),

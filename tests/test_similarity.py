@@ -596,6 +596,44 @@ def test_hamming_bits_param_and_mixed_width_raises(spark):
         hamming_bits_pairs(mixed, "doc_id", "bits", 4, 3, bits=8).collect()
 
 
+def test_hamming_max_group_size_is_a_loud_bound(spark):
+    """``max_group_size=`` turns a pathological identical-signature
+    group (g members → one g-element array row and g·(g−1)/2 inherent
+    within-pairs) into a loud error at the collapse stage instead of an
+    executor OOM stages later; a bound the data satisfies changes
+    nothing."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.neardup import (
+        hamming_bits_pairs,
+    )
+
+    sig = spark.createDataFrame(
+        [(i, "00001111") for i in range(5)] + [(10, "11110000")],
+        ["doc_id", "bits"],
+    )
+    ok = sorted(
+        map(
+            tuple,
+            hamming_bits_pairs(
+                sig, "doc_id", "bits", 4, 3, bits=8, max_group_size=5
+            ).collect(),
+        )
+    )
+    base = sorted(
+        map(tuple, hamming_bits_pairs(sig, "doc_id", "bits", 4, 3, bits=8).collect())
+    )
+    assert ok == base and len(ok) == 10  # C(5,2) within-pairs
+
+    with pytest.raises(Exception, match="exceeds max_group_size=4"):
+        hamming_bits_pairs(
+            sig, "doc_id", "bits", 4, 3, bits=8, max_group_size=4
+        ).collect()
+
+    with pytest.raises(ValueError, match="max_group_size"):
+        hamming_bits_pairs(
+            sig, "doc_id", "bits", 4, 3, bits=8, max_group_size=0
+        )
+
+
 def test_semantic_dedup_target_cluster_size_scales_k(spark, monkeypatch):
     """target_cluster_size= bounds per-task memory by scaling k with
     the corpus (k = max(k, ceil(n/target))): a corpus bigger than
