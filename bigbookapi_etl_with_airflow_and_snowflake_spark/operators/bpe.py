@@ -92,6 +92,7 @@ def bpe_train(
     n_merges: int = 10,
     batch_k: int = 1,
     max_rounds: int | None = None,
+    stats: dict | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns
     [(merge_idx, left, right, pair_count)] in merge order. Stops early
@@ -124,12 +125,19 @@ def bpe_train(
     registry entry) pass 1, so a round that selects fewer than
     ``batch_k`` disjoint merges returns that shorter list instead of
     continuing with post-merge counts the oracle never sees.
+
+    ``stats``: optional caller-supplied dict filled with ``rounds``
+    (pair-count aggregations actually run), ``merges`` (learned), and
+    ``saturated`` (True iff training stopped because no remaining pair
+    occurs twice — the corpus vocabulary is exhausted — rather than
+    because ``n_merges`` or ``max_rounds`` was reached).
     """
     if batch_k < 1:
         raise ValueError(f"batch_k must be >= 1, got {batch_k}")
     words = word_freq_table(df, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     rounds = 0
+    saturated = False
     while len(merges) < n_merges and (max_rounds is None or rounds < max_rounds):
         rounds += 1
         want = min(batch_k, n_merges - len(merges))
@@ -147,6 +155,7 @@ def bpe_train(
         )
         cand = [r for r in top if r["cnt"] >= 2]
         if not cand:
+            saturated = True
             break
         used: set[str] = set()
         batch: list[tuple[str, str, int]] = []
@@ -168,6 +177,8 @@ def bpe_train(
         words = words.withColumn("syms", syms).localCheckpoint(eager=True)
         for a, b, cnt in batch:
             merges.append((len(merges), a, b, cnt))
+    if stats is not None:
+        stats.update(rounds=rounds, merges=len(merges), saturated=saturated)
     return merges
 
 

@@ -2597,7 +2597,14 @@ def q_streaming_curated_ingest(spark, sf):
     to one batch the row goes red), and at-rest index pruning
     (``pruned`` literal pins files_read < files_total; the probe ids
     live in the lowest range bucket, so a working index must skip the
-    other commits' files)."""
+    other commits' files).
+
+    Cost note: ``write_bloom_index`` indexes the version's FULL file
+    list (carried + new), so per-batch indexing is O(table) per commit
+    — correct and simple for this entry's 4 commits, but a continuous
+    production stream would reindex only the commit's new files and
+    carry prior versions' per-file index rows forward (the index is
+    keyed per file, so that composition is exact)."""
     from .operators.text import gopher_repetition
     from .sinks.versioned import read_version_pruned, versions, write_version
     from .streaming import read_documents_stream

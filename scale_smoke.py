@@ -3,9 +3,17 @@ multi-file layout) and run headline queries — evidence that plans scale
 linearly rather than degrading (broadcast misuse, pair-space blowups,
 single-task stages all show up here long before a real cluster).
 
-Usage: python scale_smoke.py [multiplier] [out_json]
+Usage: python scale_smoke.py [multiplier] [out_json] [--full]
 Writes the replicated corpus under /tmp/spark_graft_scale_sf<mult> once
 and reuses it on later runs.
+
+``--full`` runs the ENTIRE registry (one pass each, failures recorded
+instead of aborting) rather than the headline subset — the per-round
+scale audit. Convention: each round checks in its artifact as
+``SCALE_r{N}.json`` so scale regressions are a diff against the prior
+round's file, not a re-run decision:
+
+    python scale_smoke.py 100 SCALE_r09.json --full
 """
 
 from __future__ import annotations
@@ -169,30 +177,44 @@ def build_corpus(spark, mult: int, out_dir: str) -> None:
 
 
 def main() -> None:
-    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_json = sys.argv[2] if len(sys.argv) > 2 else None
+    args = [a for a in sys.argv[1:] if a != "--full"]
+    full = "--full" in sys.argv[1:]
+    mult = int(args[0]) if args else 10
+    out_json = args[1] if len(args) > 1 else None
     corpus = f"/tmp/spark_graft_scale_sf{mult}"
     spark = get_spark(app_name="scale-smoke")
     build_corpus(spark, mult, corpus)
 
     _q.q_count_audit(spark, corpus).collect()  # warm
 
-    timings: dict[str, float] = {}
     registry = _q.queries()
-    for name in QUERIES:
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    names = list(registry) if full else QUERIES
+    passes = 1 if full else 2  # full audit: one pass, wall time matters
+    for name in names:
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            registry[name](spark, corpus).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        print(name, timings[name], flush=True)
+        try:
+            for _ in range(passes):
+                t0 = time.perf_counter()
+                registry[name](spark, corpus).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+            print(name, timings[name], flush=True)
+        except Exception as ex:  # record, keep auditing — a scale artifact
+            failures[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
+            print(name, "FAIL", failures[name], flush=True)
 
     result = {
-        "metric": "scale_smoke_total",
+        "metric": "scale_full_registry" if full else "scale_smoke_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "failures": failures,
+        "n_queries": len(timings),
+        "n_failures": len(failures),
         "multiplier": mult,
         "base_sf": 0.1,
     }

@@ -94,6 +94,23 @@ def test_bpe_stops_when_dry(spark):
     assert bpe_train(df, n_merges=5) == []
 
 
+def test_bpe_stats_reports_rounds_and_saturation(spark):
+    """``stats=`` mirrors the training trajectory: a dry corpus is
+    saturated in one round with zero merges; a corpus that fills the
+    request is not saturated and the round count reflects batching."""
+    dry = spark.createDataFrame([("ab cd ef",)], "text string")
+    s: dict = {}
+    assert bpe_train(dry, n_merges=5, stats=s) == []
+    assert s == {"rounds": 1, "merges": 0, "saturated": True}
+
+    rich = spark.createDataFrame([("aaab aaab aaab ccc ccc",)], "text string")
+    s = {}
+    got = bpe_train(rich, n_merges=2, batch_k=2, stats=s)
+    assert len(got) == 2
+    assert s["merges"] == 2 and s["saturated"] is False
+    assert s["rounds"] >= 1
+
+
 def test_pair_counts_weighted_by_word_freq(spark):
     df = spark.createDataFrame([("go go go stop",)], "text string")
     pc = {
