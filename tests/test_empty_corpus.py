@@ -22,6 +22,7 @@ EXPECT_RAISE = {
     "lm_quality",
     "pps_sample_orders",
     "semantic_dedup",
+    "semantic_dedup_scaled",  # ceil(0/8)=0 → the target guard raises
     "kmeans_clusters",
     "kmeans_assign_init",
     "cluster_balanced_sample",
