@@ -138,6 +138,7 @@ def semantic_dedup(
     checkpoint_dir: str | None = None,
     target_cluster_size: int | None = None,
     info: dict | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., *SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication*, 2023): k-means the
@@ -188,6 +189,12 @@ def semantic_dedup(
     literal the oracle pins to TRUE — if the production scaling path
     silently stops engaging, the driver goes red rather than the
     cliff coming back quietly at 100×.
+
+    ``n_rows``: caller-supplied corpus size. Callers deriving
+    ``target_cluster_size`` FROM a count they already ran (the
+    registry entry does) pass it here so the target branch reuses it
+    instead of re-scanning; when omitted, the branch runs its own
+    count job.
     """
     import numpy as np
     import pandas as pd
@@ -203,7 +210,7 @@ def semantic_dedup(
             raise ValueError(
                 f"target_cluster_size must be >= 1, got {target_cluster_size}"
             )
-        n = src.count()
+        n = src.count() if n_rows is None else n_rows
         k_from_target = -(-n // target_cluster_size)
         k = max(k, k_from_target)
         if info is not None:

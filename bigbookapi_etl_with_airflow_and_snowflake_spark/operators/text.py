@@ -327,6 +327,15 @@ def gopher_rules(
         stopwords = GOPHER_STOPWORDS
     if not stopwords:
         raise ValueError("stopwords must be a non-empty list")
+    bad = [w for w in stopwords if w != w.lower()]
+    if bad:
+        # tokens are lowercased before the intersect — a cased entry
+        # could never match and would silently weaken the gate
+        raise ValueError(f"stopwords must be lowercase, got {bad!r}")
+    if min_stopwords < 1:
+        # n_stop >= 0 is vacuously true: the gate would be silently
+        # disabled rather than tuned
+        raise ValueError(f"min_stopwords must be >= 1, got {min_stopwords}")
     t = tokens(F.col(text_col))
     lines = F.split(F.col(text_col), "\n")
     n_words = F.size(t)

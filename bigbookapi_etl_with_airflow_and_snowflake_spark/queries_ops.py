@@ -1067,12 +1067,14 @@ def q_semantic_dedup_scaled(spark, sf):
     provably EXECUTES while resolving to the same k=8 the fixed-k
     oracle replays — same clusters, same kept set, plus an ``engaged``
     literal the oracle pins to TRUE. The literal is computed from the
-    operator's own ``info`` out-dict (branch ran AND resolved k == 8),
-    so if the scaling path is ever bypassed or resolves a different k,
-    this row goes red instead of the 100×-smoke memory cliff
-    (fixed k over a growing corpus → |cluster|² sims matrices)
-    silently returning. Complements the ``semantic_dedup`` entry,
-    which keeps the plain fixed-k configuration."""
+    operator's own ``info`` out-dict and demands the CEILING math
+    specifically — ``k_from_target == 8`` (for any corpus of ≥57
+    vectors, ⌈n/⌈n/8⌉⌉ is exactly 8, so a floor-division regression
+    yielding 7 goes red), not merely ``k_effective == 8``, which
+    ``max(8, ·)`` satisfies vacuously. The entry's count is passed
+    back through ``n_rows=`` so the target branch reuses it instead
+    of scanning the table twice. Complements the ``semantic_dedup``
+    entry, which keeps the plain fixed-k configuration."""
     from .operators.similarity import semantic_dedup
 
     e = _t(spark, sf, "embeddings")
@@ -1085,8 +1087,13 @@ def q_semantic_dedup_scaled(spark, sf):
         threshold=0.4,
         target_cluster_size=-(-n // 8),
         info=info,
+        n_rows=n,
     )
-    engaged = bool(info["target_engaged"]) and info["k_effective"] == 8
+    engaged = (
+        bool(info["target_engaged"])
+        and info["k_from_target"] == 8
+        and info["k_effective"] == 8
+    )
     return out.withColumn("engaged", F.lit(engaged))
 
 

@@ -48,6 +48,21 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def _parquet_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None,
+) -> DataFrame:
+    """Shared file-stream reader: declared schema (streams never
+    infer), optional ``maxFilesPerTrigger`` backpressure. One body so
+    the events and documents ingest paths cannot drift."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -57,10 +72,7 @@ def read_events_stream(
     keeps the scan inference-free. ``max_files_per_trigger`` throttles
     batch size (backpressure knob for bursty arrival).
     """
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(path)
+    return _parquet_stream(spark, path, EVENTS_SCHEMA, max_files_per_trigger)
 
 
 # documents table schema for the streaming curation-ingest path — like
@@ -86,10 +98,7 @@ def read_documents_stream(
     table. ``max_files_per_trigger`` bounds per-batch work (at 100 TB
     the same knob is what keeps a backfill from becoming one giant
     batch)."""
-    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(path)
+    return _parquet_stream(spark, path, DOCUMENTS_SCHEMA, max_files_per_trigger)
 
 
 def read_rate_stream(

@@ -203,7 +203,11 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 4)
             print(name, timings[name], flush=True)
-        except Exception as ex:  # record, keep auditing — a scale artifact
+        except Exception as ex:
+            if not full:
+                raise  # headline mode keeps the abort-loudly contract
+            # full audit: record and keep going — the artifact is the
+            # point, and it carries n_failures for the round gate
             failures[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
             print(name, "FAIL", failures[name], flush=True)
 
@@ -223,6 +227,8 @@ def main() -> None:
         with open(out_json, "w") as f:
             json.dump(result, f, indent=2)
     spark.stop()
+    if failures:  # artifact written, but the process still reports red
+        sys.exit(1)
 
 
 if __name__ == "__main__":

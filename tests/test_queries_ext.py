@@ -310,3 +310,7 @@ def test_gopher_stopword_gate_boundaries(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         gopher_rules(df, stopwords=[])
+    with pytest.raises(ValueError, match="lowercase"):
+        gopher_rules(df, stopwords=["The", "and"])
+    with pytest.raises(ValueError, match="min_stopwords"):
+        gopher_rules(df, min_stopwords=0)

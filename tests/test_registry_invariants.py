@@ -9,6 +9,7 @@ entry is added — that is the point.
 
 from __future__ import annotations
 
+import os
 import re
 
 from bigbookapi_etl_with_airflow_and_snowflake_spark.queries import (
@@ -38,7 +39,10 @@ def test_registry_counts_match_docs():
     assert len(oracle_sql()) == EXPECTED_ORACLED
     assert {n for n, (_, sql) in REGISTRY.items() if sql is None} == NO_ORACLE
     # README's registry paragraph states the same total
-    with open("README.md") as fh:
+    readme_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "README.md"
+    )
+    with open(readme_path) as fh:
         readme = fh.read()
     m = re.search(r"(\d+) named queries", readme)
     assert m and int(m.group(1)) == EXPECTED_TOTAL, (
