@@ -2606,12 +2606,13 @@ def q_streaming_curated_ingest(spark, sf):
     live in the lowest range bucket, so a working index must skip the
     other commits' files).
 
-    Cost note: ``write_bloom_index`` indexes the version's FULL file
-    list (carried + new), so per-batch indexing is O(table) per commit
-    — correct and simple for this entry's 4 commits, but a continuous
-    production stream would reindex only the commit's new files and
-    carry prior versions' per-file index rows forward (the index is
-    keyed per file, so that composition is exact)."""
+    Cost note: append commits maintain the Bloom index INCREMENTALLY
+    (``sinks.versioned.maintain_bloom_index``: the prior version's
+    per-file rows are carried and only the commit's new files are
+    hashed — exact because the index is keyed per file), so per-batch
+    index work is O(increment), matching the append itself. A
+    continuous production stream pays the same bounded cost per
+    micro-batch instead of an O(table) reindex."""
     from .operators.text import gopher_repetition
     from .sinks.versioned import read_version_pruned, versions, write_version
     from .streaming import read_documents_stream

@@ -162,7 +162,15 @@ def write_version(
 
     v = _commit(table_dir, build)
     for col in index_cols:
-        write_bloom_index(spark, table_dir, col, version=v)
+        if mode == "append" and v > 1:
+            # append carries prior files verbatim → index maintenance
+            # is O(increment): prior rows ∪ build over new files only
+            maintain_bloom_index(
+                spark, table_dir, col, version=v,
+                new_files=new_files, prior_version=v - 1,
+            )
+        else:
+            write_bloom_index(spark, table_dir, col, version=v)
     return v
 
 
@@ -547,6 +555,56 @@ def write_bloom_index(
         os.makedirs(out, exist_ok=True)
         return out
     idx = build_file_bloom_index(spark, m["files"], key_col, m_bits=m_bits, k=k)
+    idx.write.mode("overwrite").parquet(out)
+    with open(os.path.join(out, "_params.json"), "w") as fh:
+        json.dump({"m_bits": m_bits, "k": k}, fh)
+    return out
+
+
+def maintain_bloom_index(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    version: int,
+    new_files: Sequence[str],
+    prior_version: int,
+) -> str:
+    """INCREMENTAL index maintenance for an append commit: the index is
+    keyed per file and an append carries prior files verbatim, so the
+    new version's index = the prior version's rows (still exact for
+    every carried file) ∪ a build over ONLY the commit's new files.
+    Cost is O(increment), matching the append commit itself — without
+    this, a continuous ingest stream pays an O(table) reindex per
+    micro-batch (measured: the 4-commit streaming_curated_ingest entry
+    spent most of its 100× wall time rebuilding indexes).
+
+    Geometry safety: the union is only valid if the new rows are built
+    with the prior index's recorded (m_bits, k) — a mixed-geometry
+    index has false negatives on probe. If the prior version has no
+    usable index (never built, or no recorded params), fall back to a
+    full :func:`write_bloom_index` rebuild. Returns the index dir.
+    """
+    from ..operators.lake import build_file_bloom_index
+
+    prior_dir = _bloom_index_dir(table_dir, key_col, prior_version)
+    params_path = os.path.join(prior_dir, "_params.json")
+    if (
+        not os.path.isdir(prior_dir)
+        or not os.path.exists(params_path)
+        or not any(f.endswith(".parquet") for f in os.listdir(prior_dir))
+    ):
+        return write_bloom_index(spark, table_dir, key_col, version=version)
+    with open(params_path) as fh:
+        params = json.load(fh)
+    m_bits, k = int(params["m_bits"]), int(params["k"])
+    prior_idx = spark.read.parquet(prior_dir)
+    if new_files:
+        idx = prior_idx.unionByName(
+            build_file_bloom_index(spark, new_files, key_col, m_bits=m_bits, k=k)
+        )
+    else:
+        idx = prior_idx
+    out = _bloom_index_dir(table_dir, key_col, version)
     idx.write.mode("overwrite").parquet(out)
     with open(os.path.join(out, "_params.json"), "w") as fh:
         json.dump({"m_bits": m_bits, "k": k}, fh)

@@ -618,6 +618,85 @@ def test_index_cols_ride_the_write_path(spark, table):
     assert info3["files_read"] < info3["files_total"]
 
 
+def test_append_index_maintenance_is_incremental_and_equivalent(spark, table):
+    """Append commits maintain the Bloom index incrementally (prior
+    version's per-file rows ∪ a build over the new files ONLY). The
+    incremental index must be ROW-IDENTICAL to a from-scratch rebuild
+    of the same version — same geometry, same sparse bitmap rows — and
+    the pruned read through it must stay exact."""
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        _bloom_index_dir,
+        read_version_pruned,
+        write_bloom_index,
+        write_version,
+    )
+
+    def batch(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .withColumn("val", (F.col("id") * 3).cast("long"))
+            .withColumn(
+                "tag", F.pmod(F.col("id") * F.lit(2654435761), F.lit(100003))
+            )
+            .repartitionByRange(4, "id")
+        )
+
+    write_version(spark, batch(0, 400), table, index_cols=["tag"])
+    v2 = write_version(
+        spark, batch(400, 800), table, mode="append", index_cols=["tag"]
+    )
+    assert v2 == 2
+    incremental = sorted(
+        map(tuple, spark.read.parquet(_bloom_index_dir(table, "tag", 2)).collect())
+    )
+
+    # from-scratch rebuild of the same version over the SAME files
+    write_bloom_index(spark, table, "tag", version=2)
+    rebuilt = sorted(
+        map(tuple, spark.read.parquet(_bloom_index_dir(table, "tag", 2)).collect())
+    )
+    assert incremental == rebuilt
+
+    t = (600 * 2654435761) % 100003  # id written by the APPEND commit
+    got, info = read_version_pruned(spark, table, keys={"tag": [t]})
+    assert sorted(r["id"] for r in got.collect()) == [600]
+    assert info["files_read"] < info["files_total"] == 8
+
+
+def test_append_index_falls_back_to_full_rebuild_without_prior(spark, table):
+    """Appending with index_cols onto a version that never built an
+    index cannot union with anything — it must fall back to a full
+    rebuild covering carried AND new files."""
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        read_version_pruned,
+        write_version,
+    )
+
+    def batch(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .withColumn("val", (F.col("id") * 3).cast("long"))
+            .withColumn(
+                "tag", F.pmod(F.col("id") * F.lit(2654435761), F.lit(100003))
+            )
+            .repartitionByRange(4, "id")
+        )
+
+    write_version(spark, batch(0, 400), table)  # no index on v1
+    write_version(spark, batch(400, 800), table, mode="append", index_cols=["tag"])
+
+    # keys from BOTH the carried and the new half must prune and stay exact
+    for probe_id in (100, 600):
+        t = (probe_id * 2654435761) % 100003
+        got, info = read_version_pruned(spark, table, keys={"tag": [t]})
+        assert sorted(r["id"] for r in got.collect()) == [probe_id]
+        assert info["files_read"] < info["files_total"] == 8
+
+
 def test_bloom_probe_uses_recorded_index_geometry(spark, table):
     """The index records its (m_bits, k); the pruned read probes with
     the RECORDED values — probing a non-default-geometry index with
