@@ -293,7 +293,7 @@ def merge_version(
     key_cols = list(keys)
     vs = versions(table_dir)
     if not vs:
-        v = write_version(spark, incoming, table_dir)
+        v = write_version(spark, incoming, table_dir, index_cols=index_cols)
         m = _load_manifest(table_dir, v)
         return {
             "version": v,
@@ -360,7 +360,13 @@ def merge_version(
         _discard_staged(new_files)
         raise
     for col in index_cols:
-        write_bloom_index(spark, table_dir, col, version=v)
+        # copy-on-write commit: carried files keep their prior index
+        # rows, only the rewritten increment is hashed
+        maintain_bloom_index(
+            spark, table_dir, col, version=v,
+            new_files=new_files, prior_version=base["version"],
+            carried_files=carried,
+        )
     return {
         "version": v,
         "files_rewritten": len(touched),
@@ -436,7 +442,13 @@ def delete_version(
         _discard_staged(new_files)
         raise
     for col in index_cols:
-        write_bloom_index(spark, table_dir, col, version=v)
+        # copy-on-write commit: carried files keep their prior index
+        # rows, only the rewritten increment is hashed
+        maintain_bloom_index(
+            spark, table_dir, col, version=v,
+            new_files=new_files, prior_version=base["version"],
+            carried_files=carried,
+        )
     return {
         "version": v,
         "files_rewritten": len(touched),
@@ -568,15 +580,23 @@ def maintain_bloom_index(
     version: int,
     new_files: Sequence[str],
     prior_version: int,
+    carried_files: Sequence[str] | None = None,
 ) -> str:
-    """INCREMENTAL index maintenance for an append commit: the index is
-    keyed per file and an append carries prior files verbatim, so the
-    new version's index = the prior version's rows (still exact for
-    every carried file) ∪ a build over ONLY the commit's new files.
-    Cost is O(increment), matching the append commit itself — without
-    this, a continuous ingest stream pays an O(table) reindex per
-    micro-batch (measured: the 4-commit streaming_curated_ingest entry
-    spent most of its 100× wall time rebuilding indexes).
+    """INCREMENTAL index maintenance for a commit that carries prior
+    data files verbatim: the index is keyed per file, so the new
+    version's index = the prior version's rows for every CARRIED file
+    (still exact — the files are byte-identical) ∪ a build over ONLY
+    the commit's new files. Cost is O(increment + files touched),
+    matching the commit itself — without this, a continuous ingest
+    stream pays an O(table) reindex per micro-batch (measured: the
+    4-commit streaming_curated_ingest entry spent most of its 100×
+    wall time rebuilding indexes).
+
+    ``carried_files=None`` means ALL prior files carry (append).
+    Copy-on-write merge/delete pass the surviving subset; prior rows
+    for rewritten/dropped files are filtered out by file identity
+    (the index's distinct file list is collected to match URI spelling
+    against canonical paths — bounded by file count, not rows).
 
     Geometry safety: the union is only valid if the new rows are built
     with the prior index's recorded (m_bits, k) — a mixed-geometry
@@ -584,6 +604,8 @@ def maintain_bloom_index(
     usable index (never built, or no recorded params), fall back to a
     full :func:`write_bloom_index` rebuild. Returns the index dir.
     """
+    from pyspark.sql import functions as F
+
     from ..operators.lake import build_file_bloom_index
 
     prior_dir = _bloom_index_dir(table_dir, key_col, prior_version)
@@ -598,6 +620,16 @@ def maintain_bloom_index(
         params = json.load(fh)
     m_bits, k = int(params["m_bits"]), int(params["k"])
     prior_idx = spark.read.parquet(prior_dir)
+    if carried_files is not None:
+        carried_set = {_canon(f) for f in carried_files}
+        # index rows store the raw _metadata.file_path URI; match by
+        # normalized identity over the (file-count-bounded) distinct list
+        uris = [
+            r["file"]
+            for r in prior_idx.select("file").distinct().collect()
+            if _canon(_local_path(r["file"])) in carried_set
+        ]
+        prior_idx = prior_idx.filter(F.col("file").isin(uris))
     if new_files:
         idx = prior_idx.unionByName(
             build_file_bloom_index(spark, new_files, key_col, m_bits=m_bits, k=k)

@@ -697,6 +697,87 @@ def test_append_index_falls_back_to_full_rebuild_without_prior(spark, table):
         assert info["files_read"] < info["files_total"] == 8
 
 
+def test_merge_delete_index_maintenance_is_incremental_and_equivalent(
+    spark, table
+):
+    """Copy-on-write merge and delete maintain the index incrementally
+    too: prior rows for CARRIED files survive, rows for rewritten files
+    are dropped, only the rewritten increment is hashed. Each version's
+    incremental index must be row-identical to a from-scratch rebuild,
+    and the pruned read stays exact across the chain."""
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        _bloom_index_dir,
+        delete_version,
+        merge_version,
+        read_version_pruned,
+        write_bloom_index,
+        write_version,
+    )
+
+    df = (
+        spark.range(800)
+        .withColumn("val", (F.col("id") * 3).cast("long"))
+        .withColumn("tag", F.pmod(F.col("id") * F.lit(2654435761), F.lit(100003)))
+        .repartitionByRange(8, "id")
+    )
+    write_version(spark, df, table, index_cols=["tag"])
+
+    t400 = (400 * 2654435761) % 100003
+    inc = spark.createDataFrame([(5000, 0, int(t400))], "id long, val long, tag long")
+    merge_version(spark, inc, table, keys=["id"], index_cols=["tag"])
+
+    def idx_rows(v):
+        return sorted(
+            map(tuple, spark.read.parquet(_bloom_index_dir(table, "tag", v)).collect())
+        )
+
+    incremental_v2 = idx_rows(2)
+    write_bloom_index(spark, table, "tag", version=2)
+    assert incremental_v2 == idx_rows(2)
+
+    delete_version(spark, table, F.col("id") == 400, index_cols=["tag"])
+    incremental_v3 = idx_rows(3)
+    write_bloom_index(spark, table, "tag", version=3)
+    assert incremental_v3 == idx_rows(3)
+
+    got, info = read_version_pruned(spark, table, keys={"tag": [t400]})
+    assert sorted(r["id"] for r in got.collect()) == [5000]
+    assert info["files_read"] < info["files_total"]
+
+
+def test_merge_into_empty_table_builds_requested_index(spark, table):
+    """merge_version on a table with NO versions is a pure write — but
+    index_cols must still ride that first commit (it used to be
+    silently dropped on this path)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        _bloom_index_dir,
+        merge_version,
+        read_version_pruned,
+    )
+
+    df = (
+        spark.range(200)
+        .withColumn("val", (F.col("id") * 3).cast("long"))
+        .withColumn("tag", F.pmod(F.col("id") * F.lit(2654435761), F.lit(100003)))
+        .repartitionByRange(4, "id")
+    )
+    merge_version(spark, df, table, keys=["id"], index_cols=["tag"])
+    idx = _bloom_index_dir(table, "tag", 1)
+    assert os.path.isdir(idx) and any(
+        f.endswith(".parquet") for f in os.listdir(idx)
+    )
+    t = (100 * 2654435761) % 100003
+    got, info = read_version_pruned(spark, table, keys={"tag": [t]})
+    assert sorted(r["id"] for r in got.collect()) == [100]
+    assert info["files_read"] < info["files_total"] == 4
+
+
 def test_bloom_probe_uses_recorded_index_geometry(spark, table):
     """The index records its (m_bits, k); the pruned read probes with
     the RECORDED values — probing a non-default-geometry index with
