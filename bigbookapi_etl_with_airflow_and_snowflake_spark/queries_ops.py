@@ -2607,12 +2607,12 @@ def q_streaming_curated_ingest(spark, sf):
     other commits' files).
 
     Cost note: append commits maintain the Bloom index INCREMENTALLY
-    (``sinks.versioned.maintain_bloom_index``: the prior version's
-    per-file rows are carried and only the commit's new files are
-    hashed — exact because the index is keyed per file), so per-batch
-    index work is O(increment), matching the append itself. A
-    continuous production stream pays the same bounded cost per
-    micro-batch instead of an O(table) reindex."""
+    (``sinks.versioned.maintain_bloom_index``: only the commit's new
+    files are hashed; prior index parquet is carried BY REFERENCE via
+    the recorded chain, with periodic compaction), so per-batch index
+    work is O(increment), matching the append itself. A continuous
+    production stream pays the same bounded cost per micro-batch
+    instead of an O(table) reindex."""
     from .operators.text import gopher_repetition
     from .sinks.versioned import read_version_pruned, versions, write_version
     from .streaming import read_documents_stream

@@ -49,6 +49,7 @@ __all__ = [
     "read_version_pruned",
     "prune_manifest_files",
     "write_bloom_index",
+    "maintain_bloom_index",
     "versions",
     "vacuum",
     "merge_version",
@@ -365,7 +366,6 @@ def merge_version(
         maintain_bloom_index(
             spark, table_dir, col, version=v,
             new_files=new_files, prior_version=base["version"],
-            carried_files=carried,
         )
     return {
         "version": v,
@@ -447,7 +447,6 @@ def delete_version(
         maintain_bloom_index(
             spark, table_dir, col, version=v,
             new_files=new_files, prior_version=base["version"],
-            carried_files=carried,
         )
     return {
         "version": v,
@@ -533,6 +532,44 @@ def _bloom_index_dir(table_dir: str, key_col: str, version: int) -> str:
     return os.path.join(table_dir, "_index", f"bloom_{key_col}", f"v{version:08d}")
 
 
+def _usable_index_params(table_dir: str, key_col: str, version: int) -> dict | None:
+    """The one definition of "is this index dir usable": directory
+    present, geometry recorded, at least one parquet part. Returns the
+    recorded params (with ``chain`` defaulted) or None — writer and
+    reader share it so they can never drift on the predicate."""
+    idx_dir = _bloom_index_dir(table_dir, key_col, version)
+    params_path = os.path.join(idx_dir, "_params.json")
+    if (
+        not os.path.isdir(idx_dir)
+        or not os.path.exists(params_path)
+        or not any(f.endswith(".parquet") for f in os.listdir(idx_dir))
+    ):
+        return None
+    with open(params_path) as fh:
+        params = json.load(fh)
+    params.setdefault("chain", [])
+    return params
+
+
+def _index_chain_dirs(
+    table_dir: str, key_col: str, version: int, params: dict
+) -> list[str] | None:
+    """Resolve the parquet directories composing ``version``'s index:
+    its own dir plus every chained prior link (each holding only its
+    commit's new-file rows). None if any link is missing/partless —
+    the reader then skips pruning (conservative) and the writer falls
+    back to a full rebuild."""
+    dirs = [_bloom_index_dir(table_dir, key_col, version)]
+    for link in params.get("chain", []):
+        d = _bloom_index_dir(table_dir, key_col, int(link))
+        if not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            return None
+        dirs.append(d)
+    return dirs
+
+
 def write_bloom_index(
     spark: SparkSession,
     table_dir: str,
@@ -569,7 +606,7 @@ def write_bloom_index(
     idx = build_file_bloom_index(spark, m["files"], key_col, m_bits=m_bits, k=k)
     idx.write.mode("overwrite").parquet(out)
     with open(os.path.join(out, "_params.json"), "w") as fh:
-        json.dump({"m_bits": m_bits, "k": k}, fh)
+        json.dump({"m_bits": m_bits, "k": k, "chain": []}, fh)
     return out
 
 
@@ -580,66 +617,61 @@ def maintain_bloom_index(
     version: int,
     new_files: Sequence[str],
     prior_version: int,
-    carried_files: Sequence[str] | None = None,
+    max_chain: int = 8,
 ) -> str:
-    """INCREMENTAL index maintenance for a commit that carries prior
-    data files verbatim: the index is keyed per file, so the new
-    version's index = the prior version's rows for every CARRIED file
-    (still exact — the files are byte-identical) ∪ a build over ONLY
-    the commit's new files. Cost is O(increment + files touched),
-    matching the commit itself — without this, a continuous ingest
-    stream pays an O(table) reindex per micro-batch (measured: the
-    4-commit streaming_curated_ingest entry spent most of its 100×
-    wall time rebuilding indexes).
+    """TRUE O(increment) index maintenance for a commit that carries
+    prior data files verbatim: the new version's index dir stores rows
+    for ONLY the commit's new files, plus a ``chain`` in its recorded
+    params naming the prior versions whose dirs complete it — prior
+    index parquet is carried BY REFERENCE (the log-structured pattern),
+    never read or rewritten at commit time. Per-commit cost is
+    hash-the-increment + one params read, regardless of table size —
+    a continuous ingest stream pays the same bounded cost per
+    micro-batch forever.
 
-    ``carried_files=None`` means ALL prior files carry (append).
-    Copy-on-write merge/delete pass the surviving subset; prior rows
-    for rewritten/dropped files are filtered out by file identity
-    (the index's distinct file list is collected to match URI spelling
-    against canonical paths — bounded by file count, not rows).
+    Copy-on-write merge/delete use the same path WITHOUT filtering the
+    prior rows: a chained link may contain rows for files the commit
+    rewrote or dropped, and that is provably harmless — the pruned
+    read intersects Bloom-qualified files with the version's MANIFEST,
+    so a qualified-but-dead file is simply ignored (rewritten files
+    get fresh uuid paths, never reusing a dead identity). Stale rows
+    only cost probe time, and compaction reclaims them.
 
-    Geometry safety: the union is only valid if the new rows are built
-    with the prior index's recorded (m_bits, k) — a mixed-geometry
-    index has false negatives on probe. If the prior version has no
-    usable index (never built, or no recorded params), fall back to a
-    full :func:`write_bloom_index` rebuild. Returns the index dir.
+    Compaction: when the chain would exceed ``max_chain`` links, fall
+    back to a full :func:`write_bloom_index` rebuild (chain resets to
+    []) — amortized O(table / max_chain) per commit, bounding both
+    probe-time read amplification and stale-row accumulation.
+
+    Geometry safety: new rows are built with the prior index's
+    recorded (m_bits, k) — a mixed-geometry chain has false negatives
+    on probe. If the prior version has no usable index, fall back to a
+    full rebuild. Returns the version's index dir.
     """
-    from pyspark.sql import functions as F
-
     from ..operators.lake import build_file_bloom_index
 
-    prior_dir = _bloom_index_dir(table_dir, key_col, prior_version)
-    params_path = os.path.join(prior_dir, "_params.json")
-    if (
-        not os.path.isdir(prior_dir)
-        or not os.path.exists(params_path)
-        or not any(f.endswith(".parquet") for f in os.listdir(prior_dir))
-    ):
+    params = _usable_index_params(table_dir, key_col, prior_version)
+    if params is None:
         return write_bloom_index(spark, table_dir, key_col, version=version)
-    with open(params_path) as fh:
-        params = json.load(fh)
+    chain = [int(c) for c in params["chain"]] + [prior_version]
+    if len(chain) > max_chain or _index_chain_dirs(
+        table_dir, key_col, prior_version, params
+    ) is None:
+        return write_bloom_index(spark, table_dir, key_col, version=version)
     m_bits, k = int(params["m_bits"]), int(params["k"])
-    prior_idx = spark.read.parquet(prior_dir)
-    if carried_files is not None:
-        carried_set = {_canon(f) for f in carried_files}
-        # index rows store the raw _metadata.file_path URI; match by
-        # normalized identity over the (file-count-bounded) distinct list
-        uris = [
-            r["file"]
-            for r in prior_idx.select("file").distinct().collect()
-            if _canon(_local_path(r["file"])) in carried_set
-        ]
-        prior_idx = prior_idx.filter(F.col("file").isin(uris))
+    out = _bloom_index_dir(table_dir, key_col, version)
     if new_files:
-        idx = prior_idx.unionByName(
-            build_file_bloom_index(spark, new_files, key_col, m_bits=m_bits, k=k)
+        idx = build_file_bloom_index(
+            spark, new_files, key_col, m_bits=m_bits, k=k
         )
     else:
-        idx = prior_idx
-    out = _bloom_index_dir(table_dir, key_col, version)
+        # zero new files: one empty part file keeps the dir usable
+        # (repartition(1) forces a part even from a 0-partition frame)
+        idx = spark.createDataFrame(
+            [], "file string, word long, bits long"
+        ).repartition(1)
     idx.write.mode("overwrite").parquet(out)
     with open(os.path.join(out, "_params.json"), "w") as fh:
-        json.dump({"m_bits": m_bits, "k": k}, fh)
+        json.dump({"m_bits": m_bits, "k": k, "chain": chain}, fh)
     return out
 
 
@@ -700,16 +732,14 @@ def read_version_pruned(
 
         types = None
         for col, vals in keys.items():
-            idx_dir = _bloom_index_dir(table_dir, col, v)
-            params_path = os.path.join(idx_dir, "_params.json")
-            if (
-                not os.path.isdir(idx_dir)
-                or not os.path.exists(params_path)
-                or not any(f.endswith(".parquet") for f in os.listdir(idx_dir))
-            ):
+            params = _usable_index_params(table_dir, col, v)
+            if params is None:
                 continue  # no usable at-rest index: no pruning
-            with open(params_path) as fh:
-                params = json.load(fh)
+            # chained index (maintain_bloom_index): the version's dir
+            # holds its commit's new-file rows; prior links complete it
+            idx_dirs = _index_chain_dirs(table_dir, col, v, params)
+            if idx_dirs is None:
+                continue  # a chain link is gone (e.g. vacuumed): no pruning
             if types is None:
                 # probe typing: the manifest's recorded schema when
                 # present (zero I/O), else one footer pass
@@ -724,7 +754,7 @@ def read_version_pruned(
                 _local_path(q)
                 for q in bloom_qualified_files(
                     spark,
-                    spark.read.parquet(idx_dir),
+                    spark.read.parquet(*idx_dirs),
                     col,
                     types[col],
                     list(vals),
@@ -756,7 +786,11 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
     delete data files no retained version references, and remove the
     dropped versions' at-rest Bloom index directories (an index is
     version-pinned metadata — once its snapshot is unreadable it can
-    never be consulted again, so leaving it is a pure disk leak).
+    never be consulted again, so leaving it is a pure disk leak) —
+    EXCEPT dirs a retained version's index chain still references
+    (:func:`maintain_bloom_index` carries prior index parquet by
+    reference, so a dropped version's dir may be a live link in a
+    retained version's chain).
     Returns {"versions_dropped", "files_deleted", "indexes_dropped"}.
     Time travel shrinks to the retained window — run it when the audit
     horizon allows."""
@@ -770,9 +804,23 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
     keep_files = set()
     for v in keep:
         keep_files.update(_load_manifest(table_dir, v["version"])["files"])
+    # index dirs still referenced: each retained version's own dir plus
+    # every chain link its recorded params name, per index column
+    index_root = os.path.join(table_dir, "_index")
+    referenced: set[tuple[str, int]] = set()
+    if os.path.isdir(index_root):
+        for idx in os.listdir(index_root):
+            if not idx.startswith("bloom_"):
+                continue
+            col = idx[len("bloom_"):]
+            for v in keep:
+                params = _usable_index_params(table_dir, col, v["version"])
+                if params is None:
+                    continue
+                referenced.add((idx, v["version"]))
+                referenced.update((idx, int(c)) for c in params["chain"])
     deleted = 0
     indexes_dropped = 0
-    index_root = os.path.join(table_dir, "_index")
     for v in drop:
         m = _load_manifest(table_dir, v["version"])
         for f in m["files"]:
@@ -783,6 +831,8 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
         if os.path.isdir(index_root):
             vdir = f"v{v['version']:08d}"
             for idx in os.listdir(index_root):
+                if (idx, v["version"]) in referenced:
+                    continue  # live chain link of a retained version
                 path = os.path.join(index_root, idx, vdir)
                 if os.path.isdir(path):
                     shutil.rmtree(path, ignore_errors=True)

@@ -314,3 +314,5 @@ def test_gopher_stopword_gate_boundaries(spark):
         gopher_rules(df, stopwords=["The", "and"])
     with pytest.raises(ValueError, match="min_stopwords"):
         gopher_rules(df, min_stopwords=0)
+    with pytest.raises(ValueError, match="could ever pass"):
+        gopher_rules(df, stopwords=["the", "and"], min_stopwords=5)

@@ -619,15 +619,18 @@ def test_index_cols_ride_the_write_path(spark, table):
 
 
 def test_append_index_maintenance_is_incremental_and_equivalent(spark, table):
-    """Append commits maintain the Bloom index incrementally (prior
-    version's per-file rows ∪ a build over the new files ONLY). The
-    incremental index must be ROW-IDENTICAL to a from-scratch rebuild
-    of the same version — same geometry, same sparse bitmap rows — and
-    the pruned read through it must stay exact."""
+    """Append commits maintain the Bloom index by REFERENCE: the new
+    version's dir holds ONLY the commit's new-file rows, its recorded
+    chain names the prior links, and the chain union must be
+    row-identical to a from-scratch rebuild of the same version. The
+    pruned read through the chained index must stay exact for keys in
+    both the carried and the new half."""
     from pyspark.sql import functions as F
 
     from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
         _bloom_index_dir,
+        _index_chain_dirs,
+        _usable_index_params,
         read_version_pruned,
         write_bloom_index,
         write_version,
@@ -648,21 +651,33 @@ def test_append_index_maintenance_is_incremental_and_equivalent(spark, table):
         spark, batch(400, 800), table, mode="append", index_cols=["tag"]
     )
     assert v2 == 2
-    incremental = sorted(
-        map(tuple, spark.read.parquet(_bloom_index_dir(table, "tag", 2)).collect())
-    )
+    params = _usable_index_params(table, "tag", 2)
+    assert params["chain"] == [1]  # prior carried by reference
+    own_files = {
+        r["file"]
+        for r in spark.read.parquet(_bloom_index_dir(table, "tag", 2))
+        .select("file")
+        .distinct()
+        .collect()
+    }
+    assert len(own_files) == 4  # only the append's new files were hashed
 
-    # from-scratch rebuild of the same version over the SAME files
+    dirs = _index_chain_dirs(table, "tag", 2, params)
+    chained = sorted(map(tuple, spark.read.parquet(*dirs).collect()))
+
+    # pruned reads through the chain stay exact for BOTH halves
+    for probe_id in (100, 600):
+        t = (probe_id * 2654435761) % 100003
+        got, info = read_version_pruned(spark, table, keys={"tag": [t]})
+        assert sorted(r["id"] for r in got.collect()) == [probe_id]
+        assert info["files_read"] < info["files_total"] == 8
+
+    # chain union == from-scratch rebuild of the same version
     write_bloom_index(spark, table, "tag", version=2)
     rebuilt = sorted(
         map(tuple, spark.read.parquet(_bloom_index_dir(table, "tag", 2)).collect())
     )
-    assert incremental == rebuilt
-
-    t = (600 * 2654435761) % 100003  # id written by the APPEND commit
-    got, info = read_version_pruned(spark, table, keys={"tag": [t]})
-    assert sorted(r["id"] for r in got.collect()) == [600]
-    assert info["files_read"] < info["files_total"] == 8
+    assert chained == rebuilt
 
 
 def test_append_index_falls_back_to_full_rebuild_without_prior(spark, table):
@@ -700,15 +715,21 @@ def test_append_index_falls_back_to_full_rebuild_without_prior(spark, table):
 def test_merge_delete_index_maintenance_is_incremental_and_equivalent(
     spark, table
 ):
-    """Copy-on-write merge and delete maintain the index incrementally
-    too: prior rows for CARRIED files survive, rows for rewritten files
-    are dropped, only the rewritten increment is hashed. Each version's
-    incremental index must be row-identical to a from-scratch rebuild,
-    and the pruned read stays exact across the chain."""
+    """Copy-on-write merge and delete ride the chained maintenance too:
+    only the rewritten increment is hashed, prior links carry by
+    reference. Chain links may hold STALE rows for files the commit
+    rewrote — harmless by construction (the pruned read intersects
+    qualified files with the live manifest) — so the equivalence
+    contract is: chain-union rows RESTRICTED TO LIVE FILES equal a
+    from-scratch rebuild, and pruned reads stay exact."""
     from pyspark.sql import functions as F
 
     from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
         _bloom_index_dir,
+        _index_chain_dirs,
+        _load_manifest,
+        _local_path,
+        _usable_index_params,
         delete_version,
         merge_version,
         read_version_pruned,
@@ -727,24 +748,121 @@ def test_merge_delete_index_maintenance_is_incremental_and_equivalent(
     t400 = (400 * 2654435761) % 100003
     inc = spark.createDataFrame([(5000, 0, int(t400))], "id long, val long, tag long")
     merge_version(spark, inc, table, keys=["id"], index_cols=["tag"])
-
-    def idx_rows(v):
-        return sorted(
-            map(tuple, spark.read.parquet(_bloom_index_dir(table, "tag", v)).collect())
-        )
-
-    incremental_v2 = idx_rows(2)
-    write_bloom_index(spark, table, "tag", version=2)
-    assert incremental_v2 == idx_rows(2)
-
     delete_version(spark, table, F.col("id") == 400, index_cols=["tag"])
-    incremental_v3 = idx_rows(3)
-    write_bloom_index(spark, table, "tag", version=3)
-    assert incremental_v3 == idx_rows(3)
 
+    # pruned read through the chained indexes BEFORE any rebuild
     got, info = read_version_pruned(spark, table, keys={"tag": [t400]})
     assert sorted(r["id"] for r in got.collect()) == [5000]
     assert info["files_read"] < info["files_total"]
+
+    # capture both chains first — the in-place rebuilds below would
+    # change what v3's chain reads through its v2 link
+    chained_live = {}
+    for v in (2, 3):
+        params = _usable_index_params(table, "tag", v)
+        assert params["chain"], f"v{v} should chain, not rebuild"
+        dirs = _index_chain_dirs(table, "tag", v, params)
+        live = set(_load_manifest(table, v)["files"])
+        chained_live[v] = sorted(
+            (r["file"], r["word"], r["bits"])
+            for r in spark.read.parquet(*dirs).collect()
+            if _local_path(r["file"]) in live
+        )
+    for v in (2, 3):
+        write_bloom_index(spark, table, "tag", version=v)
+        rebuilt = sorted(
+            map(
+                tuple,
+                spark.read.parquet(_bloom_index_dir(table, "tag", v)).collect(),
+            )
+        )
+        assert chained_live[v] == rebuilt, f"v{v} live-row mismatch"
+
+
+def test_index_chain_compacts_at_max_chain(spark, table):
+    """A chain that would exceed max_chain triggers a full rebuild
+    (chain resets to []) — the log-structured compaction that bounds
+    probe-time read amplification and stale-row accumulation."""
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        _usable_index_params,
+        maintain_bloom_index,
+        read_version_pruned,
+        write_version,
+    )
+
+    def batch(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .withColumn("val", (F.col("id") * 3).cast("long"))
+            .withColumn(
+                "tag", F.pmod(F.col("id") * F.lit(2654435761), F.lit(100003))
+            )
+            .repartitionByRange(2, "id")
+        )
+
+    write_version(spark, batch(0, 200), table, index_cols=["tag"])
+    write_version(spark, batch(200, 400), table, mode="append", index_cols=["tag"])
+    write_version(spark, batch(400, 600), table, mode="append", index_cols=["tag"])
+    assert _usable_index_params(table, "tag", 3)["chain"] == [1, 2]
+
+    # re-maintain v3 with a tight bound: the chain would be [1, 2] —
+    # 2 prior links > max_chain=1 → full rebuild, self-contained
+    maintain_bloom_index(
+        spark, table, "tag", version=3, new_files=[], prior_version=2,
+        max_chain=1,
+    )
+    assert _usable_index_params(table, "tag", 3)["chain"] == []
+    for probe_id in (100, 500):
+        t = (probe_id * 2654435761) % 100003
+        got, info = read_version_pruned(spark, table, keys={"tag": [t]})
+        assert sorted(r["id"] for r in got.collect()) == [probe_id]
+        assert info["files_read"] < info["files_total"] == 6
+
+
+def test_vacuum_preserves_chain_referenced_index_dirs(spark, table):
+    """vacuum drops dropped versions' index dirs EXCEPT dirs a retained
+    version's chain still references — dropping v1's dir while v3's
+    chain reads through it would silently disable pruning (or worse,
+    nothing: the reader skips a broken chain conservatively, but the
+    index the write path just paid for would be dead)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        _bloom_index_dir,
+        read_version_pruned,
+        vacuum,
+        write_version,
+    )
+
+    def batch(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .withColumn("val", (F.col("id") * 3).cast("long"))
+            .withColumn(
+                "tag", F.pmod(F.col("id") * F.lit(2654435761), F.lit(100003))
+            )
+            .repartitionByRange(2, "id")
+        )
+
+    write_version(spark, batch(0, 200), table, index_cols=["tag"])
+    write_version(spark, batch(200, 400), table, mode="append", index_cols=["tag"])
+    write_version(spark, batch(400, 600), table, mode="append", index_cols=["tag"])
+
+    stats = vacuum(table, keep_last=2)  # drops v1 the version…
+    assert stats["versions_dropped"] == 1
+    assert stats["indexes_dropped"] == 0  # …but its index dir is a live link
+    assert os.path.isdir(_bloom_index_dir(table, "tag", 1))
+
+    # the retained versions' chained reads still prune and stay exact
+    for probe_id in (100, 500):
+        t = (probe_id * 2654435761) % 100003
+        got, info = read_version_pruned(spark, table, keys={"tag": [t]})
+        assert sorted(r["id"] for r in got.collect()) == [probe_id]
+        assert info["files_read"] < info["files_total"] == 6
 
 
 def test_merge_into_empty_table_builds_requested_index(spark, table):
