@@ -246,6 +246,13 @@ def compact_small_files(
     }
 
 
+# The Bloom index frame's one schema, shared by every writer: the empty
+# zero-new-files dirs maintain_bloom_index writes must match the frames
+# build_file_bloom_index emits, or a chained union read over mixed dirs
+# infers from an arbitrary file and diverges.
+BLOOM_INDEX_SCHEMA = "file string, word long, bits long"
+
+
 def build_file_bloom_index(
     spark: SparkSession,
     files: Sequence[str],

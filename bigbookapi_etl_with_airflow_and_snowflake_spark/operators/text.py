@@ -336,12 +336,14 @@ def gopher_rules(
         # n_stop >= 0 is vacuously true: the gate would be silently
         # disabled rather than tuned
         raise ValueError(f"min_stopwords must be >= 1, got {min_stopwords}")
-    if min_stopwords > len(stopwords):
-        # n_stop counts DISTINCT hits, bounded by the list length — the
-        # gate would silently reject every document
+    if min_stopwords > len(set(stopwords)):
+        # n_stop counts DISTINCT hits, bounded by the number of DISTINCT
+        # list entries (a repeated word can only match once) — the gate
+        # would silently reject every document
         raise ValueError(
-            f"min_stopwords={min_stopwords} exceeds the {len(stopwords)}-word "
-            "stopword list; no document could ever pass"
+            f"min_stopwords={min_stopwords} exceeds the "
+            f"{len(set(stopwords))} distinct stopwords in the list; no "
+            "document could ever pass"
         )
     t = tokens(F.col(text_col))
     lines = F.split(F.col(text_col), "\n")

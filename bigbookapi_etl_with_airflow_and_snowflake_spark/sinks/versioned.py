@@ -599,6 +599,29 @@ def write_bloom_index(
 
     m = _load_manifest(table_dir, version)
     v = m["version"]
+    # Chained indexes carry this version's dir BY REFERENCE
+    # (maintain_bloom_index): a later version probes the union of its
+    # chain's dirs with ITS recorded geometry. Rebuilding this dir in
+    # place with a different (m_bits, k) would make those probes hash
+    # with the wrong parameters — Bloom false NEGATIVES, silently
+    # dropped rows — so refuse the mismatched rebuild outright.
+    for later in versions(table_dir):
+        lv = int(later["version"])
+        if lv <= v:
+            continue
+        p = _usable_index_params(table_dir, key_col, lv)
+        if p is None or v not in (int(c) for c in p.get("chain", [])):
+            continue
+        if (int(p["m_bits"]), int(p["k"])) != (m_bits, k):
+            raise ValueError(
+                f"version {lv}'s index chain carries v{v}'s dir by "
+                f"reference with recorded geometry "
+                f"(m_bits={p['m_bits']}, k={p['k']}); rebuilding v{v} "
+                f"with (m_bits={m_bits}, k={k}) would give that "
+                "version's pruned reads Bloom false negatives. Rebuild "
+                "the LATEST version with the new geometry instead (its "
+                "chain resets), or pass the recorded geometry."
+            )
     out = _bloom_index_dir(table_dir, key_col, v)
     if not m["files"]:
         os.makedirs(out, exist_ok=True)
@@ -652,12 +675,17 @@ def maintain_bloom_index(
     params = _usable_index_params(table_dir, key_col, prior_version)
     if params is None:
         return write_bloom_index(spark, table_dir, key_col, version=version)
+    m_bits, k = int(params["m_bits"]), int(params["k"])
     chain = [int(c) for c in params["chain"]] + [prior_version]
     if len(chain) > max_chain or _index_chain_dirs(
         table_dir, key_col, prior_version, params
     ) is None:
-        return write_bloom_index(spark, table_dir, key_col, version=version)
-    m_bits, k = int(params["m_bits"]), int(params["k"])
+        # compaction / missing-link rebuild keeps the RECORDED geometry:
+        # resetting a tuned index to defaults would silently raise the
+        # false-positive rate every max_chain commits
+        return write_bloom_index(
+            spark, table_dir, key_col, version=version, m_bits=m_bits, k=k
+        )
     out = _bloom_index_dir(table_dir, key_col, version)
     if new_files:
         idx = build_file_bloom_index(
@@ -666,9 +694,9 @@ def maintain_bloom_index(
     else:
         # zero new files: one empty part file keeps the dir usable
         # (repartition(1) forces a part even from a 0-partition frame)
-        idx = spark.createDataFrame(
-            [], "file string, word long, bits long"
-        ).repartition(1)
+        from ..operators.lake import BLOOM_INDEX_SCHEMA
+
+        idx = spark.createDataFrame([], BLOOM_INDEX_SCHEMA).repartition(1)
     idx.write.mode("overwrite").parquet(out)
     with open(os.path.join(out, "_params.json"), "w") as fh:
         json.dump({"m_bits": m_bits, "k": k, "chain": chain}, fh)
@@ -820,7 +848,6 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
                 referenced.add((idx, v["version"]))
                 referenced.update((idx, int(c)) for c in params["chain"])
     deleted = 0
-    indexes_dropped = 0
     for v in drop:
         m = _load_manifest(table_dir, v["version"])
         for f in m["files"]:
@@ -828,15 +855,27 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
                 os.remove(f)
                 deleted += 1
         os.remove(_manifest_path(table_dir, v["version"]))
-        if os.path.isdir(index_root):
-            vdir = f"v{v['version']:08d}"
-            for idx in os.listdir(index_root):
-                if (idx, v["version"]) in referenced:
-                    continue  # live chain link of a retained version
-                path = os.path.join(index_root, idx, vdir)
-                if os.path.isdir(path):
-                    shutil.rmtree(path, ignore_errors=True)
-                    indexes_dropped += 1
+    # index cleanup is a FULL sweep of _index/bloom_*/v*, not a walk of
+    # this call's dropped manifests: a dir preserved earlier as a live
+    # chain link outlives its manifest, and once compaction resets the
+    # chain nothing references it — a manifest-driven walk would never
+    # revisit it and the dir would leak forever on a continuous ingest
+    # stream. Retained versions' own dirs are always kept.
+    retained = {v["version"] for v in keep}
+    indexes_dropped = 0
+    if os.path.isdir(index_root):
+        for idx in os.listdir(index_root):
+            if not idx.startswith("bloom_"):
+                continue
+            idx_dir = os.path.join(index_root, idx)
+            for vdir in sorted(os.listdir(idx_dir)):
+                if not (vdir.startswith("v") and vdir[1:].isdigit()):
+                    continue
+                vn = int(vdir[1:])
+                if vn in retained or (idx, vn) in referenced:
+                    continue
+                shutil.rmtree(os.path.join(idx_dir, vdir), ignore_errors=True)
+                indexes_dropped += 1
     return {
         "versions_dropped": len(drop),
         "files_deleted": deleted,

@@ -316,3 +316,8 @@ def test_gopher_stopword_gate_boundaries(spark):
         gopher_rules(df, min_stopwords=0)
     with pytest.raises(ValueError, match="could ever pass"):
         gopher_rules(df, stopwords=["the", "and"], min_stopwords=5)
+    with pytest.raises(ValueError, match="could ever pass"):
+        # repeated entries count once: n_stop is a DISTINCT-hit count,
+        # so ['the','the'] can never reach min_stopwords=2 — the guard
+        # must catch it rather than let the gate reject every document
+        gopher_rules(df, stopwords=["the", "the"], min_stopwords=2)

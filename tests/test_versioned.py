@@ -913,6 +913,142 @@ def test_bloom_probe_uses_recorded_index_geometry(spark, table):
     assert info["files_read"] <= info["files_total"]
 
 
+def _tagged_batch(spark, lo, hi, parts=2):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(lo, hi)
+        .withColumn("val", (F.col("id") * 3).cast("long"))
+        .withColumn("tag", F.pmod(F.col("id") * F.lit(2654435761), F.lit(100003)))
+        .repartitionByRange(parts, "id")
+    )
+
+
+def test_rebuild_of_chained_link_requires_matching_geometry(spark, table):
+    """Chained indexes carry an old version's dir BY REFERENCE and probe
+    with THEIR recorded (m_bits, k) — rebuilding that dir in place with
+    different geometry would give every downstream chain Bloom false
+    negatives (silently dropped rows). write_bloom_index must refuse
+    the mismatched rebuild; same-geometry rebuilds of the link and any
+    rebuild of the LATEST version (chain resets) stay allowed."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        read_version_pruned,
+        write_bloom_index,
+    )
+
+    write_version(spark, _tagged_batch(spark, 0, 200), table, index_cols=["tag"])
+    write_version(
+        spark, _tagged_batch(spark, 200, 400), table,
+        mode="append", index_cols=["tag"],
+    )  # v2's chain carries v1's dir by reference
+
+    with pytest.raises(ValueError, match="false negatives"):
+        write_bloom_index(spark, table, "tag", version=1, m_bits=1 << 12, k=2)
+
+    # matching geometry: a link rebuild is safe (stale rows are pruned
+    # against the manifest); new geometry on the LATEST version is safe
+    # because its chain resets to []
+    write_bloom_index(spark, table, "tag", version=1)
+    write_bloom_index(spark, table, "tag", m_bits=1 << 12, k=2)
+    for probe_id in (100, 300):
+        t = (probe_id * 2654435761) % 100003
+        got, info = read_version_pruned(spark, table, keys={"tag": [t]})
+        assert sorted(r["id"] for r in got.collect()) == [probe_id]
+        assert info["files_read"] < info["files_total"] == 4
+
+
+def test_index_compaction_keeps_recorded_geometry(spark, table):
+    """The compaction rebuild (chain > max_chain) must rebuild with the
+    index's RECORDED (m_bits, k), not the defaults — silently resetting
+    a tuned index's geometry every max_chain commits would raise the
+    false-positive rate ~(tuned/default)x and quietly stop pruning."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        _usable_index_params,
+        maintain_bloom_index,
+        read_version_pruned,
+        write_bloom_index,
+    )
+
+    write_version(spark, _tagged_batch(spark, 0, 200), table)
+    write_bloom_index(spark, table, "tag", m_bits=1 << 12, k=2)  # tuned v1
+    write_version(
+        spark, _tagged_batch(spark, 200, 400), table,
+        mode="append", index_cols=["tag"],
+    )
+    p2 = _usable_index_params(table, "tag", 2)
+    # the append increment inherited the tuned geometry and chained v1
+    assert (p2["m_bits"], p2["k"], p2["chain"]) == (1 << 12, 2, [1])
+
+    # force compaction: the chain would be [1, 2] > max_chain=1
+    maintain_bloom_index(
+        spark, table, "tag", version=2, new_files=[], prior_version=1,
+        max_chain=0,
+    )
+    p2c = _usable_index_params(table, "tag", 2)
+    assert (p2c["m_bits"], p2c["k"], p2c["chain"]) == (1 << 12, 2, [])
+    for probe_id in (100, 300):
+        t = (probe_id * 2654435761) % 100003
+        got, info = read_version_pruned(spark, table, keys={"tag": [t]})
+        assert sorted(r["id"] for r in got.collect()) == [probe_id]
+        assert info["files_read"] < info["files_total"] == 4
+
+
+def test_vacuum_sweeps_orphaned_chain_link_dirs(spark, table):
+    """A link dir preserved through an earlier vacuum outlives its
+    manifest; once compaction resets the chain nothing references it,
+    and a manifest-driven walk would never revisit it — the full sweep
+    must reclaim it (one leaked dir per pre-compaction version on a
+    continuous ingest stream otherwise)."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        _bloom_index_dir,
+        read_version_pruned,
+        write_bloom_index,
+    )
+
+    write_version(spark, _tagged_batch(spark, 0, 200), table, index_cols=["tag"])
+    for lo in (200, 400):
+        write_version(
+            spark, _tagged_batch(spark, lo, lo + 200), table,
+            mode="append", index_cols=["tag"],
+        )
+    vacuum(table, keep_last=2)  # drops v1's manifest; its dir is a live link
+    assert os.path.isdir(_bloom_index_dir(table, "tag", 1))
+
+    write_bloom_index(spark, table, "tag")  # compact latest: v3 chain -> []
+    write_version(
+        spark, _tagged_batch(spark, 600, 800), table,
+        mode="append", index_cols=["tag"],
+    )  # v4 chains [3]
+    stats = vacuum(table, keep_last=2)  # retains v3+v4, drops v2
+    # BOTH v2's dir and v1's previously-orphaned link dir are reclaimed
+    assert stats["indexes_dropped"] == 2
+    assert not os.path.isdir(_bloom_index_dir(table, "tag", 1))
+    assert not os.path.isdir(_bloom_index_dir(table, "tag", 2))
+    for probe_id in (100, 700):
+        t = (probe_id * 2654435761) % 100003
+        got, info = read_version_pruned(spark, table, keys={"tag": [t]})
+        assert sorted(r["id"] for r in got.collect()) == [probe_id]
+        assert info["files_read"] < info["files_total"] == 8
+
+
+def test_empty_increment_frame_matches_built_index_schema(spark, table):
+    """The zero-new-files maintenance branch writes an empty frame from
+    the shared BLOOM_INDEX_SCHEMA constant — it must stay structurally
+    identical to build_file_bloom_index's output, or a chained union
+    read over mixed dirs infers from an arbitrary file and diverges."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lake import (
+        BLOOM_INDEX_SCHEMA,
+        build_file_bloom_index,
+    )
+
+    write_version(spark, _tagged_batch(spark, 0, 100), table)
+    built = build_file_bloom_index(spark, __manifest_files(table, 1), "tag")
+    empty = spark.createDataFrame([], BLOOM_INDEX_SCHEMA)
+    assert [(f.name, f.dataType) for f in built.schema.fields] == [
+        (f.name, f.dataType) for f in empty.schema.fields
+    ]
+
+
 def test_merge_into_empty_snapshot_repopulates(spark, table):
     """A files:[] snapshot (delete-all) must accept a merge as a pure
     insert instead of crashing on a zero-path parquet read."""
