@@ -811,14 +811,16 @@ def read_version_pruned(
 
 def vacuum(table_dir: str, keep_last: int = 2) -> dict:
     """Drop manifests older than the newest ``keep_last`` versions,
-    delete data files no retained version references, and remove the
-    dropped versions' at-rest Bloom index directories (an index is
-    version-pinned metadata — once its snapshot is unreadable it can
-    never be consulted again, so leaving it is a pure disk leak) —
-    EXCEPT dirs a retained version's index chain still references
+    delete data files no retained version references, and sweep EVERY
+    at-rest Bloom index dir that is neither a retained version's own
+    nor a live link in a retained version's recorded chain
     (:func:`maintain_bloom_index` carries prior index parquet by
-    reference, so a dropped version's dir may be a live link in a
-    retained version's chain).
+    reference, so a dropped version's dir may outlive its manifest as
+    a chain link). The sweep walks ``_index/bloom_*/v*`` directly, not
+    this call's dropped manifests: once compaction resets a chain, a
+    link dir orphaned by an EARLIER vacuum has no manifest left to
+    visit — a manifest-driven walk would leak it forever (one dir per
+    pre-compaction version on a continuous ingest stream).
     Returns {"versions_dropped", "files_deleted", "indexes_dropped"}.
     Time travel shrinks to the retained window — run it when the audit
     horizon allows."""
