@@ -194,7 +194,12 @@ def semantic_dedup(
     ``target_cluster_size`` FROM a count they already ran (the
     registry entry does) pass it here so the target branch reuses it
     instead of re-scanning; when omitted, the branch runs its own
-    count job.
+    count job. It must be the EXACT ``df.count()`` — it is trusted,
+    not re-verified (re-counting would defeat the point of passing
+    it), and an undercount silently shrinks ``k_from_target``, which
+    reintroduces the per-task |cluster|² memory cliff
+    ``target_cluster_size`` exists to prevent. Non-positive values
+    are rejected loudly.
     """
     import numpy as np
     import pandas as pd
@@ -209,6 +214,10 @@ def semantic_dedup(
         if target_cluster_size < 1:
             raise ValueError(
                 f"target_cluster_size must be >= 1, got {target_cluster_size}"
+            )
+        if n_rows is not None and n_rows < 1:
+            raise ValueError(
+                f"n_rows must be the exact positive count of df, got {n_rows}"
             )
         n = src.count() if n_rows is None else n_rows
         k_from_target = -(-n // target_cluster_size)

@@ -2612,9 +2612,20 @@ def q_streaming_curated_ingest(spark, sf):
     the recorded chain, with periodic compaction), so per-batch index
     work is O(increment), matching the append itself. A continuous
     production stream pays the same bounded cost per micro-batch
-    instead of an O(table) reindex."""
+    instead of an O(table) reindex. The ``chained`` literal PROVES that
+    path engaged rather than trusting it: the final version's recorded
+    ``_params.json`` must carry a non-empty chain (i.e. the last
+    commit's index dir holds only that commit's increment, completed
+    by prior dirs carried by reference) — if maintenance silently
+    regressed to full per-commit rebuilds, the chain would be empty
+    and the oracle-pinned TRUE goes red."""
     from .operators.text import gopher_repetition
-    from .sinks.versioned import read_version_pruned, versions, write_version
+    from .sinks.versioned import (
+        index_params,
+        read_version_pruned,
+        versions,
+        write_version,
+    )
     from .streaming import read_documents_stream
 
     stage = tempfile.mkdtemp(prefix="q_stream_curate_src_")
@@ -2656,8 +2667,14 @@ def q_streaming_curated_ingest(spark, sf):
             return spark.createDataFrame(
                 [],
                 "source string, n_docs long, sum_chars long, "
-                "multi_batch boolean, pruned boolean",
+                "multi_batch boolean, pruned boolean, chained boolean",
             )
+        # metadata-only proof that the O(increment) maintenance path ran:
+        # the final append's recorded chain must be non-empty (≥2 batches
+        # committed, so a full rebuild here would mean the incremental
+        # path regressed)
+        p = index_params(tdir, "doc_id")
+        chained = p is not None and len(p["chain"]) > 0
         df, info = read_version_pruned(
             spark, tdir, keys={"doc_id": list(range(120))}
         )
@@ -2671,6 +2688,7 @@ def q_streaming_curated_ingest(spark, sf):
             .withColumn(
                 "pruned", F.lit(info["files_read"] < info["files_total"])
             )
+            .withColumn("chained", F.lit(chained))
             .localCheckpoint(eager=True)
         )
     finally:
@@ -2684,10 +2702,109 @@ def _sql_streaming_curated_ingest() -> str:
 
     return f"""
 SELECT d.source, COUNT(*) AS n_docs, CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
-       TRUE AS multi_batch, TRUE AS pruned
+       TRUE AS multi_batch, TRUE AS pruned, TRUE AS chained
 FROM documents d JOIN ({SQL_GOPHER_REPETITION}) rep USING (doc_id)
 WHERE rep.repetition_pass AND d.doc_id BETWEEN 0 AND 119
 GROUP BY d.source
+"""
+
+
+def q_versioned_index_compaction(spark, sf):
+    """The chained Bloom index's FULL LIFECYCLE under one hard oracle:
+    build → chain → compact → re-chain → pruned probe, with a
+    non-default tuned geometry that must survive every phase.
+
+    Six commits with ``index_max_chain=3``: v1 full build at an
+    explicit ``index_geometry`` (m_bits=2^20, k=5 — NOT the library
+    default, so any phase that silently falls back to defaults is
+    observable); v2–v4 appends chain incrementally (chain=[1], [1,2],
+    [1,2,3]); v5's append would chain 4 links > max_chain → COMPACTION:
+    a full rebuild whose recorded chain resets to [] and whose geometry
+    must equal the RECORDED tuning, not defaults
+    (sinks/versioned.py maintain_bloom_index's compaction branch);
+    v6 appends again and must chain onto the compacted v5.
+
+    Four metadata literals pin each phase (all oracle-pinned TRUE):
+    ``compacted`` (v5's recorded chain is []), ``chained_after``
+    (v6's recorded chain is exactly [5]), ``geometry_kept`` (v5 AND v6
+    record the tuned (m_bits, k)), and ``pruned`` (the final keys=
+    probe reads fewer files than the manifest lists — the probe keys
+    all live in v1's commit, so the post-compaction index must still
+    skip other commits' files). The aggregate itself is computed off
+    the pruned read, so pruning that dropped a qualifying file would
+    also fail the value hash. m_bits=2^20 keeps the per-file false-
+    positive rate low even at the 100× audit's ~10^5 rows/file (fill
+    ≈ 0.33, fp ≈ 0.33^5) — the literal is scale-stable, not tuned to
+    sf0.01."""
+    from .sinks.versioned import (
+        index_params,
+        read_version_pruned,
+        versions,
+        write_version,
+    )
+
+    e = _t(spark, sf, "events").select("event_id", "event_type", "user_id")
+    geo = (1 << 20, 5)
+    d = tempfile.mkdtemp(prefix="q_vidx_compact_")
+    t = os.path.join(d, "events_v")
+    try:
+        write_version(
+            spark,
+            e.filter(F.col("event_id") % 6 == 0).repartition(2),
+            t,
+            index_cols=["event_id"],
+            index_geometry={"event_id": geo},
+            index_max_chain=3,
+        )
+        for i in range(1, 6):
+            write_version(
+                spark,
+                e.filter(F.col("event_id") % 6 == i).repartition(2),
+                t,
+                mode="append",
+                index_cols=["event_id"],
+                index_max_chain=3,
+            )
+        assert len(versions(t)) == 6
+        p5 = index_params(t, "event_id", version=5)
+        p6 = index_params(t, "event_id", version=6)
+        compacted = p5 is not None and p5["chain"] == []
+        chained_after = p6 is not None and [int(c) for c in p6["chain"]] == [5]
+        geometry_kept = all(
+            p is not None and (int(p["m_bits"]), int(p["k"])) == geo
+            for p in (p5, p6)
+        )
+        probe_keys = list(range(0, 120, 6))  # all ≡ 0 (mod 6): v1's commit
+        df, info = read_version_pruned(spark, t, keys={"event_id": probe_keys})
+        out = (
+            df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("event_id").alias("sum_id"),
+                F.sum("user_id").alias("sum_user"),
+            )
+            .withColumn("compacted", F.lit(compacted))
+            .withColumn("chained_after", F.lit(chained_after))
+            .withColumn("geometry_kept", F.lit(geometry_kept))
+            .withColumn(
+                "pruned", F.lit(info["files_read"] < info["files_total"])
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_INDEX_COMPACTION = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user,
+       TRUE AS compacted, TRUE AS chained_after,
+       TRUE AS geometry_kept, TRUE AS pruned
+FROM events
+WHERE event_id % 6 = 0 AND event_id BETWEEN 0 AND 119
+GROUP BY event_type
 """
 
 
@@ -2791,6 +2908,10 @@ OPS_REGISTRY = {
     "versioned_time_travel": (q_versioned_time_travel, SQL_VERSIONED_TIME_TRAVEL),
     "versioned_merge_delete": (q_versioned_merge_delete, SQL_VERSIONED_MERGE_DELETE),
     "versioned_pruned_read": (q_versioned_pruned_read, SQL_VERSIONED_PRUNED_READ),
+    "versioned_index_compaction": (
+        q_versioned_index_compaction,
+        SQL_VERSIONED_INDEX_COMPACTION,
+    ),
     "bloom_file_lookup": (q_bloom_file_lookup, SQL_BLOOM_FILE_LOOKUP),
     "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
     "image_dhash_pairs": (q_image_dhash_pairs, SQL_IMAGE_DHASH_PAIRS),

@@ -50,6 +50,7 @@ __all__ = [
     "prune_manifest_files",
     "write_bloom_index",
     "maintain_bloom_index",
+    "index_params",
     "versions",
     "vacuum",
     "merge_version",
@@ -119,12 +120,34 @@ def _load_manifest(table_dir: str, version: int | None) -> dict:
         return json.load(fh)
 
 
+def _resolve_index_geometry(
+    table_dir: str,
+    key_col: str,
+    prior_version: int,
+    explicit: tuple[int, int] | None,
+) -> tuple[int, int] | None:
+    """Geometry for a full (re)build: an explicit ``index_geometry``
+    entry wins; otherwise INHERIT the prior version's recorded
+    (m_bits, k) when a usable prior index exists — an overwrite commit
+    on a table with a tuned index must not silently reset it to
+    defaults. None = no prior, no override: library defaults."""
+    if explicit is not None:
+        return int(explicit[0]), int(explicit[1])
+    if prior_version >= 1:
+        p = _usable_index_params(table_dir, key_col, prior_version)
+        if p is not None:
+            return int(p["m_bits"]), int(p["k"])
+    return None
+
+
 def write_version(
     spark: SparkSession,
     df: DataFrame,
     table_dir: str,
     mode: str = "overwrite",
     index_cols: Sequence[str] = (),
+    index_geometry: dict[str, tuple[int, int]] | None = None,
+    index_max_chain: int = 8,
 ) -> int:
     """Commit ``df`` as the next version of the table; returns the new
     version number. ``mode='overwrite'`` → the snapshot is exactly
@@ -135,7 +158,19 @@ def write_version(
     ``index_cols``: columns to build the at-rest per-file Bloom index
     for after the commit (index maintenance riding the write path, the
     Delta/Iceberg pattern) — :func:`read_version_pruned` then prunes
-    equality lookups on them with zero extra read-side work."""
+    equality lookups on them with zero extra read-side work.
+
+    ``index_geometry``: optional ``{col: (m_bits, k)}`` Bloom tuning
+    per index column. Without it, a rebuild (overwrite or first
+    commit) INHERITS the prior version's recorded geometry when one
+    exists — a tuned index survives every commit mode, not just
+    append/merge/delete chaining. Passing a geometry that differs from
+    the recorded one on an append deliberately forces a full rebuild
+    at the new geometry (a chain must be geometry-uniform to probe
+    correctly), which is the supported re-tune path.
+
+    ``index_max_chain``: compaction threshold for chained incremental
+    maintenance (see :func:`maintain_bloom_index`)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     commit_id = uuid.uuid4().hex
@@ -163,15 +198,23 @@ def write_version(
 
     v = _commit(table_dir, build)
     for col in index_cols:
+        explicit = (index_geometry or {}).get(col)
         if mode == "append" and v > 1:
             # append carries prior files verbatim → index maintenance
             # is O(increment): prior rows ∪ build over new files only
             maintain_bloom_index(
                 spark, table_dir, col, version=v,
                 new_files=new_files, prior_version=v - 1,
+                max_chain=index_max_chain, geometry=explicit,
             )
         else:
-            write_bloom_index(spark, table_dir, col, version=v)
+            geo = _resolve_index_geometry(table_dir, col, v - 1, explicit)
+            if geo is None:
+                write_bloom_index(spark, table_dir, col, version=v)
+            else:
+                write_bloom_index(
+                    spark, table_dir, col, version=v, m_bits=geo[0], k=geo[1]
+                )
     return v
 
 
@@ -267,6 +310,8 @@ def merge_version(
     order_by: Sequence = (),
     base_version: int | None = None,
     index_cols: Sequence[str] = (),
+    index_geometry: dict[str, tuple[int, int]] | None = None,
+    index_max_chain: int = 8,
 ) -> dict:
     """Copy-on-write MERGE (upsert) into a versioned table.
 
@@ -284,6 +329,9 @@ def merge_version(
     ``base_version`` (default: latest at read time) before the commit —
     optimistic concurrency, nothing is half-applied.
 
+    ``index_geometry`` / ``index_max_chain``: Bloom-index tuning and
+    compaction threshold, see :func:`write_version`.
+
     Returns ``{"version", "files_rewritten", "files_carried",
     "n_rows"}``.
     """
@@ -294,7 +342,10 @@ def merge_version(
     key_cols = list(keys)
     vs = versions(table_dir)
     if not vs:
-        v = write_version(spark, incoming, table_dir, index_cols=index_cols)
+        v = write_version(
+            spark, incoming, table_dir, index_cols=index_cols,
+            index_geometry=index_geometry, index_max_chain=index_max_chain,
+        )
         m = _load_manifest(table_dir, v)
         return {
             "version": v,
@@ -366,6 +417,8 @@ def merge_version(
         maintain_bloom_index(
             spark, table_dir, col, version=v,
             new_files=new_files, prior_version=base["version"],
+            max_chain=index_max_chain,
+            geometry=(index_geometry or {}).get(col),
         )
     return {
         "version": v,
@@ -381,6 +434,8 @@ def delete_version(
     predicate,
     base_version: int | None = None,
     index_cols: Sequence[str] = (),
+    index_geometry: dict[str, tuple[int, int]] | None = None,
+    index_max_chain: int = 8,
 ) -> dict:
     """Copy-on-write DELETE: rows where ``predicate`` is TRUE leave the
     table; rows where it is FALSE or NULL stay (SQL DELETE semantics).
@@ -388,6 +443,7 @@ def delete_version(
     with a clustered layout (:mod:`operators/zorder`) a selective
     delete touches few files. Same optimistic-concurrency commit as
     :func:`merge_version`. ``predicate`` is a Column or SQL string.
+    ``index_geometry`` / ``index_max_chain``: see :func:`write_version`.
 
     Returns ``{"version", "files_rewritten", "files_carried",
     "n_deleted", "n_rows"}``.
@@ -447,6 +503,8 @@ def delete_version(
         maintain_bloom_index(
             spark, table_dir, col, version=v,
             new_files=new_files, prior_version=base["version"],
+            max_chain=index_max_chain,
+            geometry=(index_geometry or {}).get(col),
         )
     return {
         "version": v,
@@ -570,6 +628,26 @@ def _index_chain_dirs(
     return dirs
 
 
+def index_params(
+    table_dir: str, key_col: str, version: int | None = None
+) -> dict | None:
+    """The recorded Bloom-index parameters for one version's index on
+    ``key_col`` (default: the latest committed version): ``{"m_bits",
+    "k", "chain"}``, or None when that version has no usable index.
+    ``chain == []`` means the dir is a FULL index (a fresh build or a
+    compaction); a non-empty chain means the version's own dir holds
+    only its commit's increment and the named prior dirs complete it
+    (see :func:`maintain_bloom_index`). Metadata-only — lets callers
+    and audits assert the maintenance mode a commit actually took
+    (chained vs compacted) instead of trusting the cost story."""
+    if version is None:
+        vs = versions(table_dir)
+        if not vs:
+            raise ValueError(f"no committed versions under {table_dir!r}")
+        version = vs[-1]["version"]
+    return _usable_index_params(table_dir, key_col, version)
+
+
 def write_bloom_index(
     spark: SparkSession,
     table_dir: str,
@@ -604,11 +682,23 @@ def write_bloom_index(
     # chain's dirs with ITS recorded geometry. Rebuilding this dir in
     # place with a different (m_bits, k) would make those probes hash
     # with the wrong parameters — Bloom false NEGATIVES, silently
-    # dropped rows — so refuse the mismatched rebuild outright.
-    for later in versions(table_dir):
-        lv = int(later["version"])
-        if lv <= v:
-            continue
+    # dropped rows — so refuse the mismatched rebuild outright. The
+    # scan is over _index/bloom_<col>/v* dirs NEWER than v directly —
+    # never the manifest list — so the guard costs O(index dirs after
+    # v) params reads, not O(all versions) manifest loads: a rebuild
+    # or compaction on a long-lived table with thousands of retained
+    # versions stays metadata-cheap, matching the O(increment) story.
+    idx_root = os.path.join(table_dir, "_index", f"bloom_{key_col}")
+    later_versions = (
+        sorted(
+            int(d[1:])
+            for d in os.listdir(idx_root)
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) > v
+        )
+        if os.path.isdir(idx_root)
+        else []
+    )
+    for lv in later_versions:
         p = _usable_index_params(table_dir, key_col, lv)
         if p is None or v not in (int(c) for c in p.get("chain", [])):
             continue
@@ -641,6 +731,7 @@ def maintain_bloom_index(
     new_files: Sequence[str],
     prior_version: int,
     max_chain: int = 8,
+    geometry: tuple[int, int] | None = None,
 ) -> str:
     """TRUE O(increment) index maintenance for a commit that carries
     prior data files verbatim: the new version's index dir stores rows
@@ -668,14 +759,30 @@ def maintain_bloom_index(
     Geometry safety: new rows are built with the prior index's
     recorded (m_bits, k) — a mixed-geometry chain has false negatives
     on probe. If the prior version has no usable index, fall back to a
-    full rebuild. Returns the version's index dir.
+    full rebuild (at ``geometry`` when given, else defaults). Passing
+    an explicit ``geometry`` that DIFFERS from the prior recorded one
+    also forces a full rebuild at the new geometry — the chain resets,
+    which is the only safe way to re-tune a live index. Returns the
+    version's index dir.
     """
     from ..operators.lake import build_file_bloom_index
 
     params = _usable_index_params(table_dir, key_col, prior_version)
     if params is None:
-        return write_bloom_index(spark, table_dir, key_col, version=version)
+        if geometry is None:
+            return write_bloom_index(spark, table_dir, key_col, version=version)
+        return write_bloom_index(
+            spark, table_dir, key_col, version=version,
+            m_bits=int(geometry[0]), k=int(geometry[1]),
+        )
     m_bits, k = int(params["m_bits"]), int(params["k"])
+    if geometry is not None and (int(geometry[0]), int(geometry[1])) != (m_bits, k):
+        # explicit re-tune: a chain must be geometry-uniform, so the
+        # new geometry starts a fresh full index (chain resets)
+        return write_bloom_index(
+            spark, table_dir, key_col, version=version,
+            m_bits=int(geometry[0]), k=int(geometry[1]),
+        )
     chain = [int(c) for c in params["chain"]] + [prior_version]
     if len(chain) > max_chain or _index_chain_dirs(
         table_dir, key_col, prior_version, params
@@ -778,18 +885,38 @@ def read_version_pruned(
                 else:
                     sch = spark.read.parquet(*m["files"]).schema
                 types = {f.name: f.dataType for f in sch}
-            qualified = {
-                _local_path(q)
-                for q in bloom_qualified_files(
-                    spark,
-                    spark.read.parquet(*idx_dirs),
-                    col,
-                    types[col],
-                    list(vals),
-                    m_bits=int(params["m_bits"]),
-                    k=int(params["k"]),
-                )
-            }
+            try:
+                qualified = {
+                    _local_path(q)
+                    for q in bloom_qualified_files(
+                        spark,
+                        spark.read.parquet(*idx_dirs),
+                        col,
+                        types[col],
+                        list(vals),
+                        m_bits=int(params["m_bits"]),
+                        k=int(params["k"]),
+                    )
+                }
+            except Exception as e:  # noqa: BLE001 — filtered below
+                # a concurrent vacuum() can sweep a chain dir between
+                # _index_chain_dirs resolving it and the probe reading
+                # it (see vacuum's docstring). Degrade conservatively:
+                # skip pruning on this column (the exact isin filter
+                # below still applies — correct, just unpruned) rather
+                # than failing the read. Anything that is not a
+                # missing-path failure propagates.
+                msg = str(e)
+                if not any(
+                    s in msg
+                    for s in (
+                        "PATH_NOT_FOUND",
+                        "FileNotFoundException",
+                        "does not exist",
+                    )
+                ):
+                    raise
+                continue
             kept = [f for f in kept if _canon(f) in qualified]
             if not kept:
                 break
@@ -823,7 +950,18 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
     pre-compaction version on a continuous ingest stream).
     Returns {"versions_dropped", "files_deleted", "indexes_dropped"}.
     Time travel shrinks to the retained window — run it when the audit
-    horizon allows."""
+    horizon allows.
+
+    Reader race: like the data-file sweep, the index sweep can delete a
+    dir a concurrent :func:`read_version_pruned` of a NOW-DROPPED
+    version already resolved into its probe plan (the chain makes old
+    dirs live longer, so the window is wider than for data files). The
+    pruned read degrades conservatively — a probe that fails because an
+    index path vanished mid-read falls back to the unpruned file list
+    for that column (never a wrong answer, see read_version_pruned) —
+    but a reader pinned to a dropped version can still lose its DATA
+    files; vacuum only when every reader is on a retained version, the
+    same caveat as time travel."""
     import shutil
 
     if keep_last < 1:

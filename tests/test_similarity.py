@@ -730,3 +730,26 @@ def test_embedding_neardup_target_block_rows_scales_grid(spark):
 
     with pytest.raises(ValueError, match="target_block_rows"):
         embedding_neardup_pairs(df, target_block_rows=0).collect()
+
+
+def test_semantic_dedup_rejects_nonpositive_n_rows(spark):
+    """n_rows is trusted as the exact df.count() (re-counting would
+    defeat passing it); an obviously-wrong non-positive value is
+    rejected loudly instead of silently shrinking k_from_target back
+    into the per-task memory cliff."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [(i, [float(i % 4), 1.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="n_rows must be the exact positive"):
+        semantic_dedup(df, k=2, iters=0, target_cluster_size=4, n_rows=0)
+    # a correct explicit count matches the self-counted run
+    info_a, info_b = {}, {}
+    a = semantic_dedup(df, k=2, iters=0, target_cluster_size=4, info=info_a)
+    b = semantic_dedup(
+        df, k=2, iters=0, target_cluster_size=4, n_rows=8, info=info_b
+    )
+    assert info_a == info_b
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -1114,3 +1114,146 @@ def test_footer_stats_decimal_outward_and_text_stats_unusable(spark, tmp_path):
     assert prune_manifest_files(spark, [txt], {"v": (0, 1)}) == [txt]
     with pytest.raises(Exception, match="non-numeric statistics"):
         parquet_footer_stats(spark, [txt], ["v"], strict=True).collect()
+
+
+def test_overwrite_inherits_tuned_index_geometry(spark, table):
+    """A mode='overwrite' commit (and any other full rebuild) INHERITS
+    the prior version's recorded (m_bits, k) — the one commit mode that
+    used to silently reset a tuned index to defaults. Explicit
+    index_geometry still overrides."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        index_params,
+    )
+
+    write_version(
+        spark, _tagged_batch(spark, 0, 200), table,
+        index_cols=["tag"], index_geometry={"tag": (1 << 12, 2)},
+    )
+    p1 = index_params(table, "tag", version=1)
+    assert (p1["m_bits"], p1["k"], p1["chain"]) == (1 << 12, 2, [])
+
+    # overwrite with no geometry: tuned values survive, not defaults
+    write_version(
+        spark, _tagged_batch(spark, 200, 400), table,
+        mode="overwrite", index_cols=["tag"],
+    )
+    p2 = index_params(table, "tag", version=2)
+    assert (p2["m_bits"], p2["k"], p2["chain"]) == (1 << 12, 2, [])
+
+    # explicit override still wins (the deliberate re-tune path)
+    write_version(
+        spark, _tagged_batch(spark, 400, 600), table,
+        mode="overwrite", index_cols=["tag"],
+        index_geometry={"tag": (1 << 14, 4)},
+    )
+    p3 = index_params(table, "tag", version=3)
+    assert (p3["m_bits"], p3["k"], p3["chain"]) == (1 << 14, 4, [])
+
+
+def test_explicit_geometry_on_append_forces_retune_rebuild(spark, table):
+    """An append that passes a geometry DIFFERENT from the prior
+    recorded one cannot chain (mixed-geometry chains have Bloom false
+    negatives) — it must full-rebuild at the new geometry with a reset
+    chain, and the rebuilt index must cover BOTH commits' files."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        index_params,
+        read_version_pruned,
+    )
+
+    write_version(
+        spark, _tagged_batch(spark, 0, 200), table,
+        index_cols=["tag"], index_geometry={"tag": (1 << 12, 2)},
+    )
+    write_version(
+        spark, _tagged_batch(spark, 200, 400), table,
+        mode="append", index_cols=["tag"],
+        index_geometry={"tag": (1 << 14, 4)},
+    )
+    p2 = index_params(table, "tag", version=2)
+    assert (p2["m_bits"], p2["k"], p2["chain"]) == (1 << 14, 4, [])
+    # the fresh full index covers v1's carried files too: probes on
+    # keys from both commits find their rows and still prune
+    for probe_id in (100, 300):
+        t = (probe_id * 2654435761) % 100003
+        got, info = read_version_pruned(spark, table, keys={"tag": [t]})
+        assert sorted(r["id"] for r in got.collect()) == [probe_id]
+        assert info["files_read"] < info["files_total"] == 4
+
+
+def test_append_fallback_rebuild_honours_explicit_geometry(spark, table):
+    """When the prior version has NO usable index, the append-path
+    fallback full rebuild must use the caller's index_geometry, not
+    library defaults."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        index_params,
+    )
+
+    write_version(spark, _tagged_batch(spark, 0, 200), table)  # no index
+    write_version(
+        spark, _tagged_batch(spark, 200, 400), table,
+        mode="append", index_cols=["tag"],
+        index_geometry={"tag": (1 << 12, 2)},
+    )
+    p2 = index_params(table, "tag", version=2)
+    assert (p2["m_bits"], p2["k"], p2["chain"]) == (1 << 12, 2, [])
+
+
+def test_pruned_read_degrades_unpruned_when_index_vanishes_mid_probe(
+    spark, table, monkeypatch
+):
+    """The vacuum/reader race: a chain dir can be swept between
+    _index_chain_dirs resolving it and the probe reading it. The read
+    must degrade to the unpruned file list for that column (the exact
+    filter still applies — same rows, more files), never fail; a
+    non-missing-path probe error must still propagate."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators import lake
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        read_version_pruned,
+    )
+
+    write_version(spark, _tagged_batch(spark, 0, 200), table, index_cols=["tag"])
+    write_version(
+        spark, _tagged_batch(spark, 200, 400), table,
+        mode="append", index_cols=["tag"],
+    )
+
+    def gone(*a, **kw):
+        raise Exception("[PATH_NOT_FOUND] Path does not exist: _index/...")
+
+    monkeypatch.setattr(lake, "bloom_qualified_files", gone)
+    t = (300 * 2654435761) % 100003
+    got, info = read_version_pruned(spark, table, keys={"tag": [t]})
+    assert sorted(r["id"] for r in got.collect()) == [300]  # correct rows
+    assert info["files_read"] == info["files_total"]  # conservative: unpruned
+
+    def broken(*a, **kw):
+        raise Exception("java.lang.OutOfMemoryError: not a path problem")
+
+    monkeypatch.setattr(lake, "bloom_qualified_files", broken)
+    with pytest.raises(Exception, match="OutOfMemoryError"):
+        read_version_pruned(spark, table, keys={"tag": [t]})
+
+
+def test_index_params_accessor_reports_chain_state(spark, table):
+    """index_params: latest-by-default, explicit version, None for a
+    version without a usable index, loud on an empty table."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        index_params,
+    )
+
+    with pytest.raises(ValueError, match="no committed versions"):
+        index_params(table, "tag")
+    write_version(spark, _tagged_batch(spark, 0, 200), table)  # no index
+    assert index_params(table, "tag") is None
+    write_version(
+        spark, _tagged_batch(spark, 200, 400), table,
+        mode="append", index_cols=["tag"],
+    )
+    p = index_params(table, "tag")  # latest = v2 (fallback full build)
+    assert p is not None and p["chain"] == []
+    write_version(
+        spark, _tagged_batch(spark, 400, 600), table,
+        mode="append", index_cols=["tag"],
+    )
+    assert index_params(table, "tag")["chain"] == [2]
+    assert index_params(table, "tag", version=2)["chain"] == []
