@@ -83,39 +83,53 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _MANIFEST_DIR, f"v{version:08d}.json")
 
 
-def versions(table_dir: str) -> list[dict]:
-    """All committed versions, ascending: [{version, n_files, n_rows,
-    mode, committed_at}]."""
+def _version_numbers(table_dir: str) -> list[int]:
+    """Committed version numbers, ascending — one directory listing,
+    ZERO manifest reads (committed names are ``v{N:08d}.json``; staged
+    temp files carry a ``.tmp.<uuid>`` suffix and never match). Every
+    internal who-is-latest / does-v-exist question goes through this,
+    so commits, index maintenance and reads cost O(1) manifest loads
+    regardless of how many versions a long-lived table retains."""
     mdir = os.path.join(table_dir, _MANIFEST_DIR)
     if not os.path.isdir(mdir):
         return []
     out = []
-    for f in sorted(os.listdir(mdir)):
-        if f.startswith("v") and f.endswith(".json"):
-            with open(os.path.join(mdir, f)) as fh:
-                m = json.load(fh)
-            out.append(
-                {
-                    "version": m["version"],
-                    "n_files": len(m["files"]),
-                    "n_rows": m["n_rows"],
-                    "mode": m["mode"],
-                    "committed_at": m["committed_at"],
-                }
-            )
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit():
+            out.append(int(f[1:-5]))
+    return sorted(out)
+
+
+def versions(table_dir: str) -> list[dict]:
+    """All committed versions, ascending: [{version, n_files, n_rows,
+    mode, committed_at}]. This is the REPORTING surface and reads every
+    manifest by design; internal code paths use the listing-only
+    :func:`_version_numbers` so per-commit metadata cost stays O(1)."""
+    out = []
+    for v in _version_numbers(table_dir):
+        with open(_manifest_path(table_dir, v)) as fh:
+            m = json.load(fh)
+        out.append(
+            {
+                "version": m["version"],
+                "n_files": len(m["files"]),
+                "n_rows": m["n_rows"],
+                "mode": m["mode"],
+                "committed_at": m["committed_at"],
+            }
+        )
     return out
 
 
 def _load_manifest(table_dir: str, version: int | None) -> dict:
-    vs = versions(table_dir)
+    vs = _version_numbers(table_dir)
     if not vs:
         raise ValueError(f"no committed versions under {table_dir!r}")
     if version is None:
-        version = vs[-1]["version"]
+        version = vs[-1]
     path = _manifest_path(table_dir, version)
     if not os.path.exists(path):
-        known = [v["version"] for v in vs]
-        raise ValueError(f"version {version} not found (have {known})")
+        raise ValueError(f"version {version} not found (have {vs})")
     with open(path) as fh:
         return json.load(fh)
 
@@ -230,12 +244,8 @@ def _commit(table_dir: str, build: Callable[[dict | None], dict]) -> int:
     abort instead of rebasing (copy-on-write ops do)."""
     os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
     while True:
-        prior_list = versions(table_dir)
-        prior = (
-            _load_manifest(table_dir, prior_list[-1]["version"])
-            if prior_list
-            else None
-        )
+        nums = _version_numbers(table_dir)
+        prior = _load_manifest(table_dir, nums[-1]) if nums else None
         body = build(prior)
         next_v = (prior["version"] + 1) if prior else 1
         manifest = {"version": next_v, "committed_at": time.time(), **body}
@@ -340,8 +350,7 @@ def merge_version(
     from ..operators.dedup import keep_first_dedup
 
     key_cols = list(keys)
-    vs = versions(table_dir)
-    if not vs:
+    if not _version_numbers(table_dir):
         v = write_version(
             spark, incoming, table_dir, index_cols=index_cols,
             index_geometry=index_geometry, index_max_chain=index_max_chain,
@@ -353,9 +362,7 @@ def merge_version(
             "files_carried": 0,
             "n_rows": m["n_rows"],
         }
-    base = _load_manifest(
-        table_dir, vs[-1]["version"] if base_version is None else base_version
-    )
+    base = _load_manifest(table_dir, base_version)
     if base["files"]:
         cur = spark.read.parquet(*base["files"]).withColumn(
             "__file", F.col("_metadata.file_path")
@@ -451,12 +458,7 @@ def delete_version(
     from pyspark.sql import functions as F
 
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-    vs = versions(table_dir)
-    if not vs:
-        raise ValueError(f"no committed versions under {table_dir!r}")
-    base = _load_manifest(
-        table_dir, vs[-1]["version"] if base_version is None else base_version
-    )
+    base = _load_manifest(table_dir, base_version)
     if base["files"]:
         tbl = spark.read.parquet(*base["files"])
         schema_json = tbl.schema.json()
@@ -641,10 +643,10 @@ def index_params(
     and audits assert the maintenance mode a commit actually took
     (chained vs compacted) instead of trusting the cost story."""
     if version is None:
-        vs = versions(table_dir)
+        vs = _version_numbers(table_dir)
         if not vs:
             raise ValueError(f"no committed versions under {table_dir!r}")
-        version = vs[-1]["version"]
+        version = vs[-1]
     return _usable_index_params(table_dir, key_col, version)
 
 
@@ -966,12 +968,12 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    vs = versions(table_dir)
+    vs = _version_numbers(table_dir)
     drop = vs[:-keep_last]
     keep = vs[-keep_last:]
     keep_files = set()
     for v in keep:
-        keep_files.update(_load_manifest(table_dir, v["version"])["files"])
+        keep_files.update(_load_manifest(table_dir, v)["files"])
     # index dirs still referenced: each retained version's own dir plus
     # every chain link its recorded params name, per index column
     index_root = os.path.join(table_dir, "_index")
@@ -982,26 +984,26 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
                 continue
             col = idx[len("bloom_"):]
             for v in keep:
-                params = _usable_index_params(table_dir, col, v["version"])
+                params = _usable_index_params(table_dir, col, v)
                 if params is None:
                     continue
-                referenced.add((idx, v["version"]))
+                referenced.add((idx, v))
                 referenced.update((idx, int(c)) for c in params["chain"])
     deleted = 0
     for v in drop:
-        m = _load_manifest(table_dir, v["version"])
+        m = _load_manifest(table_dir, v)
         for f in m["files"]:
             if f not in keep_files and os.path.exists(f):
                 os.remove(f)
                 deleted += 1
-        os.remove(_manifest_path(table_dir, v["version"]))
+        os.remove(_manifest_path(table_dir, v))
     # index cleanup is a FULL sweep of _index/bloom_*/v*, not a walk of
     # this call's dropped manifests: a dir preserved earlier as a live
     # chain link outlives its manifest, and once compaction resets the
     # chain nothing references it — a manifest-driven walk would never
     # revisit it and the dir would leak forever on a continuous ingest
     # stream. Retained versions' own dirs are always kept.
-    retained = {v["version"] for v in keep}
+    retained = set(keep)
     indexes_dropped = 0
     if os.path.isdir(index_root):
         for idx in os.listdir(index_root):
