@@ -72,6 +72,8 @@ def main() -> None:
     # 19.96→25.45s on unchanged query code; min-of-3 + per-pass loadavg
     # separates ambient from real). Override with SPARK_GRAFT_BENCH_PASSES.
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    if n_passes < 1:
+        raise ValueError(f"SPARK_GRAFT_BENCH_PASSES must be >= 1, got {n_passes}")
     timings: dict[str, float] = {}
     pass_loadavg: list[list[float]] = []
     pass_totals: list[float] = []

@@ -208,16 +208,19 @@ def semantic_dedup(
     from .neardup import _materialize
 
     src = df.select(id_col, vec_col)
+    if n_rows is not None and n_rows < 1:
+        # validated regardless of target_cluster_size: a caller who
+        # passes a count believing it is honored must hear about a
+        # garbage value even on the fixed-k path
+        raise ValueError(
+            f"n_rows must be the exact positive count of df, got {n_rows}"
+        )
     if info is not None:
         info.update(k_requested=k, target_engaged=False)
     if target_cluster_size is not None:
         if target_cluster_size < 1:
             raise ValueError(
                 f"target_cluster_size must be >= 1, got {target_cluster_size}"
-            )
-        if n_rows is not None and n_rows < 1:
-            raise ValueError(
-                f"n_rows must be the exact positive count of df, got {n_rows}"
             )
         n = src.count() if n_rows is None else n_rows
         k_from_target = -(-n // target_cluster_size)

@@ -83,21 +83,34 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _MANIFEST_DIR, f"v{version:08d}.json")
 
 
-def _version_numbers(table_dir: str) -> list[int]:
-    """Committed version numbers, ascending — one directory listing,
-    ZERO manifest reads (committed names are ``v{N:08d}.json``; staged
-    temp files carry a ``.tmp.<uuid>`` suffix and never match). Every
-    internal who-is-latest / does-v-exist question goes through this,
-    so commits, index maintenance and reads cost O(1) manifest loads
-    regardless of how many versions a long-lived table retains."""
-    mdir = os.path.join(table_dir, _MANIFEST_DIR)
-    if not os.path.isdir(mdir):
+def _entry_versions(dirpath: str, suffix: str = "") -> list[int]:
+    """Sorted version numbers of the ``v{N}{suffix}`` entries in one
+    directory — the SINGLE parser for every versioned namespace
+    (manifest files, per-column index dirs, vacuum's sweep), so the
+    naming convention can never drift between writer and sweeper.
+    Staged ``.tmp.<uuid>`` manifests and foreign names never match."""
+    if not os.path.isdir(dirpath):
         return []
     out = []
-    for f in os.listdir(mdir):
-        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit():
-            out.append(int(f[1:-5]))
+    for f in os.listdir(dirpath):
+        if suffix:
+            if not f.endswith(suffix):
+                continue
+            core = f[: len(f) - len(suffix)]
+        else:
+            core = f
+        if core.startswith("v") and core[1:].isdigit():
+            out.append(int(core[1:]))
     return sorted(out)
+
+
+def _version_numbers(table_dir: str) -> list[int]:
+    """Committed version numbers, ascending — one directory listing,
+    ZERO manifest reads. Every internal who-is-latest / does-v-exist
+    question goes through this, so commits, index maintenance and reads
+    cost O(1) manifest loads regardless of how many versions a
+    long-lived table retains."""
+    return _entry_versions(os.path.join(table_dir, _MANIFEST_DIR), ".json")
 
 
 def versions(table_dir: str) -> list[dict]:
@@ -141,14 +154,19 @@ def _resolve_index_geometry(
     explicit: tuple[int, int] | None,
 ) -> tuple[int, int] | None:
     """Geometry for a full (re)build: an explicit ``index_geometry``
-    entry wins; otherwise INHERIT the prior version's recorded
-    (m_bits, k) when a usable prior index exists — an overwrite commit
-    on a table with a tuned index must not silently reset it to
-    defaults. None = no prior, no override: library defaults."""
+    entry wins; otherwise INHERIT the most recent recorded (m_bits, k)
+    at or before ``prior_version`` — an overwrite commit on a table
+    with a tuned index must not silently reset it to defaults, and the
+    walk-back (newest usable index dir, one listdir) means an
+    unindexed intermediate commit cannot break the inheritance either.
+    None = no prior index anywhere, no override: library defaults."""
     if explicit is not None:
         return int(explicit[0]), int(explicit[1])
-    if prior_version >= 1:
-        p = _usable_index_params(table_dir, key_col, prior_version)
+    idx_root = os.path.join(table_dir, "_index", f"bloom_{key_col}")
+    for pv in reversed(_entry_versions(idx_root)):
+        if pv > prior_version:
+            continue
+        p = _usable_index_params(table_dir, key_col, pv)
         if p is not None:
             return int(p["m_bits"]), int(p["k"])
     return None
@@ -691,15 +709,7 @@ def write_bloom_index(
     # or compaction on a long-lived table with thousands of retained
     # versions stays metadata-cheap, matching the O(increment) story.
     idx_root = os.path.join(table_dir, "_index", f"bloom_{key_col}")
-    later_versions = (
-        sorted(
-            int(d[1:])
-            for d in os.listdir(idx_root)
-            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) > v
-        )
-        if os.path.isdir(idx_root)
-        else []
-    )
+    later_versions = [x for x in _entry_versions(idx_root) if x > v]
     for lv in later_versions:
         p = _usable_index_params(table_dir, key_col, lv)
         if p is None or v not in (int(c) for c in p.get("chain", [])):
@@ -716,9 +726,18 @@ def write_bloom_index(
             )
     out = _bloom_index_dir(table_dir, key_col, v)
     if not m["files"]:
-        os.makedirs(out, exist_ok=True)
-        return out
-    idx = build_file_bloom_index(spark, m["files"], key_col, m_bits=m_bits, k=k)
+        # an empty snapshot (delete-all / empty-df overwrite) still
+        # records its geometry with one empty part file: the dir stays
+        # USABLE, so later commits keep inheriting the tuned (m_bits,
+        # k) and index_params() keeps answering audits — dropping the
+        # params here would silently reset tuning at the next rebuild
+        from ..operators.lake import BLOOM_INDEX_SCHEMA
+
+        idx = spark.createDataFrame([], BLOOM_INDEX_SCHEMA).repartition(1)
+    else:
+        idx = build_file_bloom_index(
+            spark, m["files"], key_col, m_bits=m_bits, k=k
+        )
     idx.write.mode("overwrite").parquet(out)
     with open(os.path.join(out, "_params.json"), "w") as fh:
         json.dump({"m_bits": m_bits, "k": k, "chain": []}, fh)
@@ -771,11 +790,14 @@ def maintain_bloom_index(
 
     params = _usable_index_params(table_dir, key_col, prior_version)
     if params is None:
-        if geometry is None:
+        # no usable prior index to chain onto: full rebuild, at the
+        # explicit geometry when given, else whatever the table last
+        # recorded (walk-back inheritance), else library defaults
+        geo = _resolve_index_geometry(table_dir, key_col, prior_version, geometry)
+        if geo is None:
             return write_bloom_index(spark, table_dir, key_col, version=version)
         return write_bloom_index(
-            spark, table_dir, key_col, version=version,
-            m_bits=int(geometry[0]), k=int(geometry[1]),
+            spark, table_dir, key_col, version=version, m_bits=geo[0], k=geo[1]
         )
     m_bits, k = int(params["m_bits"]), int(params["k"])
     if geometry is not None and (int(geometry[0]), int(geometry[1])) != (m_bits, k):
@@ -908,14 +930,13 @@ def read_version_pruned(
                 # below still applies — correct, just unpruned) rather
                 # than failing the read. Anything that is not a
                 # missing-path failure propagates.
+                # narrow markers only: a broad match (e.g. "does not
+                # exist") would also swallow persistent misconfig
+                # errors and permanently disable pruning with no signal
                 msg = str(e)
                 if not any(
                     s in msg
-                    for s in (
-                        "PATH_NOT_FOUND",
-                        "FileNotFoundException",
-                        "does not exist",
-                    )
+                    for s in ("PATH_NOT_FOUND", "FileNotFoundException")
                 ):
                     raise
                 continue
@@ -1010,13 +1031,12 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
             if not idx.startswith("bloom_"):
                 continue
             idx_dir = os.path.join(index_root, idx)
-            for vdir in sorted(os.listdir(idx_dir)):
-                if not (vdir.startswith("v") and vdir[1:].isdigit()):
-                    continue
-                vn = int(vdir[1:])
+            for vn in _entry_versions(idx_dir):
                 if vn in retained or (idx, vn) in referenced:
                     continue
-                shutil.rmtree(os.path.join(idx_dir, vdir), ignore_errors=True)
+                shutil.rmtree(
+                    os.path.join(idx_dir, f"v{vn:08d}"), ignore_errors=True
+                )
                 indexes_dropped += 1
     return {
         "versions_dropped": len(drop),

@@ -45,13 +45,16 @@ def synth_corpus(spark, n_docs: int, words_per_doc: int):
     syl = F.array(*[F.lit(s) for s in syls])
     n_syl = len(syls)
 
-    # word(wid): 2-4 syllables, indices derived from the word id — the
-    # same wid always spells the same word, distinct wids mostly differ
+    # word(wid): 2-4 syllables, each position's index an independent
+    # hash of (wid, position) — the same wid always spells the same
+    # word, and EVERY position is diverse (a base-n_syl digit
+    # derivation would pin positions ≥ 2 to one syllable whenever
+    # VOCAB < n_syl², skewing the corpus and the merge statistics)
     def word(wid):
         s = [
             F.element_at(
                 syl,
-                (F.pmod(F.floor(wid / (n_syl**i)), F.lit(n_syl)) + 1).cast("int"),
+                (F.pmod(F.xxhash64(wid, F.lit(i)), F.lit(n_syl)) + 1).cast("int"),
             )
             for i in range(4)
         ]

@@ -1257,3 +1257,81 @@ def test_index_params_accessor_reports_chain_state(spark, table):
     )
     assert index_params(table, "tag")["chain"] == [2]
     assert index_params(table, "tag", version=2)["chain"] == []
+
+
+def test_geometry_inheritance_survives_unindexed_intermediate_commit(
+    spark, table
+):
+    """Walk-back inheritance: an intermediate commit WITHOUT index_cols
+    must not break the geometry chain-of-custody — the next indexed
+    rebuild inherits the most recent recorded (m_bits, k), not library
+    defaults (review finding: one-version-back lookup silently reset
+    tuning across any unindexed commit)."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        index_params,
+    )
+
+    write_version(
+        spark, _tagged_batch(spark, 0, 200), table,
+        index_cols=["tag"], index_geometry={"tag": (1 << 12, 2)},
+    )
+    write_version(spark, _tagged_batch(spark, 200, 400), table)  # no index
+    assert index_params(table, "tag", version=2) is None
+    write_version(
+        spark, _tagged_batch(spark, 400, 600), table,
+        mode="overwrite", index_cols=["tag"],
+    )
+    p3 = index_params(table, "tag", version=3)
+    assert (p3["m_bits"], p3["k"], p3["chain"]) == (1 << 12, 2, [])
+    # the append path's no-usable-prior fallback inherits too
+    write_version(
+        spark, _tagged_batch(spark, 600, 800), table,
+        mode="append", index_cols=["tag"],
+    )
+    write_version(spark, _tagged_batch(spark, 800, 900), table)  # unindexed
+    write_version(
+        spark, _tagged_batch(spark, 900, 1000), table,
+        mode="append", index_cols=["tag"],
+    )
+    p6 = index_params(table, "tag", version=6)
+    assert (p6["m_bits"], p6["k"], p6["chain"]) == (1 << 12, 2, [])
+
+
+def test_empty_snapshot_index_keeps_recorded_geometry(spark, table):
+    """A delete-all (empty snapshot) commit with index_cols still
+    records its geometry with one empty part file: the dir stays
+    usable, audits keep answering, and the next commit inherits the
+    tuning instead of silently rebuilding at defaults (review finding:
+    the empty-manifest branch returned a bare dir with no params)."""
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        delete_version,
+        index_params,
+        read_version,
+        read_version_pruned,
+    )
+
+    write_version(
+        spark, _tagged_batch(spark, 0, 200), table,
+        index_cols=["tag"], index_geometry={"tag": (1 << 12, 2)},
+    )
+    # chain would exceed max_chain=0 → the delete compacts via a full
+    # rebuild over an EMPTY manifest (every row deleted)
+    delete_version(
+        spark, table, F.lit(True), index_cols=["tag"], index_max_chain=0,
+    )
+    assert read_version(spark, table).count() == 0
+    p2 = index_params(table, "tag", version=2)
+    assert (p2["m_bits"], p2["k"], p2["chain"]) == (1 << 12, 2, [])
+    # probing the empty version prunes to zero files and returns nothing
+    t = (100 * 2654435761) % 100003
+    got, info = read_version_pruned(spark, table, keys={"tag": [t]})
+    assert got.count() == 0 and info["files_read"] == 0
+    # the table refills; tuning survived the empty snapshot
+    write_version(
+        spark, _tagged_batch(spark, 0, 100), table,
+        mode="append", index_cols=["tag"],
+    )
+    p3 = index_params(table, "tag", version=3)
+    assert (p3["m_bits"], p3["k"]) == (1 << 12, 2)
