@@ -47,6 +47,8 @@ __all__ = [
     "assign_stable_ids",
     "pps_systematic_sample",
     "weighted_sample_aes",
+    "cap_per_group",
+    "group_split",
 ]
 
 _PID = "__sampling_pid"
@@ -233,3 +235,67 @@ def _aes_replay(rows: list[tuple], k: int, salt: str = "#aes") -> list:
         scored.append((-math.log(u) / float(w), key))
     scored.sort()
     return [key for _, key in scored[:k]]
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_col: str,
+    salt: str = "#cap",
+) -> DataFrame:
+    """Per-group cap: keep at most ``n`` rows per ``group_col`` value —
+    the C4/Common-Crawl "at most N pages per domain" curation rule that
+    stops a single hot site from dominating a training mix. Which rows
+    survive is deterministic and portable: per-group md5 order
+    (``md5(order_col || salt)``, ties broken by ``order_col``), not
+    ``rand()`` — the same cap replays on any cluster topology and in
+    the SQL oracle.
+
+    Scale: one shuffle on the group key; within each group the sort is
+    group-local, and Spark's WindowGroupLimit pushes the ``rn <= n``
+    bound map-side (partial top-n per task before the exchange), so a
+    hot domain never concentrates its full row set on one task's
+    sort buffer beyond the bound."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    _check_collisions(df, ["__cap_rn"])
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(
+            F.md5(F.concat(F.col(order_col).cast("string"), F.lit(salt))),
+            F.col(order_col),
+        )
+    )
+    return (
+        df.withColumn("__cap_rn", F.row_number().over(w))
+        .filter(F.col("__cap_rn") <= n)
+        .drop("__cap_rn")
+    )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a function
+    of the GROUP key (domain, dedup-cluster id, author…), so every row
+    of a group lands on the same side — the guard against the classic
+    evaluation leak where near-duplicate documents from one site
+    straddle train and test. Same portable md5-prefix convention and
+    shared thresholds as the row-level split
+    (``functions/splits.py``); a pure map, no shuffle, no RNG.
+    """
+    from ..functions.splits import SPLIT_SALT, TRAIN_UPPER_HEX, VAL_UPPER_HEX
+
+    _check_collisions(df, [split_col])
+    h = F.md5(F.concat(F.col(group_col).cast("string"), F.lit(SPLIT_SALT)))
+    return df.withColumn(
+        split_col,
+        F.when(h < TRAIN_UPPER_HEX, "train")
+        .when(h < VAL_UPPER_HEX, "val")
+        .otherwise("test"),
+    )

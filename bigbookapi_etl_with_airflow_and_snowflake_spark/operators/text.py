@@ -566,3 +566,78 @@ def gopher_repetition(
             "repetition_pass"
         ),
     )
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_sentences: int = 5,
+    min_words_per_line: int = 3,
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, *Exploring the
+    Limits of Transfer Learning…*, §2.2 — the "Colossal Clean Crawled
+    Corpus" ruleset), the third published filter bundle alongside
+    :func:`gopher_rules` and :func:`gopher_repetition`. Line-level
+    cleaning plus page-level drops, all engine-portable expressions
+    (``right``/``contains``/``replace`` + length-difference counting —
+    no regex dialect dependence, no UDF, no shuffle):
+
+    Line KEPT iff (C4 §2.2 verbatim):
+    - it ends in a terminal punctuation mark (``.``, ``!``, ``?``,
+      ``"``), and
+    - it has ≥ ``min_words_per_line`` whitespace words (C4: 3), and
+    - it does not contain the word "javascript" (case-insensitive —
+      C4 drops boilerplate "enable Javascript" lines).
+
+    Page flags (on the ORIGINAL text — C4 discards the whole page):
+    - ``no_lorem_ipsum``: "lorem ipsum" absent (case-insensitive)
+    - ``no_curly_brace``: ``{`` absent (code marker)
+    - ``min_sentences_ok``: the CLEANED text (kept lines only) carries
+      ≥ ``min_sentences`` terminal marks (``.!?``) — C4's ≥-5-sentence
+      floor, counted after line cleaning as the paper does
+    - ``c4_pass``: AND of the three.
+
+    Output: one row per input — (id, n_lines, n_kept_lines,
+    n_sentences, clean_text, the flags). ``clean_text`` is the kept
+    lines re-joined with ``\\n`` — the deliverable a C4-style pipeline
+    feeds downstream. One narrow whole-stage-codegen projection per
+    document, same scale shape as the Gopher gates.
+    """
+    if min_sentences < 1:
+        raise ValueError(f"min_sentences must be >= 1, got {min_sentences}")
+    if min_words_per_line < 1:
+        raise ValueError(
+            f"min_words_per_line must be >= 1, got {min_words_per_line}"
+        )
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def _line_ok(line):
+        return (
+            F.right(line, F.lit(1)).isin(".", "!", "?", '"')
+            & (F.size(F.split(F.trim(line), r"\s+")) >= min_words_per_line)
+            & ~F.contains(F.lower(line), F.lit("javascript"))
+        )
+
+    kept = F.filter(lines, _line_ok)
+    clean = F.array_join(kept, "\n")
+
+    def _count(s, ch):
+        return F.length(s) - F.length(F.replace(s, F.lit(ch), F.lit("")))
+
+    n_sentences = _count(clean, ".") + _count(clean, "!") + _count(clean, "?")
+    no_lorem = ~F.contains(F.lower(t), F.lit("lorem ipsum"))
+    no_curly = ~F.contains(t, F.lit("{"))
+    min_sentences_ok = n_sentences >= min_sentences
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sentences.cast("long").alias("n_sentences"),
+        clean.alias("clean_text"),
+        no_lorem.alias("no_lorem_ipsum"),
+        no_curly.alias("no_curly_brace"),
+        min_sentences_ok.alias("min_sentences_ok"),
+        (no_lorem & no_curly & min_sentences_ok).alias("c4_pass"),
+    )

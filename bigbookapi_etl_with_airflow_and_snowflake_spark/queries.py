@@ -2424,16 +2424,18 @@ _DRIVER_PRIORITY = [
     "url_parts",
     "html_strip",
     "chunk_documents",
-    # -- (3) r7-green picks up to 50 -------------------------------------------
+    # -- (3) new round-10 curation entries (C4 ruleset, per-domain cap,
+    #        leakage-safe group split) -----------------------------------------
+    "c4_filters",
+    "domain_cap_sample",
+    "domain_group_split",
+    # -- (4) r7-green picks up to 50 -------------------------------------------
     "versioned_pruned_read",
     "merge_upsert_orders",
     "incremental_dedup",
     "rollup_refresh",
     "corpus_manifest",
     "decontaminate",
-    "jaccard_pairs",
-    "minhash_band_pairs",
-    "lm_quality",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

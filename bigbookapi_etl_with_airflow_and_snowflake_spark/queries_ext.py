@@ -2029,7 +2029,158 @@ GROUP BY ec.event_type
 """
 
 
+def _c4_page():
+    """Deterministic line/sentence structure for the newline-free
+    driver corpus (the url_parts convention: synthesize portably, run
+    the REAL operator): ' merge' → sentence break + newline, ' scan' →
+    the word 'javascript' (C4's boilerplate-line marker), plus page-
+    level 'lorem ipsum' / '{' injections on doc_id residues so every
+    drop rule provably fires."""
+    page = F.replace(
+        F.replace(F.col("text"), F.lit(" merge"), F.lit(".\n")),
+        F.lit(" scan"),
+        F.lit(" javascript"),
+    )
+    return F.concat(
+        page,
+        F.when(F.col("doc_id") % 7 == 0, F.lit("\nlorem ipsum tail line."))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\ncode { brace line."))
+        .otherwise(F.lit("")),
+    )
+
+
+def q_c4_filters(spark, sf):
+    """The C4 ruleset (Raffel et al. 2020 §2.2) over the corpus
+    (operators/text.py c4_rules): line-level cleaning (terminal
+    punctuation, ≥3 words, no 'javascript') and page-level drops
+    ('lorem ipsum', '{', ≥min_sentences after cleaning). The oracle
+    replays the IDENTICAL lambda with DuckDB's list_filter — including
+    clean_text, so the kept-line ORDER is hash-locked, not just the
+    counts. min_sentences=2 fits the corpus's short documents; the
+    production default is C4's 5."""
+    from .operators.text import c4_rules
+
+    d = _t(spark, sf, "documents").select("doc_id", _c4_page().alias("text"))
+    return c4_rules(d, min_sentences=2)
+
+
+SQL_C4_FILTERS = r"""
+WITH d AS (
+  SELECT doc_id,
+         replace(replace(text, ' merge', '.' || chr(10)), ' scan', ' javascript')
+         || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum tail line.' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'code { brace line.' ELSE '' END
+         AS page
+  FROM documents
+),
+k AS (
+  SELECT doc_id, page,
+         string_split(page, chr(10)) AS lines,
+         list_filter(string_split(page, chr(10)), l ->
+           right(l, 1) IN ('.', '!', '?', '"')
+           AND len(string_split_regex(trim(l), '\s+')) >= 3
+           AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM d
+),
+c AS (
+  -- array_to_string([]) is NULL in DuckDB, '' in Spark's array_join
+  SELECT *, COALESCE(array_to_string(kept, chr(10)), '') AS ct FROM k
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       CAST((length(ct) - length(replace(ct, '.', '')))
+          + (length(ct) - length(replace(ct, '!', '')))
+          + (length(ct) - length(replace(ct, '?', ''))) AS BIGINT) AS n_sentences,
+       ct AS clean_text,
+       NOT contains(lower(page), 'lorem ipsum') AS no_lorem_ipsum,
+       NOT contains(page, '{') AS no_curly_brace,
+       (length(ct) - length(replace(ct, '.', '')))
+         + (length(ct) - length(replace(ct, '!', '')))
+         + (length(ct) - length(replace(ct, '?', ''))) >= 2 AS min_sentences_ok,
+       NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{')
+         AND (length(ct) - length(replace(ct, '.', '')))
+           + (length(ct) - length(replace(ct, '!', '')))
+           + (length(ct) - length(replace(ct, '?', ''))) >= 2 AS c4_pass
+FROM c
+"""
+
+
+def q_domain_cap_sample(spark, sf):
+    """Per-domain cap (operators/sampling.py cap_per_group): at most 8
+    documents per registered domain, chosen by portable md5 order —
+    the C4/Common-Crawl "max N pages per site" rule that stops one hot
+    domain from dominating a training mix. Domains are synthesized
+    deterministically (url_parts convention). The plan's
+    WindowGroupLimit bounds the per-group sort map-side, so a hot
+    domain never concentrates past the cap on one task."""
+    from .operators.sampling import cap_per_group
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.concat(
+            F.lit("example"), (F.col("doc_id") % 5).cast("string"), F.lit(".com")
+        ).alias("domain"),
+    )
+    return cap_per_group(d, "domain", 8, "doc_id").select(
+        "doc_id", "domain", "source", "n_chars"
+    )
+
+
+SQL_DOMAIN_CAP_SAMPLE = """
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         'example' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS domain
+  FROM documents
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY domain
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || '#cap'), doc_id) AS rn
+  FROM d
+)
+SELECT doc_id, domain, source, n_chars FROM r WHERE rn <= 8
+"""
+
+
+def q_domain_group_split(spark, sf):
+    """Leakage-safe split (operators/sampling.py group_split): the
+    train/val/test assignment is a function of the DOMAIN, so every
+    document from one site lands on the same side — near-duplicates
+    within a site can never straddle train and test (the classic eval
+    leak a row-level split permits). Same md5-prefix thresholds as
+    train_test_split (functions/splits.py — one definition, no
+    drift); a pure map, no shuffle."""
+    from .operators.sampling import group_split
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("example"), (F.col("doc_id") % 97).cast("string"), F.lit(".com")
+        ).alias("domain"),
+    )
+    return group_split(d, "domain")
+
+
+SQL_DOMAIN_GROUP_SPLIT = """
+SELECT doc_id, domain,
+  CASE WHEN h < 'e6' THEN 'train' WHEN h < 'f3' THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         'example' || CAST(doc_id % 97 AS VARCHAR) || '.com' AS domain,
+         md5('example' || CAST(doc_id % 97 AS VARCHAR) || '.com' || '#split') AS h
+  FROM documents
+) t
+"""
+
+
 EXT_REGISTRY = {
+    "c4_filters": (q_c4_filters, SQL_C4_FILTERS),
+    "domain_cap_sample": (q_domain_cap_sample, SQL_DOMAIN_CAP_SAMPLE),
+    "domain_group_split": (q_domain_group_split, SQL_DOMAIN_GROUP_SPLIT),
     "html_strip": (q_html_strip, SQL_HTML_STRIP),
     "gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),

@@ -321,3 +321,49 @@ def test_gopher_stopword_gate_boundaries(spark):
         # so ['the','the'] can never reach min_stopwords=2 — the guard
         # must catch it rather than let the gate reject every document
         gopher_rules(df, stopwords=["the", "the"], min_stopwords=2)
+
+
+def test_c4_rules_line_and_page_semantics(spark):
+    """The C4 ruleset on hand-built pages: line keep = terminal punct +
+    >=3 words + no 'javascript'; page flags on the ORIGINAL text;
+    sentence floor counted on the CLEANED text; zero-kept-lines doc
+    yields empty clean text (not null)."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.text import (
+        c4_rules,
+    )
+
+    import pytest as _pytest
+
+    docs = [
+        # 3 lines: kept, dropped (2 words), dropped (no terminal punct)
+        (1, 'Good long sentence here.\nToo short.\nno punctuation line at all'),
+        # javascript line dropped case-insensitively; quote terminal kept
+        (2, 'Please enable JavaScript now.\nShe said "hello there friend."'),
+        (3, "lorem ipsum dolor sit amet."),     # page drop: lorem
+        (4, "if (x) { return y; } done here."),  # page drop: curly
+        (5, "nothing survives"),                # 0 kept lines
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in c4_rules(df, min_sentences=1).collect()}
+
+    assert got[1]["n_lines"] == 3 and got[1]["n_kept_lines"] == 1
+    assert got[1]["clean_text"] == "Good long sentence here."
+    assert got[1]["n_sentences"] == 1 and got[1]["c4_pass"]
+
+    assert got[2]["n_kept_lines"] == 1  # the JavaScript line is gone
+    assert got[2]["clean_text"] == 'She said "hello there friend."'
+    assert got[2]["n_sentences"] == 1  # the '.' inside the quotes
+
+    assert not got[3]["no_lorem_ipsum"] and not got[3]["c4_pass"]
+    assert got[3]["n_kept_lines"] == 1  # line itself is fine; page drops
+
+    assert not got[4]["no_curly_brace"] and not got[4]["c4_pass"]
+
+    assert got[5]["n_kept_lines"] == 0
+    assert got[5]["clean_text"] == ""  # empty, never null
+    assert got[5]["n_sentences"] == 0 and not got[5]["min_sentences_ok"]
+
+    with _pytest.raises(ValueError, match="min_sentences must be >= 1"):
+        c4_rules(df, min_sentences=0)
+    with _pytest.raises(ValueError, match="min_words_per_line must be >= 1"):
+        c4_rules(df, min_words_per_line=0)

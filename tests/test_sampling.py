@@ -115,3 +115,59 @@ def test_aes_nonpositive_weights_never_sampled(spark):
     df = spark.createDataFrame(rows, "k int, w int")
     got = {r["k"] for r in weighted_sample_aes(df, "k", "w", 10).collect()}
     assert got == {1, 4, 5}
+
+
+def test_cap_per_group_bounds_and_determinism(spark):
+    """At most n rows per group; which rows survive is a deterministic
+    function of (order_col, salt) — identical across partitionings —
+    and groups smaller than the cap pass through whole."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    rows = [(i, f"g{i % 3}") for i in range(40)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = cap_per_group(df, "grp", 5, "id")
+    by_grp = {
+        r["grp"]: r["n"]
+        for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_grp == {"g0": 5, "g1": 5, "g2": 5, "tiny": 1}
+    again = cap_per_group(df.repartition(7), "grp", 5, "id")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    with pytest.raises(ValueError, match="n must be >= 1"):
+        cap_per_group(df, "grp", 0, "id")
+    with pytest.raises(ValueError, match="collision"):
+        cap_per_group(df.withColumnRenamed("id", "__cap_rn"), "grp", 5, "grp")
+
+
+def test_group_split_is_constant_within_group(spark):
+    """Every row of a group gets the SAME split (the leakage guard),
+    and the assignment matches the row-level convention applied to the
+    group key (shared thresholds — one definition)."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.functions.splits import (
+        SPLIT_SALT,
+        TRAIN_UPPER_HEX,
+        VAL_UPPER_HEX,
+    )
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.sampling import (
+        group_split,
+    )
+
+    rows = [(i, f"d{i % 37}") for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, domain string")
+    out = group_split(df, "domain")
+    per_group = (
+        out.groupBy("domain")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_group)
+    import hashlib
+
+    for r in out.select("domain", "split").distinct().collect():
+        h = hashlib.md5((r["domain"] + SPLIT_SALT).encode()).hexdigest()
+        want = (
+            "train" if h < TRAIN_UPPER_HEX else "val" if h < VAL_UPPER_HEX else "test"
+        )
+        assert r["split"] == want, r
