@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["doc_bigrams", "train_bigram_lm", "score_bigram_lm"]
+__all__ = ["doc_bigrams", "train_bigram_lm", "score_bigram_lm", "quality_buckets"]
 
 
 def doc_bigrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
@@ -134,4 +134,58 @@ def score_bigram_lm(
         .alias("coverage_pm"),
         "cross_entropy",
         F.exp("cross_entropy").alias("perplexity"),
+    )
+
+
+def quality_buckets(
+    scored: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's head/middle/tail quality bucketing (Wenzek et al. 2020
+    §4.3: score every document with the reference LM, then split the
+    corpus into thirds by score and keep/weight the buckets
+    differently downstream). Threshold semantics, exactly as CCNet
+    applies them: the cut points are SCORE VALUES, so equal-scoring
+    documents always share a bucket (an NTILE would split ties by row
+    order — and would also be a single-partition window).
+
+    ``score_col`` must be integer-exact and bounded-domain (the
+    per-mille ``coverage_pm`` from :func:`score_bigram_lm` here;
+    CCNet's own perplexities would first be quantized the same way).
+    That bound is the scale story: thresholds come from a groupBy on
+    the score's DISTINCT VALUES (≤ domain-size rows — a metadata-sized
+    aggregate, whatever the corpus size), the only window runs over
+    that tiny table, and the per-document assignment is a broadcast
+    join + CASE — no global sort, no single-partition pass over data.
+
+    Cut points: with n documents, ``head`` is every doc scoring ≥ the
+    ⌈n/3⌉-th best document's score, ``tail`` every doc scoring < the
+    ⌈2n/3⌉-th best document's score, ``middle`` the rest. Integer
+    arithmetic only — bit-replayable in SQL.
+    """
+    from pyspark.sql import Window
+
+    sc = F.col(score_col)
+    counts = scored.groupBy(score_col).agg(F.count("*").alias("__c"))
+    # ≤ |score domain| rows: the one place a global window is fine
+    w = Window.orderBy(sc.desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(sc.alias("__s"), F.sum("__c").over(w).alias("__cum"))
+    n = scored.count()
+    head_rank, mid_rank = (n + 2) // 3, (2 * n + 2) // 3
+    thr = cum.agg(
+        F.max(F.when(F.col("__cum") >= head_rank, F.col("__s"))).alias("__head"),
+        F.max(F.when(F.col("__cum") >= mid_rank, F.col("__s"))).alias("__mid"),
+    )
+    out = scored.join(F.broadcast(thr))
+    return out.select(
+        F.col(id_col),
+        sc,
+        F.when(sc >= F.col("__head"), labels[0])
+        .when(sc >= F.col("__mid"), labels[1])
+        .otherwise(labels[2])
+        .alias("bucket"),
     )

@@ -49,6 +49,7 @@ __all__ = [
     "weighted_sample_aes",
     "cap_per_group",
     "group_split",
+    "mixture_plan",
 ]
 
 _PID = "__sampling_pid"
@@ -298,4 +299,69 @@ def group_split(
         F.when(h < TRAIN_UPPER_HEX, "train")
         .when(h < VAL_UPPER_HEX, "val")
         .otherwise("test"),
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights_pm: dict[str, int],
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The data-mixing PLAN for a pretraining run (the Pile/Dolma-style
+    mixing table): given per-source target weights (per-mille of the
+    token budget) and the corpus itself, compute what each source must
+    contribute and how to get it — all integer-exact so the plan
+    replays in any engine and in the run's audit log.
+
+    Per source: ``n_docs``, ``n_tokens`` (whitespace tokens — swap in
+    a tokenizer count upstream if needed), ``weight_pm``,
+    ``target_tokens = budget · weight / 1000``, ``rate_pm`` (the
+    per-mille sampling rate ``1000 · target / available``, >1000 when
+    the source must be upsampled), ``epochs = ⌈target / available⌉``
+    (how many passes over the source the sampler schedules), and
+    ``upsample`` (target exceeds one epoch). Sources absent from
+    ``weights_pm`` get weight 0 — an explicit zero row, not a silent
+    drop, so the plan documents exclusions.
+
+    Scale: one map-side-partial groupBy over the corpus (token count
+    is a projection, no shuffle before the agg); the weights table is
+    a literal broadcast. The plan output is |sources| rows.
+    """
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    bad = {k: v for k, v in weights_pm.items() if v < 0}
+    if bad:
+        raise ValueError(f"weights_pm must be >= 0, got {bad}")
+    agg = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = F.create_map(
+        *[x for k, v in sorted(weights_pm.items()) for x in (F.lit(k), F.lit(int(v)))]
+    )
+
+    def _intdiv(a, b):
+        # exact integer floor division for non-negative longs: strip the
+        # remainder first so the one double division is of an exact
+        # multiple (exact quotient ≤ 2^53) — a bare  (a / b).cast(long)
+        # can disagree with the oracle's // at rounding edges
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    weight = F.coalesce(w[F.col(source_col)], F.lit(0)).cast("long")
+    target = _intdiv(F.lit(int(budget_tokens)) * weight, F.lit(1000))
+    rate_pm = _intdiv(F.lit(1000) * target, F.col("n_tokens"))
+    epochs = _intdiv(target + F.col("n_tokens") - 1, F.col("n_tokens"))
+    return agg.select(
+        F.col(source_col),
+        "n_docs",
+        "n_tokens",
+        weight.alias("weight_pm"),
+        target.alias("target_tokens"),
+        rate_pm.alias("rate_pm"),
+        epochs.alias("epochs"),
+        (target > F.col("n_tokens")).alias("upsample"),
     )

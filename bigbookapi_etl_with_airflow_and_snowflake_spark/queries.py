@@ -2425,17 +2425,17 @@ _DRIVER_PRIORITY = [
     "html_strip",
     "chunk_documents",
     # -- (3) new round-10 curation entries (C4 ruleset, per-domain cap,
-    #        leakage-safe group split) -----------------------------------------
+    #        leakage-safe group split, CCNet buckets, mixing plan) -------------
     "c4_filters",
     "domain_cap_sample",
     "domain_group_split",
+    "ccnet_buckets",
+    "mixture_plan",
     # -- (4) r7-green picks up to 50 -------------------------------------------
     "versioned_pruned_read",
     "merge_upsert_orders",
     "incremental_dedup",
     "rollup_refresh",
-    "corpus_manifest",
-    "decontaminate",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

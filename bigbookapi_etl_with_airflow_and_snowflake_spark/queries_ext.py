@@ -2177,8 +2177,53 @@ FROM (
 """
 
 
+def q_mixture_plan(spark, sf):
+    """The pretraining data-mixing PLAN (operators/sampling.py
+    mixture_plan — the Pile/Dolma mixing-table step): per-source token
+    inventory joined to per-mille target weights, yielding
+    target_tokens / sampling rate_pm / epoch count / upsample flag,
+    all integer-exact. src0–src4 are weighted 100‰ of a 1M-token
+    budget (upsampled: each holds far fewer), src5–src17 25‰, and
+    src18/src19 are deliberately ABSENT from the weights — the plan
+    emits explicit zero rows for them (exclusions are documented, not
+    silently dropped)."""
+    from .operators.sampling import mixture_plan
+
+    weights = {f"src{i}": 100 for i in range(5)}
+    weights.update({f"src{i}": 25 for i in range(5, 18)})
+    return mixture_plan(
+        _t(spark, sf, "documents"), weights, budget_tokens=1_000_000
+    )
+
+
+SQL_MIXTURE_PLAN = r"""
+WITH t AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 100
+                   WHEN source IN ('src5','src6','src7','src8','src9','src10',
+                                   'src11','src12','src13','src14','src15',
+                                   'src16','src17') THEN 25
+                   ELSE 0 END AS BIGINT) AS weight_pm
+  FROM t
+),
+p AS (SELECT *, 1000000 * weight_pm // 1000 AS tgt FROM w)
+SELECT source, n_docs, n_tokens, weight_pm,
+       CAST(tgt AS BIGINT) AS target_tokens,
+       CAST(1000 * tgt // n_tokens AS BIGINT) AS rate_pm,
+       CAST((tgt + n_tokens - 1) // n_tokens AS BIGINT) AS epochs,
+       tgt > n_tokens AS upsample
+FROM p
+"""
+
+
 EXT_REGISTRY = {
     "c4_filters": (q_c4_filters, SQL_C4_FILTERS),
+    "mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
     "domain_cap_sample": (q_domain_cap_sample, SQL_DOMAIN_CAP_SAMPLE),
     "domain_group_split": (q_domain_group_split, SQL_DOMAIN_GROUP_SPLIT),
     "html_strip": (q_html_strip, SQL_HTML_STRIP),

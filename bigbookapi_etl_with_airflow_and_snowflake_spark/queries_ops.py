@@ -775,6 +775,42 @@ GROUP BY d.doc_id
 """
 
 
+def q_ccnet_buckets(spark, sf):
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3;
+    operators/lm.py quality_buckets) on the integer-exact LM signal:
+    score every document against the src0 reference LM, cut the corpus
+    into thirds by SCORE VALUE (equal scores always share a bucket —
+    CCNet's threshold semantics, not NTILE row-splitting), assign with
+    a broadcast CASE. The thresholds come from a groupBy on the
+    bounded per-mille score domain, so no global sort ever touches
+    document rows — the same plan at 100 TB."""
+    from .operators.lm import quality_buckets, score_bigram_lm, train_bigram_lm
+
+    docs = _t(spark, sf, "documents")
+    bigrams, contexts, v = train_bigram_lm(docs.filter(F.col("source") == "src0"))
+    scored = score_bigram_lm(docs, bigrams, contexts, v).select(
+        "doc_id", "coverage_pm"
+    )
+    return quality_buckets(scored, "coverage_pm")
+
+
+SQL_CCNET_BUCKETS = f"""
+WITH lm AS ({SQL_LM_QUALITY}),
+n AS (SELECT COUNT(*) AS n FROM lm),
+d AS (SELECT coverage_pm, COUNT(*) AS c FROM lm GROUP BY coverage_pm),
+r AS (SELECT coverage_pm AS s, SUM(c) OVER (ORDER BY coverage_pm DESC) AS cum FROM d),
+thr AS (SELECT
+  MAX(CASE WHEN cum >= (SELECT (n + 2) // 3 FROM n) THEN s END) AS head_thr,
+  MAX(CASE WHEN cum >= (SELECT (2 * n + 2) // 3 FROM n) THEN s END) AS mid_thr
+FROM r)
+SELECT lm.doc_id, lm.coverage_pm,
+  CASE WHEN lm.coverage_pm >= thr.head_thr THEN 'head'
+       WHEN lm.coverage_pm >= thr.mid_thr THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM lm, thr
+"""
+
+
 def q_flac_meta(spark, sf):
     """N5 FLAC STREAMINFO demux under the oracle gate: a valid FLAC
     stream head is synthesized per document from (doc_id, text length)
@@ -2920,6 +2956,7 @@ OPS_REGISTRY = {
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "mp4_samples": (q_mp4_samples, SQL_MP4_SAMPLES),
     "lm_quality": (q_lm_quality, SQL_LM_QUALITY),
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "corpus_manifest": (q_corpus_manifest, _sql_corpus_manifest()),
     "streaming_curated_ingest": (
         q_streaming_curated_ingest,

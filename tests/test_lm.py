@@ -108,3 +108,38 @@ def test_empty_reference_corpus_is_loud(spark):
     assert v == 0
     with pytest.raises(ValueError, match="empty reference corpus"):
         score_bigram_lm(df, bigrams, contexts, v)
+
+
+def test_quality_buckets_threshold_semantics(spark):
+    """Cut points are score VALUES: equal scores share a bucket even
+    when they straddle a tercile boundary; bucket sizes follow the
+    ceil-rank rule on distinct-value cumulative counts."""
+    import pyspark.sql.functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lm import (
+        quality_buckets,
+    )
+
+    # 9 docs, scores desc: 900,800,800,800,500,500,300,200,100
+    # n=9 → head_rank=ceil(9/3)=3 → head_thr = score of 3rd best = 800
+    #       mid_rank=ceil(18/3)... (2n+2)//3 = 6 → mid_thr = 500
+    rows = list(
+        zip(range(9), [900, 800, 800, 800, 500, 500, 300, 200, 100], strict=True)
+    )
+    df = spark.createDataFrame(rows, "doc_id long, coverage_pm long")
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in quality_buckets(df, "coverage_pm").collect()
+    }
+    # ALL three 800s are head (ties share), both 500s middle
+    assert [got[i] for i in range(9)] == [
+        "head", "head", "head", "head",
+        "middle", "middle",
+        "tail", "tail", "tail",
+    ]
+    # partition invariance
+    again = {
+        r["doc_id"]: r["bucket"]
+        for r in quality_buckets(df.repartition(5), "coverage_pm").collect()
+    }
+    assert again == got

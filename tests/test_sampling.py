@@ -171,3 +171,41 @@ def test_group_split_is_constant_within_group(spark):
             "train" if h < TRAIN_UPPER_HEX else "val" if h < VAL_UPPER_HEX else "test"
         )
         assert r["split"] == want, r
+
+
+def test_mixture_plan_integer_exact_and_explicit_zeros(spark):
+    """target/rate/epochs are exact integer arithmetic; a source absent
+    from the weights yields an explicit zero row; upsample fires iff
+    target exceeds one epoch of the source."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.sampling import (
+        mixture_plan,
+    )
+
+    rows = (
+        [(i, "a", "w1 w2 w3 w4") for i in range(10)]        # 40 tokens
+        + [(100 + i, "b", "w1 w2") for i in range(50)]       # 100 tokens
+        + [(200 + i, "c", "w1") for i in range(5)]           # 5 tokens
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["source"]: r.asDict()
+        for r in mixture_plan(df, {"a": 500, "b": 10}, 1000).collect()
+    }
+    a = got["a"]  # target = 1000*500//1000 = 500 over 40 avail
+    assert (a["n_docs"], a["n_tokens"], a["weight_pm"]) == (10, 40, 500)
+    assert (a["target_tokens"], a["rate_pm"], a["epochs"], a["upsample"]) == (
+        500, 12500, 13, True,
+    )
+    b = got["b"]  # target = 10 over 100 avail: downsample
+    assert (b["target_tokens"], b["rate_pm"], b["epochs"], b["upsample"]) == (
+        10, 100, 1, False,
+    )
+    c = got["c"]  # absent from weights: explicit zero row
+    assert (c["weight_pm"], c["target_tokens"], c["rate_pm"], c["epochs"]) == (
+        0, 0, 0, 0,
+    )
+    assert not c["upsample"]
+    with pytest.raises(ValueError, match="budget_tokens must be >= 1"):
+        mixture_plan(df, {"a": 1}, 0)
+    with pytest.raises(ValueError, match="weights_pm must be >= 0"):
+        mixture_plan(df, {"a": -1}, 10)
