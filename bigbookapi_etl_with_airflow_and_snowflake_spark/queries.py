@@ -2431,11 +2431,11 @@ _DRIVER_PRIORITY = [
     "domain_group_split",
     "ccnet_buckets",
     "mixture_plan",
+    "versioned_tag_read",
     # -- (4) r7-green picks up to 50 -------------------------------------------
     "versioned_pruned_read",
     "merge_upsert_orders",
     "incremental_dedup",
-    "rollup_refresh",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

@@ -2844,6 +2844,66 @@ GROUP BY event_type
 """
 
 
+def q_versioned_tag_read(spark, sf):
+    """Named snapshot tags on versioned tables (the Iceberg ref
+    pattern), end-to-end under one hard oracle: commit v1, TAG it
+    ('baseline'), overwrite twice (v2/v3 destroy and replace the
+    content), vacuum(keep_last=1) — and the tagged v1 must still read
+    back bit-identical by NAME while v2's manifest is gone. Literals:
+    ``tag_survived_vacuum`` (the tag resolves and v1's manifest still
+    exists after a vacuum whose window excludes it) and ``v2_dropped``
+    (the untagged out-of-window version was actually reclaimed — the
+    retention exception is surgical, not vacuum silently disabled).
+    The aggregate is computed off the tag read, so any data-file loss
+    under the tagged version also fails the value hash."""
+    from .sinks.versioned import (
+        read_version,
+        tag_version,
+        vacuum,
+        versions,
+        write_version,
+    )
+
+    e = _t(spark, sf, "events").select("event_id", "event_type", "user_id")
+    d = tempfile.mkdtemp(prefix="q_vtag_")
+    t = os.path.join(d, "events_v")
+    try:
+        write_version(spark, e.repartition(2), t)
+        tag_version(t, "baseline")
+        # two destructive overwrites: latest no longer resembles v1
+        write_version(spark, e.filter(F.col("event_id") % 2 == 0), t)
+        write_version(spark, e.filter(F.col("event_id") % 5 == 0), t)
+        res = vacuum(t, keep_last=1)
+        live = {v["version"] for v in versions(t)}
+        tag_survived = 1 in live
+        v2_dropped = 2 not in live and res["versions_dropped"] >= 1
+        df = read_version(spark, t, tag="baseline")
+        out = (
+            df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("event_id").alias("sum_id"),
+                F.sum("user_id").alias("sum_user"),
+            )
+            .withColumn("tag_survived_vacuum", F.lit(tag_survived))
+            .withColumn("v2_dropped", F.lit(v2_dropped))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_TAG_READ = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user,
+       TRUE AS tag_survived_vacuum, TRUE AS v2_dropped
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_corpus_manifest(spark, sf):
     """The curation funnel's END PRODUCT, composed from the tiers this
     engine already oracles individually: a document survives into the
@@ -2948,6 +3008,7 @@ OPS_REGISTRY = {
         q_versioned_index_compaction,
         SQL_VERSIONED_INDEX_COMPACTION,
     ),
+    "versioned_tag_read": (q_versioned_tag_read, SQL_VERSIONED_TAG_READ),
     "bloom_file_lookup": (q_bloom_file_lookup, SQL_BLOOM_FILE_LOOKUP),
     "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
     "image_dhash_pairs": (q_image_dhash_pairs, SQL_IMAGE_DHASH_PAIRS),

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from collections.abc import Callable, Sequence
@@ -52,6 +53,9 @@ __all__ = [
     "maintain_bloom_index",
     "index_params",
     "versions",
+    "tag_version",
+    "tags",
+    "delete_tag",
     "vacuum",
     "merge_version",
     "delete_version",
@@ -132,6 +136,85 @@ def versions(table_dir: str) -> list[dict]:
             }
         )
     return out
+
+
+_TAG_DIR = "_tags"
+_TAG_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+
+def _tag_path(table_dir: str, name: str) -> str:
+    return os.path.join(table_dir, _TAG_DIR, f"{name}.json")
+
+
+def tag_version(table_dir: str, name: str, version: int | None = None) -> int:
+    """Pin a NAMED, IMMUTABLE tag to one committed version (default:
+    latest) — the Iceberg tag pattern: a training run records
+    ``tag_version(dir, "run-2024-07-01")`` and every later audit reads
+    exactly that snapshot by name, regardless of how far the table has
+    advanced. Tags are commit points like manifests (fully-written
+    temp file + ``os.link``): creating an existing name is a LOUD
+    error, never a silent re-point — re-pointing a name an old audit
+    recorded would silently change what that audit reproduces; delete
+    and re-create to deliberately move one. ``vacuum`` retains tagged
+    versions (manifest, data files, and index dirs) beyond the
+    ``keep_last`` window until the tag is deleted. Returns the tagged
+    version number."""
+    if not _TAG_NAME.match(name):
+        raise ValueError(
+            f"tag name must match [A-Za-z0-9][A-Za-z0-9._-]{{0,63}}, got {name!r}"
+        )
+    vs = _version_numbers(table_dir)
+    if not vs:
+        raise ValueError(f"no committed versions under {table_dir!r}")
+    if version is None:
+        version = vs[-1]
+    if not os.path.exists(_manifest_path(table_dir, version)):
+        raise ValueError(f"version {version} not found (have {vs})")
+    os.makedirs(os.path.join(table_dir, _TAG_DIR), exist_ok=True)
+    path = _tag_path(table_dir, name)
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"name": name, "version": version, "created_at": time.time()}, fh)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        with open(path) as fh:
+            cur = json.load(fh)["version"]
+        raise ValueError(
+            f"tag {name!r} already points at v{cur}; tags are immutable — "
+            "delete_tag() first to deliberately move it"
+        ) from None
+    finally:
+        os.remove(tmp)
+    return version
+
+
+def tags(table_dir: str) -> dict[str, int]:
+    """All tags: {name: version}, name-sorted."""
+    tdir = os.path.join(table_dir, _TAG_DIR)
+    if not os.path.isdir(tdir):
+        return {}
+    out = {}
+    for f in sorted(os.listdir(tdir)):
+        if not f.endswith(".json") or ".tmp." in f:
+            continue
+        with open(os.path.join(tdir, f)) as fh:
+            t = json.load(fh)
+        out[t["name"]] = int(t["version"])
+    return out
+
+
+def delete_tag(table_dir: str, name: str) -> int:
+    """Remove a tag (the version it pinned becomes vacuum-eligible once
+    outside the retention window). Returns the version it pointed at;
+    loud on a missing tag."""
+    path = _tag_path(table_dir, name)
+    if not os.path.exists(path):
+        raise ValueError(f"tag {name!r} not found (have {sorted(tags(table_dir))})")
+    with open(path) as fh:
+        v = int(json.load(fh)["version"])
+    os.remove(path)
+    return v
 
 
 def _load_manifest(table_dir: str, version: int | None) -> dict:
@@ -554,12 +637,24 @@ def _empty_snapshot(spark: SparkSession, m: dict) -> DataFrame:
 
 
 def read_version(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """The table at ``version`` (default: latest) — a parquet scan of
     exactly that manifest's file list; nothing a later commit does can
     change what this returns. A snapshot whose file list is empty reads
-    as a zero-row frame with the committed schema."""
+    as a zero-row frame with the committed schema. ``tag`` reads the
+    version a named tag pinned (:func:`tag_version`); passing both is
+    ambiguous and loud."""
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version OR tag, not both")
+        all_tags = tags(table_dir)
+        if tag not in all_tags:
+            raise ValueError(f"tag {tag!r} not found (have {sorted(all_tags)})")
+        version = all_tags[tag]
     m = _load_manifest(table_dir, version)
     if not m["files"]:
         return _empty_snapshot(spark, m)
@@ -960,8 +1055,11 @@ def read_version_pruned(
 
 
 def vacuum(table_dir: str, keep_last: int = 2) -> dict:
-    """Drop manifests older than the newest ``keep_last`` versions,
-    delete data files no retained version references, and sweep EVERY
+    """Drop manifests older than the newest ``keep_last`` versions —
+    except versions pinned by a tag (:func:`tag_version`), which are
+    retained with their data files and index dirs until the tag is
+    deleted — delete data files no retained version references, and
+    sweep EVERY
     at-rest Bloom index dir that is neither a retained version's own
     nor a live link in a retained version's recorded chain
     (:func:`maintain_bloom_index` carries prior index parquet by
@@ -990,8 +1088,12 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = _version_numbers(table_dir)
-    drop = vs[:-keep_last]
-    keep = vs[-keep_last:]
+    # retention = the newest keep_last versions ∪ every TAGGED version
+    # (tag_version): a tag is a promise that an audit can re-read that
+    # snapshot by name — vacuum honors it until delete_tag withdraws it
+    tagged = set(tags(table_dir).values())
+    keep = sorted(set(vs[-keep_last:]) | (tagged & set(vs)))
+    drop = [v for v in vs if v not in set(keep)]
     keep_files = set()
     for v in keep:
         keep_files.update(_load_manifest(table_dir, v)["files"])

@@ -1335,3 +1335,53 @@ def test_empty_snapshot_index_keeps_recorded_geometry(spark, table):
     )
     p3 = index_params(table, "tag", version=3)
     assert (p3["m_bits"], p3["k"]) == (1 << 12, 2)
+
+
+def test_tags_pin_snapshots_and_survive_vacuum(spark, table):
+    """Tag lifecycle: immutable named refs (re-create is loud), read by
+    name is the pinned snapshot forever, vacuum retains a tagged
+    version (manifest + data + index dirs) beyond keep_last, and
+    deleting the tag makes it reclaimable on the next vacuum."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        delete_tag,
+        read_version,
+        read_version_pruned,
+        tag_version,
+        tags,
+    )
+
+    write_version(
+        spark, _tagged_batch(spark, 0, 200), table, index_cols=["tag"]
+    )
+    assert tag_version(table, "baseline") == 1
+    write_version(spark, _tagged_batch(spark, 200, 400), table)  # v2 overwrite
+    write_version(spark, _tagged_batch(spark, 400, 600), table)  # v3 overwrite
+    assert tags(table) == {"baseline": 1}
+
+    with pytest.raises(ValueError, match="immutable"):
+        tag_version(table, "baseline", version=3)
+    with pytest.raises(ValueError, match="tag name must match"):
+        tag_version(table, "../escape")
+    with pytest.raises(ValueError, match="version OR tag"):
+        read_version(spark, table, version=1, tag="baseline")
+    with pytest.raises(ValueError, match="not found"):
+        read_version(spark, table, tag="nope")
+
+    res = vacuum(table, keep_last=1)
+    assert res["versions_dropped"] == 1  # v2 only; v1 is tagged
+    live = {v["version"] for v in versions(table)}
+    assert live == {1, 3}
+    got = read_version(spark, table, tag="baseline")
+    assert sorted(r["id"] for r in got.collect()) == list(range(200))
+    # the tagged version's at-rest index survived too: pruned read works
+    t = (100 * 2654435761) % 100003
+    df, info = read_version_pruned(spark, table, version=1, keys={"tag": [t]})
+    assert sorted(r["id"] for r in df.collect()) == [100]
+    assert info["files_read"] < info["files_total"]
+
+    assert delete_tag(table, "baseline") == 1
+    with pytest.raises(ValueError, match="not found"):
+        delete_tag(table, "baseline")
+    res2 = vacuum(table, keep_last=1)
+    assert res2["versions_dropped"] == 1  # v1 now reclaimable
+    assert {v["version"] for v in versions(table)} == {3}
