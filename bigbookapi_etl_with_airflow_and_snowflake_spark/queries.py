@@ -2432,10 +2432,10 @@ _DRIVER_PRIORITY = [
     "ccnet_buckets",
     "mixture_plan",
     "versioned_tag_read",
+    "versioned_schema_evolution",
     # -- (4) r7-green picks up to 50 -------------------------------------------
     "versioned_pruned_read",
     "merge_upsert_orders",
-    "incremental_dedup",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

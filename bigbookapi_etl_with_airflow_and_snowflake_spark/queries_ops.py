@@ -2904,6 +2904,70 @@ GROUP BY event_type
 """
 
 
+def q_versioned_schema_evolution(spark, sf):
+    """Schema-on-write + explicit evolution on versioned tables under
+    one hard oracle: v1 commits (event_id, event_type, user_id); v2
+    appends the odd half WITH a new ``flagged`` column
+    (``merge_schema=True`` — without it the commit is refused; before
+    this round the column silently vanished on read). The latest read
+    carries the union schema with NULL ``flagged`` for v1's carried
+    files — pinned by ``n_flagged`` (true flags, odd rows only) and
+    ``n_null_flag`` (exactly the even rows) per group, so both the
+    union schema AND the NULL-fill semantics are value-hashed. The
+    ``v1_schema_stable`` literal pins time travel: version 1 still
+    reads with ITS OWN recorded schema, no phantom column."""
+    from .sinks.versioned import read_version, write_version
+
+    e = _t(spark, sf, "events").select("event_id", "event_type", "user_id")
+    d = tempfile.mkdtemp(prefix="q_vschema_")
+    t = os.path.join(d, "events_v")
+    try:
+        write_version(spark, e.filter(F.col("event_id") % 2 == 0), t)
+        write_version(
+            spark,
+            e.filter(F.col("event_id") % 2 == 1).withColumn(
+                "flagged", F.col("user_id") % 7 == 0
+            ),
+            t,
+            mode="append",
+            merge_schema=True,
+        )
+        v1_stable = read_version(spark, t, version=1).columns == [
+            "event_id",
+            "event_type",
+            "user_id",
+        ]
+        out = (
+            read_version(spark, t)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("event_id").alias("sum_id"),
+                F.count(F.when(F.col("flagged"), 1)).alias("n_flagged"),
+                F.count(F.when(F.col("flagged").isNull(), 1)).alias(
+                    "n_null_flag"
+                ),
+            )
+            .withColumn("v1_schema_stable", F.lit(v1_stable))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_SCHEMA_EVOLUTION = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_id,
+       CAST(COUNT(*) FILTER (event_id % 2 = 1 AND user_id % 7 = 0) AS BIGINT)
+         AS n_flagged,
+       CAST(COUNT(*) FILTER (event_id % 2 = 0) AS BIGINT) AS n_null_flag,
+       TRUE AS v1_schema_stable
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_corpus_manifest(spark, sf):
     """The curation funnel's END PRODUCT, composed from the tiers this
     engine already oracles individually: a document survives into the
@@ -3009,6 +3073,10 @@ OPS_REGISTRY = {
         SQL_VERSIONED_INDEX_COMPACTION,
     ),
     "versioned_tag_read": (q_versioned_tag_read, SQL_VERSIONED_TAG_READ),
+    "versioned_schema_evolution": (
+        q_versioned_schema_evolution,
+        SQL_VERSIONED_SCHEMA_EVOLUTION,
+    ),
     "bloom_file_lookup": (q_bloom_file_lookup, SQL_BLOOM_FILE_LOOKUP),
     "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
     "image_dhash_pairs": (q_image_dhash_pairs, SQL_IMAGE_DHASH_PAIRS),

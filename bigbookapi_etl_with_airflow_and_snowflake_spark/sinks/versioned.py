@@ -230,6 +230,68 @@ def _load_manifest(table_dir: str, version: int | None) -> dict:
         return json.load(fh)
 
 
+def _evolved_schema(prior_json: str, new_schema, merge_schema: bool) -> str:
+    """Schema-on-write for append commits (the Delta convention). The
+    invariant is per-NAME type equality: a type change is ALWAYS
+    refused (two parquet footers disagreeing on one column's type
+    cannot be reconciled silently); adding or omitting columns is
+    refused unless ``merge_schema=True``, in which case the committed
+    schema is prior ∪ new (added columns nullable — carried files
+    simply lack them and read as NULL under the recorded-schema scan).
+    Without enforcement, an evolved append's new column silently
+    VANISHES on read (the plain parquet scan takes one footer's
+    schema) while the manifest records it — data loss with drifted
+    metadata. Returns the union schema json to commit."""
+    from pyspark.sql.types import StructField, StructType
+
+    prior = StructType.fromJson(json.loads(prior_json))
+    prior_types = {f.name: f.dataType for f in prior.fields}
+    new_types = {f.name: f.dataType for f in new_schema.fields}
+    conflicts = sorted(
+        n for n in prior_types.keys() & new_types.keys()
+        if prior_types[n] != new_types[n]
+    )
+    if conflicts:
+        raise ValueError(
+            f"append changes column types {conflicts} (table vs increment: "
+            + ", ".join(
+                f"{n}: {prior_types[n].simpleString()} -> "
+                f"{new_types[n].simpleString()}"
+                for n in conflicts
+            )
+            + ") — type evolution cannot be reconciled across parquet "
+            "footers; cast the increment to the table's types"
+        )
+    added = [f for f in new_schema.fields if f.name not in prior_types]
+    missing = sorted(n for n in prior_types if n not in new_types)
+    if (added or missing) and not merge_schema:
+        raise ValueError(
+            f"append schema differs from the table's (new columns: "
+            f"{[f.name for f in added]}, absent columns: {missing}) — "
+            "pass merge_schema=True to evolve (added columns become "
+            "nullable; absent ones read as NULL for this increment)"
+        )
+    fields = list(prior.fields) + [
+        StructField(f.name, f.dataType, True) for f in added
+    ]
+    return StructType(fields).json()
+
+
+def _recorded_reader(spark: SparkSession, m: dict):
+    """Reader pinned to the manifest's RECORDED schema when present:
+    parquet matches columns by name per file, so files predating an
+    added column yield NULLs and every snapshot reads with exactly the
+    schema its commit declared — no mergeSchema footer pass, no
+    one-footer-wins column loss. Pre-schema manifests fall back to the
+    plain scan."""
+    from pyspark.sql.types import StructType
+
+    sch = m.get("schema")
+    if sch is None:
+        return spark.read
+    return spark.read.schema(StructType.fromJson(json.loads(sch)))
+
+
 def _resolve_index_geometry(
     table_dir: str,
     key_col: str,
@@ -263,12 +325,21 @@ def write_version(
     index_cols: Sequence[str] = (),
     index_geometry: dict[str, tuple[int, int]] | None = None,
     index_max_chain: int = 8,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` as the next version of the table; returns the new
     version number. ``mode='overwrite'`` → the snapshot is exactly
     ``df``; ``mode='append'`` → the snapshot is the previous version's
     files plus ``df``'s (no rewrite of existing data — append commits
     cost O(increment), never O(table)).
+
+    Schema-on-write: an append whose schema differs from the table's
+    recorded schema is REFUSED (see :func:`_evolved_schema`) unless
+    ``merge_schema=True``, which commits the union schema — added
+    columns are nullable and prior files read as NULL for them under
+    the recorded-schema scan; per-column type changes are always
+    refused. Overwrites replace the schema outright (the snapshot is
+    exactly ``df``).
 
     ``index_cols``: columns to build the at-rest per-file Bloom index
     for after the commit (index maintenance riding the write path, the
@@ -288,6 +359,14 @@ def write_version(
     maintenance (see :func:`maintain_bloom_index`)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if mode == "append":
+        # fail-fast schema check against the current latest BEFORE any
+        # data stages; build() re-derives against the commit-time prior
+        nums = _version_numbers(table_dir)
+        if nums:
+            prior_schema = _load_manifest(table_dir, nums[-1]).get("schema")
+            if prior_schema is not None:
+                _evolved_schema(prior_schema, df.schema, merge_schema)
     commit_id = uuid.uuid4().hex
     data_dir = os.path.join(table_dir, "data", commit_id)
     df.write.parquet(data_dir)
@@ -300,18 +379,26 @@ def write_version(
     schema_json = df.schema.json()
 
     def build(prior: dict | None) -> dict:
-        files, n_rows = new_files, n_new
+        files, n_rows, schema = new_files, n_new, schema_json
         if mode == "append" and prior is not None:
             files = prior["files"] + new_files
             n_rows = prior["n_rows"] + n_new
+            if prior.get("schema") is not None:
+                schema = _evolved_schema(
+                    prior["schema"], df.schema, merge_schema
+                )
         return {
             "mode": mode,
             "files": files,
             "n_rows": n_rows,
-            "schema": schema_json,
+            "schema": schema,
         }
 
-    v = _commit(table_dir, build)
+    try:
+        v = _commit(table_dir, build)
+    except ValueError:
+        _discard_staged(new_files)
+        raise
     for col in index_cols:
         explicit = (index_geometry or {}).get(col)
         if mode == "append" and v > 1:
@@ -658,7 +745,7 @@ def read_version(
     m = _load_manifest(table_dir, version)
     if not m["files"]:
         return _empty_snapshot(spark, m)
-    return spark.read.parquet(*m["files"])
+    return _recorded_reader(spark, m).parquet(*m["files"])
 
 
 def prune_manifest_files(
@@ -1040,10 +1127,11 @@ def read_version_pruned(
                 break
     info = {"files_total": len(m["files"]), "files_read": len(kept)}
     if kept:
-        df = spark.read.parquet(*kept)
+        df = _recorded_reader(spark, m).parquet(*kept)
     else:
-        # schema-only read: parquet footers of the full list, no rows
-        df = spark.read.parquet(*m["files"]).filter(F.lit(False))
+        # schema-only read: the recorded schema when present (zero
+        # I/O), else parquet footers of the full list — no rows either way
+        df = _recorded_reader(spark, m).parquet(*m["files"]).filter(F.lit(False))
     for col, (lo, hi) in ranges.items():
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))

@@ -1385,3 +1385,58 @@ def test_tags_pin_snapshots_and_survive_vacuum(spark, table):
     res2 = vacuum(table, keep_last=1)
     assert res2["versions_dropped"] == 1  # v1 now reclaimable
     assert {v["version"] for v in versions(table)} == {3}
+
+
+def test_append_schema_enforcement_and_evolution(spark, table):
+    """Schema-on-write: a divergent append is refused loudly (before
+    this, the new column silently VANISHED on read while the manifest
+    recorded it); merge_schema=True commits the union schema — prior
+    files read NULL for added columns, an increment may omit columns,
+    type changes are always refused — and time travel keeps each
+    version's own schema."""
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        read_version,
+        read_version_pruned,
+    )
+
+    v1 = spark.range(5).select(F.col("id").alias("k"))
+    write_version(spark, v1, table)
+    evolved = spark.range(5, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("extra")
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        write_version(spark, evolved, table, mode="append")
+    write_version(spark, evolved, table, mode="append", merge_schema=True)
+
+    latest = read_version(spark, table)
+    assert latest.columns == ["k", "extra"]
+    rows = {r["k"]: r["extra"] for r in latest.collect()}
+    assert all(rows[k] is None for k in range(5))          # carried files: NULL
+    assert rows[6] == 12
+    # time travel: v1 reads with ITS schema, no phantom column
+    assert read_version(spark, table, version=1).columns == ["k"]
+
+    # an increment OMITTING a column is also evolution (reads as NULL)
+    write_version(
+        spark,
+        spark.range(8, 10).select(F.col("id").alias("k")),
+        table,
+        mode="append",
+        merge_schema=True,
+    )
+    got = {r["k"]: r["extra"] for r in read_version(spark, table).collect()}
+    assert got[9] is None and got[7] == 14
+
+    # type changes are refused even with merge_schema=True
+    bad = spark.range(3).select(
+        F.col("id").alias("k"), F.lit("s").alias("extra")
+    )
+    with pytest.raises(ValueError, match="type evolution"):
+        write_version(spark, bad, table, mode="append", merge_schema=True)
+
+    # the pruned read uses the recorded schema too
+    df, info = read_version_pruned(spark, table, ranges={"k": (6, 6)})
+    assert df.columns == ["k", "extra"]
+    assert [(r["k"], r["extra"]) for r in df.collect()] == [(6, 12)]
