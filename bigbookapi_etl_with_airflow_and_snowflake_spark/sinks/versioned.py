@@ -552,7 +552,10 @@ def merge_version(
         }
     base = _load_manifest(table_dir, base_version)
     if base["files"]:
-        cur = spark.read.parquet(*base["files"]).withColumn(
+        # recorded-schema scans (like read_version): on an evolved
+        # table a plain scan takes one footer's schema and silently
+        # drops columns from the rewritten rows
+        cur = _recorded_reader(spark, base).parquet(*base["files"]).withColumn(
             "__file", F.col("_metadata.file_path")
         )
         # Files holding a matched key. AQE broadcasts the key side when
@@ -575,7 +578,7 @@ def merge_version(
     inc = incoming.withColumn("__src", F.lit(0))
     if touched:
         existing = (
-            spark.read.parquet(*sorted(touched))
+            _recorded_reader(spark, base).parquet(*sorted(touched))
             .select(*incoming.columns)
             .withColumn("__src", F.lit(1))
         )
@@ -648,7 +651,7 @@ def delete_version(
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     base = _load_manifest(table_dir, base_version)
     if base["files"]:
-        tbl = spark.read.parquet(*base["files"])
+        tbl = _recorded_reader(spark, base).parquet(*base["files"])
         schema_json = tbl.schema.json()
         cur = tbl.withColumn("__file", F.col("_metadata.file_path"))
         touched = {
@@ -662,7 +665,7 @@ def delete_version(
         touched = set()
     carried = _carried_files(base["files"], touched)
     if touched:
-        scope = spark.read.parquet(*sorted(touched))
+        scope = _recorded_reader(spark, base).parquet(*sorted(touched))
         n_touched = scope.count()
         kept = scope.filter(~F.coalesce(cond, F.lit(False)))
         new_files, n_new = _write_data_files(spark, kept, table_dir)

@@ -1440,3 +1440,46 @@ def test_append_schema_enforcement_and_evolution(spark, table):
     df, info = read_version_pruned(spark, table, ranges={"k": (6, 6)})
     assert df.columns == ["k", "extra"]
     assert [(r["k"], r["extra"]) for r in df.collect()] == [(6, 12)]
+
+
+def test_cow_merge_delete_preserve_evolved_schema(spark, table):
+    """COW merge/delete on an EVOLVED table must scan with the recorded
+    union schema: a plain parquet scan would take one footer's schema
+    and silently drop the added column from every rewritten row."""
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        delete_version,
+        merge_version,
+        read_version,
+    )
+
+    write_version(
+        spark,
+        spark.range(4).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v")),
+        table,
+    )
+    write_version(
+        spark,
+        spark.range(4, 6).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            F.lit("tagged").alias("extra"),
+        ),
+        table,
+        mode="append",
+        merge_schema=True,
+    )
+    inc = spark.createDataFrame(
+        [(1, 111, "upd"), (9, 900, "new")], "k long, v long, extra string"
+    )
+    merge_version(spark, inc, table, keys=["k"])
+    got = {r["k"]: (r["v"], r["extra"]) for r in read_version(spark, table).collect()}
+    assert got[1] == (111, "upd") and got[9] == (900, "new")
+    assert got[4] == (40, "tagged")      # evolved rows keep their column
+    assert got[0] == (0, None)           # carried pre-evolution rows NULL-fill
+
+    delete_version(spark, table, F.col("k") == 0)
+    after = {r["k"]: (r["v"], r["extra"]) for r in read_version(spark, table).collect()}
+    assert 0 not in after and after[1] == (111, "upd") and after[5] == (50, "tagged")
+    assert set(read_version(spark, table).columns) == {"k", "v", "extra"}
