@@ -19,6 +19,7 @@ TABLES = (
 # non-empty reference slice (empty vocab degenerates the smoothing).
 EXPECT_RAISE = {
     "corpus_manifest",  # composes lm_quality's reference-LM gate
+    "ccnet_buckets",  # same: buckets are cut over the reference-LM score
     "lm_quality",
     "pps_sample_orders",
     "semantic_dedup",
