@@ -202,3 +202,45 @@ def test_price_quantiles_exact_single_sort_shuffle(spark, sf_dir):
     per percentile."""
     df = Q.q_price_quantiles_exact(spark, sf_dir)
     assert shuffle_count(df) <= 2, explain_str(df, "simple")
+
+
+def test_cap_per_group_window_limit_is_pushed_map_side(spark, sf_dir):
+    """The per-domain cap must plan as partial→final WindowGroupLimit
+    around ONE exchange: a hot domain's rows are bounded to the cap on
+    the map side BEFORE shuffling — without the partial span, one
+    viral domain concentrates its full row set in a single task's sort
+    buffer at 100 TB."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("d"), (F.col("doc_id") % 5).cast("string")).alias("domain"),
+    )
+    df = cap_per_group(d, "domain", 8, "doc_id")
+    plan = explain_str(df, "formatted")
+    assert plan.count("WindowGroupLimit") >= 2 and "Partial" in plan, plan
+    assert shuffle_count(df) == 1, explain_str(df, "simple")
+
+
+def test_quality_buckets_no_global_sort_over_rows(spark, sf_dir):
+    """CCNet bucketing must never sort document rows globally: the only
+    window runs over the bounded score-domain aggregate, thresholds
+    come back as a broadcast 1-row join, and the per-row assignment is
+    a CASE projection."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lm import (
+        quality_buckets,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", (F.col("doc_id") % 997).alias("coverage_pm")
+    )
+    df = quality_buckets(d, "coverage_pm")
+    plan = explain_str(df, "formatted")
+    # thresholds are a 1-row broadcast, never shuffled onto the data
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # no Sort over the document rows themselves: every Sort in the plan
+    # sits under the score-domain aggregate (follows its Exchange of
+    # the tiny counts table), which single-partitions ≤ domain-size rows
+    assert "SortMergeJoin" not in plan, plan
