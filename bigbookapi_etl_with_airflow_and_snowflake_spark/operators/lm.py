@@ -154,38 +154,46 @@ def quality_buckets(
     ``score_col`` must be integer-exact and bounded-domain (the
     per-mille ``coverage_pm`` from :func:`score_bigram_lm` here;
     CCNet's own perplexities would first be quantized the same way).
-    That bound is the scale story: thresholds come from a groupBy on
-    the score's DISTINCT VALUES (≤ domain-size rows — a metadata-sized
-    aggregate, whatever the corpus size), the only window runs over
-    that tiny table, and the per-document assignment is a broadcast
-    join + CASE — no global sort, no single-partition pass over data.
+    That bound is the scale story: ONE pass over the corpus builds the
+    per-value counts (≤ domain-size rows — a metadata-sized collect,
+    same convention as centroid/manifest reads), the cut points are
+    integer arithmetic over that tiny result driver-side, and the
+    per-document assignment is a literal CASE projection — no global
+    sort, no second scan of the upstream pipeline (a ``count()`` here
+    would re-run the whole LM train+score lineage just for n).
 
     Cut points: with n documents, ``head`` is every doc scoring ≥ the
     ⌈n/3⌉-th best document's score, ``tail`` every doc scoring < the
     ⌈2n/3⌉-th best document's score, ``middle`` the rest. Integer
     arithmetic only — bit-replayable in SQL.
     """
-    from pyspark.sql import Window
-
     sc = F.col(score_col)
-    counts = scored.groupBy(score_col).agg(F.count("*").alias("__c"))
-    # ≤ |score domain| rows: the one place a global window is fine
-    w = Window.orderBy(sc.desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    by_value = sorted(
+        (
+            (r[score_col], r["__c"])
+            for r in scored.groupBy(score_col)
+            .agg(F.count("*").alias("__c"))
+            .collect()
+        ),
+        key=lambda t: t[0],
+        reverse=True,
     )
-    cum = counts.select(sc.alias("__s"), F.sum("__c").over(w).alias("__cum"))
-    n = scored.count()
+    n = sum(c for _, c in by_value)
+    if n == 0:
+        return scored.select(F.col(id_col), sc, F.lit(labels[2]).alias("bucket"))
     head_rank, mid_rank = (n + 2) // 3, (2 * n + 2) // 3
-    thr = cum.agg(
-        F.max(F.when(F.col("__cum") >= head_rank, F.col("__s"))).alias("__head"),
-        F.max(F.when(F.col("__cum") >= mid_rank, F.col("__s"))).alias("__mid"),
-    )
-    out = scored.join(F.broadcast(thr))
-    return out.select(
+    cum, head_thr, mid_thr = 0, None, None
+    for s, c in by_value:  # score descending; cum is monotone
+        cum += c
+        if head_thr is None and cum >= head_rank:
+            head_thr = s
+        if mid_thr is None and cum >= mid_rank:
+            mid_thr = s
+    return scored.select(
         F.col(id_col),
         sc,
-        F.when(sc >= F.col("__head"), labels[0])
-        .when(sc >= F.col("__mid"), labels[1])
+        F.when(sc >= F.lit(head_thr), labels[0])
+        .when(sc >= F.lit(mid_thr), labels[1])
         .otherwise(labels[2])
         .alias("bucket"),
     )

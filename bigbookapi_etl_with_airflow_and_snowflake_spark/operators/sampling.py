@@ -251,7 +251,11 @@ def cap_per_group(
     survive is deterministic and portable: per-group md5 order
     (``md5(order_col || salt)``, ties broken by ``order_col``), not
     ``rand()`` — the same cap replays on any cluster topology and in
-    the SQL oracle.
+    the SQL oracle. ``order_col`` must be a UNIQUE row key within each
+    group (a doc/row id, not e.g. a batch timestamp): duplicated values
+    tie on both the hash and the tiebreak, and which duplicate survives
+    then depends on arrival order — the determinism contract holds only
+    on a key.
 
     Scale: one shuffle on the group key; within each group the sort is
     group-local, and Spark's WindowGroupLimit pushes the ``rn <= n``
@@ -334,22 +338,26 @@ def mixture_plan(
     bad = {k: v for k, v in weights_pm.items() if v < 0}
     if bad:
         raise ValueError(f"weights_pm must be >= 0, got {bad}")
+    from .text import token_count
+
     agg = df.groupBy(source_col).agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
-        .cast("long")
-        .alias("n_tokens"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
     )
     w = F.create_map(
         *[x for k, v in sorted(weights_pm.items()) for x in (F.lit(k), F.lit(int(v)))]
     )
 
     def _intdiv(a, b):
-        # exact integer floor division for non-negative longs: strip the
-        # remainder first so the one double division is of an exact
-        # multiple (exact quotient ≤ 2^53) — a bare  (a / b).cast(long)
-        # can disagree with the oracle's // at rounding edges
-        return ((a - F.pmod(a, b)) / b).cast("long")
+        # exact integer floor division for non-negative longs at ANY
+        # magnitude: the remainder strip happens in LONG arithmetic
+        # (exact), and the exact-multiple quotient is computed in
+        # DECIMAL — routing it through a double would lose the low bits
+        # of dividends past 2^53 (a 10T-token budget gets there), where
+        # a bare (a / b).cast(long) can disagree with the oracle's //
+        return (
+            (a - F.pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)")
+        ).cast("long")
 
     weight = F.coalesce(w[F.col(source_col)], F.lit(0)).cast("long")
     target = _intdiv(F.lit(int(budget_tokens)) * weight, F.lit(1000))

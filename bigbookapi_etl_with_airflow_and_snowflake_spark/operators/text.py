@@ -616,7 +616,7 @@ def c4_rules(
     def _line_ok(line):
         return (
             F.right(line, F.lit(1)).isin(".", "!", "?", '"')
-            & (F.size(F.split(F.trim(line), r"\s+")) >= min_words_per_line)
+            & (token_count(line) >= min_words_per_line)
             & ~F.contains(F.lower(line), F.lit("javascript"))
         )
 

@@ -87,24 +87,31 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _MANIFEST_DIR, f"v{version:08d}.json")
 
 
+def _ventry_num(name: str, suffix: str = "") -> int | None:
+    """Parse one ``v{N}{suffix}`` entry name to its version number, or
+    None — the SINGLE parser for every versioned namespace (manifest
+    files, per-column index dirs, vacuum's sweep), so the naming
+    convention can never drift between writer and sweeper. Staged
+    ``.tmp.<uuid>`` manifests and foreign names never match."""
+    if suffix:
+        if not name.endswith(suffix):
+            return None
+        name = name[: len(name) - len(suffix)]
+    if name.startswith("v") and name[1:].isdigit():
+        return int(name[1:])
+    return None
+
+
 def _entry_versions(dirpath: str, suffix: str = "") -> list[int]:
     """Sorted version numbers of the ``v{N}{suffix}`` entries in one
-    directory — the SINGLE parser for every versioned namespace
-    (manifest files, per-column index dirs, vacuum's sweep), so the
-    naming convention can never drift between writer and sweeper.
-    Staged ``.tmp.<uuid>`` manifests and foreign names never match."""
+    directory (see :func:`_ventry_num`)."""
     if not os.path.isdir(dirpath):
         return []
     out = []
     for f in os.listdir(dirpath):
-        if suffix:
-            if not f.endswith(suffix):
-                continue
-            core = f[: len(f) - len(suffix)]
-        else:
-            core = f
-        if core.startswith("v") and core[1:].isdigit():
-            out.append(int(core[1:]))
+        v = _ventry_num(f, suffix)
+        if v is not None:
+            out.append(v)
     return sorted(out)
 
 
@@ -196,7 +203,11 @@ def tags(table_dir: str) -> dict[str, int]:
         return {}
     out = {}
     for f in sorted(os.listdir(tdir)):
-        if not f.endswith(".json") or ".tmp." in f:
+        # endswith('.json') alone excludes staged temps ('<name>.json
+        # .tmp.<hex>' never ends in '.json'); an extra '.tmp.' substring
+        # test would wrongly hide a legitimate tag NAMED e.g. 'run.tmp'
+        # — created fine, then invisible to vacuum's retention
+        if not f.endswith(".json"):
             continue
         with open(os.path.join(tdir, f)) as fh:
             t = json.load(fh)
@@ -510,6 +521,7 @@ def merge_version(
     index_cols: Sequence[str] = (),
     index_geometry: dict[str, tuple[int, int]] | None = None,
     index_max_chain: int = 8,
+    merge_schema: bool = False,
 ) -> dict:
     """Copy-on-write MERGE (upsert) into a versioned table.
 
@@ -530,6 +542,14 @@ def merge_version(
     ``index_geometry`` / ``index_max_chain``: Bloom-index tuning and
     compaction threshold, see :func:`write_version`.
 
+    Schema-on-write applies here exactly as on append: an incoming
+    frame whose columns differ from the table's recorded schema is
+    REFUSED unless ``merge_schema=True``, in which case both sides are
+    conformed to the UNION schema before merging — existing rows KEEP
+    columns the increment omits (they are never narrowed away), and
+    incoming rows NULL-fill them; per-column type changes are always
+    refused. ``keys`` must all be present in ``incoming``.
+
     Returns ``{"version", "files_rewritten", "files_carried",
     "n_rows"}``.
     """
@@ -538,6 +558,9 @@ def merge_version(
     from ..operators.dedup import keep_first_dedup
 
     key_cols = list(keys)
+    missing_keys = [k for k in key_cols if k not in incoming.columns]
+    if missing_keys:
+        raise ValueError(f"incoming is missing merge key columns {missing_keys}")
     if not _version_numbers(table_dir):
         v = write_version(
             spark, incoming, table_dir, index_cols=index_cols,
@@ -551,6 +574,30 @@ def merge_version(
             "n_rows": m["n_rows"],
         }
     base = _load_manifest(table_dir, base_version)
+    # schema-on-write (same gate as write_version's append): refuse a
+    # divergent increment unless merge_schema=True, then conform BOTH
+    # sides to the union schema — without this, select(*incoming.columns)
+    # silently stripped evolved columns from every rewritten row AND
+    # committed the narrowed schema over the carried files
+    conform = None
+    if base.get("schema") is not None:
+        union_json = _evolved_schema(base["schema"], incoming.schema, merge_schema)
+        from pyspark.sql.types import StructType
+
+        union = StructType.fromJson(json.loads(union_json))
+
+        def conform(df, _u=union):  # noqa: ANN001 — local helper
+            have = set(df.columns)
+            return df.select(
+                *[
+                    F.col(f.name)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in _u.fields
+                ]
+            )
+
+        incoming = conform(incoming)
     if base["files"]:
         # recorded-schema scans (like read_version): on an evolved
         # table a plain scan takes one footer's schema and silently
@@ -577,9 +624,9 @@ def merge_version(
     carried = _carried_files(base["files"], touched)
     inc = incoming.withColumn("__src", F.lit(0))
     if touched:
+        ex = _recorded_reader(spark, base).parquet(*sorted(touched))
         existing = (
-            _recorded_reader(spark, base).parquet(*sorted(touched))
-            .select(*incoming.columns)
+            (conform(ex) if conform is not None else ex.select(*incoming.columns))
             .withColumn("__src", F.lit(1))
         )
         unioned = inc.unionByName(existing)
@@ -1224,12 +1271,14 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
             if not idx.startswith("bloom_"):
                 continue
             idx_dir = os.path.join(index_root, idx)
-            for vn in _entry_versions(idx_dir):
-                if vn in retained or (idx, vn) in referenced:
+            for vdir in sorted(os.listdir(idx_dir)):
+                vn = _ventry_num(vdir)
+                if vn is None or vn in retained or (idx, vn) in referenced:
                     continue
-                shutil.rmtree(
-                    os.path.join(idx_dir, f"v{vn:08d}"), ignore_errors=True
-                )
+                # remove the LISTED name — reconstructing f"v{vn:08d}"
+                # would silently no-op on a non-zero-padded dir while
+                # still counting it as dropped
+                shutil.rmtree(os.path.join(idx_dir, vdir), ignore_errors=True)
                 indexes_dropped += 1
     return {
         "versions_dropped": len(drop),

@@ -225,10 +225,10 @@ def test_cap_per_group_window_limit_is_pushed_map_side(spark, sf_dir):
 
 
 def test_quality_buckets_no_global_sort_over_rows(spark, sf_dir):
-    """CCNet bucketing must never sort document rows globally: the only
-    window runs over the bounded score-domain aggregate, thresholds
-    come back as a broadcast 1-row join, and the per-row assignment is
-    a CASE projection."""
+    """CCNet bucketing's assignment plan must be a pure literal-CASE
+    projection over the scored rows — no join, no window, no sort: the
+    thresholds were resolved from the bounded score-domain aggregate
+    before the plan was built."""
     from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lm import (
         quality_buckets,
     )
@@ -238,9 +238,6 @@ def test_quality_buckets_no_global_sort_over_rows(spark, sf_dir):
     )
     df = quality_buckets(d, "coverage_pm")
     plan = explain_str(df, "formatted")
-    # thresholds are a 1-row broadcast, never shuffled onto the data
-    assert "BroadcastNestedLoopJoin" in plan, plan
-    # no Sort over the document rows themselves: every Sort in the plan
-    # sits under the score-domain aggregate (follows its Exchange of
-    # the tiny counts table), which single-partitions ≤ domain-size rows
-    assert "SortMergeJoin" not in plan, plan
+    for op in ("Join", "Window", "Sort"):
+        assert op not in plan, (op, plan)
+    assert shuffle_count(df) == 0, explain_str(df, "simple")

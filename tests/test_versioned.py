@@ -248,7 +248,9 @@ def test_cow_commit_conflict_is_loud(spark, table):
 
     _clustered_table(spark, table)
     write_version(spark, spark.range(3).withColumn("val", F.lit(0)), table)  # v2
-    inc = spark.range(2).withColumn("val", F.lit(9))
+    # type-consistent with the base snapshot: the schema-on-write gate
+    # (checked against base_version) would otherwise fire first
+    inc = spark.range(2).withColumn("val", F.lit(9).cast("long"))
     with pytest.raises(CommitConflict, match="advanced past v1"):
         merge_version(spark, inc, table, keys=["id"], base_version=1)
     with pytest.raises(CommitConflict, match="advanced past v1"):
@@ -1483,3 +1485,59 @@ def test_cow_merge_delete_preserve_evolved_schema(spark, table):
     after = {r["k"]: (r["v"], r["extra"]) for r in read_version(spark, table).collect()}
     assert 0 not in after and after[1] == (111, "upd") and after[5] == (50, "tagged")
     assert set(read_version(spark, table).columns) == {"k", "v", "extra"}
+
+
+def test_merge_schema_enforcement_on_cow_merge(spark, table):
+    """merge_version applies the SAME schema-on-write gate as append: a
+    divergent increment is refused without merge_schema=True; with it,
+    both sides conform to the UNION schema — existing rows KEEP columns
+    the increment omits (never narrowed away), incoming rows NULL-fill
+    them, and the committed schema stays the union."""
+    from pyspark.sql import functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        merge_version,
+        read_version,
+    )
+
+    write_version(
+        spark,
+        spark.range(4).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            F.lit("keepme").alias("extra"),
+        ),
+        table,
+    )
+    narrow = spark.createDataFrame([(1, 111), (9, 900)], "k long, v long")
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        merge_version(spark, narrow, table, keys=["k"])
+    with pytest.raises(ValueError, match="missing merge key"):
+        merge_version(spark, narrow.select("v"), table, keys=["k"])
+
+    merge_version(spark, narrow, table, keys=["k"], merge_schema=True)
+    got = {r["k"]: (r["v"], r["extra"]) for r in read_version(spark, table).collect()}
+    # updated row: incoming value, NULL-filled omitted column
+    assert got[1] == (111, None)
+    # UNTOUCHED NEIGHBOR in the rewritten file keeps its evolved column
+    assert got[0] == (0, "keepme") and got[3] == (30, "keepme")
+    assert got[9] == (900, None)
+    assert set(read_version(spark, table).columns) == {"k", "v", "extra"}
+
+    # widening increment: new column via the same gate
+    wide = spark.createDataFrame(
+        [(2, 222, "w")], "k long, v long, note string"
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        merge_version(spark, wide, table, keys=["k"])
+    merge_version(spark, wide, table, keys=["k"], merge_schema=True)
+    latest = read_version(spark, table)
+    assert set(latest.columns) == {"k", "v", "extra", "note"}
+    rows = {r["k"]: (r["v"], r["extra"], r["note"]) for r in latest.collect()}
+    # merge is ROW-level replacement ("incoming rows beat existing"):
+    # the incoming row's NULL-filled 'extra' wins wholesale
+    assert rows[2] == (222, None, "w")
+    # type change is always refused
+    bad = spark.createDataFrame([(3, "oops")], "k long, v string")
+    with pytest.raises(ValueError, match="type evolution"):
+        merge_version(spark, bad, table, keys=["k"], merge_schema=True)
