@@ -75,6 +75,7 @@ def kmeans_lloyd(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist: bool = True,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means over an embedding column.
 
@@ -85,10 +86,26 @@ def kmeans_lloyd(
     Each iteration: one scan for assignment + one posexplode/groupBy
     for the update. Sums ride exact decimals (see module docstring), so
     results are bit-identical on any partitioning.
-    """
+
+    This runs ``2 + iters`` actions over the same (id, vec) projection
+    (init collect, one update collect per iteration, the caller
+    consuming the returned assignment), so by default that projection
+    is ``persist()``-ed (MEMORY_AND_DISK, lineage kept — eviction
+    recomputes, never fails): an upstream pipeline feeding this
+    executes once, not once per action. Spark's cache manager matches
+    on the logical plan, so a caller composing the same
+    ``df.select(id, vec)`` (e.g. semantic_dedup's count + final
+    assignment) reuses the block. Pass ``persist=False`` when the
+    caller already cached upstream; the cache is left registered
+    because the returned assignment frame reads it — callers needing
+    it gone unpersist after consuming."""
+    src = df.select(id_col, vec_col)
+    if persist:
+        from pyspark import StorageLevel
+
+        src = src.persist(StorageLevel.MEMORY_AND_DISK)
     init = (
-        df.select(id_col, vec_col)
-        .orderBy(id_col)
+        src.orderBy(id_col)
         .limit(k)
         .collect()
     )
@@ -99,7 +116,6 @@ def kmeans_lloyd(
     k = min(k, len(init))
     centroids = [[float(x) for x in r[vec_col]] for r in init]
 
-    src = df.select(id_col, vec_col)
     for _ in range(iters):
         assigned = assign_clusters(src, centroids, vec_col)
         sums = (

@@ -142,6 +142,7 @@ def quality_buckets(
     score_col: str,
     id_col: str = "doc_id",
     labels: tuple[str, str, str] = ("head", "middle", "tail"),
+    persist: bool = True,
 ) -> DataFrame:
     """CCNet's head/middle/tail quality bucketing (Wenzek et al. 2020
     §4.3: score every document with the reference LM, then split the
@@ -162,11 +163,26 @@ def quality_buckets(
     sort, no second scan of the upstream pipeline (a ``count()`` here
     would re-run the whole LM train+score lineage just for n).
 
+    This is a TWO-ACTION operator (the threshold collect, then the
+    caller consuming the returned frame), so by default ``scored`` is
+    ``persist()``-ed (MEMORY_AND_DISK, lineage kept — eviction falls
+    back to recompute, never fails) before the collect and the
+    assignment projection reads the cached frame: the upstream lineage
+    — for CCNet the full LM train+score — executes ONCE, not once per
+    action. Pass ``persist=False`` when the caller already
+    cached/checkpointed upstream. The cache is left registered (the
+    returned frame depends on it); callers that need it gone call
+    ``scored.unpersist()`` after consuming the result.
+
     Cut points: with n documents, ``head`` is every doc scoring ≥ the
     ⌈n/3⌉-th best document's score, ``tail`` every doc scoring < the
     ⌈2n/3⌉-th best document's score, ``middle`` the rest. Integer
     arithmetic only — bit-replayable in SQL.
     """
+    if persist:
+        from pyspark import StorageLevel
+
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     sc = F.col(score_col)
     by_value = sorted(
         (

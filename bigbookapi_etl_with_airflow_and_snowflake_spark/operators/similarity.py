@@ -207,7 +207,15 @@ def semantic_dedup(
     from .clustering import assign_clusters, kmeans_lloyd
     from .neardup import _materialize
 
-    src = df.select(id_col, vec_col)
+    # multi-action shape (optional count, k-means init + per-iteration
+    # collects, the final assignment the caller consumes): persist the
+    # projection ONCE here — cache substitution applies to subtrees, so
+    # every derived plan (kmeans_lloyd's loop included, persist=False
+    # below) reads the cached blocks instead of re-running the upstream
+    # lineage per action. Lineage kept: eviction recomputes, never fails.
+    from pyspark import StorageLevel
+
+    src = df.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
     if n_rows is not None and n_rows < 1:
         # validated regardless of target_cluster_size: a caller who
         # passes a count believing it is honored must hear about a
@@ -229,7 +237,9 @@ def semantic_dedup(
             info.update(n=n, k_from_target=k_from_target, target_engaged=True)
     if info is not None:
         info["k_effective"] = k
-    _, centroids = kmeans_lloyd(src, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    _, centroids = kmeans_lloyd(
+        src, k=k, iters=iters, id_col=id_col, vec_col=vec_col, persist=False
+    )
     assigned = _materialize(assign_clusters(src, centroids, vec_col), checkpoint_dir)
 
     t = float(threshold)

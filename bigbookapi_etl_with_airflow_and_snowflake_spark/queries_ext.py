@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .functions.splits import SPLIT_SALT, TRAIN_UPPER_HEX, VAL_UPPER_HEX
 from .operators import neardup
 from .sources.files import read_table
 
@@ -597,10 +598,14 @@ def q_train_test_split(spark, sf):
     )
 
 
-SQL_TRAIN_TEST_SPLIT = """
+# thresholds/salt interpolated from functions/splits.py (the single
+# definition) — a constant change there cannot silently desync the oracle
+SQL_TRAIN_TEST_SPLIT = f"""
 SELECT doc_id,
-  CASE WHEN h < 'e6' THEN 'train' WHEN h < 'f3' THEN 'val' ELSE 'test' END AS split
-FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#split') AS h FROM documents) t
+  CASE WHEN h < '{TRAIN_UPPER_HEX}' THEN 'train'
+       WHEN h < '{VAL_UPPER_HEX}' THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '{SPLIT_SALT}') AS h
+      FROM documents) t
 """
 
 
@@ -1294,7 +1299,7 @@ def q_curation_decision(spark, sf):
     )
 
 
-SQL_CURATION_DECISION = r"""
+SQL_CURATION_DECISION = rf"""
 WITH toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t,
                      text FROM documents),
 sig AS (SELECT doc_id, source,
@@ -1302,7 +1307,7 @@ sig AS (SELECT doc_id, source,
   (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) < 0.3 AS repetitive,
   (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
      / length(text)) > 0.3 AS digit_heavy,
-  md5(CAST(doc_id AS VARCHAR) || '#split') >= 'e6' AS held_out
+  md5(CAST(doc_id AS VARCHAR) || '{SPLIT_SALT}') >= '{TRAIN_UPPER_HEX}' AS held_out
 FROM toks),
 sh AS (SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
@@ -2165,13 +2170,17 @@ def q_domain_group_split(spark, sf):
     return group_split(d, "domain")
 
 
-SQL_DOMAIN_GROUP_SPLIT = """
+# thresholds/salt interpolated from functions/splits.py, same as
+# SQL_TRAIN_TEST_SPLIT — one definition for the split convention
+SQL_DOMAIN_GROUP_SPLIT = f"""
 SELECT doc_id, domain,
-  CASE WHEN h < 'e6' THEN 'train' WHEN h < 'f3' THEN 'val' ELSE 'test' END AS split
+  CASE WHEN h < '{TRAIN_UPPER_HEX}' THEN 'train'
+       WHEN h < '{VAL_UPPER_HEX}' THEN 'val' ELSE 'test' END AS split
 FROM (
   SELECT doc_id,
          'example' || CAST(doc_id % 97 AS VARCHAR) || '.com' AS domain,
-         md5('example' || CAST(doc_id % 97 AS VARCHAR) || '.com' || '#split') AS h
+         md5('example' || CAST(doc_id % 97 AS VARCHAR) || '.com'
+             || '{SPLIT_SALT}') AS h
   FROM documents
 ) t
 """

@@ -75,6 +75,40 @@ def _canon(path: str) -> str:
     return os.path.realpath(os.path.abspath(path))
 
 
+def _is_missing_path_error(e: Exception) -> bool:
+    """True iff ``e`` is a file/path-vanished failure — the benign race
+    a concurrent vacuum() can produce. Matches on STRUCTURE first
+    (AnalysisException error-class, wrapped java exception type), then
+    narrow message markers as the fallback: error-class strings vary
+    across Spark versions and connect/classic modes, so message text
+    alone would turn the benign race back into a hard failure after a
+    rename, while a broad message match would also swallow persistent
+    misconfig errors."""
+    try:
+        from pyspark.errors import AnalysisException
+
+        if isinstance(e, AnalysisException):
+            cond = getattr(e, "getCondition", None) or getattr(
+                e, "getErrorClass", None
+            )
+            if cond is not None:
+                name = cond()
+                if name and "PATH_NOT_FOUND" in name:
+                    return True
+    except ImportError:  # pragma: no cover — classic-only envs
+        pass
+    java_exc = getattr(e, "java_exception", None)  # Py4JJavaError shape
+    if java_exc is not None:
+        try:
+            cls = java_exc.getClass().getName()
+            if "FileNotFoundException" in cls:
+                return True
+        except Exception:  # noqa: BLE001 — gateway already torn down
+            pass
+    msg = str(e)
+    return any(s in msg for s in ("PATH_NOT_FOUND", "FileNotFoundException"))
+
+
 class CommitConflict(RuntimeError):
     """Optimistic-concurrency failure: the table advanced past the
     snapshot a copy-on-write operation was computed against. The
@@ -1162,14 +1196,12 @@ def read_version_pruned(
                 # below still applies — correct, just unpruned) rather
                 # than failing the read. Anything that is not a
                 # missing-path failure propagates.
-                # narrow markers only: a broad match (e.g. "does not
-                # exist") would also swallow persistent misconfig
+                # structural match (error class / wrapped java type)
+                # with narrow message markers as fallback — see
+                # _is_missing_path_error; a broad match (e.g. "does
+                # not exist") would also swallow persistent misconfig
                 # errors and permanently disable pruning with no signal
-                msg = str(e)
-                if not any(
-                    s in msg
-                    for s in ("PATH_NOT_FOUND", "FileNotFoundException")
-                ):
+                if not _is_missing_path_error(e):
                     raise
                 continue
             kept = [f for f in kept if _canon(f) in qualified]
@@ -1220,7 +1252,17 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
     for that column (never a wrong answer, see read_version_pruned) —
     but a reader pinned to a dropped version can still lose its DATA
     files; vacuum only when every reader is on a retained version, the
-    same caveat as time travel."""
+    same caveat as time travel.
+
+    Tagger race (the write-side analog): a ``tag_version()`` racing a
+    running vacuum can pin a version whose manifest/data files this
+    call is about to delete, leaving a tag that resolves to a missing
+    manifest. The tag dir is re-read immediately before the delete
+    phase (a late tag seen there is honored), which narrows the window
+    to the sweep itself; closing it entirely needs a table-level lock
+    the single-writer convention doesn't carry — tag before vacuuming,
+    the same discipline as "vacuum only when readers are on retained
+    versions"."""
     import shutil
 
     if keep_last < 1:
@@ -1228,13 +1270,26 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
     vs = _version_numbers(table_dir)
     # retention = the newest keep_last versions ∪ every TAGGED version
     # (tag_version): a tag is a promise that an audit can re-read that
-    # snapshot by name — vacuum honors it until delete_tag withdraws it
+    # snapshot by name — vacuum honors it until delete_tag withdraws it.
+    # Read the tag dir TWICE — once up front, once right before any
+    # delete — so a tagger that raced the first read is still honored
+    # (see the tagger-race caveat in the docstring).
     tagged = set(tags(table_dir).values())
     keep = sorted(set(vs[-keep_last:]) | (tagged & set(vs)))
     drop = [v for v in vs if v not in set(keep)]
     keep_files = set()
     for v in keep:
         keep_files.update(_load_manifest(table_dir, v)["files"])
+    # tagger-race re-check: a tag_version() that landed between the
+    # first tag read and here (the manifest loads above take real time
+    # on a long-retained table) is honored — its version moves from
+    # drop to keep before anything is deleted
+    late = (set(tags(table_dir).values()) - tagged) & set(drop)
+    if late:
+        drop = [v for v in drop if v not in late]
+        keep = sorted(set(keep) | late)
+        for v in late:
+            keep_files.update(_load_manifest(table_dir, v)["files"])
     # index dirs still referenced: each retained version's own dir plus
     # every chain link its recorded params name, per index column
     index_root = os.path.join(table_dir, "_index")

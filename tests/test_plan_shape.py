@@ -241,3 +241,23 @@ def test_quality_buckets_no_global_sort_over_rows(spark, sf_dir):
     for op in ("Join", "Window", "Sort"):
         assert op not in plan, (op, plan)
     assert shuffle_count(df) == 0, explain_str(df, "simple")
+    # two-action lock: the threshold collect already ran the upstream
+    # lineage; the assignment projection must read the persisted frame
+    # (InMemoryTableScan), not re-execute the scored pipeline
+    assert "InMemoryTableScan" in explain_str(df, "simple"), plan
+    d.unpersist()
+
+
+def test_kmeans_persists_source_across_iterations(spark, sf_dir):
+    """kmeans_lloyd runs 2+iters actions over the same projection; the
+    returned assignment must read the persisted blocks, not re-run the
+    upstream lineage once per action."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_lloyd(emb, k=4, iters=1)
+    assert "InMemoryTableScan" in explain_str(assigned, "simple")
+    emb.select("vec_id", "embedding").unpersist()

@@ -655,9 +655,11 @@ def test_semantic_dedup_target_cluster_size_scales_k(spark, monkeypatch):
     seen = {}
     orig = clustering.kmeans_lloyd
 
-    def spy(src, k, iters, id_col, vec_col):
+    def spy(src, k, iters, id_col, vec_col, persist=True):
         seen["k"] = k
-        return orig(src, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+        return orig(
+            src, k=k, iters=iters, id_col=id_col, vec_col=vec_col, persist=persist
+        )
 
     # semantic_dedup imports kmeans_lloyd from .clustering at call time
     monkeypatch.setattr(clustering, "kmeans_lloyd", spy)
