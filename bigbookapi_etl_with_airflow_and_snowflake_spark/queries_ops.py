@@ -2258,6 +2258,101 @@ FROM v3 GROUP BY o_orderstatus
 """
 
 
+def q_versioned_mor_delete(spark, sf):
+    """Merge-on-read DELETE (deletion vectors) through the real
+    manifest path: v1 = orders range-clustered into 8 files; v2 = MOR
+    delete of finished orders with key ≡0 mod 3; v3 = MOR delete of
+    key ≡0 mod 7 (overlapping v2's set — live-row accounting must not
+    double-count); v4 = compaction (overwrite of the read-back
+    snapshot), which must FOLD the DVs away. The query reads v2, v3
+    AND v4; the oracle replays all three states from the source rows —
+    v4's rows equal v3's, which is exactly the read-equality-with-COW
+    contract (a COW delete's final state IS the predicate-filtered
+    source).
+
+    Metadata literals (oracle-pinned TRUE): ``mor_zero_rewrite`` (both
+    MOR commits rewrote ZERO data files, carried all 8, and each staged
+    a DV sidecar — the O(deleted rows) cost profile, vs the COW twin
+    ``versioned_merge_delete`` whose delete rewrites files) and
+    ``dv_folded`` (v3's manifest records DV sidecars, v4's records
+    none). The aggregates are computed off the DV-applied reads, so an
+    anti-join that dropped a live row or resurrected a deleted one also
+    fails the value hash."""
+    from .sinks.versioned import (
+        _load_manifest,
+        delete_version,
+        read_version,
+        write_version,
+    )
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    d = tempfile.mkdtemp(prefix="q_versioned_mor_")
+    t = os.path.join(d, "orders_v")
+    try:
+        write_version(spark, o.repartitionByRange(8, "o_orderkey"), t)
+        r2 = delete_version(
+            spark,
+            t,
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0),
+            mode="mor",
+        )
+        r3 = delete_version(spark, t, F.col("o_orderkey") % 7 == 0, mode="mor")
+        mor_zero_rewrite = (
+            r2["files_rewritten"] == 0
+            and r3["files_rewritten"] == 0
+            and r2["files_carried"] == 8
+            and r3["files_carried"] == 8
+            and r2["dv_files_added"] >= 1
+            and r3["dv_files_added"] >= 1
+        )
+        write_version(spark, read_version(spark, t, version=3), t, mode="overwrite")
+        dv_folded = bool(_load_manifest(t, 3).get("dv_files")) and not _load_manifest(
+            t, 4
+        ).get("dv_files")
+
+        def agg(df, tag):
+            return df.groupBy("o_orderstatus").agg(
+                F.lit(tag).alias("snapshot"),
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+                    "cents"
+                ),
+            )
+
+        out = (
+            agg(read_version(spark, t, version=2), "v2")
+            .unionByName(agg(read_version(spark, t, version=3), "v3"))
+            .unionByName(agg(read_version(spark, t, version=4), "v4"))
+            .select("snapshot", "o_orderstatus", "n", "key_sum", "cents")
+            .withColumn("mor_zero_rewrite", F.lit(mor_zero_rewrite))
+            .withColumn("dv_folded", F.lit(dv_folded))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_MOR_DELETE = """
+WITH v2 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+), v3 AS (
+  SELECT * FROM v2 WHERE NOT (o_orderkey % 7 = 0)
+), states AS (
+  SELECT 'v2' AS snapshot, * FROM v2
+  UNION ALL SELECT 'v3' AS snapshot, * FROM v3
+  UNION ALL SELECT 'v4' AS snapshot, * FROM v3
+)
+SELECT snapshot, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+       TRUE AS mor_zero_rewrite, TRUE AS dv_folded
+FROM states GROUP BY snapshot, o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # class prototypes (operators/clustering.py label_centroids)
 # ---------------------------------------------------------------------------
@@ -3067,6 +3162,7 @@ OPS_REGISTRY = {
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "versioned_time_travel": (q_versioned_time_travel, SQL_VERSIONED_TIME_TRAVEL),
     "versioned_merge_delete": (q_versioned_merge_delete, SQL_VERSIONED_MERGE_DELETE),
+    "versioned_mor_delete": (q_versioned_mor_delete, SQL_VERSIONED_MOR_DELETE),
     "versioned_pruned_read": (q_versioned_pruned_read, SQL_VERSIONED_PRUNED_READ),
     "versioned_index_compaction": (
         q_versioned_index_compaction,

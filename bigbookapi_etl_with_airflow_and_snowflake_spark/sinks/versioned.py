@@ -337,6 +337,84 @@ def _recorded_reader(spark: SparkSession, m: dict):
     return spark.read.schema(StructType.fromJson(json.loads(sch)))
 
 
+_DV_DIR = "_dv"
+_DV_FILE, _DV_POS = "__dv_file", "__dv_pos"
+
+
+def _identity_cols(df: DataFrame) -> DataFrame:
+    """Attach the PHYSICAL row identity — ``__dv_file`` (canonical OS
+    path, decoded from the scan's ``_metadata.file_path`` URI) and
+    ``__dv_pos`` (``_metadata.row_index``, the row's position within
+    its file) — the coordinates deletion vectors address rows by.
+
+    Decode rather than re-encode: manifests store canonical OS paths
+    (:func:`_canon`) and the scan echoes them back as ``file:`` URIs,
+    so stripping the scheme + URL-decoding recovers the exact manifest
+    string. A literal ``+`` is legal and unencoded in a URI path but
+    ``url_decode`` (java.net.URLDecoder) would turn it into a space —
+    escape it to ``%2B`` first, which round-trips correctly."""
+    from pyspark.sql import functions as F
+
+    raw = F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+    return df.withColumn(
+        _DV_FILE, F.url_decode(F.replace(raw, F.lit("+"), F.lit("%2B")))
+    ).withColumn(_DV_POS, F.col("_metadata.row_index"))
+
+
+def _dv_frame(spark: SparkSession, m: dict) -> DataFrame | None:
+    """The snapshot's deletion vectors as a (file, pos) DataFrame, or
+    None when the manifest carries none."""
+    dvs = m.get("dv_files") or []
+    if not dvs:
+        return None
+    return spark.read.parquet(*dvs).select("file", "pos")
+
+
+def _live_scan(
+    spark: SparkSession,
+    m: dict,
+    files: Sequence[str] | None = None,
+    identity: bool = False,
+) -> DataFrame:
+    """Scan of (a subset of) a manifest's data files with the recorded
+    schema AND the snapshot's deletion vectors applied — the ONE
+    definition of "the rows of this snapshot" that every reader and
+    every copy-on-write scan routes through, so a merge-on-read delete
+    is invisible to all of them (merge/COW-delete rewrites materialize
+    only live rows, which is what folds DVs away).
+
+    The DV application is a left-anti join on (file, pos): the DV side
+    is O(deleted rows) and AQE broadcasts it while it is small (the
+    GDPR-trickle case); a mass delete's DV legitimately shuffles —
+    still O(deleted), never O(table). DV rows addressing files outside
+    ``files`` (a scoped scan) or files a later commit rewrote (stale
+    entries carried by reference) simply never match — same
+    harmless-staleness argument as the chained Bloom index.
+
+    ``identity=True`` keeps the (__dv_file, __dv_pos) physical row
+    coordinates on the result (internal writers use them)."""
+    from pyspark.sql import functions as F
+
+    flist = list(m["files"] if files is None else files)
+    df = _recorded_reader(spark, m).parquet(*flist)
+    dv = _dv_frame(spark, m)
+    if dv is None and not identity:
+        return df
+    clash = [c for c in (_DV_FILE, _DV_POS) if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"table columns collide with reserved DV identity names {clash}"
+        )
+    df = _identity_cols(df)
+    if dv is not None:
+        df = df.join(
+            dv,
+            (F.col(_DV_FILE) == dv["file"]) & (F.col(_DV_POS) == dv["pos"]),
+            "left_anti",
+        )
+    return df if identity else df.drop(_DV_FILE, _DV_POS)
+
+
 def _resolve_index_geometry(
     table_dir: str,
     key_col: str,
@@ -425,9 +503,14 @@ def write_version(
 
     def build(prior: dict | None) -> dict:
         files, n_rows, schema = new_files, n_new, schema_json
+        dvs: list[str] = []
         if mode == "append" and prior is not None:
             files = prior["files"] + new_files
             n_rows = prior["n_rows"] + n_new
+            # carried files keep needing their deletion vectors; an
+            # overwrite commits dv-free (its snapshot is exactly df —
+            # which is how compacting a MOR table folds DVs away)
+            dvs = prior.get("dv_files") or []
             if prior.get("schema") is not None:
                 schema = _evolved_schema(
                     prior["schema"], df.schema, merge_schema
@@ -437,6 +520,7 @@ def write_version(
             "files": files,
             "n_rows": n_rows,
             "schema": schema,
+            "dv_files": dvs,
         }
 
     try:
@@ -633,21 +717,21 @@ def merge_version(
 
         incoming = conform(incoming)
     if base["files"]:
-        # recorded-schema scans (like read_version): on an evolved
-        # table a plain scan takes one footer's schema and silently
-        # drops columns from the rewritten rows
-        cur = _recorded_reader(spark, base).parquet(*base["files"]).withColumn(
-            "__file", F.col("_metadata.file_path")
-        )
+        # _live_scan: recorded-schema (an evolved table's plain scan
+        # takes one footer's schema and silently drops columns) AND
+        # the snapshot's deletion vectors applied — a MOR-deleted row
+        # must neither mark its file touched nor resurrect in the
+        # rewrite. identity=True keeps the canonical file path.
+        cur = _live_scan(spark, base, identity=True)
         # Files holding a matched key. AQE broadcasts the key side when
         # the increment is small (the common CDC case); the collect is
         # bounded by the table's FILE count, not its rows.
         touched = {
-            _local_path(r["__file"])
+            r[_DV_FILE]
             for r in cur.join(
                 incoming.select(*key_cols).distinct(), key_cols, "left_semi"
             )
-            .select("__file")
+            .select(_DV_FILE)
             .distinct()
             .collect()
         }
@@ -658,7 +742,7 @@ def merge_version(
     carried = _carried_files(base["files"], touched)
     inc = incoming.withColumn("__src", F.lit(0))
     if touched:
-        ex = _recorded_reader(spark, base).parquet(*sorted(touched))
+        ex = _live_scan(spark, base, files=sorted(touched))
         existing = (
             (conform(ex) if conform is not None else ex.select(*incoming.columns))
             .withColumn("__src", F.lit(1))
@@ -683,6 +767,10 @@ def merge_version(
             "files": carried + new_files,
             "n_rows": base["n_rows"] - n_touched + n_new,
             "schema": schema_json,
+            # carried files keep needing their DVs; entries addressing
+            # the rewritten files go stale-but-harmless (fresh uuid
+            # paths never reuse a dead identity) — compaction reclaims
+            "dv_files": base.get("dv_files") or [],
         }
 
     try:
@@ -712,32 +800,63 @@ def delete_version(
     table_dir: str,
     predicate,
     base_version: int | None = None,
+    mode: str = "cow",
     index_cols: Sequence[str] = (),
     index_geometry: dict[str, tuple[int, int]] | None = None,
     index_max_chain: int = 8,
 ) -> dict:
-    """Copy-on-write DELETE: rows where ``predicate`` is TRUE leave the
-    table; rows where it is FALSE or NULL stay (SQL DELETE semantics).
-    Only files containing at least one matching row are rewritten —
-    with a clustered layout (:mod:`operators/zorder`) a selective
-    delete touches few files. Same optimistic-concurrency commit as
-    :func:`merge_version`. ``predicate`` is a Column or SQL string.
-    ``index_geometry`` / ``index_max_chain``: see :func:`write_version`.
+    """DELETE on a versioned table: rows where ``predicate`` is TRUE
+    leave the table; rows where it is FALSE or NULL stay (SQL DELETE
+    semantics). ``predicate`` is a Column or SQL string. Two cost
+    profiles, selected by ``mode`` (the Delta/Iceberg pair):
+
+    - ``"cow"`` (copy-on-write, default): files containing at least one
+      matching row are REWRITTEN without their matching rows; with a
+      clustered layout (:mod:`operators/zorder`) a selective delete
+      touches few files. Cost O(rows in touched files) — right when
+      deletes are bulky or reads must stay scan-pure.
+    - ``"mor"`` (merge-on-read, deletion vectors): NO data file is
+      rewritten — the matching rows' physical coordinates (file, row
+      position) land in a DV sidecar parquet under ``_dv/``, an
+      O(deleted rows) commit, and every read applies the DVs as an
+      anti-join (:func:`_live_scan`). Right for the GDPR-style trickle
+      where COW would rewrite a whole file per single-row delete. DVs
+      accumulate across MOR commits (append-only sidecars, snapshot
+      isolation preserved); any overwrite/compaction commit of the
+      read-back snapshot folds them away (the rewrite materializes
+      live rows only), and ``vacuum`` sweeps DV sidecars no retained
+      manifest references.
+
+    Same optimistic-concurrency commit as :func:`merge_version` either
+    way. ``index_geometry`` / ``index_max_chain``: see
+    :func:`write_version`; a MOR commit's index maintenance is the
+    zero-new-files chain link (the file set is unchanged).
 
     Returns ``{"version", "files_rewritten", "files_carried",
-    "n_deleted", "n_rows"}``.
+    "n_deleted", "n_rows"}`` (+ ``"dv_files_added"`` for MOR).
     """
     from pyspark.sql import functions as F
 
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be cow|mor, got {mode!r}")
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     base = _load_manifest(table_dir, base_version)
+    if mode == "mor":
+        return _delete_version_mor(
+            spark, table_dir, cond, base,
+            index_cols, index_geometry, index_max_chain,
+        )
     if base["files"]:
-        tbl = _recorded_reader(spark, base).parquet(*base["files"])
-        schema_json = tbl.schema.json()
-        cur = tbl.withColumn("__file", F.col("_metadata.file_path"))
+        # _live_scan: recorded schema + existing DVs applied — an
+        # already-MOR-deleted row must neither mark its file touched
+        # nor resurrect in the rewrite
+        cur = _live_scan(spark, base, identity=True)
+        schema_json = base.get("schema") or _recorded_reader(
+            spark, base
+        ).parquet(*base["files"]).schema.json()
         touched = {
-            _local_path(r["__file"])
-            for r in cur.filter(cond).select("__file").distinct().collect()
+            r[_DV_FILE]
+            for r in cur.filter(cond).select(_DV_FILE).distinct().collect()
         }
     else:
         # already-empty snapshot (a prior delete removed every row and
@@ -746,7 +865,7 @@ def delete_version(
         touched = set()
     carried = _carried_files(base["files"], touched)
     if touched:
-        scope = _recorded_reader(spark, base).parquet(*sorted(touched))
+        scope = _live_scan(spark, base, files=sorted(touched))
         n_touched = scope.count()
         kept = scope.filter(~F.coalesce(cond, F.lit(False)))
         new_files, n_new = _write_data_files(spark, kept, table_dir)
@@ -764,6 +883,9 @@ def delete_version(
             "files": carried + new_files,
             "n_rows": base["n_rows"] - n_touched + n_new,
             "schema": schema_json,
+            # carried files keep their DVs; rewritten files' entries go
+            # stale-but-harmless (see merge_version)
+            "dv_files": base.get("dv_files") or [],
         }
 
     try:
@@ -786,6 +908,91 @@ def delete_version(
         "files_carried": len(carried),
         "n_deleted": n_touched - n_new,
         "n_rows": base["n_rows"] - n_touched + n_new,
+    }
+
+
+def _delete_version_mor(
+    spark: SparkSession,
+    table_dir: str,
+    cond,
+    base: dict,
+    index_cols: Sequence[str],
+    index_geometry: dict[str, tuple[int, int]] | None,
+    index_max_chain: int,
+) -> dict:
+    """Merge-on-read DELETE body (see :func:`delete_version`
+    ``mode='mor'``): one scan finds the matching LIVE rows' physical
+    coordinates, one O(deleted rows) parquet write stages the DV
+    sidecar, the manifest commit appends it to the snapshot's DV list.
+    Zero data files are rewritten — that is the contract the registry
+    entry pins as a literal."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    dv_new: list[str] = []
+    n_deleted = 0
+    dv_dir = None
+    if base["files"]:
+        # existing DVs applied: a row deleted by a PRIOR MOR commit
+        # must not be re-recorded (double-decrementing n_rows)
+        live = _live_scan(spark, base, identity=True)
+        matched = live.filter(cond).select(
+            F.col(_DV_FILE).alias("file"), F.col(_DV_POS).alias("pos")
+        )
+        dv_dir = os.path.join(table_dir, _DV_DIR, uuid.uuid4().hex)
+        matched.write.parquet(dv_dir)
+        dv_new = sorted(
+            _canon(os.path.join(dv_dir, f))
+            for f in os.listdir(dv_dir)
+            if f.endswith(".parquet")
+        )
+        n_deleted = spark.read.parquet(dv_dir).count()
+        if n_deleted == 0:
+            # nothing matched: drop the staged empty sidecar so reads
+            # never pay an anti-join for a no-op delete
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            dv_new, dv_dir = [], None
+
+    def build(prior: dict | None) -> dict:
+        if prior is None or prior["version"] != base["version"]:
+            raise CommitConflict(
+                f"table advanced past v{base['version']} "
+                f"(latest: v{prior['version'] if prior else 0}) — re-run the delete"
+            )
+        return {
+            "mode": "delete_mor",
+            "files": base["files"],
+            "n_rows": base["n_rows"] - n_deleted,
+            "schema": base.get("schema"),
+            "dv_files": (base.get("dv_files") or []) + dv_new,
+        }
+
+    try:
+        v = _commit(table_dir, build)
+    except CommitConflict:
+        if dv_dir is not None:
+            shutil.rmtree(dv_dir, ignore_errors=True)
+        raise
+    for col in index_cols:
+        # file set unchanged → the index chains a zero-new-files link
+        # (O(1)); probes stay correct because Bloom pruning is
+        # file-level and conservative — a file whose every matching
+        # row is DV-deleted still qualifies, and the exact filter +
+        # DV anti-join discard its rows
+        maintain_bloom_index(
+            spark, table_dir, col, version=v,
+            new_files=[], prior_version=base["version"],
+            max_chain=index_max_chain,
+            geometry=(index_geometry or {}).get(col),
+        )
+    return {
+        "version": v,
+        "files_rewritten": 0,
+        "files_carried": len(base["files"]),
+        "n_deleted": n_deleted,
+        "n_rows": base["n_rows"] - n_deleted,
+        "dv_files_added": len(dv_new),
     }
 
 
@@ -816,9 +1023,11 @@ def read_version(
     """The table at ``version`` (default: latest) — a parquet scan of
     exactly that manifest's file list; nothing a later commit does can
     change what this returns. A snapshot whose file list is empty reads
-    as a zero-row frame with the committed schema. ``tag`` reads the
-    version a named tag pinned (:func:`tag_version`); passing both is
-    ambiguous and loud."""
+    as a zero-row frame with the committed schema. Deletion vectors the
+    manifest records (merge-on-read deletes, see :func:`delete_version`
+    ``mode='mor'``) are applied here — an anti-join on the physical row
+    identity, O(deleted rows). ``tag`` reads the version a named tag
+    pinned (:func:`tag_version`); passing both is ambiguous and loud."""
     if tag is not None:
         if version is not None:
             raise ValueError("pass version OR tag, not both")
@@ -829,7 +1038,7 @@ def read_version(
     m = _load_manifest(table_dir, version)
     if not m["files"]:
         return _empty_snapshot(spark, m)
-    return _recorded_reader(spark, m).parquet(*m["files"])
+    return _live_scan(spark, m)
 
 
 def prune_manifest_files(
@@ -1209,7 +1418,10 @@ def read_version_pruned(
                 break
     info = {"files_total": len(m["files"]), "files_read": len(kept)}
     if kept:
-        df = _recorded_reader(spark, m).parquet(*kept)
+        # deletion vectors apply on the pruned scan too (scoped: DV rows
+        # for pruned-out files never match) — bit-identical to the
+        # unpruned read_version(...).filter(...) contract
+        df = _live_scan(spark, m, files=kept)
     else:
         # schema-only read: the recorded schema when present (zero
         # I/O), else parquet footers of the full list — no rows either way
@@ -1239,7 +1451,20 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
     link dir orphaned by an EARLIER vacuum has no manifest left to
     visit — a manifest-driven walk would leak it forever (one dir per
     pre-compaction version on a continuous ingest stream).
-    Returns {"versions_dropped", "files_deleted", "indexes_dropped"}.
+
+    Deletion-vector sidecars (``_dv/*``, merge-on-read deletes) sweep
+    the same way as index dirs — a FULL walk of the ``_dv`` namespace,
+    dropping every sidecar directory no retained manifest's
+    ``dv_files`` references: DV sidecars are carried by reference
+    across commits exactly like chain links, so a manifest-driven walk
+    would leak compaction-folded sidecars the same way. This also
+    reclaims sidecars a crashed MOR delete staged but never committed
+    — and it is why vacuum must not run CONCURRENTLY with an in-flight
+    MOR delete on the same table (the sidecar is staged before the
+    manifest references it); both are write operations, so the
+    module's single-writer-per-table convention already covers it.
+    Returns {"versions_dropped", "files_deleted", "indexes_dropped",
+    "dv_dirs_dropped"}.
     Time travel shrinks to the retained window — run it when the audit
     horizon allows.
 
@@ -1335,8 +1560,34 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
                 # still counting it as dropped
                 shutil.rmtree(os.path.join(idx_dir, vdir), ignore_errors=True)
                 indexes_dropped += 1
+    # DV-sidecar sweep: full walk of _dv/* (same rationale as the index
+    # sweep — sidecars are carried by reference, so dirs orphaned by
+    # compaction or earlier vacuums have no manifest left to visit).
+    # A sidecar dir's parquet files are referenced atomically (a commit
+    # records every part of the dir it staged), so per-dir membership
+    # of ANY file in the retained set means the dir is live.
+    keep_dv: set[str] = set()
+    for v in keep:
+        keep_dv.update(_load_manifest(table_dir, v).get("dv_files") or [])
+    dv_root = os.path.join(table_dir, _DV_DIR)
+    dv_dirs_dropped = 0
+    if os.path.isdir(dv_root):
+        for dv_dir in sorted(os.listdir(dv_root)):
+            full = os.path.join(dv_root, dv_dir)
+            if not os.path.isdir(full):
+                continue
+            parts = [
+                _canon(os.path.join(full, f))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            ]
+            if parts and any(p in keep_dv for p in parts):
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            dv_dirs_dropped += 1
     return {
         "versions_dropped": len(drop),
         "files_deleted": deleted,
         "indexes_dropped": indexes_dropped,
+        "dv_dirs_dropped": dv_dirs_dropped,
     }
