@@ -2353,6 +2353,106 @@ FROM states GROUP BY snapshot, o_orderstatus
 """
 
 
+def q_versioned_changes(spark, sf):
+    """Manifest-driven change data feed (sinks/versioned.py
+    read_changes) across one of each commit kind: v1 = orders
+    range-clustered into 8 files; v2 = APPEND of an increment (keys
+    −k−1 for k ≡0 mod 13 — negative, so later predicates never touch
+    them); v3 = COW delete of early finished orders (key < 1000 AND
+    status 'F' — range-scoped, so the clustering bounds which files
+    rewrite); v4 = MOR delete of key ∈ [200, 500) ≡0 mod 7 (DV
+    sidecars; the range is non-empty at EVERY corpus scale, and its
+    overlap with v3's set exercises live-only semantics — the oracle's
+    OR counts each row once, exactly like MOR deleting only live
+    rows). ``read_changes(1, 4)`` must yield
+    exactly: every increment row as an insert, every row the two
+    deletes removed as a delete — the append's files contribute their
+    rows, COW-carried rows CANCEL in the multiset diff, and the
+    DV-diff yields the MOR rows. The oracle replays the change set
+    from the source rows.
+
+    ``scoped`` literal (oracle-pinned TRUE): the feed scanned FEWER
+    before-side files than v1's manifest lists — carried files with
+    unchanged DVs are never opened, the O(changed files) contract
+    that makes an incremental consumer cheaper than a snapshot diff
+    (contrast ``snapshot_diff_orders``, which is O(table) by
+    construction)."""
+    from .sinks.versioned import delete_version, read_changes, write_version
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    d = tempfile.mkdtemp(prefix="q_versioned_cdf_")
+    t = os.path.join(d, "orders_v")
+    try:
+        write_version(spark, o.repartitionByRange(8, "o_orderkey"), t)
+        inc = o.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+            "o_orderkey", -F.col("o_orderkey") - 1
+        )
+        write_version(spark, inc.coalesce(1), t, mode="append")
+        delete_version(
+            spark,
+            t,
+            (F.col("o_orderkey") >= 0)
+            & (F.col("o_orderkey") < 1000)
+            & (F.col("o_orderstatus") == "F"),
+            mode="cow",
+        )
+        delete_version(
+            spark,
+            t,
+            (F.col("o_orderkey") >= 200)
+            & (F.col("o_orderkey") < 500)
+            & (F.col("o_orderkey") % 7 == 0),
+            mode="mor",
+        )
+        info: dict = {}
+        ch = read_changes(spark, t, 1, 4, info=info)
+        out = (
+            ch.groupBy("_change_type", "o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+                    "cents"
+                ),
+            )
+            .select(
+                F.col("_change_type").alias("change_type"),
+                "o_orderstatus",
+                "n",
+                "key_sum",
+                "cents",
+            )
+            .withColumn(
+                "scoped",
+                F.lit(info["files_scanned_before"] < info["files_before"]),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_CHANGES = """
+WITH ins AS (
+  SELECT -o_orderkey - 1 AS o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0
+), del AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE (o_orderkey >= 0 AND o_orderkey < 1000 AND o_orderstatus = 'F')
+     OR (o_orderkey >= 200 AND o_orderkey < 500 AND o_orderkey % 7 = 0)
+), ch AS (
+  SELECT 'insert' AS change_type, * FROM ins
+  UNION ALL SELECT 'delete' AS change_type, * FROM del
+)
+SELECT change_type, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+       TRUE AS scoped
+FROM ch GROUP BY change_type, o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # class prototypes (operators/clustering.py label_centroids)
 # ---------------------------------------------------------------------------
@@ -3163,6 +3263,7 @@ OPS_REGISTRY = {
     "versioned_time_travel": (q_versioned_time_travel, SQL_VERSIONED_TIME_TRAVEL),
     "versioned_merge_delete": (q_versioned_merge_delete, SQL_VERSIONED_MERGE_DELETE),
     "versioned_mor_delete": (q_versioned_mor_delete, SQL_VERSIONED_MOR_DELETE),
+    "versioned_changes": (q_versioned_changes, SQL_VERSIONED_CHANGES),
     "versioned_pruned_read": (q_versioned_pruned_read, SQL_VERSIONED_PRUNED_READ),
     "versioned_index_compaction": (
         q_versioned_index_compaction,

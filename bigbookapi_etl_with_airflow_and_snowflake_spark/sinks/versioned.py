@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "write_version",
+    "read_changes",
     "read_version",
     "read_version_pruned",
     "prune_manifest_files",
@@ -1039,6 +1040,188 @@ def read_version(
     if not m["files"]:
         return _empty_snapshot(spark, m)
     return _live_scan(spark, m)
+
+
+def read_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+    info: dict | None = None,
+) -> DataFrame:
+    """Change data feed between two versions, computed FROM THE
+    MANIFESTS: the multiset of row changes that turns
+    ``snapshot(from_version)`` into ``snapshot(to_version)`` (default:
+    latest), as one row per change occurrence with the table's columns
+    plus ``_change_type`` ('insert' | 'delete'; an update surfaces as a
+    delete+insert pair — the keyless-CDF convention). ``from_version=0``
+    means "before the first commit": every live row of ``to_version``
+    is an insert (the bootstrap read for an incremental consumer).
+
+    Cost is O(changed files), never O(table) — the property the
+    manifests buy. The two file lists are diffed driver-side
+    (metadata-only):
+
+    - files in BOTH manifests with UNCHANGED deletion vectors carry
+      identical live rows → contribute nothing and are NEVER scanned;
+    - added / removed files are scanned on their side only; a
+      copy-on-write rewrite's carried rows appear on both sides and
+      cancel in the multiset diff, leaving exactly the row-level
+      changes scoped to the touched files;
+    - a common file whose DV set changed (merge-on-read deletes) is
+      scanned on both sides with each side's DVs applied — the diff
+      yields precisely the newly-deleted rows.
+
+    The diff itself is one groupBy over the scoped scans (all table
+    columns as keys; SQL grouping treats NULLs as equal, which is the
+    multiset semantics wanted), summing −1 for before-rows and +1 for
+    after-rows; non-zero nets explode into per-occurrence change rows.
+    Columns must therefore be group-able (no map type — loud error
+    from Spark if so).
+
+    Schema evolution between the versions is conformed to the UNION
+    schema (the evolved read semantics: absent columns read as NULL on
+    the older side); a per-column TYPE change between the versions is
+    refused loudly — only an overwrite can change types, and an
+    overwrite replaces the whole file set anyway (diff two reads
+    manually in that case).
+
+    ``info`` (optional dict) is filled with ``files_before``,
+    ``files_after``, ``files_scanned_before``, ``files_scanned_after``
+    so callers and tests can assert the scoping actually skipped the
+    carried files.
+
+    Composes with :func:`operators.rollup.refresh_rollup`: feed
+    ``read_changes(dir, last_seen, v).filter("_change_type =
+    'insert'")`` as the increment on an append-only table — the
+    incremental producer meeting the incremental consumer.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    vs = _version_numbers(table_dir)
+    if to_version is None:
+        if not vs:
+            raise ValueError(f"no committed versions under {table_dir!r}")
+        to_version = vs[-1]
+    if from_version == 0:
+        m_from: dict = {"files": [], "n_rows": 0, "schema": None, "dv_files": []}
+    else:
+        m_from = _load_manifest(table_dir, from_version)
+    m_to = _load_manifest(table_dir, to_version)
+    if from_version > to_version:
+        raise ValueError(
+            f"from_version {from_version} > to_version {to_version} — the "
+            "feed is forward-only; swap the arguments and invert the "
+            "change types if you need the reverse diff"
+        )
+
+    # ---- union schema (evolved reads NULL-fill; type changes refuse) ----
+    def _schema_of(m: dict) -> StructType:
+        if m.get("schema") is not None:
+            return StructType.fromJson(json.loads(m["schema"]))
+        if not m["files"]:
+            return StructType([])
+        return spark.read.parquet(*m["files"]).schema
+
+    sch_from, sch_to = _schema_of(m_from), _schema_of(m_to)
+    from_types = {f.name: f.dataType for f in sch_from.fields}
+    conflicts = sorted(
+        f.name
+        for f in sch_to.fields
+        if f.name in from_types and from_types[f.name] != f.dataType
+    )
+    if conflicts:
+        raise ValueError(
+            f"column types changed between v{from_version} and "
+            f"v{to_version} ({conflicts}) — a type change only happens "
+            "via overwrite (full replacement); diff the two snapshots "
+            "directly instead of reading a change feed across it"
+        )
+    union_fields = list(sch_to.fields) + [
+        f for f in sch_from.fields if f.name not in {g.name for g in sch_to.fields}
+    ]
+    cols = [f.name for f in union_fields]
+    reserved = {"_change_type", "__cdf_delta", "__cdf_net", "__cdf_i"}
+    clash = sorted(reserved & set(cols))
+    if clash:
+        raise ValueError(f"table columns collide with CDF reserved names {clash}")
+
+    def conform(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in union_fields
+            ]
+        )
+
+    # ---- scope: which files can hold a change ----
+    from_files, to_files = set(m_from["files"]), set(m_to["files"])
+    added = to_files - from_files
+    removed = from_files - to_files
+    common = from_files & to_files
+    dv_changed: set[str] = set()
+    if common and (m_from.get("dv_files") or m_to.get("dv_files")):
+        dv_f = _dv_frame(spark, m_from)
+        dv_t = _dv_frame(spark, m_to)
+        empty_dv = spark.createDataFrame([], "file string, pos long")
+        dv_f = empty_dv if dv_f is None else dv_f
+        dv_t = empty_dv if dv_t is None else dv_t
+        common_df = spark.createDataFrame(
+            [(f,) for f in sorted(common)], "file string"
+        )
+        scoped_f = dv_f.join(common_df, "file", "left_semi")
+        scoped_t = dv_t.join(common_df, "file", "left_semi")
+        # symmetric difference of the (file, pos) sets; the collect is
+        # bounded by DISTINCT FILE count, not DV rows
+        delta = scoped_t.exceptAll(scoped_f).unionByName(
+            scoped_f.exceptAll(scoped_t)
+        )
+        dv_changed = {r["file"] for r in delta.select("file").distinct().collect()}
+    scope_before = sorted(removed | dv_changed)
+    scope_after = sorted(added | dv_changed)
+    if info is not None:
+        info.update(
+            files_before=len(from_files),
+            files_after=len(to_files),
+            files_scanned_before=len(scope_before),
+            files_scanned_after=len(scope_after),
+        )
+
+    union_schema = StructType(union_fields)
+    empty = spark.createDataFrame([], union_schema)
+    before = (
+        conform(_live_scan(spark, m_from, files=scope_before))
+        if scope_before
+        else empty
+    )
+    after = (
+        conform(_live_scan(spark, m_to, files=scope_after))
+        if scope_after
+        else empty
+    )
+    net = (
+        before.withColumn("__cdf_delta", F.lit(-1))
+        .unionByName(after.withColumn("__cdf_delta", F.lit(1)))
+        .groupBy(*cols)
+        .agg(F.sum("__cdf_delta").alias("__cdf_net"))
+        .filter(F.col("__cdf_net") != 0)
+    )
+    return (
+        net.withColumn(
+            "_change_type",
+            F.when(F.col("__cdf_net") > 0, F.lit("insert")).otherwise(
+                F.lit("delete")
+            ),
+        )
+        .withColumn(
+            "__cdf_i", F.explode(F.sequence(F.lit(1), F.abs(F.col("__cdf_net"))))
+        )
+        .select(*cols, "_change_type")
+    )
 
 
 def prune_manifest_files(
