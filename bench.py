@@ -56,6 +56,24 @@ BENCH_QUERIES = [
 ]
 
 
+def _testdata_generation(sf_dir: str) -> str:
+    """Fingerprint of the corpus GENERATION the numbers were taken on:
+    md5 over the sorted (name, size) of every parquet file in sf_dir.
+    The round-10 drift investigation found cross-round totals comparable
+    only within a testdata generation (regeneration changes parquet
+    layout → scan/shuffle profile); recording the fingerprint makes
+    layout-change vs regression distinguishable MECHANICALLY instead of
+    by bisection (SCALING.md, round 10)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for name in sorted(os.listdir(sf_dir)):
+        if name.endswith(".parquet"):
+            p = os.path.join(sf_dir, name)
+            h.update(f"{name}:{os.path.getsize(p)};".encode())
+    return h.hexdigest()[:16]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -110,6 +128,7 @@ def main() -> None:
                 "loadavg_per_pass": pass_loadavg,
                 "pass_totals": pass_totals,
                 "ncpus": os.cpu_count(),
+                "testdata_generation": _testdata_generation(sf_dir),
                 "timing": f"per-query min over {n_passes} end-to-end suite passes",
             }
         )

@@ -34,7 +34,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["doc_bigrams", "train_bigram_lm", "score_bigram_lm", "quality_buckets"]
+__all__ = [
+    "doc_bigrams",
+    "train_bigram_lm",
+    "score_bigram_lm",
+    "quality_buckets",
+    "dsir_weights",
+    "dsir_sample",
+]
 
 
 def doc_bigrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
@@ -134,6 +141,117 @@ def score_bigram_lm(
         .alias("coverage_pm"),
         "cross_entropy",
         F.exp("cross_entropy").alias("perplexity"),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023, *Data Selection for
+    Language Models via Importance Resampling*): score each raw-corpus
+    document by how much more target-like than raw-like its n-gram
+    distribution is — ``log p_target(x) − log p_raw(x)`` under two
+    feature LMs — then resample proportional to the weight
+    (:func:`dsir_sample`). The paper uses hashed n-gram bag models;
+    this formulation uses the module's bigram models with an
+    INTEGER-EXACT quantization of the per-feature log-ratio so the
+    whole pipeline replays bit-identically in SQL (the sketch-tier
+    convention: engine-order-sensitive floats never decide a sample).
+
+    Per bigram occurrence (a, b):
+    ``δ = ilog2(c_target(a,b) + 1) − ilog2(c_raw(a,b) + 1)`` where
+    ``ilog2(x) = length(bin(x)) − 1`` — pure string/integer ops, no
+    floating log anywhere (an IEEE ``floor(log2 ...)`` could flip at
+    exact powers across engines). δ is the log-likelihood-ratio
+    quantized to whole bits, up to the additive normalizer
+    ``log((R+V)/(T+V))``, which is constant per bigram occurrence and
+    therefore shifts every document's per-bigram mean equally —
+    rank-preserving for length-comparable documents, and the explicit
+    min-shift in :func:`dsir_sample` (re)anchors the scale anyway.
+
+    Output per document with ≥2 tokens: (id, n_bigrams, dsir_score =
+    Σδ). Documents under 2 tokens have no bigram features and are
+    excluded (same convention as :func:`score_bigram_lm`).
+
+    Scale: the two count tables are |distinct bigrams| rows —
+    broadcastable; the scoring join shuffles on the bigram key (AQE
+    handles stopword-bigram skew) and the per-doc aggregation is one
+    map-side-combined groupBy. One pass over the corpus stream."""
+    bigrams = doc_bigrams(docs, text_col, id_col)
+    tb = (
+        doc_bigrams(target, text_col, id_col)
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("__ct"))
+    )
+    rb = bigrams.groupBy("a", "b").agg(F.count("*").alias("__cr"))
+
+    def ilog2p1(c):
+        # length(bin(c + 1)) - 1 == floor(log2(c + 1)), exactly, for
+        # c >= 0 — the -1 cancels in the δ difference so is omitted
+        return F.length(F.bin(c + F.lit(1)))
+
+    delta = ilog2p1(F.coalesce(F.col("__ct"), F.lit(0))) - ilog2p1(F.col("__cr"))
+    return (
+        bigrams.join(tb, ["a", "b"], "left")
+        # inner: every raw bigram is in rb by construction
+        .join(rb, ["a", "b"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(delta).cast("long").alias("dsir_score"),
+        )
+    )
+
+
+def dsir_sample(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DSIR resampling: ~``k`` documents drawn with inclusion
+    probability proportional to the (shifted) importance score from
+    :func:`dsir_weights` — the paper's importance-resampling step,
+    realized as the module-standard DETERMINISTIC systematic PPS
+    sampler (``operators/sampling.pps_systematic_sample``): no RNG, so
+    the sample is identical on any partitioning and SQL-replayable.
+
+    The PPS weight is ``dsir_score − min(dsir_score) + 1`` (≥ 1):
+    integer-exact, monotone in the score, and anchored so the
+    least-target-like document still occupies one unit of the weight
+    line (Madow's method needs positive integer weights; the paper's
+    ``exp(score)`` weighting would both overflow integer arithmetic
+    and be IEEE-ordering-sensitive).
+
+    Two-action shape (the global-min scalar, then the prefix-sum
+    sampler's own actions) — the scored frame is persisted across
+    them, same policy as :func:`quality_buckets`.
+
+    Output: (id, n_bigrams, dsir_score, dsir_weight) for the sampled
+    documents."""
+    from pyspark import StorageLevel
+
+    from .sampling import pps_systematic_sample
+
+    scored = dsir_weights(docs, target, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    smin = scored.agg(F.min("dsir_score").alias("m")).first()["m"]
+    if smin is None:
+        raise ValueError(
+            "no scorable documents (every doc has < 2 tokens) — DSIR "
+            "needs at least one bigram-bearing document"
+        )
+    weighted = scored.withColumn(
+        "dsir_weight", (F.col("dsir_score") - F.lit(int(smin)) + F.lit(1)).cast("long")
+    )
+    return pps_systematic_sample(
+        weighted, id_col, "dsir_weight", k, num_partitions=num_partitions
     )
 
 

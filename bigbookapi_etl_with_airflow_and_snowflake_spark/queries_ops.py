@@ -811,6 +811,59 @@ FROM lm, thr
 """
 
 
+def q_dsir_sample(spark, sf):
+    """DSIR data selection (Xie et al. 2023; operators/lm.py
+    dsir_weights + dsir_sample): score every document by the
+    integer-quantized bigram log-likelihood ratio between the src0
+    target slice's LM and the raw-corpus LM (δ per bigram =
+    whole-bit ilog2 difference of the two counts — pure string/integer
+    ops, no IEEE log anywhere near the sample decision), shift scores
+    to positive weights, and draw ~200 documents by deterministic
+    systematic PPS over the distributed prefix sum. No RNG end-to-end,
+    so the oracle replays the IDENTICAL sample: counts via SQL, ilog2
+    via length(bin(c+1)), the sampler via a window sum — any drift in
+    scoring, shifting, or sample placement breaks the hash."""
+    from .operators.lm import dsir_sample
+
+    docs = _t(spark, sf, "documents")
+    return dsir_sample(
+        docs, docs.filter(F.col("source") == "src0"), k=200, num_partitions=8
+    ).select("doc_id", "n_bigrams", "dsir_score", "dsir_weight")
+
+
+SQL_DSIR_SAMPLE = r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+big AS (
+  SELECT doc_id, source, t[i] AS a, t[i + 1] AS b
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+tb AS (SELECT a, b, COUNT(*) AS ct FROM big WHERE source = 'src0' GROUP BY a, b),
+rb AS (SELECT a, b, COUNT(*) AS cr FROM big GROUP BY a, b),
+sc AS (
+  SELECT d.doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(length(bin(COALESCE(tb.ct, 0) + 1))
+                  - length(bin(rb.cr + 1))) AS BIGINT) AS dsir_score
+  FROM big d
+  LEFT JOIN tb ON d.a = tb.a AND d.b = tb.b
+  JOIN rb ON d.a = rb.a AND d.b = rb.b
+  GROUP BY d.doc_id
+),
+w AS (
+  SELECT doc_id, n_bigrams, dsir_score,
+         dsir_score - (SELECT MIN(dsir_score) FROM sc) + 1 AS dsir_weight
+  FROM sc
+),
+c AS (SELECT *, SUM(dsir_weight) OVER (ORDER BY doc_id) AS cum FROM w),
+p AS (SELECT CAST(MAX(cum) AS BIGINT) // 200 AS step FROM c)
+SELECT doc_id, n_bigrams, dsir_score, CAST(dsir_weight AS BIGINT) AS dsir_weight
+FROM c, p
+WHERE (cum - dsir_weight) // step < LEAST(cum // step, 200)
+"""
+
+
 def q_flac_meta(spark, sf):
     """N5 FLAC STREAMINFO demux under the oracle gate: a valid FLAC
     stream head is synthesized per document from (doc_id, text length)
@@ -3264,6 +3317,7 @@ OPS_REGISTRY = {
     "versioned_merge_delete": (q_versioned_merge_delete, SQL_VERSIONED_MERGE_DELETE),
     "versioned_mor_delete": (q_versioned_mor_delete, SQL_VERSIONED_MOR_DELETE),
     "versioned_changes": (q_versioned_changes, SQL_VERSIONED_CHANGES),
+    "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
     "versioned_pruned_read": (q_versioned_pruned_read, SQL_VERSIONED_PRUNED_READ),
     "versioned_index_compaction": (
         q_versioned_index_compaction,

@@ -22,6 +22,7 @@ EXPECT_RAISE = {
     "ccnet_buckets",  # same: buckets are cut over the reference-LM score
     "lm_quality",
     "pps_sample_orders",
+    "dsir_sample",  # same: no bigram-bearing docs → no weight line to draw from
     "semantic_dedup",
     "semantic_dedup_scaled",  # ceil(0/8)=0 → the target guard raises
     "kmeans_clusters",

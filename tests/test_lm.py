@@ -143,3 +143,77 @@ def test_quality_buckets_threshold_semantics(spark):
         for r in quality_buckets(df.repartition(5), "coverage_pm").collect()
     }
     assert again == got
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """Integer-exact DSIR scores: pure-Python bigram counting + whole-bit
+    ilog2 quantization must reproduce the distributed result exactly."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lm import (
+        dsir_weights,
+    )
+
+    corpus = [
+        (0, "the cat sat on the mat", "tgt"),
+        (1, "the dog sat on the log", "raw"),
+        (2, "a b c d e f", "raw"),
+        (3, "the cat sat", "raw"),
+        (4, "one", "raw"),  # < 2 tokens → excluded
+        (5, "the the the the", "tgt"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["dsir_score"])
+        for r in dsir_weights(df, df.filter("source = 'tgt'")).collect()
+    }
+
+    def bigrams(text):
+        t = text.split()
+        return list(zip(t, t[1:], strict=False))
+
+    from collections import Counter
+
+    tb = Counter(b for i, tx, s in corpus if s == "tgt" for b in bigrams(tx))
+    rb = Counter(b for i, tx, s in corpus for b in bigrams(tx))
+    want = {}
+    for i, tx, _ in corpus:
+        bs = bigrams(tx)
+        if not bs:
+            continue
+        score = sum(
+            (tb.get(b, 0) + 1).bit_length() - (rb[b] + 1).bit_length() for b in bs
+        )
+        want[i] = (len(bs), score)
+    assert got == want
+    assert 4 not in got
+
+
+def test_dsir_sample_is_deterministic_and_weight_positive(spark):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lm import (
+        dsir_sample,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * j) % 17}" for j in range(12)), "src0" if i % 5 == 0 else "src1")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    tgt = df.filter("source = 'src0'")
+    a = sorted(r["doc_id"] for r in dsir_sample(df, tgt, k=10).collect())
+    b = sorted(
+        r["doc_id"] for r in dsir_sample(df.repartition(7), tgt, k=10).collect()
+    )
+    assert a == b and len(a) >= 1  # partition-invariant, non-empty
+    w = dsir_sample(df, tgt, k=10).agg({"dsir_weight": "min"}).first()[0]
+    assert w >= 1  # Madow needs positive integer weights
+
+
+def test_dsir_sample_empty_corpus_is_loud(spark):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lm import (
+        dsir_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "single", "src0")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="bigram-bearing"):
+        dsir_sample(df, df, k=1)
