@@ -241,3 +241,23 @@ def test_delete_mode_validation(spark, table):
     write_version(spark, _df(spark), table)
     with pytest.raises(ValueError, match="cow|mor"):
         delete_version(spark, table, "id = 1", mode="bogus")
+
+
+def test_mor_read_plan_is_broadcast_anti_join(spark, table):
+    """The DV application must execute as a BroadcastHashJoin LeftAnti
+    (DV side the build side — O(deleted rows) broadcast under AQE),
+    never a nested-loop; the identity projection stays inside
+    whole-stage codegen on the scan side."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.plans.introspect import (
+        explain_str,
+    )
+
+    df = spark.range(5000).select(F.col("id"), (F.col("id") % 7).alias("g"))
+    write_version(spark, df.repartition(4), table)
+    delete_version(spark, table, "id % 100 = 0", mode="mor")
+    r = read_version(spark, table)
+    r.collect()  # AQE resolves the join strategy at runtime
+    plan = explain_str(r, "simple")
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
