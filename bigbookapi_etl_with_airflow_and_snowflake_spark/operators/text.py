@@ -10,7 +10,7 @@ columnar until the one shuffle that genuinely needs exploded rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny multi-language stopword lists for the n-gram language heuristic.
@@ -450,6 +450,118 @@ def duplicated_span_stats(
             F.floor(F.lit(1000) * F.col("dup_windows") / F.col("n_windows"))
             .cast("long")
             .alias("dup_pm"),
+        )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans — the span
+    *extraction* half of ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §4.1),
+    at token granularity. :func:`duplicated_span_stats` counts the
+    duplicated k-windows; this merges them into the maximal contiguous
+    regions a deduplicator would actually cut.
+
+    A k-token window at position ``p`` (0-based) covers tokens
+    ``[p, p+k-1]``; a window is duplicated when its value occurs in ≥2
+    distinct documents. Two duplicated windows at positions ``p1 < p2``
+    belong to the same maximal span iff ``p2 - p1 <= k`` (their covered
+    regions overlap or touch), so spans are merged with the classic
+    gaps-and-islands pattern: break when the position gap exceeds k,
+    island id = running sum of breaks, span = min/max over the island.
+    Resulting spans within a document are disjoint and non-adjacent by
+    construction. Returns ``(id_col, span_start, span_end,
+    span_tokens)`` — inclusive 0-based token indices, all BIGINT.
+
+    Scale shape: the window table is corpus-token-sized but narrow
+    (id, pos, md5); one map-side-combined groupBy finds duplicated
+    values, one semi-join marks instances, and the island merge is two
+    window functions over doc-partitioned positions (per-partition sort
+    bounded by document length — never a global sort). No n² anywhere.
+    """
+    t = tokens(F.col(text_col))
+    wins = F.expr(
+        f"transform(sequence(0, size(__t) - {k}), "
+        f"i -> struct(CAST(i AS BIGINT) AS pos, "
+        f"md5(concat_ws(' ', slice(__t, i + 1, {k}))) AS h))"
+    )
+    w = (
+        df.select(F.col(id_col), t.alias("__t"))
+        .filter(F.size("__t") >= k)
+        .select(F.col(id_col), F.explode(wins).alias("__w"))
+        .select(
+            F.col(id_col),
+            F.col("__w.pos").alias("__pos"),
+            F.col("__w.h").alias("__h"),
+        )
+    )
+    dup = (
+        w.groupBy("__h")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    m = w.join(dup, "__h", "left_semi").select(id_col, "__pos")
+    ow = Window.partitionBy(id_col).orderBy("__pos")
+    brk = F.when(F.col("__pos") - F.lag("__pos").over(ow) > k, 1).otherwise(0)
+    return (
+        m.withColumn("__brk", brk)
+        .withColumn("__isl", F.sum("__brk").over(ow))
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + (k - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )
+
+
+def exact_substr_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """ExactSubstr deduplication applied (Lee et al. 2022 §4.1): cut
+    every maximal duplicated span (:func:`duplicated_spans`) from every
+    document it occurs in — Lee et al. remove ALL occurrences, not
+    all-but-one — and emit the scrubbed text plus exact counts:
+    ``(id_col, n_tokens, n_removed, clean_text)``. Documents with no
+    duplicated spans (including those shorter than k tokens) pass
+    through with ``n_removed = 0``.
+
+    Scale shape: the span list is re-grouped per document (tiny — only
+    documents that contain duplicated text have rows) and joined back
+    on the id; token removal is a single higher-order ``filter`` over
+    the in-row token array — tokens are NEVER exploded on the removal
+    path, so the join input stays one row per document. The text column
+    is scanned twice (once to find spans, once to scrub); callers
+    looping over corpora can persist the source upstream, but at corpus
+    scale a second columnar scan usually beats caching text twice.
+    """
+    spans = duplicated_spans(df, text_col=text_col, id_col=id_col, k=k)
+    by_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    kept = F.expr(
+        "filter(__t, (x, i) -> NOT coalesce("
+        "exists(__spans, s -> i >= s.span_start AND i <= s.span_end), false))"
+    )
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+        .join(by_doc, id_col, "left")
+        .withColumn("__kept", kept)
+        .select(
+            id_col,
+            F.size("__t").cast("long").alias("n_tokens"),
+            (F.size("__t") - F.size("__kept")).cast("long").alias("n_removed"),
+            F.concat_ws(" ", F.col("__kept")).alias("clean_text"),
         )
     )
 

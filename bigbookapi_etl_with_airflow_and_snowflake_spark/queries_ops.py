@@ -3270,7 +3270,104 @@ WHERE r.repetition_pass AND g.alpha_word_ok AND g.mean_word_len_ok
 """
 
 
+# ---------------------------------------------------------------------------
+# ExactSubstr dedup (operators/text.py duplicated_spans / exact_substr_scrub)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_substr_spans(spark, sf):
+    """N1/N2: maximal cross-document duplicated 8-token spans (Lee et
+    al. 2022 ExactSubstr, span-extraction half; operators/text.py
+    duplicated_spans). dup_span_stats counts the duplicated windows;
+    this entry pins the actual merge — the oracle replays the window
+    hashing, the ≥2-distinct-doc set, AND the gaps-and-islands merge
+    (LAG + running SUM + per-island MIN/MAX), so span boundaries are
+    bit-exact, not just span counts."""
+    from .operators.text import duplicated_spans
+
+    return duplicated_spans(_t(spark, sf, "documents"))
+
+
+# Shared oracle prefix: duplicated 8-token window instances merged into
+# maximal spans (same CTE chain feeds both the spans and scrub oracles).
+_SQL_EXACT_SUBSTR_PREFIX = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i + 1 : i + 8], ' ')) AS h
+  FROM toks, UNNEST(range(0, len(t) - 8 + 1)) AS u(i)
+  WHERE len(t) >= 8
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+m AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup d USING (h)),
+g AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM g
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+  FROM isl GROUP BY doc_id, island
+)
+"""
+
+SQL_EXACT_SUBSTR_SPANS = (
+    _SQL_EXACT_SUBSTR_PREFIX
+    + """
+SELECT doc_id, span_start, span_end,
+       span_end - span_start + 1 AS span_tokens
+FROM spans
+"""
+)
+
+
+def q_exact_substr_scrub(spark, sf):
+    """N1/N2: ExactSubstr dedup APPLIED (Lee et al. 2022 §4.1 — cut
+    every maximal duplicated span from every occurrence;
+    operators/text.py exact_substr_scrub). The oracle rebuilds the
+    scrubbed text token-by-token (position anti-join against the span
+    intervals + ordered string_agg), so the returned clean_text — not
+    just the removal counts — is value-hashed against DuckDB."""
+    from .operators.text import exact_substr_scrub
+
+    return exact_substr_scrub(_t(spark, sf, "documents"))
+
+
+SQL_EXACT_SUBSTR_SCRUB = (
+    _SQL_EXACT_SUBSTR_PREFIX
+    + """,
+tok_pos AS (
+  SELECT doc_id, t[i + 1] AS tok, i AS pos
+  FROM toks, UNNEST(range(0, len(t))) AS u(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.tok, tp.pos
+  FROM tok_pos tp
+  LEFT JOIN spans sp
+    ON tp.doc_id = sp.doc_id AND tp.pos BETWEEN sp.span_start AND sp.span_end
+  WHERE sp.span_start IS NULL
+)
+SELECT d.doc_id,
+       len(d.t) AS n_tokens,
+       len(d.t) - COUNT(k.pos) AS n_removed,
+       COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text
+FROM toks d
+LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id, len(d.t)
+"""
+)
+
+
 OPS_REGISTRY = {
+    "exact_substr_spans": (q_exact_substr_spans, SQL_EXACT_SUBSTR_SPANS),
+    "exact_substr_scrub": (q_exact_substr_scrub, SQL_EXACT_SUBSTR_SCRUB),
     "passage_dedup": (q_passage_dedup, SQL_PASSAGE_DEDUP),
     "zorder_key_events": (q_zorder_key_events, _sql_zorder_key_events()),
     "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
