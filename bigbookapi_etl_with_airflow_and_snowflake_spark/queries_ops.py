@@ -3270,6 +3270,99 @@ WHERE r.repetition_pass AND g.alpha_word_ok AND g.mean_word_len_ok
 """
 
 
+def q_versioned_branch_publish(spark, sf):
+    """Branch refs + write-audit-publish on versioned tables
+    (sinks/versioned.py create_branch/publish_branch), the full
+    lifecycle under one hard oracle: main v1 commits the even events;
+    a 'wap' branch forks (metadata-only) and stages the odd half as a
+    branch append; main must still read EXACTLY v1 while staged; the
+    publish fast-forwards main to the branch head as one atomic
+    metadata commit; a second branch that diverges from main (main
+    advances under it) must be REFUSED with CommitConflict. Literals
+    pin each step: ``fork_metadata_only`` (create_branch staged zero
+    data files), ``staged_invisible`` (main row count unchanged while
+    the branch held the odd half), ``publish_is_branch_head`` (the
+    published version's count equals the branch head's), and
+    ``ff_refused`` (the diverged publish raised). The aggregate is
+    computed off the PUBLISHED snapshot read, so the value hash covers
+    the promoted data itself."""
+    import glob as _glob
+
+    from .sinks.versioned import (
+        CommitConflict,
+        create_branch,
+        publish_branch,
+        read_version,
+        write_version,
+    )
+
+    e = _t(spark, sf, "events").select("event_id", "event_type", "user_id")
+    even = e.filter(F.col("event_id") % 2 == 0)
+    odd = e.filter(F.col("event_id") % 2 == 1)
+    d = tempfile.mkdtemp(prefix="q_vbranch_")
+    t = os.path.join(d, "events_v")
+    try:
+        write_version(spark, even.repartition(2), t)
+        n_even = read_version(spark, t).count()
+
+        def _files():
+            return set(_glob.glob(os.path.join(t, "data", "*", "*.parquet")))
+
+        before = _files()
+        create_branch(t, "wap")
+        fork_metadata_only = _files() == before
+        write_version(spark, odd.repartition(2), t, mode="append", branch="wap")
+        staged_invisible = read_version(spark, t).count() == n_even
+        n_head = read_version(spark, t, branch="wap").count()
+        v_pub = publish_branch(t, "wap")
+        published = read_version(spark, t, version=v_pub)
+        publish_is_branch_head = published.count() == n_head
+        # divergence arm: branch forks, then main advances past it
+        create_branch(t, "late")
+        write_version(
+            spark,
+            e.filter(F.col("event_id") % 97 == 0),
+            t,
+            mode="append",
+            branch="late",
+        )
+        write_version(
+            spark, e.filter(F.col("event_id") % 101 == 0), t, mode="append"
+        )
+        try:
+            publish_branch(t, "late")
+            ff_refused = False
+        except CommitConflict:
+            ff_refused = True
+        out = (
+            published.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("event_id").alias("sum_id"),
+                F.sum("user_id").alias("sum_user"),
+            )
+            .withColumn("fork_metadata_only", F.lit(fork_metadata_only))
+            .withColumn("staged_invisible", F.lit(staged_invisible))
+            .withColumn("publish_is_branch_head", F.lit(publish_is_branch_head))
+            .withColumn("ff_refused", F.lit(ff_refused))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_BRANCH_PUBLISH = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user,
+       TRUE AS fork_metadata_only, TRUE AS staged_invisible,
+       TRUE AS publish_is_branch_head, TRUE AS ff_refused
+FROM events
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # ExactSubstr dedup (operators/text.py duplicated_spans / exact_substr_scrub)
 # ---------------------------------------------------------------------------
@@ -3368,6 +3461,10 @@ GROUP BY d.doc_id, len(d.t)
 OPS_REGISTRY = {
     "exact_substr_spans": (q_exact_substr_spans, SQL_EXACT_SUBSTR_SPANS),
     "exact_substr_scrub": (q_exact_substr_scrub, SQL_EXACT_SUBSTR_SCRUB),
+    "versioned_branch_publish": (
+        q_versioned_branch_publish,
+        SQL_VERSIONED_BRANCH_PUBLISH,
+    ),
     "passage_dedup": (q_passage_dedup, SQL_PASSAGE_DEDUP),
     "zorder_key_events": (q_zorder_key_events, _sql_zorder_key_events()),
     "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),

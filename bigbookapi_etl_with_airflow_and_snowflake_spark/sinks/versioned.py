@@ -57,6 +57,10 @@ __all__ = [
     "tag_version",
     "tags",
     "delete_tag",
+    "create_branch",
+    "branches",
+    "publish_branch",
+    "delete_branch",
     "vacuum",
     "merge_version",
     "delete_version",
@@ -118,8 +122,21 @@ class CommitConflict(RuntimeError):
     writer retries, it never silently merges)."""
 
 
-def _manifest_path(table_dir: str, version: int) -> str:
-    return os.path.join(table_dir, _MANIFEST_DIR, f"v{version:08d}.json")
+_BRANCH_DIR = "_branches"
+
+
+def _manifest_root(table_dir: str, branch: str | None = None) -> str:
+    """Manifest namespace: the main chain lives in ``_versions``; each
+    branch (:func:`create_branch`) is its own linear chain under
+    ``_branches/<name>`` — main's listing-only O(1) metadata paths
+    never see branch entries, so branches cost main nothing."""
+    if branch is None:
+        return os.path.join(table_dir, _MANIFEST_DIR)
+    return os.path.join(table_dir, _BRANCH_DIR, branch)
+
+
+def _manifest_path(table_dir: str, version: int, branch: str | None = None) -> str:
+    return os.path.join(_manifest_root(table_dir, branch), f"v{version:08d}.json")
 
 
 def _ventry_num(name: str, suffix: str = "") -> int | None:
@@ -150,13 +167,14 @@ def _entry_versions(dirpath: str, suffix: str = "") -> list[int]:
     return sorted(out)
 
 
-def _version_numbers(table_dir: str) -> list[int]:
+def _version_numbers(table_dir: str, branch: str | None = None) -> list[int]:
     """Committed version numbers, ascending — one directory listing,
     ZERO manifest reads. Every internal who-is-latest / does-v-exist
     question goes through this, so commits, index maintenance and reads
     cost O(1) manifest loads regardless of how many versions a
-    long-lived table retains."""
-    return _entry_versions(os.path.join(table_dir, _MANIFEST_DIR), ".json")
+    long-lived table retains. ``branch`` switches to that branch's own
+    chain (:func:`_manifest_root`)."""
+    return _entry_versions(_manifest_root(table_dir, branch), ".json")
 
 
 def versions(table_dir: str) -> list[dict]:
@@ -263,15 +281,209 @@ def delete_tag(table_dir: str, name: str) -> int:
     return v
 
 
-def _load_manifest(table_dir: str, version: int | None) -> dict:
-    vs = _version_numbers(table_dir)
+def create_branch(table_dir: str, name: str, version: int | None = None) -> int:
+    """Fork a NAMED, MUTABLE branch from one committed main version
+    (default: latest) — the Iceberg branch / write-audit-publish
+    pattern: stage risky writes on a branch, validate them with real
+    reads, then :func:`publish_branch` the head back to main as one
+    atomic fast-forward commit. The fork is metadata-only (the branch's
+    v1 manifest references the SAME data files — zero data movement);
+    branch commits go through :func:`write_version` ``branch=...`` and
+    never perturb main's chain, numbering, or O(1) metadata listings.
+
+    Branch surface: ``write_version`` (overwrite/append, schema-on-write
+    included), ``read_version(branch=...)``, :func:`publish_branch`,
+    :func:`delete_branch`, :func:`branches`. Merge/MOR-delete, Bloom
+    indexes, tags, and the change feed stay main-lineage — stage those
+    through a publish. ``vacuum`` retains every file any branch
+    manifest references until the branch is deleted.
+
+    Creating an existing name is LOUD (same discipline as tags).
+    Returns the main version the branch forked from."""
+    if not _TAG_NAME.match(name):
+        raise ValueError(
+            f"branch name must match [A-Za-z0-9][A-Za-z0-9._-]{{0,63}}, "
+            f"got {name!r}"
+        )
+    m = _load_manifest(table_dir, version)
+    root = _manifest_root(table_dir, name)
+    os.makedirs(root, exist_ok=True)
+    manifest = {
+        "version": 1,
+        "committed_at": time.time(),
+        "mode": "branch-fork",
+        "files": m["files"],
+        "n_rows": m["n_rows"],
+        "schema": m.get("schema"),
+        "dv_files": m.get("dv_files") or [],
+        "branch": name,
+        "forked_from": m["version"],
+    }
+    path = _manifest_path(table_dir, 1, name)
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise ValueError(
+            f"branch {name!r} already exists — delete_branch() first to "
+            "deliberately re-fork it"
+        ) from None
+    finally:
+        os.remove(tmp)
+    return m["version"]
+
+
+def branches(table_dir: str) -> dict[str, dict]:
+    """All branches: ``{name: {"head", "forked_from", "n_rows"}}``,
+    name-sorted. ``head`` is the branch-local version number of the
+    branch's latest commit (1 = fork point, untouched since)."""
+    root = os.path.join(table_dir, _BRANCH_DIR)
+    if not os.path.isdir(root):
+        return {}
+    out = {}
+    for nm in sorted(os.listdir(root)):
+        if not os.path.isdir(os.path.join(root, nm)):
+            continue
+        vs = _version_numbers(table_dir, nm)
+        if not vs:
+            continue
+        fork = _load_manifest(table_dir, vs[0], nm)
+        head = fork if len(vs) == 1 else _load_manifest(table_dir, vs[-1], nm)
+        out[nm] = {
+            "head": vs[-1],
+            "forked_from": fork.get("forked_from"),
+            "n_rows": head["n_rows"],
+        }
+    return out
+
+
+def _published_path(table_dir: str, name: str) -> str:
+    # lives inside the branch dir; never matches _ventry_num, so the
+    # branch's own version listing can't mistake it for a manifest
+    return os.path.join(_manifest_root(table_dir, name), "published.json")
+
+
+def publish_branch(table_dir: str, name: str) -> int:
+    """Publish a branch head to main as ONE atomic commit — the
+    fast-forward half of write-audit-publish: the new main manifest's
+    body IS the branch head's (same file list, O(1) metadata, zero data
+    movement). Publication is refused with :class:`CommitConflict` when
+    main has advanced past the branch's base (its fork point, or the
+    main version its last publish created): a fast-forward would
+    silently discard main's intervening commits. There is no rebase —
+    re-create the branch from current main and re-stage. Returns the
+    new main version number."""
+    bvs = _version_numbers(table_dir, name)
+    if not bvs:
+        raise ValueError(
+            f"branch {name!r} not found (have {sorted(branches(table_dir))})"
+        )
+    head = _load_manifest(table_dir, bvs[-1], name)
+    base = _load_manifest(table_dir, bvs[0], name)["forked_from"]
+    pub = _published_path(table_dir, name)
+    if os.path.exists(pub):
+        with open(pub) as fh:
+            base = json.load(fh)["main_version"]
+
+    def build(prior: dict | None) -> dict:
+        cur = prior["version"] if prior else 0
+        if cur != base:
+            raise CommitConflict(
+                f"main is at v{cur} but branch {name!r} is based on "
+                f"v{base} — fast-forward publish refused; re-create the "
+                "branch from current main to pick up the new commits"
+            )
+        return {
+            "mode": "publish",
+            "files": head["files"],
+            "n_rows": head["n_rows"],
+            "schema": head.get("schema"),
+            "dv_files": head.get("dv_files") or [],
+            "published_branch": name,
+            "branch_version": head["version"],
+        }
+
+    v = _commit(table_dir, build)
+    tmp = pub + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"main_version": v, "branch_version": head["version"]}, fh)
+    os.replace(tmp, pub)
+    return v
+
+
+def delete_branch(table_dir: str, name: str) -> dict:
+    """Drop a branch and reclaim the data files ONLY its manifests
+    reference (files shared with main — the fork-point carry, or
+    anything a publish promoted — and files other branches reference
+    are untouched). Returns ``{"files_deleted": N}``. Loud on a missing
+    branch. Like vacuum, a write operation under the module's
+    single-writer-per-table convention."""
+    import shutil
+
+    root = _manifest_root(table_dir, name)
+    if not os.path.isdir(root):
+        raise ValueError(
+            f"branch {name!r} not found (have {sorted(branches(table_dir))})"
+        )
+    mine: set[str] = set()
+    for v in _version_numbers(table_dir, name):
+        m = _load_manifest(table_dir, v, name)
+        mine.update(m["files"])
+        mine.update(m.get("dv_files") or [])
+    others: set[str] = set()
+    for v in _version_numbers(table_dir):
+        m = _load_manifest(table_dir, v)
+        others.update(m["files"])
+        others.update(m.get("dv_files") or [])
+    b_root = os.path.join(table_dir, _BRANCH_DIR)
+    for nm in os.listdir(b_root):
+        if nm == name or not os.path.isdir(os.path.join(b_root, nm)):
+            continue
+        for v in _version_numbers(table_dir, nm):
+            m = _load_manifest(table_dir, v, nm)
+            others.update(m["files"])
+            others.update(m.get("dv_files") or [])
+    deleted = 0
+    for f in sorted(mine - others):
+        if os.path.exists(f):
+            os.remove(f)
+            deleted += 1
+    shutil.rmtree(root, ignore_errors=True)
+    return {"files_deleted": deleted}
+
+
+def _branch_referenced(table_dir: str) -> tuple[set[str], set[str]]:
+    """(data files, dv files) referenced by ANY branch manifest —
+    vacuum's extra retention set: a branch is a promise its snapshots
+    stay readable until delete_branch withdraws it."""
+    files: set[str] = set()
+    dvs: set[str] = set()
+    root = os.path.join(table_dir, _BRANCH_DIR)
+    if os.path.isdir(root):
+        for nm in os.listdir(root):
+            if not os.path.isdir(os.path.join(root, nm)):
+                continue
+            for v in _version_numbers(table_dir, nm):
+                m = _load_manifest(table_dir, v, nm)
+                files.update(m["files"])
+                dvs.update(m.get("dv_files") or [])
+    return files, dvs
+
+
+def _load_manifest(
+    table_dir: str, version: int | None, branch: str | None = None
+) -> dict:
+    where = f"{table_dir!r}" + (f" branch {branch!r}" if branch else "")
+    vs = _version_numbers(table_dir, branch)
     if not vs:
-        raise ValueError(f"no committed versions under {table_dir!r}")
+        raise ValueError(f"no committed versions under {where}")
     if version is None:
         version = vs[-1]
-    path = _manifest_path(table_dir, version)
+    path = _manifest_path(table_dir, version, branch)
     if not os.path.exists(path):
-        raise ValueError(f"version {version} not found (have {vs})")
+        raise ValueError(f"version {version} not found under {where} (have {vs})")
     with open(path) as fh:
         return json.load(fh)
 
@@ -450,12 +662,20 @@ def write_version(
     index_geometry: dict[str, tuple[int, int]] | None = None,
     index_max_chain: int = 8,
     merge_schema: bool = False,
+    branch: str | None = None,
 ) -> int:
     """Commit ``df`` as the next version of the table; returns the new
     version number. ``mode='overwrite'`` → the snapshot is exactly
     ``df``; ``mode='append'`` → the snapshot is the previous version's
     files plus ``df``'s (no rewrite of existing data — append commits
     cost O(increment), never O(table)).
+
+    ``branch``: commit onto that branch's chain instead of main
+    (:func:`create_branch` first — an unknown name is loud, never an
+    implicit fork). Append priors, schema-on-write, and conflict
+    semantics all apply against the BRANCH head. Bloom ``index_cols``
+    are refused on branch commits (indexes are main-lineage; build them
+    on the publish commit).
 
     Schema-on-write: an append whose schema differs from the table's
     recorded schema is REFUSED (see :func:`_evolved_schema`) unless
@@ -483,12 +703,25 @@ def write_version(
     maintenance (see :func:`maintain_bloom_index`)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if branch is not None:
+        if index_cols:
+            raise ValueError(
+                "index_cols on a branch commit — Bloom indexes are "
+                "main-lineage; build them when the branch publishes"
+            )
+        if not _version_numbers(table_dir, branch):
+            raise ValueError(
+                f"branch {branch!r} not found (have "
+                f"{sorted(branches(table_dir))}) — create_branch() first"
+            )
     if mode == "append":
         # fail-fast schema check against the current latest BEFORE any
         # data stages; build() re-derives against the commit-time prior
-        nums = _version_numbers(table_dir)
+        nums = _version_numbers(table_dir, branch)
         if nums:
-            prior_schema = _load_manifest(table_dir, nums[-1]).get("schema")
+            prior_schema = _load_manifest(table_dir, nums[-1], branch).get(
+                "schema"
+            )
             if prior_schema is not None:
                 _evolved_schema(prior_schema, df.schema, merge_schema)
     commit_id = uuid.uuid4().hex
@@ -525,7 +758,7 @@ def write_version(
         }
 
     try:
-        v = _commit(table_dir, build)
+        v = _commit(table_dir, build, branch=branch)
     except ValueError:
         _discard_staged(new_files)
         raise
@@ -550,7 +783,11 @@ def write_version(
     return v
 
 
-def _commit(table_dir: str, build: Callable[[dict | None], dict]) -> int:
+def _commit(
+    table_dir: str,
+    build: Callable[[dict | None], dict],
+    branch: str | None = None,
+) -> int:
     """Atomic manifest commit. ``build(prior_manifest_or_None)`` returns
     the manifest body (``mode``/``files``/``n_rows``) computed against
     the CURRENT latest version; the commit point is ``os.link`` of a
@@ -559,15 +796,16 @@ def _commit(table_dir: str, build: Callable[[dict | None], dict]) -> int:
     and rebuilds against the longer chain), and readers can never
     observe a half-written manifest because content is durable before
     the name exists. ``build`` may raise :class:`CommitConflict` to
-    abort instead of rebasing (copy-on-write ops do)."""
-    os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+    abort instead of rebasing (copy-on-write ops do). ``branch``
+    commits into that branch's own chain with identical atomicity."""
+    os.makedirs(_manifest_root(table_dir, branch), exist_ok=True)
     while True:
-        nums = _version_numbers(table_dir)
-        prior = _load_manifest(table_dir, nums[-1]) if nums else None
+        nums = _version_numbers(table_dir, branch)
+        prior = _load_manifest(table_dir, nums[-1], branch) if nums else None
         body = build(prior)
         next_v = (prior["version"] + 1) if prior else 1
         manifest = {"version": next_v, "committed_at": time.time(), **body}
-        path = _manifest_path(table_dir, next_v)
+        path = _manifest_path(table_dir, next_v, branch)
         tmp = path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -1020,6 +1258,7 @@ def read_version(
     table_dir: str,
     version: int | None = None,
     tag: str | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """The table at ``version`` (default: latest) — a parquet scan of
     exactly that manifest's file list; nothing a later commit does can
@@ -1028,15 +1267,17 @@ def read_version(
     manifest records (merge-on-read deletes, see :func:`delete_version`
     ``mode='mor'``) are applied here — an anti-join on the physical row
     identity, O(deleted rows). ``tag`` reads the version a named tag
-    pinned (:func:`tag_version`); passing both is ambiguous and loud."""
+    pinned (:func:`tag_version`); ``branch`` reads that branch's chain
+    (:func:`create_branch`) — ``version`` is then branch-local.
+    ``tag`` with ``branch`` is ambiguous and loud (tags pin main)."""
     if tag is not None:
-        if version is not None:
-            raise ValueError("pass version OR tag, not both")
+        if version is not None or branch is not None:
+            raise ValueError("pass version OR tag (tags pin main versions)")
         all_tags = tags(table_dir)
         if tag not in all_tags:
             raise ValueError(f"tag {tag!r} not found (have {sorted(all_tags)})")
         version = all_tags[tag]
-    m = _load_manifest(table_dir, version)
+    m = _load_manifest(table_dir, version, branch)
     if not m["files"]:
         return _empty_snapshot(spark, m)
     return _live_scan(spark, m)
@@ -1623,7 +1864,9 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
     """Drop manifests older than the newest ``keep_last`` versions —
     except versions pinned by a tag (:func:`tag_version`), which are
     retained with their data files and index dirs until the tag is
-    deleted — delete data files no retained version references, and
+    deleted — delete data files no retained version references (files
+    and DV sidecars any BRANCH manifest references are likewise
+    retained until :func:`delete_branch`), and
     sweep EVERY
     at-rest Bloom index dir that is neither a retained version's own
     nor a live link in a retained version's recorded chain
@@ -1698,6 +1941,11 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
         keep = sorted(set(keep) | late)
         for v in late:
             keep_files.update(_load_manifest(table_dir, v)["files"])
+    # branch retention: every file/DV any branch manifest references
+    # stays until delete_branch — a dropped MAIN version's files may be
+    # exactly what a fork carried (see create_branch)
+    branch_files, branch_dv = _branch_referenced(table_dir)
+    keep_files |= branch_files
     # index dirs still referenced: each retained version's own dir plus
     # every chain link its recorded params name, per index column
     index_root = os.path.join(table_dir, "_index")
@@ -1749,7 +1997,7 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
     # A sidecar dir's parquet files are referenced atomically (a commit
     # records every part of the dir it staged), so per-dir membership
     # of ANY file in the retained set means the dir is live.
-    keep_dv: set[str] = set()
+    keep_dv: set[str] = set(branch_dv)
     for v in keep:
         keep_dv.update(_load_manifest(table_dir, v).get("dv_files") or [])
     dv_root = os.path.join(table_dir, _DV_DIR)

@@ -1,0 +1,177 @@
+"""Branch refs on versioned tables (sinks/versioned.py create_branch /
+branches / publish_branch / delete_branch): the Iceberg branch /
+write-audit-publish pattern — fork metadata-only, stage commits on the
+branch without perturbing main, publish fast-forward-only, vacuum
+retains branch-referenced files, delete_branch reclaims exclusives."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+    CommitConflict,
+    branches,
+    create_branch,
+    delete_branch,
+    publish_branch,
+    read_version,
+    tag_version,
+    vacuum,
+    versions,
+    write_version,
+)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, lo=0, hi=100):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") % 5).alias("g")
+    )
+
+
+def _data_files(table):
+    return set(glob.glob(os.path.join(table, "data", "*", "*.parquet")))
+
+
+def test_fork_is_metadata_only(spark, table):
+    write_version(spark, _df(spark), table)
+    before = _data_files(table)
+    fork = create_branch(table, "dev")
+    assert fork == 1
+    assert _data_files(table) == before  # zero data movement
+    assert branches(table) == {"dev": {"head": 1, "forked_from": 1, "n_rows": 100}}
+
+
+def test_branch_commits_never_touch_main(spark, table):
+    write_version(spark, _df(spark), table)
+    create_branch(table, "dev")
+    write_version(spark, _df(spark, 100, 150), table, mode="append", branch="dev")
+    write_version(spark, _df(spark, 0, 7), table, branch="dev")  # overwrite
+    # main: still exactly v1, still 100 rows
+    assert [v["version"] for v in versions(table)] == [1]
+    assert read_version(spark, table).count() == 100
+    # branch-local time travel
+    assert read_version(spark, table, branch="dev", version=1).count() == 100
+    assert read_version(spark, table, branch="dev", version=2).count() == 150
+    assert read_version(spark, table, branch="dev").count() == 7
+
+
+def test_publish_fast_forward(spark, table):
+    write_version(spark, _df(spark), table)
+    create_branch(table, "wap")
+    write_version(spark, _df(spark, 100, 150), table, mode="append", branch="wap")
+    v = publish_branch(table, "wap")
+    assert v == 2
+    got = read_version(spark, table)
+    want = read_version(spark, table, branch="wap")
+    assert got.count() == 150
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_second_publish_cycle_rebases_on_own_publish(spark, table):
+    write_version(spark, _df(spark), table)
+    create_branch(table, "wap")
+    write_version(spark, _df(spark, 100, 110), table, mode="append", branch="wap")
+    assert publish_branch(table, "wap") == 2
+    # branch keeps going; its base is now the v2 its publish created
+    write_version(spark, _df(spark, 110, 120), table, mode="append", branch="wap")
+    assert publish_branch(table, "wap") == 3
+    assert read_version(spark, table).count() == 120
+
+
+def test_publish_refused_when_main_advanced(spark, table):
+    write_version(spark, _df(spark), table)
+    create_branch(table, "wap")
+    write_version(spark, _df(spark, 100, 110), table, mode="append", branch="wap")
+    write_version(spark, _df(spark, 500, 501), table, mode="append")  # main moves
+    with pytest.raises(CommitConflict, match="fast-forward"):
+        publish_branch(table, "wap")
+    # main unharmed by the refusal
+    assert read_version(spark, table).count() == 101
+
+
+def test_loud_errors(spark, table):
+    write_version(spark, _df(spark), table)
+    create_branch(table, "dev")
+    with pytest.raises(ValueError, match="already exists"):
+        create_branch(table, "dev")
+    with pytest.raises(ValueError, match="not found"):
+        write_version(spark, _df(spark), table, branch="nope")
+    with pytest.raises(ValueError, match="main-lineage"):
+        write_version(spark, _df(spark), table, branch="dev", index_cols=["id"])
+    with pytest.raises(ValueError, match="not found"):
+        publish_branch(table, "nope")
+    with pytest.raises(ValueError, match="not found"):
+        delete_branch(table, "nope")
+    with pytest.raises(ValueError, match="tags pin main"):
+        tag_version(table, "t1")
+        read_version(spark, table, tag="t1", branch="dev")
+    with pytest.raises(ValueError, match="branch name"):
+        create_branch(table, "bad/name")
+
+
+def test_vacuum_retains_branch_referenced_files(spark, table):
+    write_version(spark, _df(spark), table)  # v1 — the fork carries these files
+    create_branch(table, "pin")
+    baseline = read_version(spark, table, branch="pin").agg(F.sum("id")).first()[0]
+    # main overwrites twice; v1 falls out of keep_last=1
+    write_version(spark, _df(spark, 0, 10), table)
+    write_version(spark, _df(spark, 0, 5), table)
+    res = vacuum(table, keep_last=1)
+    assert res["versions_dropped"] >= 1
+    # the branch's carried v1 files survived the sweep
+    assert (
+        read_version(spark, table, branch="pin").agg(F.sum("id")).first()[0]
+        == baseline
+    )
+
+
+def test_delete_branch_reclaims_only_exclusive_files(spark, table):
+    write_version(spark, _df(spark), table)
+    shared = _data_files(table)
+    create_branch(table, "dev")
+    write_version(spark, _df(spark, 100, 120), table, mode="append", branch="dev")
+    staged = _data_files(table) - shared
+    assert staged  # the branch append staged real files
+    res = delete_branch(table, "dev")
+    assert res["files_deleted"] == len(staged)
+    assert _data_files(table) == shared  # shared fork files untouched
+    assert branches(table) == {}
+    assert read_version(spark, table).count() == 100
+
+
+def test_delete_branch_keeps_files_published_to_main(spark, table):
+    write_version(spark, _df(spark), table)
+    create_branch(table, "wap")
+    write_version(spark, _df(spark, 100, 150), table, mode="append", branch="wap")
+    publish_branch(table, "wap")
+    res = delete_branch(table, "wap")
+    # main v2 references the branch-staged files — nothing reclaimable
+    assert res["files_deleted"] == 0
+    assert read_version(spark, table).count() == 150
+
+
+def test_schema_evolution_on_branch(spark, table):
+    write_version(spark, _df(spark), table)
+    create_branch(table, "dev")
+    evolved = _df(spark, 100, 110).withColumn("flag", F.lit(True))
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_version(spark, evolved, table, mode="append", branch="dev")
+    write_version(
+        spark, evolved, table, mode="append", branch="dev", merge_schema=True
+    )
+    b = read_version(spark, table, branch="dev")
+    assert set(b.columns) == {"id", "g", "flag"}
+    assert b.filter(F.col("flag").isNull()).count() == 100
+    # main's recorded schema is untouched until publish
+    assert set(read_version(spark, table).columns) == {"id", "g"}
+    publish_branch(table, "dev")
+    assert set(read_version(spark, table).columns) == {"id", "g", "flag"}
