@@ -1559,6 +1559,34 @@ def _sql_zorder_key_events() -> str:
     )
 
 
+def q_hilbert_key_events(spark, sf):
+    """Hilbert-curve layout key (operators/hilbert.py) under the HARD
+    oracle gate: the 2-D Hilbert index over (user_id, value) — the same
+    16-bit min-max grid as zorder_key_events, then the classic xy2d
+    transform unrolled 16 times in portable integer arithmetic —
+    replayed bit-for-bit by the generated chained-CTE SQL. The key
+    hilbert_layout range-partitions on: contiguous curve spans are
+    spatial tiles, so file min/max envelopes stay tight on BOTH
+    dimensions (no Morton diagonal jumps)."""
+    from .operators.hilbert import hilbert_key
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "value")
+    return hilbert_key(e, ["user_id", "value"], bits=16).select(
+        "event_id", "hkey"
+    )
+
+
+def _sql_hilbert_key_events() -> str:
+    from .operators.hilbert import hilbert_oracle_sql
+
+    return hilbert_oracle_sql(
+        "(SELECT event_id, user_id, value FROM events)",
+        ["user_id", "value"],
+        id_cols="event_id",
+        bits=16,
+    )
+
+
 def q_passage_dedup(spark, sf):
     """Corpus-wide duplicated-passage removal (operators/dedup.py
     passage_dedup): 8-word passages, global keep-first by (doc,
@@ -3467,6 +3495,7 @@ OPS_REGISTRY = {
     ),
     "passage_dedup": (q_passage_dedup, SQL_PASSAGE_DEDUP),
     "zorder_key_events": (q_zorder_key_events, _sql_zorder_key_events()),
+    "hilbert_key_events": (q_hilbert_key_events, _sql_hilbert_key_events()),
     "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
     "parquet_stats_events": (q_parquet_stats_events, SQL_PARQUET_STATS_EVENTS),
     "webdataset_members": (q_webdataset_members, SQL_WEBDATASET_MEMBERS),
