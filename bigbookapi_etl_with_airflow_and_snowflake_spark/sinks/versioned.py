@@ -389,7 +389,12 @@ def publish_branch(table_dir: str, name: str) -> int:
 
     def build(prior: dict | None) -> dict:
         cur = prior["version"] if prior else 0
-        if cur != base:
+        # self-heal the crash window between a publish's main commit and
+        # its published.json update: main's latest being OUR OWN earlier
+        # publish is a valid fast-forward base even if the marker is
+        # stale or lost — any other intervening commit still refuses
+        ours = prior is not None and prior.get("published_branch") == name
+        if cur != base and not ours:
             raise CommitConflict(
                 f"main is at v{cur} but branch {name!r} is based on "
                 f"v{base} — fast-forward publish refused; re-create the "

@@ -87,6 +87,28 @@ def test_second_publish_cycle_rebases_on_own_publish(spark, table):
     assert read_version(spark, table).count() == 120
 
 
+def test_publish_survives_lost_marker(spark, table):
+    """Crash window between the publish's main commit and its
+    published.json update: with the marker gone, the next publish must
+    still fast-forward (main's latest IS this branch's own publish),
+    while a foreign intervening commit still refuses."""
+    write_version(spark, _df(spark), table)
+    create_branch(table, "wap")
+    write_version(spark, _df(spark, 100, 110), table, mode="append", branch="wap")
+    publish_branch(table, "wap")
+    marker = os.path.join(table, "_branches", "wap", "published.json")
+    os.remove(marker)  # simulate the crash having lost the marker
+    write_version(spark, _df(spark, 110, 115), table, mode="append", branch="wap")
+    assert publish_branch(table, "wap") == 3
+    assert read_version(spark, table).count() == 115
+    # but a foreign commit after the (again lost) marker still refuses
+    os.remove(marker)
+    write_version(spark, _df(spark, 500, 501), table, mode="append")
+    write_version(spark, _df(spark, 115, 116), table, mode="append", branch="wap")
+    with pytest.raises(CommitConflict, match="fast-forward"):
+        publish_branch(table, "wap")
+
+
 def test_publish_refused_when_main_advanced(spark, table):
     write_version(spark, _df(spark), table)
     create_branch(table, "wap")
