@@ -134,6 +134,13 @@ def hilbert_oracle_sql(
     Arithmetic-only quadrant term — no dialect XOR."""
     if len(cols) != 2:
         raise ValueError("hilbert_oracle_sql is 2-D")
+    if 2 * bits > 63:
+        raise ValueError(
+            f"2 dims x {bits} bits = {2 * bits} key bits exceeds a signed "
+            "64-bit key — lower bits (same guard as hilbert_key; without "
+            "it the generated SQL would overflow BIGINT differently per "
+            "engine instead of failing loudly)"
+        )
     scale = repr(float((1 << bits) - 1))
     stats = ", ".join(
         f"MIN(CAST({c} AS DOUBLE)) AS lo_{j}, MAX(CAST({c} AS DOUBLE)) AS hi_{j}"

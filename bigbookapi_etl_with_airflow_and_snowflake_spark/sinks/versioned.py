@@ -129,9 +129,19 @@ def _manifest_root(table_dir: str, branch: str | None = None) -> str:
     """Manifest namespace: the main chain lives in ``_versions``; each
     branch (:func:`create_branch`) is its own linear chain under
     ``_branches/<name>`` — main's listing-only O(1) metadata paths
-    never see branch entries, so branches cost main nothing."""
+    never see branch entries, so branches cost main nothing.
+
+    The name is validated HERE, at the single path-join chokepoint,
+    not just at create time: ``delete_branch('../_versions')`` would
+    otherwise rmtree the main manifest chain, and an absolute name
+    makes ``os.path.join`` discard the table dir entirely."""
     if branch is None:
         return os.path.join(table_dir, _MANIFEST_DIR)
+    if not _TAG_NAME.match(branch):
+        raise ValueError(
+            f"branch name must match [A-Za-z0-9][A-Za-z0-9._-]{{0,63}}, "
+            f"got {branch!r}"
+        )
     return os.path.join(table_dir, _BRANCH_DIR, branch)
 
 
@@ -202,6 +212,25 @@ _TAG_DIR = "_tags"
 _TAG_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
 
 
+def _atomic_link_json(path: str, obj: dict) -> bool:
+    """The module's single commit-point idiom: fully write a temp file,
+    ``os.link`` it onto the final name (content is durable before the
+    name exists, so readers can never observe a half-written file),
+    remove the temp. Returns False — with the temp cleaned up — when
+    the name already exists (the caller decides whether that is a loud
+    error, as tags/branches do, or a retry, as version commits do)."""
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+    return True
+
+
 def _tag_path(table_dir: str, name: str) -> str:
     return os.path.join(table_dir, _TAG_DIR, f"{name}.json")
 
@@ -232,20 +261,15 @@ def tag_version(table_dir: str, name: str, version: int | None = None) -> int:
         raise ValueError(f"version {version} not found (have {vs})")
     os.makedirs(os.path.join(table_dir, _TAG_DIR), exist_ok=True)
     path = _tag_path(table_dir, name)
-    tmp = path + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump({"name": name, "version": version, "created_at": time.time()}, fh)
-    try:
-        os.link(tmp, path)
-    except FileExistsError:
+    if not _atomic_link_json(
+        path, {"name": name, "version": version, "created_at": time.time()}
+    ):
         with open(path) as fh:
             cur = json.load(fh)["version"]
         raise ValueError(
             f"tag {name!r} already points at v{cur}; tags are immutable — "
             "delete_tag() first to deliberately move it"
-        ) from None
-    finally:
-        os.remove(tmp)
+        )
     return version
 
 
@@ -318,20 +342,17 @@ def create_branch(table_dir: str, name: str, version: int | None = None) -> int:
         "dv_files": m.get("dv_files") or [],
         "branch": name,
         "forked_from": m["version"],
+        # incarnation id: publish's crash self-heal must distinguish
+        # THIS fork from an earlier same-named branch whose publish is
+        # main's latest (name alone would let a re-forked branch
+        # fast-forward over commits it never saw)
+        "fork_id": uuid.uuid4().hex,
     }
-    path = _manifest_path(table_dir, 1, name)
-    tmp = path + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    try:
-        os.link(tmp, path)
-    except FileExistsError:
+    if not _atomic_link_json(_manifest_path(table_dir, 1, name), manifest):
         raise ValueError(
             f"branch {name!r} already exists — delete_branch() first to "
             "deliberately re-fork it"
-        ) from None
-    finally:
-        os.remove(tmp)
+        )
     return m["version"]
 
 
@@ -344,7 +365,9 @@ def branches(table_dir: str) -> dict[str, dict]:
         return {}
     out = {}
     for nm in sorted(os.listdir(root)):
-        if not os.path.isdir(os.path.join(root, nm)):
+        # foreign dirs that aren't valid branch names (a stray editor
+        # dir, an aborted rename) are skipped, not crashed on
+        if not _TAG_NAME.match(nm) or not os.path.isdir(os.path.join(root, nm)):
             continue
         vs = _version_numbers(table_dir, nm)
         if not vs:
@@ -381,7 +404,8 @@ def publish_branch(table_dir: str, name: str) -> int:
             f"branch {name!r} not found (have {sorted(branches(table_dir))})"
         )
     head = _load_manifest(table_dir, bvs[-1], name)
-    base = _load_manifest(table_dir, bvs[0], name)["forked_from"]
+    fork = _load_manifest(table_dir, bvs[0], name)
+    base, fork_id = fork["forked_from"], fork.get("fork_id")
     pub = _published_path(table_dir, name)
     if os.path.exists(pub):
         with open(pub) as fh:
@@ -392,8 +416,15 @@ def publish_branch(table_dir: str, name: str) -> int:
         # self-heal the crash window between a publish's main commit and
         # its published.json update: main's latest being OUR OWN earlier
         # publish is a valid fast-forward base even if the marker is
-        # stale or lost — any other intervening commit still refuses
-        ours = prior is not None and prior.get("published_branch") == name
+        # stale or lost — any other intervening commit still refuses.
+        # Matched on the fork INCARNATION id, not the name: a deleted-
+        # and-re-forked branch must not fast-forward over commits the
+        # new incarnation never saw
+        ours = (
+            prior is not None
+            and fork_id is not None
+            and prior.get("published_fork") == fork_id
+        )
         if cur != base and not ours:
             raise CommitConflict(
                 f"main is at v{cur} but branch {name!r} is based on "
@@ -407,6 +438,7 @@ def publish_branch(table_dir: str, name: str) -> int:
             "schema": head.get("schema"),
             "dv_files": head.get("dv_files") or [],
             "published_branch": name,
+            "published_fork": fork_id,
             "branch_version": head["version"],
         }
 
@@ -442,14 +474,8 @@ def delete_branch(table_dir: str, name: str) -> dict:
         m = _load_manifest(table_dir, v)
         others.update(m["files"])
         others.update(m.get("dv_files") or [])
-    b_root = os.path.join(table_dir, _BRANCH_DIR)
-    for nm in os.listdir(b_root):
-        if nm == name or not os.path.isdir(os.path.join(b_root, nm)):
-            continue
-        for v in _version_numbers(table_dir, nm):
-            m = _load_manifest(table_dir, v, nm)
-            others.update(m["files"])
-            others.update(m.get("dv_files") or [])
+    other_files, other_dv = _branch_referenced(table_dir, skip=name)
+    others |= other_files | other_dv
     deleted = 0
     for f in sorted(mine - others):
         if os.path.exists(f):
@@ -459,16 +485,25 @@ def delete_branch(table_dir: str, name: str) -> dict:
     return {"files_deleted": deleted}
 
 
-def _branch_referenced(table_dir: str) -> tuple[set[str], set[str]]:
+def _branch_referenced(
+    table_dir: str, skip: str | None = None
+) -> tuple[set[str], set[str]]:
     """(data files, dv files) referenced by ANY branch manifest —
     vacuum's extra retention set: a branch is a promise its snapshots
-    stay readable until delete_branch withdraws it."""
+    stay readable until delete_branch withdraws it. ``skip`` excludes
+    one branch (delete_branch's "everyone but me" reference walk —
+    one traversal definition, so a new manifest file-reference key
+    can never desync the two callers)."""
     files: set[str] = set()
     dvs: set[str] = set()
     root = os.path.join(table_dir, _BRANCH_DIR)
     if os.path.isdir(root):
         for nm in os.listdir(root):
-            if not os.path.isdir(os.path.join(root, nm)):
+            if (
+                nm == skip
+                or not _TAG_NAME.match(nm)
+                or not os.path.isdir(os.path.join(root, nm))
+            ):
                 continue
             for v in _version_numbers(table_dir, nm):
                 m = _load_manifest(table_dir, v, nm)
@@ -810,16 +845,8 @@ def _commit(
         body = build(prior)
         next_v = (prior["version"] + 1) if prior else 1
         manifest = {"version": next_v, "committed_at": time.time(), **body}
-        path = _manifest_path(table_dir, next_v, branch)
-        tmp = path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        try:
-            os.link(tmp, path)
-        except FileExistsError:
+        if not _atomic_link_json(_manifest_path(table_dir, next_v, branch), manifest):
             continue  # lost the race — rebuild against the new chain
-        finally:
-            os.remove(tmp)
         return next_v
 
 

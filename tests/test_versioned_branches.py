@@ -109,6 +109,43 @@ def test_publish_survives_lost_marker(spark, table):
         publish_branch(table, "wap")
 
 
+def test_refork_cannot_fast_forward_over_old_publish(spark, table):
+    """A deleted-and-re-forked branch with the SAME NAME is a new
+    incarnation: the self-heal must not let it publish over the old
+    incarnation's promoted commits (matched on fork_id, not name)."""
+    write_version(spark, _df(spark), table)
+    create_branch(table, "wap")
+    write_version(spark, _df(spark, 100, 150), table, mode="append", branch="wap")
+    publish_branch(table, "wap")  # main v2 carries published_branch='wap'
+    delete_branch(table, "wap")
+    create_branch(table, "wap", version=1)  # re-fork from v1
+    write_version(spark, _df(spark, 200, 210), table, mode="append", branch="wap")
+    with pytest.raises(CommitConflict, match="fast-forward"):
+        publish_branch(table, "wap")
+    assert read_version(spark, table).count() == 150  # v2 intact
+
+
+def test_path_escaping_branch_names_are_rejected_everywhere(spark, table):
+    """The name check lives at the _manifest_root join chokepoint, not
+    just create time: '../_versions' must never resolve into the main
+    chain (delete_branch would rmtree it) and absolute names must never
+    escape the table dir."""
+    write_version(spark, _df(spark), table)
+    for bad in ("../_versions", "/tmp/elsewhere", "a/b", ".hidden", ""):
+        with pytest.raises(ValueError, match="branch name|not found"):
+            create_branch(table, bad)
+        with pytest.raises(ValueError, match="branch name"):
+            delete_branch(table, bad)
+        with pytest.raises(ValueError, match="branch name"):
+            write_version(spark, _df(spark), table, branch=bad)
+        with pytest.raises(ValueError, match="branch name"):
+            read_version(spark, table, branch=bad)
+        with pytest.raises(ValueError, match="branch name"):
+            publish_branch(table, bad)
+    # main chain untouched by all of the above
+    assert read_version(spark, table).count() == 100
+
+
 def test_publish_refused_when_main_advanced(spark, table):
     write_version(spark, _df(spark), table)
     create_branch(table, "wap")
