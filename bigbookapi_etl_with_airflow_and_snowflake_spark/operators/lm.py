@@ -250,9 +250,14 @@ def dsir_sample(
     weighted = scored.withColumn(
         "dsir_weight", (F.col("dsir_score") - F.lit(int(smin)) + F.lit(1)).cast("long")
     )
-    return pps_systematic_sample(
+    sample = pps_systematic_sample(
         weighted, id_col, "dsir_weight", k, num_partitions=num_partitions
     )
+    # the sampler returns an eagerly checkpointed (lineage-severed)
+    # frame and scored is local — unpersist, or every call leaks a
+    # cached copy of the scored corpus for the session lifetime
+    scored.unpersist()
+    return sample
 
 
 def quality_buckets(

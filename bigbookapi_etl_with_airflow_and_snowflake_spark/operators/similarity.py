@@ -241,6 +241,10 @@ def semantic_dedup(
         src, k=k, iters=iters, id_col=id_col, vec_col=vec_col, persist=False
     )
     assigned = _materialize(assign_clusters(src, centroids, vec_col), checkpoint_dir)
+    # the materialization severed lineage, and src is local — without
+    # this, every call leaks one cached copy of the full embedding
+    # projection for the session lifetime (nobody can unpersist it)
+    src.unpersist()
 
     t = float(threshold)
     rt = round_to

@@ -1415,7 +1415,7 @@ def read_changes(
         f for f in sch_from.fields if f.name not in {g.name for g in sch_to.fields}
     ]
     cols = [f.name for f in union_fields]
-    reserved = {"_change_type", "__cdf_delta", "__cdf_net", "__cdf_i"}
+    reserved = {"_change_type", "__cdf_delta", "__cdf_net", "__cdf_i", "__cdf_chunk"}
     clash = sorted(reserved & set(cols))
     if clash:
         raise ValueError(f"table columns collide with CDF reserved names {clash}")
@@ -1437,12 +1437,24 @@ def read_changes(
     removed = from_files - to_files
     common = from_files & to_files
     dv_changed: set[str] = set()
-    if common and (m_from.get("dv_files") or m_to.get("dv_files")):
-        dv_f = _dv_frame(spark, m_from)
-        dv_t = _dv_frame(spark, m_to)
+    dvs_from = set(m_from.get("dv_files") or [])
+    dvs_to = set(m_to.get("dv_files") or [])
+    # DV sidecars are immutable and carried BY REFERENCE, so sidecars
+    # both manifests name contribute identical (file, pos) rows that
+    # cancel exactly in the symmetric difference — scope the scan to
+    # the sidecars only ONE side names. Identical lists short-circuit
+    # to "no DV change" without launching any job (the incremental
+    # consumer polling an append-only table with a large accumulated
+    # DV history must not pay an O(deleted rows) scan per poll).
+    if common and dvs_from != dvs_to:
         empty_dv = spark.createDataFrame([], "file string, pos long")
-        dv_f = empty_dv if dv_f is None else dv_f
-        dv_t = empty_dv if dv_t is None else dv_t
+
+        def _side(only: set[str]) -> DataFrame:
+            frame = _dv_frame(spark, {"dv_files": sorted(only)})
+            return empty_dv if frame is None else frame
+
+        dv_f = _side(dvs_from - dvs_to)
+        dv_t = _side(dvs_to - dvs_from)
         common_df = spark.createDataFrame(
             [(f,) for f in sorted(common)], "file string"
         )
@@ -1483,6 +1495,15 @@ def read_changes(
         .agg(F.sum("__cdf_delta").alias("__cdf_net"))
         .filter(F.col("__cdf_net") != 0)
     )
+    # multiplicity expansion, CHUNKED: a single sequence(1, net) builds
+    # the whole per-group array in one unsafe row — a duplicate-heavy
+    # table (exactly what a dedup corpus holds) can put 1e8 identical
+    # tuples in one group, which is ~800 MB in one task and a hard
+    # error past Spark's max array length. Two nested explodes bound
+    # every materialized array at max(ceil(net/C), C) elements while
+    # emitting exactly net rows.
+    chunk = 4096
+    n = F.abs(F.col("__cdf_net"))
     return (
         net.withColumn(
             "_change_type",
@@ -1491,7 +1512,25 @@ def read_changes(
             ),
         )
         .withColumn(
-            "__cdf_i", F.explode(F.sequence(F.lit(1), F.abs(F.col("__cdf_net"))))
+            "__cdf_chunk",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.expr(f"(abs(__cdf_net) - 1) div {chunk}"),
+                )
+            ),
+        )
+        .withColumn(
+            "__cdf_i",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    F.least(
+                        F.lit(chunk).cast("long"),
+                        n - F.col("__cdf_chunk") * chunk,
+                    ),
+                )
+            ),
         )
         .select(*cols, "_change_type")
     )

@@ -118,6 +118,42 @@ def test_cdf_multiset_multiplicity(spark, table):
     assert c == {(1, "delete"): 3}
 
 
+def test_cdf_high_multiplicity_is_chunked_not_one_array(spark, table):
+    """A duplicate-heavy group (multiplicity far past the 4096 chunk)
+    must expand to exactly net rows — the expansion is two nested
+    bounded explodes, never one sequence(1, net) array whose size grows
+    with the multiplicity (1e8 duplicates would be ~800MB in one unsafe
+    row; dedup corpora make that realistic)."""
+    n = 10_001  # 3 chunks: 4096 + 4096 + 1809
+    dup = spark.range(n).select(
+        F.lit(7).alias("k"), F.lit("same").alias("s")
+    )
+    write_version(spark, dup.repartition(2), table)
+    write_version(spark, dup.limit(0), table)  # overwrite-to-empty
+    c = Counter(
+        (r["k"], r["_change_type"])
+        for r in read_changes(spark, table, 1, 2).collect()
+    )
+    assert c == {(7, "delete"): n}
+
+
+def test_cdf_unchanged_dv_lists_short_circuit(spark, table):
+    """Appends AFTER a MOR delete carry the sidecar list verbatim —
+    the DV delta between such versions is provably empty from the
+    manifests alone, so no sidecar may be scanned and the carried
+    files stay out of scope."""
+    write_version(spark, _df(spark).repartitionByRange(4, "id"), table)
+    delete_version(spark, table, "id < 5", mode="mor")  # v2: DV sidecar
+    write_version(spark, _df(spark, 100, 110), table, mode="append")  # v3
+    info = {}
+    got = _changes(spark, table, 2, 3, info=info)
+    assert got == [(i, "insert") for i in range(100, 110)]
+    # only the appended files were scanned; the DV-carrying common
+    # files contributed nothing and were never opened
+    assert info["files_scanned_before"] == 0
+    assert info["files_scanned_after"] > 0
+
+
 def test_cdf_schema_evolution_null_fills_older_side(spark, table):
     write_version(spark, _df(spark, 0, 10).repartition(1), table)
     evolved = _df(spark, 10, 15).withColumn("extra", F.col("id") + 1)
