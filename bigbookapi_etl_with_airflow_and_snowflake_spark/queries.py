@@ -2375,8 +2375,9 @@ REGISTRY.update(OPS_REGISTRY)
 # versioned-table entries also ride this round's sinks/versioned.py
 # changes but hold r10 rows; their re-validation signal is the full
 # sf0.01 registry replay + pytest parity, not the driver window.
-# The four entries added late in round 11 (exact_substr_spans,
-# exact_substr_scrub, versioned_branch_publish, hilbert_key_events)
+# The entries added late in round 11 (exact_substr_spans,
+# exact_substr_scrub, versioned_branch_publish, hilbert_key_events,
+# versioned_restore, and the rest of the session-2 additions)
 # deliberately wait OUTSIDE the window: displacing r7-stale entries for
 # them would break the "nothing predates r8" goal; they are proven this
 # round by the sf0.001 pytest parity replay + the full sf0.01 replay,

@@ -2534,6 +2534,126 @@ FROM ch GROUP BY change_type, o_orderstatus
 """
 
 
+def q_versioned_restore(spark, sf):
+    """RESTORE as an O(manifest) rollback (sinks/versioned.py
+    restore_version — the Delta ``RESTORE TABLE`` recovery path): v1 =
+    orders range-clustered into 8 files with a Bloom index on
+    o_orderkey; v2 = COW delete of finished orders with key ≡0 mod 3;
+    v3 = MOR delete of key ≡0 mod 7; v4 = restore to v1, undoing both.
+    The query reads v3 (post-both-deletes) and v4 (== the source —
+    read equality after rollback IS the contract); the oracle replays
+    both states from the source rows.
+
+    Metadata literals (oracle-pinned TRUE): ``restore_zero_copy`` (the
+    restore commit wrote ZERO data files and v4's manifest lists
+    exactly v1's files — rollback of any-size table costs one manifest
+    write); ``index_chained`` (the head's Bloom index is a
+    zero-increment chain link onto v1's, never a rebuild);
+    ``cdf_undo_ok`` (read_changes(3, 4) is all-insert and re-inserts
+    exactly the rows the two deletes removed — the feed sees a restore
+    as the row-level undo set); ``probe_scoped`` (a pruned key lookup
+    on the restored head still skips files — the chained index is
+    functional, not just present). The aggregates are computed off the
+    real reads, so a restore that resurrected too much or too little
+    also fails the value hash."""
+    from .sinks.versioned import (
+        _load_manifest,
+        delete_version,
+        read_changes,
+        read_version,
+        read_version_pruned,
+        restore_version,
+        write_version,
+    )
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    d = tempfile.mkdtemp(prefix="q_versioned_restore_")
+    t = os.path.join(d, "orders_v")
+    try:
+        write_version(
+            spark,
+            o.repartitionByRange(8, "o_orderkey"),
+            t,
+            index_cols=["o_orderkey"],
+        )
+        delete_version(
+            spark,
+            t,
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0),
+            index_cols=["o_orderkey"],
+        )
+        delete_version(
+            spark, t, F.col("o_orderkey") % 7 == 0, mode="mor",
+            index_cols=["o_orderkey"],
+        )
+        r = restore_version(spark, t, 1, index_cols=["o_orderkey"])
+        m1, m4 = _load_manifest(t, 1), _load_manifest(t, 4)
+        restore_zero_copy = (
+            r["data_files_written"] == 0 and m4["files"] == m1["files"]
+        )
+        index_chained = r["index"] == {"o_orderkey": "chained"}
+        undo = read_changes(spark, t, 3, 4)
+        n_undone = undo.groupBy("_change_type").count().collect()
+        cdf_undo_ok = len(n_undone) == 1 and n_undone[0]["_change_type"] == (
+            "insert"
+        ) and n_undone[0]["count"] == m1["n_rows"] - _load_manifest(t, 3)["n_rows"]
+        # a key that v3's MOR delete removed and the restore
+        # resurrected (derived from the data — synthetic orderkeys are
+        # sparse); the clustered layout puts it in one file, the
+        # chained index must prune the rest
+        k7 = o.filter(F.col("o_orderkey") % 7 == 0).agg(
+            F.min("o_orderkey")
+        ).first()[0]
+        probe, info = read_version_pruned(spark, t, keys={"o_orderkey": [k7]})
+        probe_scoped = (
+            probe.count() == 1 and info["files_read"] < info["files_total"]
+        )
+
+        def agg(df, tag):
+            return df.groupBy("o_orderstatus").agg(
+                F.lit(tag).alias("snapshot"),
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+                    "cents"
+                ),
+            )
+
+        out = (
+            agg(read_version(spark, t, version=3), "v3")
+            .unionByName(agg(read_version(spark, t, version=4), "v4"))
+            .select("snapshot", "o_orderstatus", "n", "key_sum", "cents")
+            .withColumn("restore_zero_copy", F.lit(restore_zero_copy))
+            .withColumn("index_chained", F.lit(index_chained))
+            .withColumn("cdf_undo_ok", F.lit(cdf_undo_ok))
+            .withColumn("probe_scoped", F.lit(probe_scoped))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_RESTORE = """
+WITH v2 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+), v3 AS (
+  SELECT * FROM v2 WHERE NOT (o_orderkey % 7 = 0)
+), states AS (
+  SELECT 'v3' AS snapshot, * FROM v3
+  UNION ALL
+  SELECT 'v4' AS snapshot, o_orderkey, o_orderstatus, o_totalprice FROM orders
+)
+SELECT snapshot, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+       TRUE AS restore_zero_copy, TRUE AS index_chained,
+       TRUE AS cdf_undo_ok, TRUE AS probe_scoped
+FROM states GROUP BY snapshot, o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # class prototypes (operators/clustering.py label_centroids)
 # ---------------------------------------------------------------------------
@@ -3540,6 +3660,7 @@ OPS_REGISTRY = {
     "versioned_merge_delete": (q_versioned_merge_delete, SQL_VERSIONED_MERGE_DELETE),
     "versioned_mor_delete": (q_versioned_mor_delete, SQL_VERSIONED_MOR_DELETE),
     "versioned_changes": (q_versioned_changes, SQL_VERSIONED_CHANGES),
+    "versioned_restore": (q_versioned_restore, SQL_VERSIONED_RESTORE),
     "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
     "versioned_pruned_read": (q_versioned_pruned_read, SQL_VERSIONED_PRUNED_READ),
     "versioned_index_compaction": (

@@ -1267,6 +1267,103 @@ def _delete_version_mor(
     }
 
 
+def restore_version(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+    index_cols: Sequence[str] = (),
+    index_max_chain: int = 8,
+    branch: str | None = None,
+) -> dict:
+    """RESTORE: commit a new head whose snapshot is EXACTLY an earlier
+    version's (the Delta Lake ``RESTORE TABLE ... TO VERSION`` /
+    Iceberg rollback operation — the recovery path after a bad write).
+    Zero data files are written or rewritten: the new manifest
+    re-points at the target version's data files, DV sidecars, and
+    recorded schema by reference — an O(manifest) commit regardless of
+    table size, which is what makes "undo the last bad backfill on a
+    100 TB table" a seconds-scale operation instead of a rewrite.
+
+    History is preserved, never truncated: the bad versions remain
+    time-travel-readable (and CDF-diffable) until :func:`vacuum` drops
+    them — restoring is a FORWARD commit, so concurrent readers and the
+    conflict-detection of in-flight writers see it as any other commit.
+    :func:`read_changes` across a restore yields exactly the row-level
+    undo set (re-inserts of what the bad commits deleted, deletes of
+    what they added) with its usual O(changed files) scoping — the two
+    file lists mostly re-converge.
+
+    The target must still be a RETAINED version (loadable manifest):
+    tag it or keep it inside vacuum's window. Restoring re-references
+    the target's files, and vacuum's liveness walk then keeps them via
+    the new head's manifest.
+
+    Schema: the restored head carries the target's recorded schema
+    verbatim — restoring across a schema evolution rolls the schema
+    back too, exactly like an overwrite replaces it (time travel and
+    restore must agree on what v_target looked like).
+
+    ``index_cols``: per column, when the TARGET version has a usable
+    Bloom index, the new head's index is a zero-new-files chain link
+    onto the target's (O(1) — the restored file set IS the target's,
+    so the target's index is complete and fresh for it; links from the
+    undone versions are simply not referenced). Without one, a full
+    rebuild at the recorded/inherited geometry. Refused on branches,
+    like every index build (indexes are main-lineage).
+
+    Returns ``{"version", "restored_from", "files_restored",
+    "data_files_written", "index"}`` with ``data_files_written`` always
+    0 (the literal the registry entry pins) and ``index`` mapping each
+    requested column to ``"chained"`` or ``"rebuilt"``."""
+    if branch is not None and index_cols:
+        raise ValueError(
+            "index_cols on a branch restore — Bloom indexes are "
+            "main-lineage; build them when the branch publishes"
+        )
+    target = _load_manifest(table_dir, version, branch)
+
+    def build(prior: dict | None) -> dict:
+        return {
+            "mode": "restore",
+            "restored_from": version,
+            "files": list(target["files"]),
+            "n_rows": target["n_rows"],
+            "schema": target.get("schema"),
+            "dv_files": list(target.get("dv_files") or []),
+        }
+
+    v = _commit(table_dir, build, branch=branch)
+    index_result: dict[str, str] = {}
+    for col in index_cols:
+        if _usable_index_params(table_dir, col, version) is not None:
+            # the target's index covers exactly the restored file set —
+            # chain a zero-increment link onto it (O(1)); the undone
+            # versions' links fall out of the reference graph and
+            # vacuum reclaims them
+            maintain_bloom_index(
+                spark, table_dir, col, version=v,
+                new_files=[], prior_version=version,
+                max_chain=index_max_chain,
+            )
+            index_result[col] = "chained"
+        else:
+            geo = _resolve_index_geometry(table_dir, col, v - 1, None)
+            if geo is None:
+                write_bloom_index(spark, table_dir, col, version=v)
+            else:
+                write_bloom_index(
+                    spark, table_dir, col, version=v, m_bits=geo[0], k=geo[1]
+                )
+            index_result[col] = "rebuilt"
+    return {
+        "version": v,
+        "restored_from": version,
+        "files_restored": len(target["files"]),
+        "data_files_written": 0,
+        "index": index_result,
+    }
+
+
 def _empty_snapshot(spark: SparkSession, m: dict) -> DataFrame:
     """Zero-row frame for a manifest with NO data files (a delete can
     remove every row and stage no part files). Uses the schema the
