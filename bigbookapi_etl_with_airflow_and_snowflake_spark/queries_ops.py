@@ -2654,6 +2654,100 @@ FROM states GROUP BY snapshot, o_orderstatus
 """
 
 
+def q_expectations_quarantine(spark, sf):
+    """Write-time expectations with quarantine routing
+    (operators/quality.py write_with_expectations — the Delta Live
+    Tables expect/quarantine/metrics loop on the versioned-table
+    sink): orders are dirtied deterministically (status NULLed for key
+    ≡0 mod 13, price negated for key ≡0 mod 17), then committed
+    through two rules (not_null(status), in_range(price, 0, 1e9)).
+    Valid rows land in the main table, violating rows in the
+    quarantine table WITH their ``_violations`` labels. The query
+    groups the READ-BACK tables by violation bucket ('valid' or the
+    comma-joined rule names), so a row routed to the wrong table, a
+    mislabeled cause, or a dropped row all fail the value hash; the
+    oracle replays the dirtying + rule logic in SQL.
+
+    ``counts_match`` literal (oracle-pinned TRUE): the run's metrics
+    dict (n_valid / n_quarantined / per-rule counts — computed in ONE
+    aggregation over the persisted annotated frame) equals what the
+    committed tables independently say."""
+    from .operators.quality import in_range, not_null, write_with_expectations
+    from .sinks.versioned import read_version
+
+    src = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 != 0, F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(
+            F.col("o_orderkey") % 17 == 0, -F.col("o_totalprice")
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    rules = [not_null("o_orderstatus"), in_range("o_totalprice", 0, 10**9)]
+    d = tempfile.mkdtemp(prefix="q_expectations_")
+    t_main, t_quar = os.path.join(d, "main"), os.path.join(d, "quarantine")
+    try:
+        r = write_with_expectations(spark, src, rules, t_main, t_quar)
+        main, quar = read_version(spark, t_main), read_version(spark, t_quar)
+        by_rule = quar.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.count(
+                    F.when(F.array_contains("_violations", rl.name), 1)
+                ).alias(rl.name)
+                for rl in rules
+            ],
+        ).first()
+        counts_match = (
+            r["n_valid"] == main.count()
+            and r["n_quarantined"] == by_rule["__n"]
+            and all(r["by_rule"][rl.name] == by_rule[rl.name] for rl in rules)
+        )
+
+        def agg(df, bucket):
+            return df.groupBy(bucket.alias("bucket")).agg(
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).alias("cents"),
+            )
+
+        out = (
+            agg(main, F.lit("valid"))
+            .unionByName(agg(quar, F.array_join("_violations", ",")))
+            .withColumn("counts_match", F.lit(counts_match))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_EXPECTATIONS_QUARANTINE = """
+WITH src AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderstatus END AS st,
+         CASE WHEN o_orderkey % 17 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS price
+  FROM orders
+), lab AS (
+  SELECT *, CONCAT_WS(',',
+    CASE WHEN st IS NULL THEN 'o_orderstatus_null' END,
+    CASE WHEN price IS NOT NULL AND NOT (price >= 0 AND price <= 1000000000)
+         THEN 'o_totalprice_out_of_range' END) AS labels
+  FROM src
+)
+SELECT CASE WHEN labels = '' THEN 'valid' ELSE labels END AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+       TRUE AS counts_match
+FROM lab GROUP BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # class prototypes (operators/clustering.py label_centroids)
 # ---------------------------------------------------------------------------
@@ -3661,6 +3755,10 @@ OPS_REGISTRY = {
     "versioned_mor_delete": (q_versioned_mor_delete, SQL_VERSIONED_MOR_DELETE),
     "versioned_changes": (q_versioned_changes, SQL_VERSIONED_CHANGES),
     "versioned_restore": (q_versioned_restore, SQL_VERSIONED_RESTORE),
+    "expectations_quarantine": (
+        q_expectations_quarantine,
+        SQL_EXPECTATIONS_QUARANTINE,
+    ),
     "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
     "versioned_pruned_read": (q_versioned_pruned_read, SQL_VERSIONED_PRUNED_READ),
     "versioned_index_compaction": (
