@@ -380,6 +380,15 @@ def minhash_signatures(
     shingling per hash — the aggregate form is robust.)
     """
     sh = shingle_table(df, text_col, id_col, n)
+    return _signatures_from_shingles(sh, id_col, num_hashes)
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """Signature aggregation over an ALREADY-shingled (id, shingle)
+    table — split out so callers that also need the shingle table for
+    exact verification (:func:`fuzzy_decontaminate`) shingle once."""
     aggs = [
         F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#seed{i}")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -436,6 +445,113 @@ def minhash_band_pairs(
     sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
     bands = minhash_band_keys(sig, id_col, num_hashes, rows_per_band)
     return _bucket_pairs(bands, "band_key", id_col).distinct()
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+    n: int = 3,
+    threshold_pm: int = 500,
+) -> DataFrame:
+    """FUZZY test-set decontamination (the Brown et al. GPT-3 App. C /
+    Dolma pattern, upgraded from exact n-gram hits to near-duplicate
+    detection): flag every training document whose shingle-set Jaccard
+    against ANY eval document reaches ``threshold_pm``/1000, where
+    candidates come from MinHash-LSH banding — so a paraphrased or
+    lightly-edited eval leak is caught, not just a verbatim one
+    (contrast the exact-overlap :func:`~..queries_ext.q_decontaminate`
+    check, which counts shared shingles but misses high-overlap pairs
+    expressed as per-doc counts).
+
+    Estimate-then-verify, all engine-portable: (1) md5 MinHash
+    signatures on both sides — each side shingled ONCE, the shingle
+    tables feed both the signatures and the exact verify; (2) band-key
+    equi-join, eval side broadcast (the held-out set is small by
+    definition) → candidate (train, eval) pairs, recall governed by
+    the banding like every LSH stage (the band CTE is replayed
+    verbatim in the oracle, so the check is exact over the SAME
+    candidate set); (3) exact Jaccard verify scoped to candidates:
+    intersection via one equi-join on (eval_id, shingle), union from
+    per-doc shingle counts, threshold compared as the exact rational
+    ``1000·|∩| ≥ threshold_pm·|∪|`` (never a float).
+
+    Returns one row per CONTAMINATED train doc — its best-matching
+    eval doc under the total order (jaccard_pm desc, n_inter desc,
+    n_union asc, eval_id asc): ``(doc_id, eval_id, n_inter, n_union,
+    jaccard_pm)`` with ``jaccard_pm = (1000·|∩|) div |∪|`` integer-
+    exact. Drop or quarantine the flagged docs upstream of training.
+
+    Scale: train side streams through shingle-explode → band build →
+    two broadcast joins and one aggregation keyed by (train, eval)
+    candidate pairs — no doc×doc blowup, no global sort; the per-doc
+    dedup window partitions by train doc id (unique → skew-free)."""
+    from pyspark.sql.window import Window
+
+    tr_sh = shingle_table(train, text_col, id_col, n)
+    ev_sh = shingle_table(eval_df, text_col, id_col, n)
+    tr_bands = minhash_band_keys(
+        _signatures_from_shingles(tr_sh, id_col, num_hashes),
+        id_col, num_hashes, rows_per_band,
+    ).select(F.col(id_col).alias("doc_id"), "band_key")
+    ev_bands = minhash_band_keys(
+        _signatures_from_shingles(ev_sh, id_col, num_hashes),
+        id_col, num_hashes, rows_per_band,
+    ).select(F.col(id_col).alias("eval_id"), "band_key")
+    cand = (
+        tr_bands.join(F.broadcast(ev_bands), "band_key")
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    tr_sizes = tr_sh.groupBy(id_col).agg(F.count("*").alias("n_tr"))
+    ev_sizes = ev_sh.groupBy(id_col).agg(F.count("*").alias("n_ev"))
+    inter = (
+        cand.join(tr_sh.withColumnRenamed(id_col, "doc_id"), "doc_id")
+        .join(
+            F.broadcast(
+                ev_sh.select(
+                    F.col(id_col).alias("eval_id"), "shingle"
+                )
+            ),
+            ["eval_id", "shingle"],
+        )
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    scored = (
+        inter.join(
+            tr_sizes.select(F.col(id_col).alias("doc_id"), "n_tr"), "doc_id"
+        )
+        .join(
+            F.broadcast(
+                ev_sizes.select(F.col(id_col).alias("eval_id"), "n_ev")
+            ),
+            "eval_id",
+        )
+        .withColumn("n_union", F.col("n_tr") + F.col("n_ev") - F.col("n_inter"))
+        .filter(
+            F.lit(1000) * F.col("n_inter")
+            >= F.lit(int(threshold_pm)) * F.col("n_union")
+        )
+        .withColumn(
+            "jaccard_pm",
+            F.expr("(1000 * n_inter) div n_union").cast("long"),
+        )
+    )
+    best = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard_pm").desc(),
+        F.col("n_inter").desc(),
+        F.col("n_union").asc(),
+        F.col("eval_id").asc(),
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "eval_id", "n_inter", "n_union", "jaccard_pm")
+    )
 
 
 def portable_simhash(

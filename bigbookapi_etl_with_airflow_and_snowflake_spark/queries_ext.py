@@ -685,6 +685,68 @@ GROUP BY s.doc_id
 """
 
 
+def q_fuzzy_decontaminate(spark, sf):
+    """FUZZY test-set decontamination (operators/neardup.py
+    fuzzy_decontaminate): MinHash-LSH candidates between the training
+    split (source ≠ 'src0') and the held-out set (source = 'src0'),
+    exact-Jaccard-verified at J ≥ 0.5 — flags paraphrase-level eval
+    leaks the exact-overlap ``decontaminate`` entry only surfaces as
+    raw counts. One best-match row per contaminated training doc.
+
+    Everything is engine-portable (md5 minhash, integer rational
+    threshold), so the oracle replays the FULL estimate-then-verify
+    chain — banding recall included — in SQL."""
+    docs = _t(spark, sf, "documents")
+    return neardup.fuzzy_decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        threshold_pm=500,
+    )
+
+
+SQL_FUZZY_DECONTAMINATE = r"""
+WITH toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, source,
+              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+sig AS (SELECT doc_id, source,
+          min(md5(shingle || '#seed0')) AS mh0,
+          min(md5(shingle || '#seed1')) AS mh1,
+          min(md5(shingle || '#seed2')) AS mh2,
+          min(md5(shingle || '#seed3')) AS mh3
+        FROM sh GROUP BY doc_id, source),
+bands AS (
+  SELECT doc_id, source, '0' || '|' || mh0 || '|' || mh1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, source, '1' || '|' || mh2 || '|' || mh3 AS band_key FROM sig),
+cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS eval_id
+         FROM bands a JOIN bands b ON a.band_key = b.band_key
+         WHERE a.source <> 'src0' AND b.source = 'src0'),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT c.doc_id, c.eval_id, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_id
+          JOIN sh b ON b.doc_id = c.eval_id AND b.shingle = a.shingle
+          GROUP BY c.doc_id, c.eval_id),
+scored AS (
+  SELECT i.doc_id, i.eval_id, i.n_inter,
+         sa.n_sh + sb.n_sh - i.n_inter AS n_union
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_id
+  JOIN sizes sb ON sb.doc_id = i.eval_id
+  WHERE 1000 * i.n_inter >= 500 * (sa.n_sh + sb.n_sh - i.n_inter)),
+ranked AS (
+  SELECT *, (1000 * n_inter) // n_union AS jaccard_pm,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+           ORDER BY (1000 * n_inter) // n_union DESC, n_inter DESC,
+                    n_union ASC, eval_id ASC) AS rn
+  FROM scored)
+SELECT doc_id, eval_id, n_inter, n_union, jaccard_pm
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_pii_scrub(spark, sf):
     """PII-style scrubbing over the event property payloads: digit runs
     → '<NUM>' sentinel, plus a redaction count per record. Output is
@@ -2260,6 +2322,7 @@ EXT_REGISTRY = {
     "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "fuzzy_decontaminate": (q_fuzzy_decontaminate, SQL_FUZZY_DECONTAMINATE),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "length_histogram": (q_length_histogram, SQL_LENGTH_HISTOGRAM),

@@ -30,7 +30,7 @@ NO_ORACLE = {
     "approx_price_quantiles",
 }
 
-EXPECTED_TOTAL = 199
+EXPECTED_TOTAL = 200
 EXPECTED_ORACLED = EXPECTED_TOTAL - len(NO_ORACLE)
 
 
