@@ -7,13 +7,15 @@
               ``bigbookapi_etl_with_airflow_and_snowflake_spark.queries``.
 ``oracle_sql`` — DuckDB-equivalent SQL per query (omitted only for ops
               whose outputs are engine-specific by construction:
-              simhash (xxhash64 keys), lsh_topk / ivf_topk (seeded
+              simhash (xxhash64 keys), lsh_topk / ivf_topk / pq_topk (seeded
               random planes / centroids), the approx_distinct /
               approx_quantile sketches, and iterative k-means. EVERY
               one of those has an oracle-checked twin in the registry
               running the same code path at an exact configuration:
               simhash_pairs (portable md5), lsh_topk_exact (zero
               planes = exhaustive), ivf_topk_exact (probe-all),
+              pq_topk_fixed + pq_codes (fixed codebooks, full SQL replay
+              of the lossy kernel),
               distinct_users_exact, price_quantiles_exact (discrete
               rank), kmeans_assign_init + cluster_sample_init
               (0-iteration assignment/sampling) — plus recall and

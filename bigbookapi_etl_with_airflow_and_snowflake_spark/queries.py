@@ -2070,6 +2070,111 @@ def q_ivf_topk_exact(spark, sf):
     )
 
 
+def q_pq_codes(spark, sf):
+    """N3 compressed-index tier: product-quantization encode
+    (operators/pq.py, Jégou et al. 2011) at the deterministic
+    fixed-codebook configuration — dim-64 vectors compress to 4
+    codeword ids (M=4 subspaces × K=16 codes ≈ 64× smaller than
+    float32). The codes ARE the at-rest index; this entry hard-oracles
+    the whole encode kernel (subspace split, per-codeword squared-L2
+    folds, lowest-index argmin) value-for-value in SQL."""
+    from .operators import pq
+
+    emb = _t(spark, sf, "embeddings")
+    return pq.pq_encode(emb, pq.fixed_codebooks(emb))
+
+
+# Shared CTE text: fixed codebooks (16 smallest-id vectors), per-
+# (vector, subspace, codeword) squared-L2 distances with the SAME
+# sequential fold order as the Spark expressions, and lowest-index
+# argmin. pq_codes pivots the argmin; pq_topk_fixed reuses the
+# distance table on the query side for ADC.
+_SQL_PQ_COMMON = r"""
+WITH cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+d AS (
+  SELECT v.vec_id, g.m, c.j,
+    list_reduce(list_transform(range(1, 17),
+      i -> (CAST(v.embedding[CAST(g.m*16+i AS INT)] AS DOUBLE)
+              - c.e[CAST(g.m*16+i AS INT)])
+         * (CAST(v.embedding[CAST(g.m*16+i AS INT)] AS DOUBLE)
+              - c.e[CAST(g.m*16+i AS INT)])),
+      (a, b) -> a + b) AS d
+  FROM embeddings v, range(0, 4) AS g(m), cb c),
+amin AS (
+  SELECT vec_id, m, j FROM (
+    SELECT vec_id, m, j,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, j ASC) AS rn
+    FROM d) t WHERE rn = 1)
+"""
+
+SQL_PQ_CODES = _SQL_PQ_COMMON + r"""
+SELECT vec_id,
+  CAST(MAX(CASE WHEN m=0 THEN j END) AS INT) AS c0,
+  CAST(MAX(CASE WHEN m=1 THEN j END) AS INT) AS c1,
+  CAST(MAX(CASE WHEN m=2 THEN j END) AS INT) AS c2,
+  CAST(MAX(CASE WHEN m=3 THEN j END) AS INT) AS c3
+FROM amin GROUP BY vec_id
+"""
+
+
+def q_pq_topk(spark, sf):
+    """N3 compressed scale path: ADC top-k over PQ codes with
+    PRODUCTION codebooks (per-subspace Lloyd's k-means on a bounded
+    deterministic sample — numpy-seeded, engine-local → rows-only
+    check; recall vs brute force asserted in tests/test_pq.py; the
+    fixed-codebook twin `pq_topk_fixed` runs the identical encode/ADC
+    kernel under the HARD oracle)."""
+    from .operators import pq
+
+    emb = _t(spark, sf, "embeddings")
+    return pq.pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        pq.train_pq_codebooks(emb),
+        k=5,
+    )
+
+
+def q_pq_topk_fixed(spark, sf):
+    """N3 validation twin under the HARD oracle gate: pq_topk at the
+    fixed-codebook configuration. Unlike the brute-force-degenerate
+    twins (lsh_topk_exact / ivf_topk_exact), PQ is lossy by
+    construction — so the oracle replays the APPROXIMATION itself
+    bit-for-bit: codebook derivation, encode argmin, the query-side
+    M×K distance tables, and the fixed-order ADC sum all reproduce in
+    SQL. A kernel drift of one ulp or one tie-break fails the hash."""
+    from .operators import pq
+
+    emb = _t(spark, sf, "embeddings")
+    return pq.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), pq.fixed_codebooks(emb), k=5
+    )
+
+
+SQL_PQ_TOPK_FIXED = _SQL_PQ_COMMON + r""",
+qd AS (SELECT vec_id AS q_id, m, j, d FROM d WHERE vec_id < 10),
+pairs AS (
+  SELECT qd.q_id, a.vec_id AS n_id,
+    MAX(CASE WHEN a.m=0 THEN qd.d END) AS d0,
+    MAX(CASE WHEN a.m=1 THEN qd.d END) AS d1,
+    MAX(CASE WHEN a.m=2 THEN qd.d END) AS d2,
+    MAX(CASE WHEN a.m=3 THEN qd.d END) AS d3
+  FROM amin a JOIN qd ON qd.m = a.m AND qd.j = a.j
+  WHERE a.vec_id <> qd.q_id
+  GROUP BY qd.q_id, a.vec_id),
+scored AS (
+  SELECT q_id, n_id, ROUND(((d0 + d1) + d2) + d3, 6) AS dist FROM pairs),
+ranked AS (
+  SELECT q_id, n_id, dist,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) AS rnk
+  FROM scored)
+SELECT q_id, n_id, dist FROM ranked WHERE rnk <= 5
+"""
+
+
 def q_approx_distinct_users(spark, sf):
     """Sketch: HyperLogLog++ distinct users per event type (mergeable,
     O(1/rsd²) state per group — engine-specific values, rows-only check;
@@ -2339,6 +2444,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ivf_topk": (q_ivf_topk, None),
     "lsh_topk_exact": (q_lsh_topk_exact, SQL_COSINE_TOPK),
     "ivf_topk_exact": (q_ivf_topk_exact, SQL_COSINE_TOPK),
+    "pq_codes": (q_pq_codes, SQL_PQ_CODES),
+    "pq_topk": (q_pq_topk, None),
+    "pq_topk_fixed": (q_pq_topk_fixed, SQL_PQ_TOPK_FIXED),
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "approx_price_quantiles": (q_approx_price_quantiles, None),
@@ -2382,7 +2490,7 @@ REGISTRY.update(OPS_REGISTRY)
 # them would break the "nothing predates r8" goal; they are proven this
 # round by the sf0.001 pytest parity replay + the full sf0.01 replay,
 # and rotate into the r12 window.
-# The seven no-oracle entries (approx/seeded/iterative by design) are
+# The eight no-oracle entries (approx/seeded/iterative by design) are
 # EXCLUDED from the first 50 — they can only ever produce a rows-only
 # row; their hard-oracled exact twins carry the signal
 # (tests/test_registry_invariants.py enforces this). All entries are

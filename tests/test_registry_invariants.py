@@ -18,11 +18,12 @@ from bigbookapi_etl_with_airflow_and_snowflake_spark.queries import (
     queries,
 )
 
-# the seven approximate/seeded/iterative entries that are rows-only by
+# the eight approximate/seeded/iterative entries that are rows-only by
 # design — each has a hard-oracled exact twin running the same kernel
 NO_ORACLE = {
     "lsh_topk",
     "ivf_topk",
+    "pq_topk",
     "kmeans_clusters",
     "cluster_balanced_sample",
     "simhash",
@@ -30,7 +31,7 @@ NO_ORACLE = {
     "approx_price_quantiles",
 }
 
-EXPECTED_TOTAL = 200
+EXPECTED_TOTAL = 203
 EXPECTED_ORACLED = EXPECTED_TOTAL - len(NO_ORACLE)
 
 
