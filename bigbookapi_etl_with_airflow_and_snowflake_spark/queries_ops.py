@@ -2654,6 +2654,108 @@ FROM states GROUP BY snapshot, o_orderstatus
 """
 
 
+def q_versioned_update(spark, sf):
+    """UPDATE on versioned tables, both cost profiles
+    (sinks/versioned.py update_version): v1 = orders range-clustered
+    into 8 files; v2 = COW update (double the price of early finished
+    orders, key < 1000 — range-scoped so the clustering bounds which
+    files rewrite); v3 = MOR update (+1 the price of key ≡0 mod 7 —
+    zero files rewritten: matched rows' old images hide behind a DV
+    sidecar, updated images append as new files, the Delta DV-UPDATE
+    execution). The query reads v2 and v3; the oracle replays both
+    states from the source rows.
+
+    Metadata literals (oracle-pinned TRUE): ``cow_scoped`` (the COW
+    update rewrote FEWER than all 8 files and carried the rest),
+    ``mor_zero_rewrite`` (the MOR update rewrote ZERO files, added ≥1
+    image file + a DV sidecar, and left n_rows unchanged — UPDATE
+    never changes cardinality), and ``asof_ok`` (timestamp time travel:
+    version_as_of resolves a wall-clock instant captured between the
+    commits to exactly v2 — the Delta TIMESTAMP AS OF read)."""
+    import time as _time
+
+    from .sinks.versioned import (
+        read_version,
+        update_version,
+        version_as_of,
+        write_version,
+    )
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    d = tempfile.mkdtemp(prefix="q_versioned_update_")
+    t = os.path.join(d, "orders_v")
+    try:
+        write_version(spark, o.repartitionByRange(8, "o_orderkey"), t)
+        r2 = update_version(
+            spark,
+            t,
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") < 1000),
+            {"o_totalprice": F.col("o_totalprice") * 2},
+        )
+        ts_between = _time.time()
+        _time.sleep(0.01)
+        r3 = update_version(
+            spark,
+            t,
+            F.col("o_orderkey") % 7 == 0,
+            {"o_totalprice": F.col("o_totalprice") + 1},
+            mode="mor",
+        )
+        cow_scoped = 0 < r2["files_rewritten"] < 8 and r2["files_carried"] >= 1
+        mor_zero_rewrite = (
+            r3["files_rewritten"] == 0
+            and r3["files_added"] >= 1
+            and r3["n_rows"] == r2["n_rows"]
+        )
+        asof_ok = version_as_of(t, ts_between) == 2
+
+        def agg(df, tag):
+            return df.groupBy("o_orderstatus").agg(
+                F.lit(tag).alias("snapshot"),
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+                    "cents"
+                ),
+            )
+
+        out = (
+            agg(read_version(spark, t, version=2), "v2")
+            .unionByName(agg(read_version(spark, t, version=3), "v3"))
+            .select("snapshot", "o_orderstatus", "n", "key_sum", "cents")
+            .withColumn("cow_scoped", F.lit(cow_scoped))
+            .withColumn("mor_zero_rewrite", F.lit(mor_zero_rewrite))
+            .withColumn("asof_ok", F.lit(asof_ok))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_UPDATE = """
+WITH v2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'F' AND o_orderkey < 1000
+              THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+), v3 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice
+  FROM v2
+), states AS (
+  SELECT 'v2' AS snapshot, * FROM v2
+  UNION ALL SELECT 'v3' AS snapshot, * FROM v3
+)
+SELECT snapshot, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+       TRUE AS cow_scoped, TRUE AS mor_zero_rewrite, TRUE AS asof_ok
+FROM states GROUP BY snapshot, o_orderstatus
+"""
+
+
 def q_expectations_quarantine(spark, sf):
     """Write-time expectations with quarantine routing
     (operators/quality.py write_with_expectations — the Delta Live
@@ -3755,6 +3857,7 @@ OPS_REGISTRY = {
     "versioned_mor_delete": (q_versioned_mor_delete, SQL_VERSIONED_MOR_DELETE),
     "versioned_changes": (q_versioned_changes, SQL_VERSIONED_CHANGES),
     "versioned_restore": (q_versioned_restore, SQL_VERSIONED_RESTORE),
+    "versioned_update": (q_versioned_update, SQL_VERSIONED_UPDATE),
     "expectations_quarantine": (
         q_expectations_quarantine,
         SQL_EXPECTATIONS_QUARANTINE,

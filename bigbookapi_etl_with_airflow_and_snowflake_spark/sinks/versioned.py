@@ -1267,6 +1267,226 @@ def _delete_version_mor(
     }
 
 
+def update_version(
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+    assignments: dict,
+    base_version: int | None = None,
+    mode: str = "cow",
+    index_cols: Sequence[str] = (),
+    index_geometry: dict[str, tuple[int, int]] | None = None,
+    index_max_chain: int = 8,
+) -> dict:
+    """UPDATE on a versioned table: rows where ``predicate`` is TRUE
+    get ``assignments`` (column → Column/SQL-string expression)
+    applied; FALSE/NULL rows are untouched (SQL UPDATE semantics).
+    Completes the DML set next to :func:`merge_version` (upsert) and
+    :func:`delete_version`. Row count and schema are invariants: an
+    assignment may only target an EXISTING column, and its value is
+    cast to the column's recorded type (ANSI mode makes a lossy cast
+    loud at execution, never silent) — adding columns is
+    :func:`write_version` ``merge_schema``'s job.
+
+    Two cost profiles, the Delta/Iceberg pair:
+
+    - ``"cow"``: files holding ≥1 matching live row are rewritten with
+      the assignments applied; every other file is carried by
+      reference. O(rows in touched files) — with a clustered layout a
+      selective update touches few files.
+    - ``"mor"``: NO existing file is rewritten — the matched rows'
+      coordinates land in a DV sidecar (hiding the old images) and the
+      updated images append as new data files, one commit. This is how
+      Delta executes DV-enabled UPDATE: O(updated rows) regardless of
+      file sizes. Reads need no new machinery — the DV anti-join plus
+      the appended files reconstruct the post-update snapshot; any
+      overwrite/compaction folds the DVs away.
+
+    Existing DVs are honored on both paths: a MOR-deleted row never
+    matches, never resurrects, and never re-records. Returns
+    ``{"version", "files_rewritten", "files_carried", "files_added",
+    "n_updated", "n_rows"}``."""
+    from pyspark.sql import functions as F
+
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be cow|mor, got {mode!r}")
+    if not assignments:
+        raise ValueError("update_version: empty assignments")
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    base = _load_manifest(table_dir, base_version)
+    if not base["files"]:
+        raise ValueError("update on an empty snapshot — nothing to match")
+    schema_json = base.get("schema") or _recorded_reader(spark, base).parquet(
+        *base["files"]
+    ).schema.json()
+    from pyspark.sql.types import StructType
+
+    recorded = StructType.fromJson(json.loads(schema_json))
+    types = {f.name: f.dataType for f in recorded.fields}
+    unknown = sorted(set(assignments) - set(types))
+    if unknown:
+        raise ValueError(
+            f"update assigns to unknown columns {unknown} (schema has "
+            f"{sorted(types)}) — schema changes go through write_version "
+            "merge_schema, not UPDATE"
+        )
+
+    def apply_assignments(df: DataFrame, condition) -> DataFrame:
+        cols = []
+        for f in recorded.fields:
+            if f.name in assignments:
+                a = assignments[f.name]
+                expr = F.expr(a) if isinstance(a, str) else a
+                cols.append(
+                    F.when(condition, expr.cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        return df.select(*cols)
+
+    if mode == "mor":
+        import shutil
+
+        # one scan feeds two writes (DV coordinates + updated images):
+        # persist the matched slice so the full-table filter runs once
+        matched = _live_scan(spark, base, identity=True).filter(cond).persist()
+        try:
+            dv_dir = os.path.join(table_dir, _DV_DIR, uuid.uuid4().hex)
+            matched.select(
+                F.col(_DV_FILE).alias("file"), F.col(_DV_POS).alias("pos")
+            ).write.parquet(dv_dir)
+            dv_new = sorted(
+                _canon(os.path.join(dv_dir, f))
+                for f in os.listdir(dv_dir)
+                if f.endswith(".parquet")
+            )
+            n_updated = spark.read.parquet(dv_dir).count()
+            if n_updated == 0:
+                shutil.rmtree(dv_dir, ignore_errors=True)
+                dv_new, new_files = [], []
+            else:
+                updated = apply_assignments(
+                    matched.drop(_DV_FILE, _DV_POS), F.lit(True)
+                )
+                new_files, _ = _write_data_files(spark, updated, table_dir)
+        finally:
+            matched.unpersist()
+
+        def build(prior: dict | None) -> dict:
+            if prior is None or prior["version"] != base["version"]:
+                raise CommitConflict(
+                    f"table advanced past v{base['version']} — re-run the update"
+                )
+            return {
+                "mode": "update_mor",
+                "files": base["files"] + new_files,
+                "n_rows": base["n_rows"],
+                "schema": schema_json,
+                "dv_files": (base.get("dv_files") or []) + dv_new,
+            }
+
+        try:
+            v = _commit(table_dir, build)
+        except CommitConflict:
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            _discard_staged(new_files)
+            raise
+        for col in index_cols:
+            maintain_bloom_index(
+                spark, table_dir, col, version=v,
+                new_files=new_files, prior_version=base["version"],
+                max_chain=index_max_chain,
+                geometry=(index_geometry or {}).get(col),
+            )
+        return {
+            "version": v,
+            "files_rewritten": 0,
+            "files_carried": len(base["files"]),
+            "files_added": len(new_files),
+            "n_updated": n_updated,
+            "n_rows": base["n_rows"],
+        }
+
+    cur = _live_scan(spark, base, identity=True)
+    touched = {
+        r[_DV_FILE]
+        for r in cur.filter(cond).select(_DV_FILE).distinct().collect()
+    }
+    carried = _carried_files(base["files"], touched)
+    if touched:
+        scope = _live_scan(spark, base, files=sorted(touched), identity=True)
+        n_updated = scope.filter(cond).count()
+        rewritten = apply_assignments(
+            scope, F.coalesce(cond, F.lit(False))
+        ).drop(_DV_FILE, _DV_POS)
+        new_files, n_new = _write_data_files(spark, rewritten, table_dir)
+    else:
+        n_updated, new_files = 0, []
+
+    def build(prior: dict | None) -> dict:
+        if prior is None or prior["version"] != base["version"]:
+            raise CommitConflict(
+                f"table advanced past v{base['version']} — re-run the update"
+            )
+        return {
+            "mode": "update",
+            "files": carried + new_files,
+            "n_rows": base["n_rows"],
+            "schema": schema_json,
+            "dv_files": base.get("dv_files") or [],
+        }
+
+    try:
+        v = _commit(table_dir, build)
+    except CommitConflict:
+        _discard_staged(new_files)
+        raise
+    for col in index_cols:
+        maintain_bloom_index(
+            spark, table_dir, col, version=v,
+            new_files=new_files, prior_version=base["version"],
+            max_chain=index_max_chain,
+            geometry=(index_geometry or {}).get(col),
+        )
+    return {
+        "version": v,
+        "files_rewritten": len(touched),
+        "files_carried": len(carried),
+        "files_added": len(new_files),
+        "n_updated": n_updated,
+        "n_rows": base["n_rows"],
+    }
+
+
+def version_as_of(table_dir: str, ts: float, branch: str | None = None) -> int:
+    """Timestamp time travel (Delta ``TIMESTAMP AS OF``): the LATEST
+    version whose ``committed_at`` is ≤ ``ts`` — i.e. the snapshot a
+    reader at that wall-clock moment would have seen. Raises when
+    ``ts`` predates the first commit (there was no table then — an
+    empty default would silently alias 'before creation' to 'v1').
+    Commit timestamps come from the committing writer's clock; skew
+    across writers can reorder timestamps relative to version numbers,
+    so the scan takes the max-version among qualifying manifests, and
+    version numbers stay the authoritative order (same caveat as
+    Delta's)."""
+    vs = _version_numbers(table_dir, branch)
+    if not vs:
+        raise ValueError(f"no committed versions under {table_dir!r}")
+    best = None
+    for v in vs:
+        m = _load_manifest(table_dir, v, branch)
+        if m["committed_at"] <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} predates the first commit "
+            f"({_load_manifest(table_dir, vs[0], branch)['committed_at']})"
+        )
+    return best
+
+
 def restore_version(
     spark: SparkSession,
     table_dir: str,
