@@ -2756,6 +2756,122 @@ FROM states GROUP BY snapshot, o_orderstatus
 """
 
 
+def q_cdc_replicate(spark, sf):
+    """End-to-end incremental replication (sinks/versioned.py
+    replicate_changes): a keyed replica follows a source table through
+    one of each commit kind without EITHER side scanning its full
+    table. Source: v1 = orders range-clustered into 8 files
+    (bootstrap-replicated with a range-clustered layout, so later
+    applies can exploit file skipping); v2 = COW update (double the
+    price of early finished orders, key < 1000); v3 = MOR delete (key
+    ∈ [200, 500) ≡0 mod 7 — range-scoped, DV sidecar); v4 = append
+    (negated keys ≡0 mod 13 — brand-new keys, pure inserts). One
+    replicate_changes call then applies the v1→v4 change feed as a
+    single merge with delete directives — an update's delete+insert
+    pair nets to the upsert by the data-beats-directive rule. The
+    query aggregates the REPLICA; the oracle replays the source's
+    final state, so any drift (missed delete, resurrected row, skipped
+    update) fails the value hash.
+
+    Metadata literals (oracle-pinned TRUE): ``feed_incremental`` (the
+    applied change count is strictly smaller than the table — the
+    O(changed files) feed, not a snapshot copy), ``cursor_ok`` (the
+    crash-safe cursor advanced exactly 1 → 4), and ``replica_scoped``
+    (the apply REWROTE fewer replica files than it carried — merge
+    touches only files holding changed keys)."""
+    from .sinks.versioned import (
+        delete_version,
+        read_version,
+        replicate_changes,
+        update_version,
+        write_version,
+    )
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    d = tempfile.mkdtemp(prefix="q_cdc_replicate_")
+    src, dst = os.path.join(d, "src"), os.path.join(d, "dst")
+    try:
+        write_version(spark, o.repartitionByRange(8, "o_orderkey"), src)
+        r1 = replicate_changes(
+            spark, src, dst, keys=["o_orderkey"],
+            bootstrap_cluster_by=["o_orderkey"],
+        )
+        update_version(
+            spark,
+            src,
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") < 1000),
+            {"o_totalprice": F.col("o_totalprice") * 2},
+        )
+        delete_version(
+            spark,
+            src,
+            (F.col("o_orderkey") >= 200)
+            & (F.col("o_orderkey") < 500)
+            & (F.col("o_orderkey") % 7 == 0),
+            mode="mor",
+        )
+        inc = o.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+            "o_orderkey", -F.col("o_orderkey") - 1
+        )
+        write_version(spark, inc, src, mode="append")
+        r2 = replicate_changes(spark, src, dst, keys=["o_orderkey"])
+        n_src = read_version(spark, src).count()
+        feed_incremental = 0 < r2["n_changes"] < n_src
+        cursor_ok = (
+            r1["applied_to"] == 1
+            and r2["applied_from"] == 1
+            and r2["applied_to"] == 4
+        )
+        from .sinks.versioned import _load_manifest
+
+        m_dst = _load_manifest(dst, r2["dst_version"])
+        m_dst_prev = _load_manifest(dst, r2["dst_version"] - 1)
+        carried = len(set(m_dst["files"]) & set(m_dst_prev["files"]))
+        replica_scoped = carried > 0  # range-scoped changes skip files
+
+        out = (
+            read_version(spark, dst)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+                    "cents"
+                ),
+            )
+            .withColumn("feed_incremental", F.lit(feed_incremental))
+            .withColumn("cursor_ok", F.lit(cursor_ok))
+            .withColumn("replica_scoped", F.lit(replica_scoped))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_CDC_REPLICATE = """
+WITH v2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'F' AND o_orderkey < 1000
+              THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+), v3 AS (
+  SELECT * FROM v2
+  WHERE NOT (o_orderkey >= 200 AND o_orderkey < 500 AND o_orderkey % 7 = 0)
+), v4 AS (
+  SELECT * FROM v3
+  UNION ALL
+  SELECT -o_orderkey - 1, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+       TRUE AS feed_incremental, TRUE AS cursor_ok, TRUE AS replica_scoped
+FROM v4 GROUP BY o_orderstatus
+"""
+
+
 def q_expectations_quarantine(spark, sf):
     """Write-time expectations with quarantine routing
     (operators/quality.py write_with_expectations — the Delta Live
@@ -3858,6 +3974,7 @@ OPS_REGISTRY = {
     "versioned_changes": (q_versioned_changes, SQL_VERSIONED_CHANGES),
     "versioned_restore": (q_versioned_restore, SQL_VERSIONED_RESTORE),
     "versioned_update": (q_versioned_update, SQL_VERSIONED_UPDATE),
+    "cdc_replicate": (q_cdc_replicate, SQL_CDC_REPLICATE),
     "expectations_quarantine": (
         q_expectations_quarantine,
         SQL_EXPECTATIONS_QUARANTINE,

@@ -911,6 +911,7 @@ def merge_version(
     index_geometry: dict[str, tuple[int, int]] | None = None,
     index_max_chain: int = 8,
     merge_schema: bool = False,
+    delete_col: str | None = None,
 ) -> dict:
     """Copy-on-write MERGE (upsert) into a versioned table.
 
@@ -939,6 +940,17 @@ def merge_version(
     incoming rows NULL-fill them; per-column type changes are always
     refused. ``keys`` must all be present in ``incoming``.
 
+    ``delete_col``: name of a boolean column on ``incoming`` marking
+    DELETE DIRECTIVES — the Delta ``WHEN MATCHED AND src._deleted THEN
+    DELETE`` arm, which is what lets a change-data-feed apply as one
+    MERGE (:func:`replicate_changes`). A directive removes its key
+    from the table; a directive for an absent key is a no-op (the
+    idempotent re-apply case); when the SAME increment carries both a
+    data row and a directive for one key, the data row wins (a CDC
+    update's delete+insert pair nets to the upsert). The flag column
+    is stripped before the schema gate and never lands in the table;
+    NULL flags read as False.
+
     Returns ``{"version", "files_rewritten", "files_carried",
     "n_rows"}``.
     """
@@ -950,9 +962,36 @@ def merge_version(
     missing_keys = [k for k in key_cols if k not in incoming.columns]
     if missing_keys:
         raise ValueError(f"incoming is missing merge key columns {missing_keys}")
+    # delete directives ride an internal 3-level rank: 0 = incoming
+    # data row, 1 = incoming delete directive, 2 = existing row — one
+    # sort chain gives "data beats directive beats existing" per key
+    rank_attached = False
+    if delete_col is not None:
+        if delete_col not in incoming.columns:
+            raise ValueError(
+                f"delete_col {delete_col!r} not in incoming columns"
+            )
+        if "__cdc_rank" in incoming.columns:
+            raise ValueError("incoming collides with reserved __cdc_rank")
+        incoming = incoming.withColumn(
+            "__cdc_rank",
+            F.when(
+                F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ).drop(delete_col)
+        rank_attached = True
+    data_cols = [c for c in incoming.columns if c != "__cdc_rank"]
     if not _version_numbers(table_dir):
+        first = incoming
+        if rank_attached:
+            # bootstrap commit: directives against a not-yet-existing
+            # table are no-ops by the absent-key rule
+            first = incoming.filter(F.col("__cdc_rank") == 0).drop(
+                "__cdc_rank"
+            )
         v = write_version(
-            spark, incoming, table_dir, index_cols=index_cols,
+            spark, first, table_dir, index_cols=index_cols,
             index_geometry=index_geometry, index_max_chain=index_max_chain,
         )
         m = _load_manifest(table_dir, v)
@@ -970,12 +1009,14 @@ def merge_version(
     # committed the narrowed schema over the carried files
     conform = None
     if base.get("schema") is not None:
-        union_json = _evolved_schema(base["schema"], incoming.schema, merge_schema)
+        union_json = _evolved_schema(
+            base["schema"], incoming.select(*data_cols).schema, merge_schema
+        )
         from pyspark.sql.types import StructType
 
         union = StructType.fromJson(json.loads(union_json))
 
-        def conform(df, _u=union):  # noqa: ANN001 — local helper
+        def conform(df, _u=union, extra=()):  # noqa: ANN001 — local helper
             have = set(df.columns)
             return df.select(
                 *[
@@ -983,10 +1024,14 @@ def merge_version(
                     if f.name in have
                     else F.lit(None).cast(f.dataType).alias(f.name)
                     for f in _u.fields
-                ]
+                ],
+                *[F.col(c) for c in extra if c in have],
             )
 
-        incoming = conform(incoming)
+        incoming = conform(
+            incoming, extra=("__cdc_rank",) if rank_attached else ()
+        )
+        data_cols = [c for c in incoming.columns if c != "__cdc_rank"]
     if base["files"]:
         # _live_scan: recorded-schema (an evolved table's plain scan
         # takes one footer's schema and silently drops columns) AND
@@ -1011,19 +1056,29 @@ def merge_version(
         # no part files): the merge is a pure insert against zero rows
         touched = set()
     carried = _carried_files(base["files"], touched)
-    inc = incoming.withColumn("__src", F.lit(0))
+    if rank_attached:
+        inc = incoming.withColumnRenamed("__cdc_rank", "__src")
+    else:
+        inc = incoming.withColumn("__src", F.lit(0))
     if touched:
         ex = _live_scan(spark, base, files=sorted(touched))
         existing = (
-            (conform(ex) if conform is not None else ex.select(*incoming.columns))
-            .withColumn("__src", F.lit(1))
+            (conform(ex) if conform is not None else ex.select(*data_cols))
+            .withColumn("__src", F.lit(2))
         )
         unioned = inc.unionByName(existing)
         n_touched = existing.count()
     else:
         unioned, n_touched = inc, 0
-    order = list(order_by) + [F.asc("__src")]  # incoming (0) wins ties
-    merged = keep_first_dedup(unioned, key_cols, order).drop("__src")
+    # incoming data (0) beats a same-key delete directive (1) beats
+    # existing rows (2); order_by still takes precedence for the
+    # last-writer-wins use case
+    order = list(order_by) + [F.asc("__src")]
+    merged = keep_first_dedup(unioned, key_cols, order)
+    if rank_attached:
+        # a key whose winner is a directive leaves the table
+        merged = merged.filter(F.col("__src") != 1)
+    merged = merged.drop("__src")
     new_files, n_new = _write_data_files(spark, merged, table_dir)
     schema_json = merged.schema.json()
 
@@ -1457,6 +1512,102 @@ def update_version(
         "files_added": len(new_files),
         "n_updated": n_updated,
         "n_rows": base["n_rows"],
+    }
+
+
+def replicate_changes(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    keys: Sequence[str],
+    to_version: int | None = None,
+    bootstrap_cluster_by: Sequence[str] = (),
+) -> dict:
+    """Incrementally replicate a KEYED versioned table: read the
+    source's change data feed since the last applied version
+    (:func:`read_changes` — O(changed files)) and apply it to the
+    replica as ONE merge with delete directives (:func:`merge_version`
+    ``delete_col`` — O(files touched by changed keys)). The CDC
+    producer meets the CDC consumer: neither side ever scans its full
+    table, which is the entire point of maintaining manifests.
+
+    Feed → merge translation: every feed row becomes an increment row
+    flagged ``deleted = (_change_type = 'delete')``; an update's
+    delete+insert pair shares its key, and merge's data-beats-directive
+    rule nets the pair to the upsert. Requires ``keys`` to actually be
+    unique per source snapshot — keyless multiset tables cannot
+    replicate by merge (their deletes address occurrences, not keys);
+    replicate those by snapshot copy.
+
+    The applied-version cursor persists in ``dst_dir/_cdc_cursor.json``
+    (atomic replace). Crash ordering is merge-commit THEN cursor: a
+    crash between the two re-applies the same feed next run, and the
+    apply is IDEMPOTENT for keyed tables (re-upsert of identical rows,
+    re-delete of absent keys). The reverse order could skip changes.
+
+    ``bootstrap_cluster_by``: range-cluster the FIRST (bootstrap)
+    commit on these columns — range-scoped source changes then touch
+    few replica files on every later apply (merge's O(files holding
+    changed keys) scoping needs a layout to exploit). Merge rewrites
+    are hash-distributed by key; a long-lived replica re-clusters via
+    compaction (operators/lake.py) when skipping degrades, exactly
+    like any other table.
+
+    Returns ``{"applied_from", "applied_to", "n_changes",
+    "dst_version"}``; a no-op (cursor already at ``to_version``)
+    returns with ``dst_version=None``."""
+    cursor_path = os.path.join(dst_dir, "_cdc_cursor.json")
+    applied = 0
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as fh:
+            cur = json.load(fh)
+        if _canon(cur.get("src", "")) != _canon(src_dir):
+            raise ValueError(
+                f"replica cursor tracks {cur.get('src')!r}, not {src_dir!r} "
+                "— one replica follows one source"
+            )
+        applied = int(cur["applied"])
+    src_vs = _version_numbers(src_dir)
+    if not src_vs:
+        raise ValueError(f"no committed versions under {src_dir!r}")
+    to = src_vs[-1] if to_version is None else to_version
+    if to <= applied:
+        return {
+            "applied_from": applied,
+            "applied_to": applied,
+            "n_changes": 0,
+            "dst_version": None,
+        }
+    feed = read_changes(spark, src_dir, applied, to)
+    from pyspark.sql import functions as F
+
+    if "__deleted" in feed.columns:
+        raise ValueError("source columns collide with reserved __deleted")
+    # the merge runs several actions over the increment (touched-file
+    # probe, union write) — persist the feed so its diff lineage
+    # executes once (the multi-action discipline)
+    inc = feed.withColumn(
+        "__deleted", F.col("_change_type") == "delete"
+    ).drop("_change_type")
+    if bootstrap_cluster_by and not _version_numbers(dst_dir):
+        inc = inc.repartitionByRange(*bootstrap_cluster_by)
+    inc = inc.persist()
+    try:
+        n_changes = inc.count()
+        r = merge_version(
+            spark, inc, dst_dir, keys=keys, delete_col="__deleted"
+        )
+    finally:
+        inc.unpersist()
+    tmp = cursor_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"src": _canon(src_dir), "applied": to}, fh)
+    os.replace(tmp, cursor_path)
+    return {
+        "applied_from": applied,
+        "applied_to": to,
+        "n_changes": n_changes,
+        "dst_version": r["version"],
     }
 
 
