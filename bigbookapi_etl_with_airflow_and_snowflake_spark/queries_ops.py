@@ -3441,6 +3441,124 @@ def q_streaming_curated_ingest(spark, sf):
     return out
 
 
+def q_streaming_quarantine_ingest(spark, sf):
+    """Expectation-GATED streaming ingest (the DLT production shape,
+    composed from this repo's pieces under one hard oracle): documents
+    arrive as a micro-batched file stream (``maxFilesPerTrigger=1``
+    over a 4-file range-clustered stage), each batch is dirtied
+    deterministically (text NULLed for doc_id ≡0 mod 13, n_chars
+    negated for doc_id ≡0 mod 17 — so violations exist in every
+    batch), and ``write_with_expectations`` routes each batch: valid
+    rows append-commit to the curated versioned table, violating rows
+    (with their ``_violations`` labels) append-commit to the
+    quarantine versioned table. The query groups BOTH read-back tables
+    by violation bucket; the oracle replays dirt + rules in SQL —
+    streaming/batch gate parity, per micro-batch.
+
+    Literals (oracle-pinned TRUE): ``multi_batch`` (≥2 commits on each
+    table — the stream really micro-batched, and violations flowed in
+    more than one batch), ``metrics_consistent`` (the per-batch
+    metrics dicts sum exactly to what the committed tables
+    independently say — the run's observability is trustworthy), and
+    ``labels_intact`` (quarantine rows kept their violation arrays
+    through the commit round-trip)."""
+    from .operators.quality import in_range, not_null, write_with_expectations
+    from .sinks.versioned import read_version, versions
+
+    from .streaming import read_documents_stream
+
+    stage = tempfile.mkdtemp(prefix="q_stream_quar_src_")
+    tbl_root = tempfile.mkdtemp(prefix="q_stream_quar_tbl_")
+    t_main = os.path.join(tbl_root, "curated")
+    t_quar = os.path.join(tbl_root, "quarantine")
+    metrics: list[dict] = []
+    try:
+        _t(spark, sf, "documents").repartitionByRange(4, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(stage)
+
+        def ingest(batch, _batch_id):
+            if batch.isEmpty():
+                return
+            dirty = batch.select(
+                "doc_id",
+                "source",
+                F.when(F.col("doc_id") % 13 != 0, F.col("text")).alias("text"),
+                F.when(
+                    F.col("doc_id") % 17 == 0, -F.col("n_chars")
+                ).otherwise(F.col("n_chars")).alias("n_chars"),
+            )
+            rules = [not_null("text"), in_range("n_chars", 0, 10**12)]
+            metrics.append(
+                write_with_expectations(
+                    spark, dirty, rules, t_main, t_quar, mode="append"
+                )
+            )
+
+        q = (
+            read_documents_stream(spark, stage, max_files_per_trigger=1)
+            .writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        if not metrics:
+            return spark.createDataFrame(
+                [],
+                "bucket string, n long, id_sum long, multi_batch boolean, "
+                "metrics_consistent boolean, labels_intact boolean",
+            )
+        main = read_version(spark, t_main)
+        quar = read_version(spark, t_quar)
+        multi_batch = (
+            len(versions(t_main)) >= 2 and len(versions(t_quar)) >= 2
+        )
+        n_main, n_quar = main.count(), quar.count()
+        metrics_consistent = (
+            sum(m["n_valid"] for m in metrics) == n_main
+            and sum(m["n_quarantined"] for m in metrics) == n_quar
+        )
+        labels_intact = (
+            quar.filter(F.size("_violations") == 0).count() == 0
+        )
+
+        def agg(df, bucket):
+            return df.groupBy(bucket.alias("bucket")).agg(
+                F.count("*").alias("n"),
+                F.sum("doc_id").cast("long").alias("id_sum"),
+            )
+
+        out = (
+            agg(main, F.lit("valid"))
+            .unionByName(agg(quar, F.array_join("_violations", ",")))
+            .withColumn("multi_batch", F.lit(multi_batch))
+            .withColumn("metrics_consistent", F.lit(metrics_consistent))
+            .withColumn("labels_intact", F.lit(labels_intact))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(tbl_root, ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_QUARANTINE_INGEST = """
+WITH lab AS (
+  SELECT doc_id, CONCAT_WS(',',
+    CASE WHEN doc_id % 13 = 0 THEN 'text_null' END,
+    CASE WHEN doc_id % 17 = 0 AND -n_chars < 0
+         THEN 'n_chars_out_of_range' END) AS labels
+  FROM documents
+)
+SELECT CASE WHEN labels = '' THEN 'valid' ELSE labels END AS bucket,
+       COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       TRUE AS multi_batch, TRUE AS metrics_consistent,
+       TRUE AS labels_intact
+FROM lab GROUP BY bucket
+"""
+
+
 def _sql_streaming_curated_ingest() -> str:
     from .queries import SQL_GOPHER_REPETITION
 
@@ -4003,5 +4121,9 @@ OPS_REGISTRY = {
     "streaming_curated_ingest": (
         q_streaming_curated_ingest,
         _sql_streaming_curated_ingest(),
+    ),
+    "streaming_quarantine_ingest": (
+        q_streaming_quarantine_ingest,
+        SQL_STREAMING_QUARANTINE_INGEST,
     ),
 }
