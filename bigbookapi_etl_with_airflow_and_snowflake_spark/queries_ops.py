@@ -2872,6 +2872,82 @@ FROM v4 GROUP BY o_orderstatus
 """
 
 
+def q_scd2_from_changes(spark, sf):
+    """SCD Type-2 history maintained INCREMENTALLY from a change data
+    feed (sinks/versioned.py scd2_apply_changes — contrast the
+    snapshot-diff twin ``scd2_customer_history``, which scans the full
+    dimension per run): customers load at t1; at t2 every custkey ≡0
+    mod 3 moves segment to 'PROMO'; at t3 every custkey ≡0 mod 11
+    RETIRES (hard delete — the case snapshot-diff SCD2 needs a full
+    scan to notice, and the feed hands over for free). Three applies
+    stamp 2024-01/02/03-01; the oracle constructs the exact expected
+    history — close/reopen per change, retirement closing WITHOUT
+    reopening, pass-through keys untouched.
+
+    Literals (oracle-pinned TRUE): ``incremental`` (the second apply
+    opened exactly the changed keys, strictly fewer than the table —
+    the O(changes) contract) and ``retired_closed`` (the third apply
+    opened ZERO rows while closing the retirees)."""
+    from .sinks.versioned import (
+        delete_version,
+        scd2_apply_changes,
+        update_version,
+        write_version,
+    )
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    d = tempfile.mkdtemp(prefix="q_scd2_cdf_")
+    src, dim = os.path.join(d, "src"), os.path.join(d, "dim")
+    try:
+        write_version(spark, c.repartitionByRange(4, "c_custkey"), src)
+        r1 = scd2_apply_changes(spark, src, dim, ["c_custkey"], "2024-01-01")
+        update_version(
+            spark, src, F.col("c_custkey") % 3 == 0,
+            {"c_mktsegment": F.lit("PROMO")},
+        )
+        r2 = scd2_apply_changes(spark, src, dim, ["c_custkey"], "2024-02-01")
+        delete_version(spark, src, F.col("c_custkey") % 11 == 0)
+        r3 = scd2_apply_changes(spark, src, dim, ["c_custkey"], "2024-03-01")
+        incremental = 0 < r2["n_opened"] < r1["n_opened"]
+        retired_closed = r3["n_opened"] == 0 and r3["n_closed"] > 0
+        from .sinks.versioned import read_version
+
+        out = (
+            read_version(spark, dim)
+            .select(
+                "c_custkey", "c_mktsegment", "c_nationkey",
+                "valid_from", "valid_to", "is_current",
+            )
+            .withColumn("incremental", F.lit(incremental))
+            .withColumn("retired_closed", F.lit(retired_closed))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_SCD2_FROM_CHANGES = """
+WITH c AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+                  c_custkey % 3 = 0 AS chg2, c_custkey % 11 = 0 AS ret3
+           FROM customer)
+SELECT c_custkey, c_mktsegment, c_nationkey,
+       '2024-01-01' AS valid_from,
+       CASE WHEN chg2 THEN '2024-02-01'
+            WHEN ret3 THEN '2024-03-01' END AS valid_to,
+       NOT (chg2 OR ret3) AS is_current,
+       TRUE AS incremental, TRUE AS retired_closed
+FROM c
+UNION ALL
+SELECT c_custkey, 'PROMO', c_nationkey, '2024-02-01',
+       CASE WHEN ret3 THEN '2024-03-01' END,
+       NOT ret3, TRUE, TRUE
+FROM c WHERE chg2
+"""
+
+
 def q_expectations_quarantine(spark, sf):
     """Write-time expectations with quarantine routing
     (operators/quality.py write_with_expectations — the Delta Live
@@ -4093,6 +4169,7 @@ OPS_REGISTRY = {
     "versioned_restore": (q_versioned_restore, SQL_VERSIONED_RESTORE),
     "versioned_update": (q_versioned_update, SQL_VERSIONED_UPDATE),
     "cdc_replicate": (q_cdc_replicate, SQL_CDC_REPLICATE),
+    "scd2_from_changes": (q_scd2_from_changes, SQL_SCD2_FROM_CHANGES),
     "expectations_quarantine": (
         q_expectations_quarantine,
         SQL_EXPECTATIONS_QUARANTINE,

@@ -1611,6 +1611,128 @@ def replicate_changes(
     }
 
 
+def scd2_apply_changes(
+    spark: SparkSession,
+    src_dir: str,
+    dim_dir: str,
+    keys: Sequence[str],
+    ts: str,
+    to_version: int | None = None,
+) -> dict:
+    """Maintain an SCD Type-2 dimension HISTORY table from a source
+    table's change data feed — the CDC-to-warehouse composition
+    (contrast :func:`..sinks.merge.scd2_merge`, which diffs a FULL
+    snapshot per run and rewrites the whole dimension — the reference's
+    cost profile): here the feed names exactly the changed keys
+    (O(changed files) to produce), and the apply touches only
+    dimension files holding those keys (O(touched files) to commit).
+
+    Per apply, stamped ``ts`` (the batch's effective date): a key with
+    a new image in the feed closes its current row (``valid_to = ts``,
+    ``is_current = false``) and opens a new one (``valid_from = ts``);
+    a RETIRED key (delete with no re-insert) closes without reopening —
+    the retirement case snapshot-diff SCD2 needs full scans to even
+    notice; a brand-new key opens its first row. Both the closes and
+    the opens upsert through ONE :func:`merge_version` on
+    ``keys + [valid_from]`` (a close REPLACES the open row it
+    supersedes; an open inserts), so the dimension gets one commit per
+    apply with snapshot isolation.
+
+    History granularity is apply granularity: a key that changed twice
+    between applies nets to its final image (the multiset feed cancels
+    intermediates) — run the apply per source commit for full fidelity.
+    The applied-version cursor lives in ``dim_dir/_scd2_cursor.json``
+    with the same crash ordering as :func:`replicate_changes`
+    (merge THEN cursor; the re-apply closes already-closed rows to the
+    same values and re-upserts the same opens — idempotent).
+
+    Returns ``{"applied_from", "applied_to", "n_opened", "n_closed",
+    "dim_version"}``."""
+    from pyspark.sql import functions as F
+
+    key_cols = list(keys)
+    reserved = {"valid_from", "valid_to", "is_current"}
+    cursor_path = os.path.join(dim_dir, "_scd2_cursor.json")
+    applied = 0
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as fh:
+            cur = json.load(fh)
+        if _canon(cur.get("src", "")) != _canon(src_dir):
+            raise ValueError(
+                f"dimension cursor tracks {cur.get('src')!r}, not "
+                f"{src_dir!r} — one dimension follows one source"
+            )
+        applied = int(cur["applied"])
+    src_vs = _version_numbers(src_dir)
+    if not src_vs:
+        raise ValueError(f"no committed versions under {src_dir!r}")
+    to = src_vs[-1] if to_version is None else to_version
+    if to <= applied:
+        return {
+            "applied_from": applied,
+            "applied_to": applied,
+            "n_opened": 0,
+            "n_closed": 0,
+            "dim_version": None,
+        }
+    feed = read_changes(spark, src_dir, applied, to)
+    clash = reserved & set(feed.columns)
+    if clash:
+        raise ValueError(
+            f"source columns collide with SCD2 columns {sorted(clash)}"
+        )
+    feed = feed.persist()
+    try:
+        ins = feed.filter(F.col("_change_type") == "insert").drop(
+            "_change_type"
+        )
+        affected = (
+            feed.select(*key_cols).distinct()
+        )  # changed, retired, and new keys alike
+        opens = (
+            ins.withColumn("valid_from", F.lit(ts))
+            .withColumn("valid_to", F.lit(None).cast("string"))
+            .withColumn("is_current", F.lit(True))
+        )
+        n_opened = opens.count()
+        if _version_numbers(dim_dir):
+            # no broadcast hint: a backfill's feed can be huge; AQE
+            # broadcasts the key side when the increment is small.
+            # The valid_from != ts guard is the idempotency keystone: a
+            # crash-replay of the same batch finds the rows IT opened
+            # as the current ones — closing those would stamp a
+            # zero-width interval and leave the key with no current
+            # row; excluded, the replay re-upserts identical opens and
+            # the history converges.
+            closes = (
+                read_version(spark, dim_dir)
+                .filter(F.col("is_current") & (F.col("valid_from") != F.lit(ts)))
+                .join(affected, key_cols, "left_semi")
+                .withColumn("valid_to", F.lit(ts))
+                .withColumn("is_current", F.lit(False))
+            )
+            incoming = closes.unionByName(opens)
+            n_closed = incoming.count() - n_opened
+        else:
+            incoming, n_closed = opens, 0
+        r = merge_version(
+            spark, incoming, dim_dir, keys=key_cols + ["valid_from"]
+        )
+    finally:
+        feed.unpersist()
+    tmp = cursor_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"src": _canon(src_dir), "applied": to}, fh)
+    os.replace(tmp, cursor_path)
+    return {
+        "applied_from": applied,
+        "applied_to": to,
+        "n_opened": n_opened,
+        "n_closed": n_closed,
+        "dim_version": r["version"],
+    }
+
+
 def version_as_of(table_dir: str, ts: float, branch: str | None = None) -> int:
     """Timestamp time travel (Delta ``TIMESTAMP AS OF``): the LATEST
     version whose ``committed_at`` is ≤ ``ts`` — i.e. the snapshot a
