@@ -753,3 +753,86 @@ def c4_rules(
         min_sentences_ok.alias("min_sentences_ok"),
         (no_lorem & no_curly & min_sentences_ok).alias("c4_pass"),
     )
+
+
+def bm25_topk(
+    df,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 ranked retrieval (Robertson-Spärck Jones / Okapi BM25 —
+    the lexical baseline every RAG/retrieval pipeline keeps next to
+    its embedding index): top-``k`` documents for a bag of
+    ``query_terms``, scored
+
+        Σ_t  ln((N − df_t + 0.5)/(df_t + 0.5) + 1)
+             · tf_t·(k1+1) / (tf_t + k1·(1 − b + b·len/avgdl))
+
+    Spark-first shape — NO explode, NO per-doc shuffle: per-document
+    term frequencies and length come from one codegen'd projection
+    over the token array (``size(filter(tokens, x -> x = t))`` per
+    term); the corpus statistics (N, Σlen, df_t) reduce in ONE tiny
+    all-integer aggregation collected to the driver (|terms|+2 ints at
+    any corpus size) and return as expression literals; the final
+    ranking is orderBy+limit — TakeOrderedAndProject's per-partition
+    heap, never a global sort. Integer stats + a fixed float
+    evaluation order make scores engine-portable (the oracle replays
+    them bit-for-bit; ties break by ascending id).
+
+    Scale: one scan for stats, one scan for scores. A standing corpus
+    would persist (doc_len, tf_t) as a sidecar and pay only the second
+    scan per query batch; at-rest inverted indexes are the
+    similarity-module pattern (build_lsh_index) applied to terms."""
+    toks = tokens(F.col(text_col))
+    terms = list(query_terms)
+
+    def _tf(term: str) -> Column:
+        # NB: a two-parameter lambda would make F.filter pass
+        # (element, index) — capture the term via closure instead
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    prep = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("__len"),
+        *[
+            _tf(t).cast("long").alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = prep.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__len").alias("sum_len"),
+        *[
+            F.count(F.when(F.col(f"__tf{i}") > 0, 1)).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    ).first()
+    n_docs, sum_len = stats["n_docs"], stats["sum_len"]
+    if not n_docs or not sum_len:
+        raise ValueError("bm25_topk: empty corpus")
+    score = None
+    for i in range(len(terms)):
+        df_t = stats[f"df{i}"]
+        idf = F.log(
+            F.lit(float(n_docs) - df_t + 0.5) / F.lit(df_t + 0.5) + F.lit(1.0)
+        )
+        tf = F.col(f"__tf{i}").cast("double")
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b)
+            * (F.col("__len").cast("double") * F.lit(float(n_docs)) / F.lit(float(sum_len)))
+        )
+        part = idf * (tf * F.lit(k1 + 1.0)) / norm
+        score = part if score is None else score + part
+    return (
+        prep.select(
+            F.col(id_col), F.round(score, 6).alias("score")
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

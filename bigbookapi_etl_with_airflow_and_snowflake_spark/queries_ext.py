@@ -747,6 +747,57 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_bm25_topk(spark, sf):
+    """BM25 ranked retrieval (operators/text.py bm25_topk) for a fixed
+    3-term query over the documents corpus — the lexical-retrieval
+    baseline next to the embedding tier (cosine/LSH/IVF/PQ). Corpus
+    statistics reduce in one all-integer aggregation and return as
+    expression literals, so the oracle recomputes the identical ints
+    in CTEs and replays every float operation in the same order —
+    scores match to the rounded digit, ranks exactly."""
+    from .operators.text import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf, "documents"), ["scan", "window", "merge"], k=10
+    )
+
+
+SQL_BM25_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+prep AS (
+  SELECT doc_id, len(t) AS l,
+         len(list_filter(t, x -> x = 'scan'))   AS tf0,
+         len(list_filter(t, x -> x = 'window')) AS tf1,
+         len(list_filter(t, x -> x = 'merge'))  AS tf2
+  FROM toks),
+s AS (
+  SELECT COUNT(*) AS n, SUM(l) AS sl,
+         COUNT(CASE WHEN tf0 > 0 THEN 1 END) AS df0,
+         COUNT(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+         COUNT(CASE WHEN tf2 > 0 THEN 1 END) AS df2
+  FROM prep),
+scored AS (
+  SELECT doc_id, ROUND(
+      ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1)
+        * (CAST(tf0 AS DOUBLE) * (1.2 + 1))
+        / (CAST(tf0 AS DOUBLE) + 1.2 * ((1 - 0.75) + 0.75 * (CAST(l AS DOUBLE) * s.n / s.sl)))
+    + ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1)
+        * (CAST(tf1 AS DOUBLE) * (1.2 + 1))
+        / (CAST(tf1 AS DOUBLE) + 1.2 * ((1 - 0.75) + 0.75 * (CAST(l AS DOUBLE) * s.n / s.sl)))
+    + ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1)
+        * (CAST(tf2 AS DOUBLE) * (1.2 + 1))
+        / (CAST(tf2 AS DOUBLE) + 1.2 * ((1 - 0.75) + 0.75 * (CAST(l AS DOUBLE) * s.n / s.sl)))
+    , 6) AS score
+  FROM prep, s),
+ranked AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored WHERE score > 0)
+SELECT doc_id, score FROM ranked WHERE rnk <= 10
+"""
+
+
 def q_pii_scrub(spark, sf):
     """PII-style scrubbing over the event property payloads: digit runs
     → '<NUM>' sentinel, plus a redaction count per record. Output is
@@ -2330,6 +2381,7 @@ EXT_REGISTRY = {
     "source_mixture": (q_source_mixture, SQL_SOURCE_MIXTURE),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "corr_stats": (q_corr_stats, SQL_CORR_STATS),
     # join/set-op/function breadth
     "daily_activity_full_outer": (q_daily_activity_full_outer, SQL_DAILY_ACTIVITY_FULL_OUTER),
