@@ -2872,6 +2872,102 @@ FROM v4 GROUP BY o_orderstatus
 """
 
 
+def q_versioned_optimize(spark, sf):
+    """OPTIMIZE orchestration (sinks/versioned.py optimize_table): v1 =
+    orders deliberately fragmented into 32 hash-scattered files (every
+    file covers the whole key range — the state a streaming ingest
+    leaves behind); v2 = MOR delete (key ≡0 mod 7) accumulating a DV
+    sidecar; v3 = ONE optimize_table call — bin-pack to ~bytes/8 per
+    file, re-cluster on o_orderkey, fold the DVs, rebuild the Bloom
+    index. The query aggregates the optimized head; the oracle replays
+    the live rows, so a fold that dropped or resurrected a row fails
+    the value hash.
+
+    Literals (oracle-pinned TRUE): ``compacted`` (fewer files than the
+    fragmented input), ``dvs_folded`` (v2's manifest records sidecars,
+    v3's records none), ``range_skips`` (a key-range probe on the
+    re-clustered head reads fewer files than the manifest lists — the
+    envelope-tightening that hash-scatter had destroyed), and
+    ``key_probe_skips`` (the rebuilt Bloom index prunes an equality
+    probe). Time travel to the pre-optimize versions is exercised by
+    the unit tests; here the literals pin the maintenance contract."""
+    from .sinks.versioned import (
+        _load_manifest,
+        delete_version,
+        optimize_table,
+        read_version,
+        read_version_pruned,
+        write_version,
+    )
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    d = tempfile.mkdtemp(prefix="q_versioned_optimize_")
+    t = os.path.join(d, "orders_v")
+    try:
+        write_version(spark, o.repartition(32), t, index_cols=["o_orderkey"])
+        delete_version(
+            spark, t, F.col("o_orderkey") % 7 == 0, mode="mor",
+            index_cols=["o_orderkey"],
+        )
+        bytes_now = sum(
+            os.path.getsize(f) for f in _load_manifest(t, 2)["files"]
+        )
+        r = optimize_table(
+            spark,
+            t,
+            cluster_by=["o_orderkey"],
+            target_file_bytes=max(1, bytes_now // 8),
+            index_cols=["o_orderkey"],
+        )
+        compacted = r["files_after"] < r["files_before"] == 32
+        dvs_folded = r["dv_files_folded"] >= 1 and not _load_manifest(
+            t, r["version"]
+        ).get("dv_files")
+        lo = o.agg(F.min("o_orderkey")).first()[0]
+        _, info_r = read_version_pruned(
+            spark, t, ranges={"o_orderkey": (lo, lo + 10)}
+        )
+        range_skips = info_r["files_read"] < info_r["files_total"]
+        k = o.filter(F.col("o_orderkey") % 7 != 0).agg(
+            F.min("o_orderkey")
+        ).first()[0]
+        probe, info_k = read_version_pruned(spark, t, keys={"o_orderkey": [k]})
+        key_probe_skips = (
+            probe.count() == 1 and info_k["files_read"] < info_k["files_total"]
+        )
+
+        out = (
+            read_version(spark, t)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+                    "cents"
+                ),
+            )
+            .withColumn("compacted", F.lit(compacted))
+            .withColumn("dvs_folded", F.lit(dvs_folded))
+            .withColumn("range_skips", F.lit(range_skips))
+            .withColumn("key_probe_skips", F.lit(key_probe_skips))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_OPTIMIZE = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+       TRUE AS compacted, TRUE AS dvs_folded,
+       TRUE AS range_skips, TRUE AS key_probe_skips
+FROM orders WHERE NOT (o_orderkey % 7 = 0)
+GROUP BY o_orderstatus
+"""
+
+
 def q_scd2_from_changes(spark, sf):
     """SCD Type-2 history maintained INCREMENTALLY from a change data
     feed (sinks/versioned.py scd2_apply_changes — contrast the
@@ -2983,7 +3079,18 @@ def q_expectations_quarantine(spark, sf):
     t_main, t_quar = os.path.join(d, "main"), os.path.join(d, "quarantine")
     try:
         r = write_with_expectations(spark, src, rules, t_main, t_quar)
-        main, quar = read_version(spark, t_main), read_version(spark, t_quar)
+        main = read_version(spark, t_main)
+        if r["quarantine_version"] is None:
+            # clean run (e.g. an empty partition): no quarantine table
+            # was ever committed — an empty labeled frame keeps the
+            # bucket union shape
+            from pyspark.sql.types import ArrayType, StringType
+
+            quar = spark.createDataFrame(
+                [], main.schema.add("_violations", ArrayType(StringType()))
+            )
+        else:
+            quar = read_version(spark, t_quar)
         by_rule = quar.agg(
             F.count(F.lit(1)).alias("__n"),
             *[
@@ -4170,6 +4277,7 @@ OPS_REGISTRY = {
     "versioned_update": (q_versioned_update, SQL_VERSIONED_UPDATE),
     "cdc_replicate": (q_cdc_replicate, SQL_CDC_REPLICATE),
     "scd2_from_changes": (q_scd2_from_changes, SQL_SCD2_FROM_CHANGES),
+    "versioned_optimize": (q_versioned_optimize, SQL_VERSIONED_OPTIMIZE),
     "expectations_quarantine": (
         q_expectations_quarantine,
         SQL_EXPECTATIONS_QUARANTINE,

@@ -1733,6 +1733,61 @@ def scd2_apply_changes(
     }
 
 
+def optimize_table(
+    spark: SparkSession,
+    table_dir: str,
+    cluster_by: Sequence[str] = (),
+    target_file_bytes: int = 128 * 1024 * 1024,
+    index_cols: Sequence[str] = (),
+) -> dict:
+    """The OPTIMIZE orchestrator (Delta ``OPTIMIZE ... ZORDER BY`` /
+    Iceberg rewrite_data_files): one overwrite commit that bin-packs
+    the head snapshot into ~``target_file_bytes`` files, optionally
+    re-clusters on ``cluster_by`` (range layout — file skipping works
+    again after appends/merges hash-scattered the keys), FOLDS
+    accumulated deletion vectors away (an overwrite materializes live
+    rows only), and rebuilds the Bloom indexes for ``index_cols`` at
+    their recorded geometry. Time travel to pre-optimize versions is
+    untouched (their manifests still reference the old files until
+    :func:`vacuum`); concurrent readers see either the old or the new
+    snapshot, never a mix — it is an ordinary commit.
+
+    Sizing is metadata-only (no data read): output file count =
+    ceil(live bytes / target) from the manifest's file list. A table
+    with DV'd rows over-counts slightly (sizes include dead rows) —
+    self-correcting, since this very commit folds them. Row content is
+    byte-identical to ``read_version(head)`` by construction; only the
+    layout changes, which is what makes OPTIMIZE safe to run from a
+    maintenance cron forever.
+
+    Returns ``{"version", "files_before", "files_after",
+    "bytes_before", "dv_files_folded", "n_rows"}``."""
+    from pyspark.sql import functions as F
+
+    m = _load_manifest(table_dir, None)
+    if not m["files"] or not m["n_rows"]:
+        raise ValueError("optimize on an empty snapshot — nothing to pack")
+    bytes_before = sum(os.path.getsize(f) for f in m["files"])
+    n_out = max(1, -(-bytes_before // int(target_file_bytes)))
+    live = _live_scan(spark, m)
+    if cluster_by:
+        live = live.repartitionByRange(n_out, *[F.col(c) for c in cluster_by])
+    else:
+        live = live.repartition(n_out)
+    v = write_version(
+        spark, live, table_dir, mode="overwrite", index_cols=index_cols
+    )
+    m2 = _load_manifest(table_dir, v)
+    return {
+        "version": v,
+        "files_before": len(m["files"]),
+        "files_after": len(m2["files"]),
+        "bytes_before": bytes_before,
+        "dv_files_folded": len(m.get("dv_files") or []),
+        "n_rows": m2["n_rows"],
+    }
+
+
 def version_as_of(table_dir: str, ts: float, branch: str | None = None) -> int:
     """Timestamp time travel (Delta ``TIMESTAMP AS OF``): the LATEST
     version whose ``committed_at`` is ≤ ``ts`` — i.e. the snapshot a

@@ -31,6 +31,11 @@ EXPECT_RAISE = {
     "cluster_sample_init",
     "ivf_topk",
     "ivf_topk_exact",
+    "pq_codes",  # PQ codebooks need k_codes vectors to derive from
+    "pq_topk",
+    "pq_topk_fixed",
+    "bm25_topk",  # corpus stats degenerate (N = 0, avgdl undefined)
+    "versioned_optimize",  # packing zero rows is a documented refusal
 }
 
 
