@@ -3726,6 +3726,90 @@ def q_streaming_quarantine_ingest(spark, sf):
     return out
 
 
+def q_streaming_exactly_once_ingest(spark, sf):
+    """EXACTLY-ONCE streaming ingest via idempotent transactional
+    writes (sinks/versioned.py write_version txn_app/txn_version — the
+    Delta txnAppId contract): documents stream in micro-batches
+    (``maxFilesPerTrigger=1`` over a 4-file stage), and the
+    foreachBatch sink deliberately calls the transactional append
+    TWICE per batch with the same (app, batch_id) — the exact shape of
+    a driver that crashed after committing and re-offered the batch on
+    restart. The second call must be a silent skip returning the same
+    version. The query aggregates the final table; the oracle is the
+    plain documents aggregation — any duplicate from a replay doubles
+    a count and fails the value hash.
+
+    Literals (oracle-pinned TRUE): ``exactly_once`` (version count ==
+    batch count, despite 2× write calls) and ``replays_skipped``
+    (every replay returned its original's version number — the
+    indistinguishable-success contract)."""
+    from .sinks.versioned import read_version, versions, write_version
+    from .streaming import read_documents_stream
+
+    stage = tempfile.mkdtemp(prefix="q_stream_eo_src_")
+    tbl_root = tempfile.mkdtemp(prefix="q_stream_eo_tbl_")
+    tdir = os.path.join(tbl_root, "ingested")
+    pairs: list[tuple[int, int]] = []
+    try:
+        _t(spark, sf, "documents").repartitionByRange(4, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(stage)
+
+        def ingest(batch, batch_id):
+            if batch.isEmpty():
+                return
+            rows = batch.select("doc_id", "source", "n_chars")
+            v1 = write_version(
+                spark, rows, tdir, mode="append",
+                txn_app="ingest", txn_version=int(batch_id),
+            )
+            # the crash-replay: same batch id re-offered after restart
+            v2 = write_version(
+                spark, rows, tdir, mode="append",
+                txn_app="ingest", txn_version=int(batch_id),
+            )
+            pairs.append((v1, v2))
+
+        q = (
+            read_documents_stream(spark, stage, max_files_per_trigger=1)
+            .writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        if not pairs:
+            return spark.createDataFrame(
+                [],
+                "source string, n_docs long, sum_chars long, "
+                "exactly_once boolean, replays_skipped boolean",
+            )
+        exactly_once = len(versions(tdir)) == len(pairs)
+        replays_skipped = all(a == b for a, b in pairs)
+        out = (
+            read_version(spark, tdir)
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .withColumn("exactly_once", F.lit(exactly_once))
+            .withColumn("replays_skipped", F.lit(replays_skipped))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(tbl_root, ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_EXACTLY_ONCE_INGEST = """
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       TRUE AS exactly_once, TRUE AS replays_skipped
+FROM documents GROUP BY source
+"""
+
+
 SQL_STREAMING_QUARANTINE_INGEST = """
 WITH lab AS (
   SELECT doc_id, CONCAT_WS(',',
@@ -4310,5 +4394,9 @@ OPS_REGISTRY = {
     "streaming_quarantine_ingest": (
         q_streaming_quarantine_ingest,
         SQL_STREAMING_QUARANTINE_INGEST,
+    ),
+    "streaming_exactly_once_ingest": (
+        q_streaming_exactly_once_ingest,
+        SQL_STREAMING_EXACTLY_ONCE_INGEST,
     ),
 }

@@ -114,6 +114,12 @@ def _is_missing_path_error(e: Exception) -> bool:
     return any(s in msg for s in ("PATH_NOT_FOUND", "FileNotFoundException"))
 
 
+class _TxnAlreadyApplied(RuntimeError):
+    """Internal: a racing writer landed the same (txn_app, txn_version)
+    between this commit's pre-stage check and its manifest link — the
+    replay unwinds as a silent skip (see write_version txn docs)."""
+
+
 class CommitConflict(RuntimeError):
     """Optimistic-concurrency failure: the table advanced past the
     snapshot a copy-on-write operation was computed against. The
@@ -693,6 +699,24 @@ def _resolve_index_geometry(
     return None
 
 
+def _last_txn_version(
+    table_dir: str, app: str, branch: str | None = None
+) -> int | None:
+    """Highest ``txn_version`` any retained manifest records for
+    ``app`` (the Delta ``txnAppId``/``txnVersion`` idempotence
+    lookup). Walks the retained chain newest-first and RETURNS ON THE
+    FIRST HIT — the common case (a live stream checking its previous
+    batch) reads one manifest. Vacuum bounds the walk AND the memory:
+    a txn recorded only in a dropped manifest is forgotten, so keep
+    the retention window longer than the longest possible replay gap
+    (the same caveat Delta documents for its txn retention)."""
+    for v in reversed(_version_numbers(table_dir, branch)):
+        t = _load_manifest(table_dir, v, branch).get("txn")
+        if t and t.get("app") == app:
+            return int(t["version"])
+    return None
+
+
 def write_version(
     spark: SparkSession,
     df: DataFrame,
@@ -703,6 +727,8 @@ def write_version(
     index_max_chain: int = 8,
     merge_schema: bool = False,
     branch: str | None = None,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Commit ``df`` as the next version of the table; returns the new
     version number. ``mode='overwrite'`` → the snapshot is exactly
@@ -740,9 +766,33 @@ def write_version(
     correctly), which is the supported re-tune path.
 
     ``index_max_chain``: compaction threshold for chained incremental
-    maintenance (see :func:`maintain_bloom_index`)."""
+    maintenance (see :func:`maintain_bloom_index`).
+
+    ``txn_app`` + ``txn_version``: IDEMPOTENT writes (the Delta
+    ``txnAppId``/``txnVersion`` contract — what makes a foreachBatch
+    sink exactly-once): the manifest records the pair, and a commit
+    whose ``txn_version`` is ≤ the app's last recorded one is SKIPPED
+    — nothing stages, the already-applied version number returns, and
+    the caller cannot tell a replay from the original success (which
+    is the point: a restarted stream re-offers its last batch and the
+    table stays exactly-once). The check re-runs inside the commit
+    loop, so two racing writers with the same pair cannot both land.
+    Versions must be monotonically increasing per app (streaming batch
+    ids are). Vacuum retention bounds replay memory — see
+    :func:`_last_txn_version`."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError("txn_app and txn_version come together")
+    head0 = 0
+    if txn_app is not None:
+        applied = _last_txn_version(table_dir, txn_app, branch)
+        if applied is not None and int(txn_version) <= applied:
+            # replay of an already-committed batch: indistinguishable
+            # success, nothing staged
+            return _version_numbers(table_dir, branch)[-1]
+        nums0 = _version_numbers(table_dir, branch)
+        head0 = nums0[-1] if nums0 else 0
     if branch is not None:
         if index_cols:
             raise ValueError(
@@ -776,6 +826,23 @@ def write_version(
     schema_json = df.schema.json()
 
     def build(prior: dict | None) -> dict:
+        if txn_app is not None:
+            # race re-check, scoped to commits that landed AFTER the
+            # pre-stage check (the loser of a same-txn race rebuilds
+            # here and must not re-apply the winner's batch)
+            for rv in _version_numbers(table_dir, branch):
+                if rv <= head0:
+                    continue
+                t = _load_manifest(table_dir, rv, branch).get("txn")
+                if (
+                    t
+                    and t.get("app") == txn_app
+                    and int(t["version"]) >= int(txn_version)
+                ):
+                    raise _TxnAlreadyApplied(
+                        f"txn ({txn_app!r}, {txn_version}) already applied "
+                        f"by v{rv}"
+                    )
         files, n_rows, schema = new_files, n_new, schema_json
         dvs: list[str] = []
         if mode == "append" and prior is not None:
@@ -789,16 +856,22 @@ def write_version(
                 schema = _evolved_schema(
                     prior["schema"], df.schema, merge_schema
                 )
-        return {
+        body = {
             "mode": mode,
             "files": files,
             "n_rows": n_rows,
             "schema": schema,
             "dv_files": dvs,
         }
+        if txn_app is not None:
+            body["txn"] = {"app": txn_app, "version": int(txn_version)}
+        return body
 
     try:
         v = _commit(table_dir, build, branch=branch)
+    except _TxnAlreadyApplied:
+        _discard_staged(new_files)
+        return _version_numbers(table_dir, branch)[-1]
     except ValueError:
         _discard_staged(new_files)
         raise
