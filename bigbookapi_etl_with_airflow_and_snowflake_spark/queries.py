@@ -2483,13 +2483,16 @@ REGISTRY.update(OPS_REGISTRY)
 # versioned-table entries also ride this round's sinks/versioned.py
 # changes but hold r10 rows; their re-validation signal is the full
 # sf0.01 registry replay + pytest parity, not the driver window.
-# The entries added late in round 11 (exact_substr_spans,
-# exact_substr_scrub, versioned_branch_publish, hilbert_key_events,
-# versioned_restore, and the rest of the session-2 additions)
-# deliberately wait OUTSIDE the window: displacing r7-stale entries for
-# them would break the "nothing predates r8" goal; they are proven this
-# round by the sf0.001 pytest parity replay + the full sf0.01 replay,
-# and rotate into the r12 window.
+# The entries added late in round 11 (session 1: exact_substr_spans,
+# exact_substr_scrub, versioned_branch_publish, hilbert_key_events;
+# session 2: versioned_restore, versioned_update, versioned_optimize,
+# expectations_quarantine, streaming_quarantine_ingest,
+# streaming_exactly_once_ingest, cdc_replicate, scd2_from_changes,
+# fuzzy_decontaminate, bm25_topk, pq_codes, pq_topk_fixed, and the
+# no-oracle pq_topk) deliberately wait OUTSIDE the window: displacing
+# r7-stale entries for them would break the "nothing predates r8"
+# goal; they are proven this round by the sf0.001 pytest parity replay
+# + the full sf0.01 replay, and rotate into the r12 window.
 # The eight no-oracle entries (approx/seeded/iterative by design) are
 # EXCLUDED from the first 50 — they can only ever produce a rows-only
 # row; their hard-oracled exact twins carry the signal
