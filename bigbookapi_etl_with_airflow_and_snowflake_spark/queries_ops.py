@@ -2968,6 +2968,73 @@ GROUP BY o_orderstatus
 """
 
 
+def q_versioned_stats_skip(spark, sf):
+    """Recorded add-file stats (write_version ``stats_cols`` — the
+    Delta pattern): v1 = orders range-clustered into 8 files with
+    recorded per-file o_orderkey envelopes; v2 = append of a disjoint
+    high-key increment WITHOUT re-passing stats_cols (the column list
+    must inherit). A range probe then prunes DRIVER-SIDE from the
+    manifest alone — at 100k files the per-query footer pass this
+    replaces IS the query latency. The probe's aggregated rows are the
+    value check (oracle replays the range filter).
+
+    Literals (oracle-pinned TRUE): ``zero_footer`` (footer_files == 0:
+    every file was decided from recorded stats — the metadata-only
+    contract), ``pruned`` (files_read < files_total), and
+    ``full_coverage`` (every manifest file has a recorded entry after
+    the inheriting append)."""
+    from .sinks.versioned import (
+        _load_manifest,
+        read_version_pruned,
+        write_version,
+    )
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    d = tempfile.mkdtemp(prefix="q_versioned_stats_")
+    t = os.path.join(d, "orders_v")
+    try:
+        write_version(
+            spark,
+            o.repartitionByRange(8, "o_orderkey"),
+            t,
+            stats_cols=["o_orderkey"],
+        )
+        inc = o.withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        write_version(
+            spark, inc.repartitionByRange(2, "o_orderkey"), t, mode="append"
+        )
+        m = _load_manifest(t, 2)
+        full_coverage = set(m.get("stats") or {}) == set(m["files"])
+        df, info = read_version_pruned(
+            spark, t, ranges={"o_orderkey": (0, 1000)}
+        )
+        zero_footer = info["footer_files"] == 0
+        pruned = info["files_read"] < info["files_total"]
+        out = (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+            .withColumn("zero_footer", F.lit(zero_footer))
+            .withColumn("pruned", F.lit(pruned))
+            .withColumn("full_coverage", F.lit(full_coverage))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_STATS_SKIP = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       TRUE AS zero_footer, TRUE AS pruned, TRUE AS full_coverage
+FROM orders WHERE o_orderkey >= 0 AND o_orderkey <= 1000
+GROUP BY o_orderstatus
+"""
+
+
 def q_scd2_from_changes(spark, sf):
     """SCD Type-2 history maintained INCREMENTALLY from a change data
     feed (sinks/versioned.py scd2_apply_changes — contrast the
@@ -4362,6 +4429,7 @@ OPS_REGISTRY = {
     "cdc_replicate": (q_cdc_replicate, SQL_CDC_REPLICATE),
     "scd2_from_changes": (q_scd2_from_changes, SQL_SCD2_FROM_CHANGES),
     "versioned_optimize": (q_versioned_optimize, SQL_VERSIONED_OPTIMIZE),
+    "versioned_stats_skip": (q_versioned_stats_skip, SQL_VERSIONED_STATS_SKIP),
     "expectations_quarantine": (
         q_expectations_quarantine,
         SQL_EXPECTATIONS_QUARANTINE,

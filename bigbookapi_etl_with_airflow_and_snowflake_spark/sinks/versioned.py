@@ -717,6 +717,53 @@ def _last_txn_version(
     return None
 
 
+def _stats_for_files(
+    spark: SparkSession, files: Sequence[str], cols: Sequence[str]
+) -> dict:
+    """Per-file ``{col: [min, max]}`` envelopes for ``files`` (footer
+    reads, executor-side — called at COMMIT time over the commit's NEW
+    files only, which is what makes recorded stats O(increment) to
+    maintain). Unknown envelopes are omitted — the pruning reader
+    treats a missing entry as "cannot skip"."""
+    from ..operators.lake import parquet_footer_stats
+
+    if not files or not cols:
+        return {}
+    out: dict[str, dict] = {}
+    for r in parquet_footer_stats(
+        spark, list(files), list(cols), strict=False
+    ).collect():
+        if r["min_val"] is None or r["max_val"] is None:
+            continue
+        out.setdefault(_canon(r["file"]), {})[r["column"]] = [
+            r["min_val"],
+            r["max_val"],
+        ]
+    return out
+
+
+def _carried_stats(
+    spark: SparkSession,
+    base: dict | None,
+    files: Sequence[str],
+    new_files: Sequence[str] = (),
+) -> dict:
+    """Manifest stats fields for a child commit that carries prior
+    files: prior entries for SURVIVING files ride by value, and the
+    commit's new files get fresh envelopes (one footer pass over the
+    increment — the same O(increment) cost the commit already pays to
+    stage them). Empty dict when the table records no stats."""
+    if not base or not base.get("stats_cols"):
+        return {}
+    cols = base["stats_cols"]
+    keep = set(files)
+    stats = {
+        f: e for f, e in (base.get("stats") or {}).items() if f in keep
+    }
+    stats.update(_stats_for_files(spark, list(new_files), cols))
+    return {"stats_cols": cols, "stats": stats}
+
+
 def write_version(
     spark: SparkSession,
     df: DataFrame,
@@ -729,6 +776,7 @@ def write_version(
     branch: str | None = None,
     txn_app: str | None = None,
     txn_version: int | None = None,
+    stats_cols: Sequence[str] = (),
 ) -> int:
     """Commit ``df`` as the next version of the table; returns the new
     version number. ``mode='overwrite'`` → the snapshot is exactly
@@ -767,6 +815,20 @@ def write_version(
 
     ``index_max_chain``: compaction threshold for chained incremental
     maintenance (see :func:`maintain_bloom_index`).
+
+    ``stats_cols``: record per-file min/max envelopes for these
+    NUMERIC columns IN THE MANIFEST (the Delta add-file-stats pattern):
+    the commit pays one footer pass over its NEW files only —
+    O(increment) — and every later :func:`read_version_pruned` range
+    probe prunes from the recorded envelopes driver-side with ZERO
+    data-file I/O, instead of re-reading footers per query (at 100k
+    files that footer pass IS the query latency). Once set, the column
+    list is INHERITED by every later append at this call site (the
+    recorded ``stats_cols`` carries forward), so coverage never decays
+    silently; carried files keep their recorded entries by value. A
+    file without an entry (e.g. rewritten by a COW path that didn't
+    re-record) degrades to the footer pass for that file only —
+    conservative, never wrong.
 
     ``txn_app`` + ``txn_version``: IDEMPOTENT writes (the Delta
     ``txnAppId``/``txnVersion`` contract — what makes a foreachBatch
@@ -824,6 +886,19 @@ def write_version(
     )
     n_new = spark.read.parquet(data_dir).count()
     schema_json = df.schema.json()
+    # stats columns: explicit, else inherited from the table's latest
+    # recorded list (coverage must not decay because one writer forgot)
+    eff_stats_cols = list(stats_cols)
+    if not eff_stats_cols:
+        nums_sc = _version_numbers(table_dir, branch)
+        if nums_sc:
+            eff_stats_cols = list(
+                _load_manifest(table_dir, nums_sc[-1], branch).get(
+                    "stats_cols"
+                )
+                or []
+            )
+    new_stats = _stats_for_files(spark, new_files, eff_stats_cols)
 
     def build(prior: dict | None) -> dict:
         if txn_app is not None:
@@ -865,6 +940,13 @@ def write_version(
         }
         if txn_app is not None:
             body["txn"] = {"app": txn_app, "version": int(txn_version)}
+        if eff_stats_cols:
+            stats = dict(new_stats)
+            if mode == "append" and prior is not None:
+                # carried files keep their recorded envelopes by value
+                stats = {**(prior.get("stats") or {}), **new_stats}
+            body["stats_cols"] = eff_stats_cols
+            body["stats"] = stats
         return body
 
     try:
@@ -1166,6 +1248,7 @@ def merge_version(
             "files": carried + new_files,
             "n_rows": base["n_rows"] - n_touched + n_new,
             "schema": schema_json,
+            **_carried_stats(spark, base, carried + new_files, new_files),
             # carried files keep needing their DVs; entries addressing
             # the rewritten files go stale-but-harmless (fresh uuid
             # paths never reuse a dead identity) — compaction reclaims
@@ -1282,6 +1365,7 @@ def delete_version(
             "files": carried + new_files,
             "n_rows": base["n_rows"] - n_touched + n_new,
             "schema": schema_json,
+            **_carried_stats(spark, base, carried + new_files, new_files),
             # carried files keep their DVs; rewritten files' entries go
             # stale-but-harmless (see merge_version)
             "dv_files": base.get("dv_files") or [],
@@ -1365,6 +1449,7 @@ def _delete_version_mor(
             "n_rows": base["n_rows"] - n_deleted,
             "schema": base.get("schema"),
             "dv_files": (base.get("dv_files") or []) + dv_new,
+            **_carried_stats(spark, base, base["files"]),
         }
 
     try:
@@ -1513,6 +1598,9 @@ def update_version(
                 "n_rows": base["n_rows"],
                 "schema": schema_json,
                 "dv_files": (base.get("dv_files") or []) + dv_new,
+                **_carried_stats(
+                    spark, base, base["files"] + new_files, new_files
+                ),
             }
 
         try:
@@ -1564,6 +1652,7 @@ def update_version(
             "n_rows": base["n_rows"],
             "schema": schema_json,
             "dv_files": base.get("dv_files") or [],
+            **_carried_stats(spark, base, carried + new_files, new_files),
         }
 
     try:
@@ -1944,7 +2033,7 @@ def restore_version(
     target = _load_manifest(table_dir, version, branch)
 
     def build(prior: dict | None) -> dict:
-        return {
+        body = {
             "mode": "restore",
             "restored_from": version,
             "files": list(target["files"]),
@@ -1952,6 +2041,10 @@ def restore_version(
             "schema": target.get("schema"),
             "dv_files": list(target.get("dv_files") or []),
         }
+        if target.get("stats_cols"):
+            body["stats_cols"] = target["stats_cols"]
+            body["stats"] = target.get("stats") or {}
+        return body
 
     v = _commit(table_dir, build, branch=branch)
     index_result: dict[str, str] = {}
@@ -2258,6 +2351,8 @@ def prune_manifest_files(
     spark: SparkSession,
     files: Sequence[str],
     ranges: dict[str, tuple],
+    recorded: dict | None = None,
+    info: dict | None = None,
 ) -> list[str]:
     """File skipping over an explicit file list: keep only files whose
     per-file min/max footer envelope can intersect EVERY ``col: (lo,
@@ -2274,23 +2369,48 @@ def prune_manifest_files(
     with the exact predicate is bit-identical to a full scan. The
     collect is bounded by file count × range columns, the same cost
     profile as any table format's metadata pass.
+
+    ``recorded`` (a manifest's ``stats`` dict, see write_version
+    ``stats_cols``): files whose recorded entry covers EVERY range
+    column are decided DRIVER-SIDE with zero I/O; only the remainder
+    pays the footer pass (skipped entirely when nothing remains).
+    ``info``, when given, gains ``footer_files`` — how many files
+    actually needed footers — so callers can pin the metadata-only
+    contract.
     """
     from ..operators.lake import parquet_footer_stats
 
     if not ranges:
+        if info is not None:
+            info["footer_files"] = 0
         return list(files)
-    stats = parquet_footer_stats(
-        spark, list(files), list(ranges), strict=False
-    ).collect()
+    recorded = recorded or {}
     drop: set[str] = set()
-    for r in stats:
-        lo, hi = ranges[r["column"]]
-        if r["min_val"] is None or r["max_val"] is None:
-            continue  # unknown envelope — cannot prove absence, keep
-        if (hi is not None and r["min_val"] > hi) or (
-            lo is not None and r["max_val"] < lo
-        ):
-            drop.add(r["file"])
+    need_footers: list[str] = []
+    for f in files:
+        ent = recorded.get(f)
+        if ent is None or any(c not in ent for c in ranges):
+            need_footers.append(f)
+            continue
+        for c, (lo, hi) in ranges.items():
+            mn, mx = ent[c]
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                drop.add(f)
+                break
+    if info is not None:
+        info["footer_files"] = len(need_footers)
+    if need_footers:
+        stats = parquet_footer_stats(
+            spark, need_footers, list(ranges), strict=False
+        ).collect()
+        for r in stats:
+            lo, hi = ranges[r["column"]]
+            if r["min_val"] is None or r["max_val"] is None:
+                continue  # unknown envelope — cannot prove absence, keep
+            if (hi is not None and r["min_val"] > hi) or (
+                lo is not None and r["max_val"] < lo
+            ):
+                drop.add(r["file"])
     return [f for f in files if f not in drop]
 
 
@@ -2553,8 +2673,10 @@ def read_version_pruned(
     Both passes are conservative (unknown envelope → keep; Bloom has
     no false negatives), so composing with the exact predicate cannot
     lose rows. Returns ``(df, info)`` with ``info = {"files_total",
-    "files_read"}`` so callers (and tests) can assert the skipping
-    actually happened. An empty surviving list short-circuits to an
+    "files_read", "footer_files"}`` so callers (and tests) can assert
+    the skipping actually happened — and, when the manifest carries
+    recorded stats (write_version ``stats_cols``), that it happened
+    with ZERO footer reads (``footer_files == 0``). An empty surviving list short-circuits to an
     empty frame with the table's schema — zero data files opened.
     """
     from pyspark.sql import functions as F
@@ -2572,8 +2694,11 @@ def read_version_pruned(
                 df = df.filter(F.col(col) <= F.lit(hi))
         for col, vals in keys.items():
             df = df.filter(F.col(col).isin(list(vals)))
-        return df, {"files_total": 0, "files_read": 0}
-    kept = prune_manifest_files(spark, m["files"], ranges)
+        return df, {"files_total": 0, "files_read": 0, "footer_files": 0}
+    prune_info: dict = {}
+    kept = prune_manifest_files(
+        spark, m["files"], ranges, recorded=m.get("stats"), info=prune_info
+    )
     if kept and keys:
         from ..operators.lake import bloom_qualified_files
 
@@ -2629,7 +2754,11 @@ def read_version_pruned(
             kept = [f for f in kept if _canon(f) in qualified]
             if not kept:
                 break
-    info = {"files_total": len(m["files"]), "files_read": len(kept)}
+    info = {
+        "files_total": len(m["files"]),
+        "files_read": len(kept),
+        "footer_files": prune_info.get("footer_files", 0),
+    }
     if kept:
         # deletion vectors apply on the pruned scan too (scoped: DV rows
         # for pruned-out files never match) — bit-identical to the
