@@ -3035,6 +3035,84 @@ GROUP BY o_orderstatus
 """
 
 
+def q_maintenance_advisor(spark, sf):
+    """Metadata-only maintenance advisor (sinks/versioned.py
+    maintenance_plan / layout_report): orders land round-robin in 32
+    tiny files (every envelope spans the whole key domain) and a MOR
+    delete stages DV sidecars — the state a continuous ingest leaves
+    behind. The advisor must flag all three degradations (fragmented /
+    dv_heavy / declustered) BEFORE, recommend OPTIMIZE, and clear all
+    three AFTER one optimize_table run — at manifest cost, no data
+    reads. The per-phase row also carries the live row count and key
+    sum so the oracle ties the advisory cycle to real table contents
+    (an optimize that lost rows fails the hash, not just the flags)."""
+    from .sinks.versioned import (
+        delete_version,
+        maintenance_plan,
+        optimize_table,
+        read_version,
+        write_version,
+    )
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    d = tempfile.mkdtemp(prefix="q_maint_advisor_")
+    t = os.path.join(d, "orders_v")
+    try:
+        write_version(
+            spark, o.repartition(32), t, stats_cols=["o_orderkey"]
+        )
+        delete_version(spark, t, F.col("o_orderkey") % 7 == 0, mode="mor")
+        before = maintenance_plan(t, cluster_col="o_orderkey", max_dv_files=0)
+        optimize_table(spark, t, cluster_by=["o_orderkey"])
+        after = maintenance_plan(
+            t, cluster_col="o_orderkey", max_dv_files=0,
+            small_file_bytes=1024,
+        )
+
+        def phase(tag, plan):
+            return (
+                read_version(spark, t)
+                .agg(
+                    F.lit(tag).alias("phase"),
+                    F.count("*").alias("n"),
+                    F.sum("o_orderkey").cast("long").alias("key_sum"),
+                )
+                .withColumn("fragmented", F.lit(plan["fragmented"]))
+                .withColumn("dv_heavy", F.lit(plan["dv_heavy"]))
+                .withColumn("declustered", F.lit(plan["declustered"]))
+                .withColumn(
+                    "recommend_optimize", F.lit(plan["recommend_optimize"])
+                )
+            )
+
+        out = (
+            phase("before", before)
+            .unionByName(phase("after", after))
+            .select(
+                "phase", "n", "key_sum", "fragmented", "dv_heavy",
+                "declustered", "recommend_optimize",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_MAINTENANCE_ADVISOR = """
+SELECT p.phase,
+       COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       p.phase = 'before' AS fragmented,
+       p.phase = 'before' AS dv_heavy,
+       p.phase = 'before' AS declustered,
+       p.phase = 'before' AS recommend_optimize
+FROM orders, (SELECT 'before' AS phase UNION ALL SELECT 'after') p
+WHERE NOT (o_orderkey % 7 = 0)
+GROUP BY p.phase
+"""
+
+
 def q_scd2_from_changes(spark, sf):
     """SCD Type-2 history maintained INCREMENTALLY from a change data
     feed (sinks/versioned.py scd2_apply_changes — contrast the
@@ -4430,6 +4508,7 @@ OPS_REGISTRY = {
     "scd2_from_changes": (q_scd2_from_changes, SQL_SCD2_FROM_CHANGES),
     "versioned_optimize": (q_versioned_optimize, SQL_VERSIONED_OPTIMIZE),
     "versioned_stats_skip": (q_versioned_stats_skip, SQL_VERSIONED_STATS_SKIP),
+    "maintenance_advisor": (q_maintenance_advisor, SQL_MAINTENANCE_ADVISOR),
     "expectations_quarantine": (
         q_expectations_quarantine,
         SQL_EXPECTATIONS_QUARANTINE,

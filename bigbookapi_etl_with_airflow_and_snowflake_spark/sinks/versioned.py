@@ -1950,6 +1950,94 @@ def optimize_table(
     }
 
 
+def layout_report(table_dir: str, col: str, version: int | None = None) -> dict:
+    """Clustering-quality report for ``col`` from RECORDED stats alone
+    (zero file I/O — requires write_version ``stats_cols``): per-file
+    envelopes, their average pairwise-overlap count, and the expected
+    files a point probe must read. ``avg_point_reads`` is the honest
+    metric: for a random qualifying point, how many file envelopes
+    contain it on average (1.0 = perfectly clustered; n_files = every
+    probe scans everything — the hash-scattered worst case). Computed
+    exactly as Σ_f width(f) / width(domain) over covered files.
+
+    This is what tells a maintenance cron WHEN :func:`optimize_table`
+    is worth its rewrite — see :func:`maintenance_plan`."""
+    m = _load_manifest(table_dir, version)
+    stats = m.get("stats") or {}
+    envs = [
+        tuple(stats[f][col]) for f in m["files"]
+        if f in stats and col in stats[f]
+    ]
+    n_covered = len(envs)
+    if not n_covered:
+        return {
+            "n_files": len(m["files"]),
+            "n_covered": 0,
+            "avg_point_reads": None,
+        }
+    lo = min(e[0] for e in envs)
+    hi = max(e[1] for e in envs)
+    width = hi - lo
+    if width <= 0:
+        # single-point domain: every file overlaps every probe
+        avg = float(n_covered)
+    else:
+        avg = sum((e[1] - e[0]) / width for e in envs)
+    return {
+        "n_files": len(m["files"]),
+        "n_covered": n_covered,
+        "avg_point_reads": avg,
+    }
+
+
+def maintenance_plan(
+    table_dir: str,
+    cluster_col: str | None = None,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    max_small_files: int = 8,
+    max_dv_files: int = 4,
+    max_point_reads: float = 2.0,
+) -> dict:
+    """Metadata-only maintenance advisor: should this table be
+    OPTIMIZE'd, and why — the decision a lakehouse service makes per
+    table per cycle, at manifest cost (no data reads; file sizes come
+    from the filesystem listing the manifest already names).
+
+    Three independent triggers, each the cost model of a real
+    degradation: ``fragmented`` (more than ``max_small_files`` data
+    files under ``small_file_bytes`` — open() overhead starts to
+    dominate scans), ``dv_heavy`` (more than ``max_dv_files`` deletion-
+    vector sidecars — every read pays a growing anti-join),
+    ``declustered`` (recorded-stats :func:`layout_report` expects a
+    point probe to read more than ``max_point_reads`` files —
+    skipping has stopped working). ``recommend_optimize`` is their OR;
+    run :func:`optimize_table` and all three reset."""
+    m = _load_manifest(table_dir, None)
+    sizes = [os.path.getsize(f) for f in m["files"] if os.path.exists(f)]
+    n_small = sum(1 for s in sizes if s < small_file_bytes)
+    n_dvs = len(m.get("dv_files") or [])
+    fragmented = n_small > max_small_files
+    dv_heavy = n_dvs > max_dv_files
+    declustered = False
+    point_reads = None
+    if cluster_col is not None:
+        rep = layout_report(table_dir, cluster_col)
+        point_reads = rep["avg_point_reads"]
+        declustered = (
+            point_reads is not None and point_reads > max_point_reads
+        )
+    return {
+        "n_files": len(m["files"]),
+        "n_small_files": n_small,
+        "n_dv_files": n_dvs,
+        "avg_point_reads": point_reads,
+        "fragmented": fragmented,
+        "dv_heavy": dv_heavy,
+        "declustered": declustered,
+        "recommend_optimize": fragmented or dv_heavy or declustered,
+    }
+
+
 def version_as_of(table_dir: str, ts: float, branch: str | None = None) -> int:
     """Timestamp time travel (Delta ``TIMESTAMP AS OF``): the LATEST
     version whose ``committed_at`` is ≤ ``ts`` — i.e. the snapshot a

@@ -36,6 +36,7 @@ EXPECT_RAISE = {
     "pq_topk_fixed",
     "bm25_topk",  # corpus stats degenerate (N = 0, avgdl undefined)
     "versioned_optimize",  # packing zero rows is a documented refusal
+    "maintenance_advisor",  # its optimize step shares that refusal
 }
 
 
