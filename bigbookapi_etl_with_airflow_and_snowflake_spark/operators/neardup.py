@@ -468,8 +468,12 @@ def fuzzy_decontaminate(
     expressed as per-doc counts).
 
     Estimate-then-verify, all engine-portable: (1) md5 MinHash
-    signatures on both sides — each side shingled ONCE, the shingle
-    tables feed both the signatures and the exact verify; (2) band-key
+    signatures on both sides — the shingle EXPRESSION is defined once
+    and feeds both the signatures and the exact verify (the branches
+    recompute the narrow shingling map rather than caching an
+    O(corpus-shingles) intermediate, which is the right trade at
+    100 TB: re-running a codegen'd split+explode is cheaper than
+    spilling it); (2) band-key
     equi-join, eval side broadcast (the held-out set is small by
     definition) → candidate (train, eval) pairs, recall governed by
     the banding like every LSH stage (the band CTE is replayed

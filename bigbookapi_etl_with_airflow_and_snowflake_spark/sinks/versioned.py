@@ -1874,12 +1874,20 @@ def scd2_apply_changes(
                 .withColumn("is_current", F.lit(False))
             )
             incoming = closes.unionByName(opens)
-            n_closed = incoming.count() - n_opened
         else:
-            incoming, n_closed = opens, 0
-        r = merge_version(
-            spark, incoming, dim_dir, keys=key_cols + ["valid_from"]
-        )
+            incoming = opens
+        # the merge runs several actions over the increment (touched
+        # probe + union write) and the closes side re-reads the
+        # dimension — persist so the dim scan and the feed-side joins
+        # execute once across count + merge
+        incoming = incoming.persist()
+        try:
+            n_closed = incoming.count() - n_opened
+            r = merge_version(
+                spark, incoming, dim_dir, keys=key_cols + ["valid_from"]
+            )
+        finally:
+            incoming.unpersist()
     finally:
         feed.unpersist()
     tmp = cursor_path + ".tmp"
