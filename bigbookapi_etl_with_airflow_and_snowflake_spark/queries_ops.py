@@ -4448,6 +4448,390 @@ GROUP BY d.doc_id, len(d.t)
 )
 
 
+# ---------------------------------------------------------------------------
+# partition columns / shallow clone / FSCK / optimistic concurrency
+# (sinks/versioned.py write_version partition_by, clone_table,
+#  verify_table, _commit rebase loop)
+# ---------------------------------------------------------------------------
+
+
+def q_versioned_partition_prune(spark, sf):
+    """Hive-style partition columns on versioned tables (write_version
+    ``partition_by`` — the Delta/Iceberg partition-column pattern): the
+    events table commits in two partitioned appends, takes a MOR delete
+    (DV sidecar, no rewrite — the partition map must survive untouched),
+    then an equality probe on the STRING partition column prunes from
+    the manifest's exact per-file value map alone. This is the skipping
+    tier range stats can't provide (string envelopes span the domain)
+    and Bloom shouldn't (false-positive probes): exact, and ZERO I/O.
+
+    Literals (oracle-pinned TRUE): ``zero_io_prune`` — files were
+    skipped with no footer reads (``footer_files == 0`` while
+    ``partition_skipped > 0``: manifest-only planning); ``exact_map`` —
+    partition pruning alone explains the scan (files_read +
+    partition_skipped == files_total: no file needed a conservative
+    keep). The aggregate is computed off the pruned+DV read, so a map
+    that skipped a live file would fail the value hash, not just the
+    literals."""
+    from .sinks.versioned import (
+        delete_version,
+        read_version_pruned,
+        write_version,
+    )
+
+    e = _t(spark, sf, "events").select("event_id", "event_type", "user_id")
+    d = tempfile.mkdtemp(prefix="q_vpart_")
+    t = os.path.join(d, "events_v")
+    try:
+        write_version(
+            spark,
+            e.filter(F.col("event_id") % 2 == 0).repartition("event_type"),
+            t,
+            partition_by=["event_type"],
+            stats_cols=["event_id"],
+        )
+        write_version(
+            spark,
+            e.filter(F.col("event_id") % 2 == 1).repartition("event_type"),
+            t,
+            mode="append",  # inherits the partition layout
+        )
+        delete_version(spark, t, F.col("event_id") % 11 == 0, mode="mor")
+        df, info = read_version_pruned(
+            spark, t, keys={"event_type": ["click", "purchase"]}
+        )
+        zero_io_prune = (
+            info["footer_files"] == 0 and info["partition_skipped"] > 0
+        )
+        exact_map = (
+            info["files_read"] + info["partition_skipped"]
+            == info["files_total"]
+        )
+        out = (
+            df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("event_id").cast("long").alias("sum_id"),
+                F.sum("user_id").cast("long").alias("sum_user"),
+            )
+            .withColumn("zero_io_prune", F.lit(zero_io_prune))
+            .withColumn("exact_map", F.lit(exact_map))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_PARTITION_PRUNE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user,
+       TRUE AS zero_io_prune, TRUE AS exact_map
+FROM events
+WHERE event_type IN ('click', 'purchase') AND event_id % 11 <> 0
+GROUP BY event_type
+"""
+
+
+def q_versioned_clone(spark, sf):
+    """SHALLOW CLONE (sinks/versioned.py clone_table — Delta's ``CREATE
+    TABLE ... SHALLOW CLONE``): fork the orders table by reference (one
+    manifest write, zero bytes copied), then let the clone diverge — a
+    COW delete of key≡0 (mod 3) and an append of negated-key copies of
+    the key≡0 (mod 13) rows — while the source must stay byte-for-byte
+    untouched. The query reads BOTH heads; the oracle replays both
+    states from the source rows.
+
+    Literals (oracle-pinned TRUE): ``clone_zero_copy`` — the clone
+    commit wrote zero data files and its v1 manifest lists exactly the
+    source's files (fork cost is O(manifest) at any table size);
+    ``src_isolated`` — after the clone's DML the source chain is still
+    one version with the full row count (divergence never leaks back).
+    """
+    from .sinks.versioned import (
+        _load_manifest,
+        clone_table,
+        delete_version,
+        read_version,
+        versions as table_versions,
+        write_version,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = tempfile.mkdtemp(prefix="q_vclone_")
+    src, dst = os.path.join(d, "src"), os.path.join(d, "dst")
+    try:
+        write_version(spark, o.repartition(4), src, stats_cols=["o_orderkey"])
+        r = clone_table(src, dst)
+        clone_zero_copy = (
+            r["data_files_written"] == 0
+            and _load_manifest(dst, 1)["files"]
+            == _load_manifest(src, 1)["files"]
+        )
+        delete_version(spark, dst, F.col("o_orderkey") % 3 == 0)
+        write_version(
+            spark,
+            o.filter(F.col("o_orderkey") % 13 == 0).select(
+                (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            ),
+            dst,
+            mode="append",
+        )
+        n_src = o.count()
+        src_isolated = (
+            len(table_versions(src)) == 1
+            and read_version(spark, src).count() == n_src
+        )
+
+        def agg(df, tag):
+            return df.groupBy("o_orderstatus").agg(
+                F.lit(tag).alias("snapshot"),
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).alias("cents"),
+            )
+
+        out = (
+            agg(read_version(spark, src), "src")
+            .unionByName(agg(read_version(spark, dst), "clone"))
+            .select("snapshot", "o_orderstatus", "n", "key_sum", "cents")
+            .withColumn("clone_zero_copy", F.lit(clone_zero_copy))
+            .withColumn("src_isolated", F.lit(src_isolated))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_CLONE = """
+WITH neg AS (
+  SELECT -o_orderkey - 1 AS o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0
+), clone AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 3 <> 0
+  UNION ALL SELECT * FROM neg
+), states AS (
+  SELECT 'src' AS snapshot, o_orderkey, o_orderstatus, o_totalprice
+  FROM orders
+  UNION ALL SELECT 'clone', * FROM clone
+)
+SELECT snapshot, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       TRUE AS clone_zero_copy, TRUE AS src_isolated
+FROM states GROUP BY snapshot, o_orderstatus
+"""
+
+
+def q_table_fsck(spark, sf):
+    """FSCK on versioned tables (sinks/versioned.py verify_table): a
+    table that took every metadata-bearing commit type — partitioned
+    write with recorded stats and an idempotent-txn marker, an
+    inherited-layout append, a MOR delete — must come back fully green
+    from a DEEP audit (row count vs manifest, recorded stats vs fresh
+    footers, partition purity vs actual file contents, txn
+    monotonicity); and a deliberately-corrupted second table (a data
+    file removed out-of-band) must be DETECTED, not silently pruned
+    around. Literals: ``clean_ok`` (all checks green), ``n_checks``
+    (the deep audit ran all 9 checks — pins that nothing was skipped),
+    ``corruption_detected`` (the broken table failed, and failed on
+    ``files_exist`` specifically). The aggregate reads the audited
+    head, so the audit's subject is also value-hashed."""
+    from .sinks.versioned import (
+        _load_manifest,
+        delete_version,
+        verify_table,
+        write_version,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = tempfile.mkdtemp(prefix="q_fsck_")
+    t1, t2 = os.path.join(d, "clean"), os.path.join(d, "broken")
+    try:
+        write_version(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 0).repartition(
+                "o_orderstatus"
+            ),
+            t1,
+            partition_by=["o_orderstatus"],
+            stats_cols=["o_orderkey"],
+            txn_app="loader",
+            txn_version=1,
+        )
+        write_version(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 1).repartition(
+                "o_orderstatus"
+            ),
+            t1,
+            mode="append",
+            txn_app="loader",
+            txn_version=2,
+        )
+        delete_version(spark, t1, F.col("o_orderkey") % 7 == 0, mode="mor")
+        rep = verify_table(spark, t1, deep=True)
+        clean_ok = rep["ok"]
+        n_checks = len(rep["checks"])
+        n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+        write_version(spark, n.repartition(2), t2)
+        m2 = _load_manifest(t2, None)
+        if m2["files"]:
+            os.remove(m2["files"][0])
+        rep2 = verify_table(spark, t2, deep=True)
+        corruption_detected = (
+            not rep2["ok"] and not rep2["checks"]["files_exist"]["ok"]
+        )
+        from .sinks.versioned import read_version
+
+        out = (
+            read_version(spark, t1)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).alias("cents"),
+            )
+            .withColumn("clean_ok", F.lit(clean_ok))
+            .withColumn("n_checks", F.lit(n_checks).cast("int"))
+            .withColumn("corruption_detected", F.lit(corruption_detected))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_TABLE_FSCK = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       TRUE AS clean_ok, CAST(9 AS INTEGER) AS n_checks,
+       TRUE AS corruption_detected
+FROM orders WHERE o_orderkey % 7 <> 0
+GROUP BY o_orderstatus
+"""
+
+
+def q_versioned_concurrent(spark, sf):
+    """Optimistic concurrency on versioned tables (sinks/versioned.py
+    ``_commit``): the commit point is an atomic ``os.link`` — two
+    RACING appends (real threads, one table) must BOTH land, the loser
+    rebasing onto the winner's chain instead of overwriting it (no lost
+    update, no version gap); and a copy-on-write delete computed
+    against a STALE snapshot must be REFUSED with CommitConflict and
+    leave nothing behind. This is the Delta/Iceberg writer contract:
+    blind appends serialize automatically, conflicting rewrites error
+    to the caller.
+
+    Literals (oracle-pinned TRUE): ``both_landed`` — after the threaded
+    race the chain is exactly v1..v3 and the head holds every row from
+    both writers (the rebase loop preserved the loser's rows);
+    ``stale_cow_refused`` — the v1-based delete raised CommitConflict;
+    ``no_partial`` — the refused delete committed nothing (version
+    count and row count unchanged). The aggregate reads the post-race
+    head, so a lost update fails the value hash too."""
+    import threading
+
+    from .sinks.versioned import (
+        CommitConflict,
+        delete_version,
+        read_version,
+        versions as table_versions,
+        write_version,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = tempfile.mkdtemp(prefix="q_vconc_")
+    t = os.path.join(d, "orders_v")
+    try:
+        write_version(
+            spark, o.filter(F.col("o_orderkey") % 2 == 0).repartition(2), t
+        )
+        errs: list[Exception] = []
+
+        def appender(mod: int) -> None:
+            try:
+                write_version(
+                    spark,
+                    o.filter(F.col("o_orderkey") % 4 == mod).repartition(2),
+                    t,
+                    mode="append",
+                )
+            except Exception as e:  # noqa: BLE001 — surfaced via literal
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=appender, args=(m,)) for m in (1, 3)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        head = read_version(spark, t)
+        n_all = o.count()
+        both_landed = (
+            not errs
+            and [v["version"] for v in table_versions(t)] == [1, 2, 3]
+            and head.count() == n_all
+        )
+        try:
+            delete_version(
+                spark, t, F.col("o_orderkey") % 5 == 0, base_version=1
+            )
+            stale_cow_refused = False
+        except CommitConflict:
+            stale_cow_refused = True
+        no_partial = (
+            len(table_versions(t)) == 3
+            and read_version(spark, t).count() == n_all
+        )
+        out = (
+            head.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).alias("cents"),
+            )
+            .withColumn("both_landed", F.lit(both_landed))
+            .withColumn("stale_cow_refused", F.lit(stale_cow_refused))
+            .withColumn("no_partial", F.lit(no_partial))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_CONCURRENT = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       TRUE AS both_landed, TRUE AS stale_cow_refused, TRUE AS no_partial
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 OPS_REGISTRY = {
     "exact_substr_spans": (q_exact_substr_spans, SQL_EXACT_SUBSTR_SPANS),
     "exact_substr_scrub": (q_exact_substr_scrub, SQL_EXACT_SUBSTR_SCRUB),
@@ -4546,4 +4930,11 @@ OPS_REGISTRY = {
         q_streaming_exactly_once_ingest,
         SQL_STREAMING_EXACTLY_ONCE_INGEST,
     ),
+    "versioned_partition_prune": (
+        q_versioned_partition_prune,
+        SQL_VERSIONED_PARTITION_PRUNE,
+    ),
+    "versioned_clone": (q_versioned_clone, SQL_VERSIONED_CLONE),
+    "table_fsck": (q_table_fsck, SQL_TABLE_FSCK),
+    "versioned_concurrent": (q_versioned_concurrent, SQL_VERSIONED_CONCURRENT),
 }

@@ -62,6 +62,8 @@ __all__ = [
     "publish_branch",
     "delete_branch",
     "vacuum",
+    "verify_table",
+    "clone_table",
     "merge_version",
     "delete_version",
     "CommitConflict",
@@ -764,6 +766,122 @@ def _carried_stats(
     return {"stats_cols": cols, "stats": stats}
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_PART_SHADOW = "__part_"
+_PART_MAX_VALUES = 4096
+
+
+def _norm_part_value(v) -> str | None:
+    """Canonical string form of a partition probe value — must agree
+    with how :func:`_stage_partitioned` dir-encodes (a Spark
+    ``CAST(col AS STRING)`` on the shadow column): booleans lowercase,
+    ints/dates/strings via ``str``. Floats/doubles are refused as
+    partition columns precisely because their string forms don't
+    round-trip portably."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _stage_partitioned(
+    df: DataFrame, data_dir: str, cols: Sequence[str]
+) -> tuple[list[str], dict[str, dict]]:
+    """Stage ``df`` hive-partitioned by ``cols`` under ``data_dir`` in
+    ONE write job and return ``(files, {file: {col: str|None}})``. The
+    directory key is a SHADOW string copy (``__part_<col>=<value>``) so
+    the real column stays inside every data file — reads of explicit
+    leaf files (how every snapshot scan works here) stay uniform with
+    unpartitioned commits, and partition discovery never has to run.
+    The per-file value map is parsed back from the staged paths (hive
+    %-escaping undone; the hive null sentinel maps to ``None``)."""
+    from pyspark.sql import functions as F
+
+    staged = df
+    shadows = []
+    for c in cols:
+        s = f"{_PART_SHADOW}{c}"
+        staged = staged.withColumn(s, F.col(c).cast("string"))
+        shadows.append(s)
+    staged.write.partitionBy(*shadows).parquet(data_dir)
+    files: list[str] = []
+    parts: dict[str, dict] = {}
+    for root, _dirs, names in os.walk(data_dir):
+        rel = os.path.relpath(root, data_dir)
+        vals: dict[str, str | None] = {}
+        for seg in rel.split(os.sep):
+            key, eq, raw = seg.partition("=")
+            if eq and key.startswith(_PART_SHADOW):
+                raw = unquote(raw)
+                vals[key[len(_PART_SHADOW):]] = (
+                    None if raw == _HIVE_NULL else raw
+                )
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            p = _canon(os.path.join(root, n))
+            files.append(p)
+            parts[p] = {c: vals.get(c) for c in cols}
+    files.sort()
+    n_values = len({tuple(v.items()) for v in parts.values()})
+    if n_values > _PART_MAX_VALUES:
+        raise ValueError(
+            f"partition_by produced {n_values} distinct value tuples "
+            f"(max {_PART_MAX_VALUES}) — hive partitioning is for "
+            "low-cardinality columns; cluster + stats_cols (or a Bloom "
+            "index) is the high-cardinality layout"
+        )
+    return files, parts
+
+
+def _validate_partition_cols(df: DataFrame, cols: Sequence[str]) -> None:
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    ok = (
+        StringType, IntegerType, LongType, ShortType, ByteType,
+        BooleanType, DateType,
+    )
+    types = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        if c not in types:
+            raise ValueError(f"partition column {c!r} not in schema")
+        if not isinstance(types[c], ok):
+            raise ValueError(
+                f"partition column {c!r} has type {types[c].simpleString()} "
+                "— partition values must dir-encode losslessly "
+                "(string/integral/boolean/date)"
+            )
+
+
+def _carried_partitions(base: dict | None, files: Sequence[str]) -> dict:
+    """Manifest partition fields for a child commit: entries for
+    SURVIVING files ride by value; files the commit rewrote or added
+    outside the partitioned write path simply have no entry, and the
+    partition pruning pass keeps unmapped files (conservative, never
+    wrong — the same degrade contract as recorded stats). An OPTIMIZE
+    or fresh partitioned append re-records coverage."""
+    if not base or not base.get("partition_cols"):
+        return {}
+    keep = set(files)
+    return {
+        "partition_cols": base["partition_cols"],
+        "partitions": {
+            f: v
+            for f, v in (base.get("partitions") or {}).items()
+            if f in keep
+        },
+    }
+
+
 def write_version(
     spark: SparkSession,
     df: DataFrame,
@@ -777,6 +895,7 @@ def write_version(
     txn_app: str | None = None,
     txn_version: int | None = None,
     stats_cols: Sequence[str] = (),
+    partition_by: Sequence[str] | None = (),
 ) -> int:
     """Commit ``df`` as the next version of the table; returns the new
     version number. ``mode='overwrite'`` → the snapshot is exactly
@@ -830,6 +949,32 @@ def write_version(
     re-record) degrades to the footer pass for that file only —
     conservative, never wrong.
 
+    ``partition_by``: hive-partition the commit's data files by these
+    LOW-CARDINALITY columns (the Delta/Iceberg partition-column
+    pattern): one write job lays each distinct value tuple out in its
+    own files, and the manifest records the EXACT per-file value map —
+    so an equality probe on a partition column
+    (:func:`read_version_pruned` ``keys``) skips non-matching files
+    from the manifest alone: zero footer I/O, zero Bloom probes, no
+    false positives, and it works on STRING columns where min/max
+    envelopes span the domain. The real column stays inside every data
+    file (the directory key is a shadow string copy), so snapshot scans
+    are uniform with unpartitioned commits. The column list is a table
+    layout property: appends inherit it when omitted and are REFUSED
+    when they name different columns; pass ``partition_by=None`` on an
+    overwrite to deliberately de-partition. Files a later copy-on-write
+    path rewrites lose their map entries and degrade to
+    kept-conservatively (same contract as recorded stats);
+    ``optimize_table`` or any fresh partitioned commit re-records them.
+    Float/double partition columns are refused (their string forms
+    don't round-trip), and a commit that would create more than
+    4096 distinct value tuples (``_PART_MAX_VALUES``) is refused — that is
+    clustering's job, not partitioning's. File-count note: each write
+    task emits one file per distinct value it holds, so
+    ``df.repartition(*partition_by)`` first (one task per value) gives
+    the fewest files; a hash-scattered df on k values and t tasks can
+    stage up to k×t.
+
     ``txn_app`` + ``txn_version``: IDEMPOTENT writes (the Delta
     ``txnAppId``/``txnVersion`` contract — what makes a foreachBatch
     sink exactly-once): the manifest records the pair, and a commit
@@ -876,15 +1021,52 @@ def write_version(
             )
             if prior_schema is not None:
                 _evolved_schema(prior_schema, df.schema, merge_schema)
+    # effective partition columns: explicit list, else inherited from
+    # the table's recorded layout (None = explicitly unpartitioned);
+    # appends may not silently re-partition the table
+    eff_part_by = list(partition_by) if partition_by else []
+    nums_pc = _version_numbers(table_dir, branch)
+    recorded_pc = list(
+        (
+            _load_manifest(table_dir, nums_pc[-1], branch).get(
+                "partition_cols"
+            )
+            if nums_pc
+            else None
+        )
+        or []
+    )
+    if partition_by is not None and not eff_part_by:
+        eff_part_by = recorded_pc
+    if mode == "append" and recorded_pc and eff_part_by != recorded_pc:
+        raise ValueError(
+            f"append partition_by {eff_part_by} != the table's recorded "
+            f"partition columns {recorded_pc} — partitioning is a table "
+            "layout property; overwrite to re-partition"
+        )
+    if eff_part_by:
+        _validate_partition_cols(df, eff_part_by)
     commit_id = uuid.uuid4().hex
     data_dir = os.path.join(table_dir, "data", commit_id)
-    df.write.parquet(data_dir)
-    new_files = sorted(
-        _canon(os.path.join(data_dir, f))
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet")
-    )
-    n_new = spark.read.parquet(data_dir).count()
+    if eff_part_by:
+        try:
+            new_files, new_parts = _stage_partitioned(
+                df, data_dir, eff_part_by
+            )
+        except ValueError:
+            import shutil
+
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
+    else:
+        df.write.parquet(data_dir)
+        new_files = sorted(
+            _canon(os.path.join(data_dir, f))
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        new_parts = {}
+    n_new = spark.read.parquet(*new_files).count() if new_files else 0
     schema_json = df.schema.json()
     # stats columns: explicit, else inherited from the table's latest
     # recorded list (coverage must not decay because one writer forgot)
@@ -947,6 +1129,13 @@ def write_version(
                 stats = {**(prior.get("stats") or {}), **new_stats}
             body["stats_cols"] = eff_stats_cols
             body["stats"] = stats
+        if eff_part_by:
+            parts = dict(new_parts)
+            if mode == "append" and prior is not None:
+                # carried files keep their recorded partition values
+                parts = {**(prior.get("partitions") or {}), **new_parts}
+            body["partition_cols"] = eff_part_by
+            body["partitions"] = parts
         return body
 
     try:
@@ -1249,6 +1438,7 @@ def merge_version(
             "n_rows": base["n_rows"] - n_touched + n_new,
             "schema": schema_json,
             **_carried_stats(spark, base, carried + new_files, new_files),
+            **_carried_partitions(base, carried + new_files),
             # carried files keep needing their DVs; entries addressing
             # the rewritten files go stale-but-harmless (fresh uuid
             # paths never reuse a dead identity) — compaction reclaims
@@ -1366,6 +1556,7 @@ def delete_version(
             "n_rows": base["n_rows"] - n_touched + n_new,
             "schema": schema_json,
             **_carried_stats(spark, base, carried + new_files, new_files),
+            **_carried_partitions(base, carried + new_files),
             # carried files keep their DVs; rewritten files' entries go
             # stale-but-harmless (see merge_version)
             "dv_files": base.get("dv_files") or [],
@@ -1450,6 +1641,7 @@ def _delete_version_mor(
             "schema": base.get("schema"),
             "dv_files": (base.get("dv_files") or []) + dv_new,
             **_carried_stats(spark, base, base["files"]),
+            **_carried_partitions(base, base["files"]),
         }
 
     try:
@@ -1601,6 +1793,7 @@ def update_version(
                 **_carried_stats(
                     spark, base, base["files"] + new_files, new_files
                 ),
+                **_carried_partitions(base, base["files"] + new_files),
             }
 
         try:
@@ -1653,6 +1846,7 @@ def update_version(
             "schema": schema_json,
             "dv_files": base.get("dv_files") or [],
             **_carried_stats(spark, base, carried + new_files, new_files),
+            **_carried_partitions(base, carried + new_files),
         }
 
     try:
@@ -2140,6 +2334,9 @@ def restore_version(
         if target.get("stats_cols"):
             body["stats_cols"] = target["stats_cols"]
             body["stats"] = target.get("stats") or {}
+        if target.get("partition_cols"):
+            body["partition_cols"] = target["partition_cols"]
+            body["partitions"] = target.get("partitions") or {}
         return body
 
     v = _commit(table_dir, build, branch=branch)
@@ -2171,6 +2368,80 @@ def restore_version(
         "files_restored": len(target["files"]),
         "data_files_written": 0,
         "index": index_result,
+    }
+
+
+def clone_table(
+    src_dir: str,
+    dst_dir: str,
+    version: int | None = None,
+) -> dict:
+    """SHALLOW CLONE: create a NEW versioned table at ``dst_dir`` whose
+    v1 snapshot is exactly ``src_dir``'s ``version`` (default: latest)
+    — by reference, zero data copied (the Delta Lake ``CREATE TABLE ...
+    SHALLOW CLONE`` pattern: fork a 100 TB production table into a
+    dev/experiment sandbox as one manifest write). The clone then
+    evolves INDEPENDENTLY: appends, deletes, schema evolution, tags,
+    branches on the clone never touch the source chain, and vice versa
+    — the two tables share bytes, not history.
+
+    What carries by reference: data files, DV sidecars (a clone of a
+    MOR table sees the same live rows), the recorded schema, and
+    recorded add-file stats (file→envelope entries ride by value, so
+    the clone's pruned reads skip files with zero footer I/O from day
+    one). What does NOT carry: Bloom index dirs (they live under the
+    source's ``_index`` namespace and vacuum(src) owns their lifecycle
+    — the clone reads unpruned on key lookups until it builds its own),
+    tags, branches, txn watermarks, and the source's HISTORY (the clone
+    has no v0..v_n to time-travel into; its feed starts at its own v1).
+
+    Divergence-safety is asymmetric, exactly as in Delta/Iceberg:
+
+    - ``vacuum(dst)`` never deletes borrowed bytes — the sweeper skips
+      files outside the table's own root, so dropping the clone's v1
+      from its retention window cannot reach into the source.
+    - ``vacuum(src)`` does NOT know about clones (no back-references,
+      same as Delta): dropping the cloned-from version from the
+      source's retention window deletes files the clone still needs.
+      Tag the source version (:func:`tag_version`) for as long as the
+      clone lives, or rewrite the clone to self-contained bytes
+      (``optimize_table(dst)`` packs every live row into files under
+      ``dst_dir`` — the materialize-a-clone path).
+
+    ``dst_dir`` must not already be a versioned table (loud — a clone
+    is a CREATE, never an implicit overwrite). Returns ``{"version",
+    "cloned_from", "files", "data_files_written"}`` with
+    ``data_files_written`` always 0."""
+    if _version_numbers(dst_dir):
+        raise ValueError(
+            f"{dst_dir!r} is already a versioned table — clone creates a "
+            "new table; point it at an empty directory"
+        )
+    src = _load_manifest(src_dir, version)
+
+    def build(prior: dict | None) -> dict:
+        body = {
+            "mode": "clone",
+            "cloned_from": {"table": _canon(src_dir), "version": src["version"]},
+            "files": list(src["files"]),
+            "n_rows": src["n_rows"],
+            "schema": src.get("schema"),
+            "dv_files": list(src.get("dv_files") or []),
+        }
+        if src.get("stats_cols"):
+            body["stats_cols"] = src["stats_cols"]
+            body["stats"] = src.get("stats") or {}
+        if src.get("partition_cols"):
+            body["partition_cols"] = src["partition_cols"]
+            body["partitions"] = src.get("partitions") or {}
+        return body
+
+    v = _commit(dst_dir, build)
+    return {
+        "version": v,
+        "cloned_from": {"table": _canon(src_dir), "version": src["version"]},
+        "files": len(src["files"]),
+        "data_files_written": 0,
     }
 
 
@@ -2749,8 +3020,12 @@ def read_version_pruned(
     exact predicate on the scan — bit-identical to
     ``read_version(...).filter(...)``, only the files read change.
 
-    Two pruning passes, both metadata-only:
+    Three pruning passes, all metadata-only (partition map, then range
+    envelopes, then Bloom):
 
+    - ``keys`` on a PARTITION column (write_version ``partition_by``):
+      the manifest's exact per-file value map — zero I/O, zero false
+      positives, string-safe; unmapped files are kept conservatively.
     - ``ranges`` (``{col: (lo, hi)}``, inclusive, ``None`` =
       unbounded): per-file min/max footer envelopes
       (:func:`prune_manifest_files`) — effective on CLUSTERED columns.
@@ -2769,7 +3044,7 @@ def read_version_pruned(
     Both passes are conservative (unknown envelope → keep; Bloom has
     no false negatives), so composing with the exact predicate cannot
     lose rows. Returns ``(df, info)`` with ``info = {"files_total",
-    "files_read", "footer_files"}`` so callers (and tests) can assert
+    "files_read", "footer_files", "partition_skipped"}`` so callers (and tests) can assert
     the skipping actually happened — and, when the manifest carries
     recorded stats (write_version ``stats_cols``), that it happened
     with ZERO footer reads (``footer_files == 0``). An empty surviving list short-circuits to an
@@ -2790,10 +3065,34 @@ def read_version_pruned(
                 df = df.filter(F.col(col) <= F.lit(hi))
         for col, vals in keys.items():
             df = df.filter(F.col(col).isin(list(vals)))
-        return df, {"files_total": 0, "files_read": 0, "footer_files": 0}
+        return df, {
+            "files_total": 0,
+            "files_read": 0,
+            "footer_files": 0,
+            "partition_skipped": 0,
+        }
+    # partition pass first (strongest + cheapest): files whose RECORDED
+    # partition value can't match an equality probe drop from the
+    # manifest alone — exact (never a false positive), zero I/O, and it
+    # covers string columns stats envelopes can't. Unmapped files (e.g.
+    # rewritten by a COW path) are kept — conservative, never wrong.
+    candidates = m["files"]
+    part_cols = set(m.get("partition_cols") or [])
+    part_map = m.get("partitions") or {}
+    if keys and part_cols and part_map:
+        for col, vals in keys.items():
+            if col not in part_cols:
+                continue
+            want = {_norm_part_value(v) for v in vals}
+            candidates = [
+                f
+                for f in candidates
+                if _canon(f) not in part_map
+                or part_map[_canon(f)].get(col) in want
+            ]
     prune_info: dict = {}
     kept = prune_manifest_files(
-        spark, m["files"], ranges, recorded=m.get("stats"), info=prune_info
+        spark, candidates, ranges, recorded=m.get("stats"), info=prune_info
     )
     if kept and keys:
         from ..operators.lake import bloom_qualified_files
@@ -2854,6 +3153,7 @@ def read_version_pruned(
         "files_total": len(m["files"]),
         "files_read": len(kept),
         "footer_files": prune_info.get("footer_files", 0),
+        "partition_skipped": len(m["files"]) - len(candidates),
     }
     if kept:
         # deletion vectors apply on the pruned scan too (scoped: DV rows
@@ -2872,6 +3172,165 @@ def read_version_pruned(
     for col, vals in keys.items():
         df = df.filter(F.col(col).isin(list(vals)))
     return df, info
+
+
+def verify_table(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    deep: bool = False,
+) -> dict:
+    """FSCK for a versioned table: audit that ``version`` (default
+    latest) is internally consistent, and that the metadata the engine
+    prunes and plans from actually describes the bytes on disk — the
+    Delta ``FSCK REPAIR TABLE`` / Iceberg ``verify`` maintenance job a
+    fleet runs after an incident (partial restore, manual file surgery,
+    a vacuum raced wrong) BEFORE trusting pruned reads again.
+
+    Metadata checks (always run, zero data I/O):
+
+    - ``files_exist`` / ``dv_files_exist`` — every referenced data file
+      and DV sidecar is present on disk (the failure a lost object or
+      botched restore produces; a pruned read might HIDE it for months
+      because the missing file keeps getting skipped).
+    - ``schema_parses`` — the recorded schema deserializes.
+    - ``stats_scoped`` / ``partitions_scoped`` — recorded stats and
+      partition-map entries reference only manifest files (a stale
+      entry can't resurrect a dead file into a plan).
+    - ``txn_monotonic`` — per-app txn versions strictly increase across
+      retained manifests (the exactly-once contract's invariant).
+
+    Deep checks (``deep=True`` — reads data, O(snapshot); run in the
+    maintenance window):
+
+    - ``row_count`` — ``read_version().count()`` equals the manifest's
+      ``n_rows`` (catches DV drift and double-counted commits).
+    - ``stats_envelopes`` — each recorded per-file min/max equals a
+      fresh footer read (catches a rewritten-in-place file, which
+      immutable staging should make impossible — that's why it's worth
+      checking).
+    - ``partition_purity`` — each mapped file really holds exactly its
+      recorded partition value (one scan, grouped by
+      ``_metadata.file_path``; a violation means partition pruning
+      would silently drop live rows — the one check that guards
+      CORRECTNESS, not just latency).
+
+    Returns ``{"ok", "version", "checks": {name: {"ok", ...detail}},
+    "errors": [...]}`` — never raises on a failed check (the caller is
+    triaging; a raise would hide the rest of the report)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    m = _load_manifest(table_dir, version)
+    checks: dict[str, dict] = {}
+    errors: list[str] = []
+
+    def record(name: str, ok: bool, **detail) -> None:
+        checks[name] = {"ok": bool(ok), **detail}
+        if not ok:
+            errors.append(f"{name}: {detail}")
+
+    missing = [f for f in m["files"] if not os.path.exists(f)]
+    record("files_exist", not missing, missing=missing[:5],
+           n_missing=len(missing), n_files=len(m["files"]))
+    dv = m.get("dv_files") or []
+    dv_missing = [f for f in dv if not os.path.exists(f)]
+    record("dv_files_exist", not dv_missing, missing=dv_missing[:5],
+           n_missing=len(dv_missing), n_dv=len(dv))
+    schema = None
+    try:
+        if m.get("schema") is not None:
+            schema = StructType.fromJson(json.loads(m["schema"]))
+        record("schema_parses", True, recorded=m.get("schema") is not None)
+    except Exception as e:  # noqa: BLE001 — audit reports, never raises
+        record("schema_parses", False, error=str(e)[:200])
+    file_set = {_canon(f) for f in m["files"]}
+    stray_stats = [f for f in (m.get("stats") or {}) if f not in file_set]
+    record("stats_scoped", not stray_stats, stray=stray_stats[:5])
+    stray_parts = [
+        f for f in (m.get("partitions") or {}) if f not in file_set
+    ]
+    record("partitions_scoped", not stray_parts, stray=stray_parts[:5])
+    last_txn: dict[str, int] = {}
+    txn_ok, txn_detail = True, []
+    for rv in _version_numbers(table_dir):
+        if rv > m["version"]:
+            break
+        t = _load_manifest(table_dir, rv).get("txn")
+        if not t:
+            continue
+        app, tv = t["app"], int(t["version"])
+        if app in last_txn and tv <= last_txn[app]:
+            txn_ok = False
+            txn_detail.append(f"v{rv}: {app} {tv} <= {last_txn[app]}")
+        last_txn[app] = tv
+    record("txn_monotonic", txn_ok, violations=txn_detail[:5])
+
+    deep_possible = not missing and not dv_missing and schema is not None
+    if deep and deep_possible:
+        n = read_version(spark, table_dir, version=m["version"]).count()
+        record("row_count", n == m["n_rows"], actual=n,
+               recorded=m["n_rows"])
+        stats_cols = m.get("stats_cols") or []
+        recorded = m.get("stats") or {}
+        if stats_cols and recorded:
+            fresh = _stats_for_files(spark, sorted(recorded), stats_cols)
+            bad = [
+                f"{f}:{c}"
+                for f, env in recorded.items()
+                for c, lohi in env.items()
+                if fresh.get(f, {}).get(c) != list(lohi)
+            ]
+            record("stats_envelopes", not bad, mismatched=bad[:5],
+                   n_checked=sum(len(e) for e in recorded.values()))
+        part_cols = m.get("partition_cols") or []
+        part_map = m.get("partitions") or {}
+        if part_cols and part_map:
+            scan = (
+                spark.read.schema(schema)
+                .parquet(*sorted(part_map))
+                .select(
+                    F.col("_metadata.file_path").alias("__fsck_file"),
+                    *part_cols,
+                )
+            )
+            aggs = []
+            for c in part_cols:
+                aggs += [
+                    F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+                    F.min(F.col(c)).cast("string").alias(f"__v_{c}"),
+                    F.sum(
+                        F.col(c).isNull().cast("long")
+                    ).alias(f"__nn_{c}"),
+                ]
+            impure = []
+            for r in scan.groupBy("__fsck_file").agg(*aggs).collect():
+                f = _local_path(r["__fsck_file"])
+                rec = part_map.get(f, {})
+                for c in part_cols:
+                    want = rec.get(c)
+                    if want is None:
+                        ok_f = r[f"__nd_{c}"] == 0
+                    else:
+                        ok_f = (
+                            r[f"__nd_{c}"] == 1
+                            and r[f"__nn_{c}"] == 0
+                            and r[f"__v_{c}"] == want
+                        )
+                    if not ok_f:
+                        impure.append(f"{f}:{c}")
+            record("partition_purity", not impure, impure=impure[:5],
+                   n_checked=len(part_map))
+    elif deep:
+        record("deep_skipped", False,
+               reason="missing files or unparseable schema — metadata "
+               "checks above localize it")
+    return {
+        "ok": all(c["ok"] for c in checks.values()),
+        "version": m["version"],
+        "checks": checks,
+        "errors": errors,
+    }
 
 
 def vacuum(table_dir: str, keep_last: int = 2) -> dict:
@@ -2976,10 +3435,21 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
                 referenced.add((idx, v))
                 referenced.update((idx, int(c)) for c in params["chain"])
     deleted = 0
+    # borrowed-bytes guard: a clone_table() manifest references files
+    # under the SOURCE table's root — vacuum only ever deletes bytes
+    # under its own table_dir, so dropping a clone's v1 from retention
+    # cannot reach into the table it was forked from (Delta's shallow-
+    # clone vacuum semantics). The inverse direction is the documented
+    # caveat on clone_table: the source's vacuum has no back-references.
+    own_root = _canon(table_dir) + os.sep
     for v in drop:
         m = _load_manifest(table_dir, v)
         for f in m["files"]:
-            if f not in keep_files and os.path.exists(f):
+            if (
+                f not in keep_files
+                and _canon(f).startswith(own_root)
+                and os.path.exists(f)
+            ):
                 os.remove(f)
                 deleted += 1
         os.remove(_manifest_path(table_dir, v))

@@ -1,0 +1,374 @@
+"""Hive-style partition columns, shallow clone, and FSCK on versioned
+tables.
+
+Partition columns are the one file-skipping tier the table lacked:
+recorded stats prune RANGES on clustered numeric columns and Bloom
+indexes prune EQUALITY on high-cardinality columns, but a low-
+cardinality STRING dimension (event_type, lang, source) wants the
+Delta/Iceberg partition-column pattern — an exact per-file value map in
+the manifest, zero I/O and zero false positives at probe time.
+clone_table is Delta's SHALLOW CLONE (fork a table by reference);
+verify_table is FSCK (trust-but-verify for every piece of metadata the
+planner prunes from).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+    _load_manifest,
+    _manifest_path,
+    clone_table,
+    delete_version,
+    optimize_table,
+    read_version,
+    read_version_pruned,
+    verify_table,
+    vacuum,
+    write_version,
+)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "event_type", "user_id", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# partition columns
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_write_records_exact_map(spark, sf_dir, table):
+    e = _events(spark, sf_dir)
+    v = write_version(
+        spark,
+        e.repartition("event_type"),
+        table,
+        partition_by=["event_type"],
+    )
+    m = _load_manifest(table, v)
+    assert m["partition_cols"] == ["event_type"]
+    # every file mapped, and the map is exact (one value per file)
+    assert set(m["partitions"]) == {os.path.realpath(f) for f in m["files"]}
+    vals = {v["event_type"] for v in m["partitions"].values()}
+    assert vals == {r[0] for r in e.select("event_type").distinct().collect()}
+
+
+def test_partition_prune_zero_io_and_exact(spark, sf_dir, table):
+    e = _events(spark, sf_dir)
+    write_version(
+        spark, e.repartition("event_type"), table, partition_by=["event_type"]
+    )
+    df, info = read_version_pruned(spark, table, keys={"event_type": ["click"]})
+    assert info["partition_skipped"] > 0
+    assert info["footer_files"] == 0  # manifest-only, no footer pass
+    assert info["files_read"] + info["partition_skipped"] == info["files_total"]
+    want = e.filter(F.col("event_type") == "click")
+    assert df.count() == want.count()
+    assert df.exceptAll(want).isEmpty() and want.exceptAll(df).isEmpty()
+
+
+def test_append_inherits_and_refuses_relayout(spark, sf_dir, table):
+    e = _events(spark, sf_dir)
+    write_version(
+        spark, e.repartition("event_type"), table, partition_by=["event_type"]
+    )
+    # omitted partition_by on append inherits the recorded layout
+    write_version(
+        spark, e.limit(40).repartition("event_type"), table, mode="append"
+    )
+    m = _load_manifest(table, 2)
+    assert m["partition_cols"] == ["event_type"]
+    assert set(m["partitions"]) == {os.path.realpath(f) for f in m["files"]}
+    with pytest.raises(ValueError, match="layout property"):
+        write_version(
+            spark, e.limit(5), table, mode="append", partition_by=["user_id"]
+        )
+
+
+def test_partition_validation(spark, sf_dir, table):
+    e = _events(spark, sf_dir)
+    with pytest.raises(ValueError, match="not in schema"):
+        write_version(spark, e, table, partition_by=["nope"])
+    with pytest.raises(ValueError, match="dir-encode"):
+        write_version(spark, e, table, partition_by=["value"])  # double
+
+
+def test_partition_max_values_refused(spark, table, monkeypatch):
+    import bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned as V
+
+    monkeypatch.setattr(V, "_PART_MAX_VALUES", 8)
+    df = spark.range(32).select(
+        F.col("id").alias("k"), (F.col("id") % 16).alias("g")
+    )
+    with pytest.raises(ValueError, match="distinct value tuples"):
+        write_version(spark, df, table, partition_by=["g"])
+    # the refused commit staged nothing permanent: table still absent
+    assert not os.path.isdir(os.path.join(table, "_versions"))
+
+
+def test_cow_rewrite_degrades_conservatively(spark, sf_dir, table):
+    e = _events(spark, sf_dir)
+    write_version(
+        spark, e.repartition("event_type"), table, partition_by=["event_type"]
+    )
+    # COW delete scoped to one partition: its files rewrite and lose
+    # map entries; reads stay exact, pruning stays conservative
+    delete_version(spark, table, F.col("event_type") == "view")
+    m = _load_manifest(table, 2)
+    assert m["partition_cols"] == ["event_type"]
+    assert len(m["partitions"]) < len(m["files"])  # rewritten files unmapped
+    df, info = read_version_pruned(spark, table, keys={"event_type": ["click"]})
+    assert df.count() == e.filter(F.col("event_type") == "click").count()
+    assert info["partition_skipped"] > 0  # mapped non-click files still skip
+
+
+def test_mor_delete_applies_on_pruned_partition_read(spark, sf_dir, table):
+    e = _events(spark, sf_dir)
+    write_version(
+        spark, e.repartition("event_type"), table, partition_by=["event_type"]
+    )
+    delete_version(
+        spark,
+        table,
+        (F.col("event_type") == "click") & (F.col("event_id") % 2 == 0),
+        mode="mor",
+    )
+    df, info = read_version_pruned(spark, table, keys={"event_type": ["click"]})
+    want = e.filter(
+        (F.col("event_type") == "click") & (F.col("event_id") % 2 == 1)
+    )
+    assert df.count() == want.count()
+    assert info["partition_skipped"] > 0
+
+
+def test_null_partition_values(spark, table):
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, None).otherwise(
+            F.concat(F.lit("g"), (F.col("id") % 2).cast("string"))
+        ).alias("g"),
+    )
+    write_version(spark, df.repartition("g"), table, partition_by=["g"])
+    m = _load_manifest(table, 1)
+    assert None in {v["g"] for v in m["partitions"].values()}
+    got, info = read_version_pruned(spark, table, keys={"g": ["g1"]})
+    assert got.count() == 7 and info["partition_skipped"] > 0
+    # the null rows read back as nulls on the full scan
+    assert read_version(spark, table).filter(F.col("g").isNull()).count() == 7
+
+
+def test_departition_via_overwrite_none(spark, sf_dir, table):
+    e = _events(spark, sf_dir)
+    write_version(
+        spark, e.repartition("event_type"), table, partition_by=["event_type"]
+    )
+    write_version(spark, e, table, mode="overwrite", partition_by=None)
+    m = _load_manifest(table, 2)
+    assert "partition_cols" not in m
+    # and inheritance stops: a further append stays unpartitioned
+    write_version(spark, e.limit(5), table, mode="append")
+    assert "partition_cols" not in _load_manifest(table, 3)
+
+
+def test_optimize_rerecords_partition_map(spark, sf_dir, table):
+    e = _events(spark, sf_dir)
+    write_version(
+        spark, e.repartition("event_type"), table, partition_by=["event_type"]
+    )
+    delete_version(spark, table, F.col("event_type") == "view")  # unmaps files
+    optimize_table(spark, table, cluster_by=["event_type"])
+    m = _load_manifest(table, None)
+    assert set(m["partitions"]) == {os.path.realpath(f) for f in m["files"]}
+    df, info = read_version_pruned(spark, table, keys={"event_type": ["click"]})
+    assert info["partition_skipped"] > 0 and info["footer_files"] == 0
+    assert df.count() == e.filter(F.col("event_type") == "click").count()
+
+
+# ---------------------------------------------------------------------------
+# shallow clone
+# ---------------------------------------------------------------------------
+
+
+def test_clone_zero_copy_and_equal(spark, sf_dir, tmp_path):
+    e = _events(spark, sf_dir)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_version(
+        spark,
+        e.repartition("event_type"),
+        src,
+        partition_by=["event_type"],
+        stats_cols=["event_id"],
+    )
+    r = clone_table(src, dst)
+    assert r["data_files_written"] == 0
+    ms, md = _load_manifest(src, 1), _load_manifest(dst, 1)
+    assert md["files"] == ms["files"]  # byte-sharing, not copying
+    assert md.get("stats") == ms.get("stats")  # pruning works day one
+    assert md.get("partitions") == ms.get("partitions")
+    got, info = read_version_pruned(spark, dst, keys={"event_type": ["click"]})
+    assert info["partition_skipped"] > 0 and info["footer_files"] == 0
+    assert read_version(spark, dst).count() == read_version(spark, src).count()
+
+
+def test_clone_evolves_independently(spark, sf_dir, tmp_path):
+    e = _events(spark, sf_dir)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_version(spark, e, src)
+    clone_table(src, dst)
+    n0 = read_version(spark, src).count()
+    write_version(spark, e.limit(10), dst, mode="append")
+    delete_version(spark, dst, F.col("event_id") % 2 == 0)
+    assert read_version(spark, src).count() == n0  # source untouched
+    write_version(spark, e.limit(3), src, mode="append")
+    n_dst = read_version(spark, dst).count()
+    assert read_version(spark, src).count() == n0 + 3
+    assert read_version(spark, dst).count() == n_dst  # clone untouched
+
+
+def test_clone_sees_mor_live_rows(spark, sf_dir, tmp_path):
+    e = _events(spark, sf_dir)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_version(spark, e, src)
+    delete_version(spark, src, F.col("event_id") % 5 == 0, mode="mor")
+    clone_table(src, dst)
+    assert (
+        read_version(spark, dst).count()
+        == e.filter(F.col("event_id") % 5 != 0).count()
+    )
+
+
+def test_clone_vacuum_never_deletes_borrowed_bytes(spark, sf_dir, tmp_path):
+    e = _events(spark, sf_dir)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_version(spark, e, src)
+    clone_table(src, dst)
+    # clone advances twice, then drops its v1 (the borrowing manifest)
+    write_version(spark, e.limit(5), dst, mode="overwrite")
+    write_version(spark, e.limit(5), dst, mode="append")
+    res = vacuum(dst, keep_last=1)
+    assert res["versions_dropped"] >= 1
+    assert read_version(spark, src).count() == e.count()  # bytes intact
+
+
+def test_clone_refuses_existing_table(spark, sf_dir, tmp_path):
+    e = _events(spark, sf_dir)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_version(spark, e, src)
+    write_version(spark, e.limit(1), dst)
+    with pytest.raises(ValueError, match="already a versioned table"):
+        clone_table(src, dst)
+
+
+def test_clone_materializes_via_optimize(spark, sf_dir, tmp_path):
+    e = _events(spark, sf_dir)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_version(spark, e, src)
+    clone_table(src, dst)
+    optimize_table(spark, dst)
+    m = _load_manifest(dst, None)
+    root = os.path.realpath(dst) + os.sep
+    assert all(os.path.realpath(f).startswith(root) for f in m["files"])
+    assert read_version(spark, dst).count() == e.count()
+
+
+# ---------------------------------------------------------------------------
+# fsck
+# ---------------------------------------------------------------------------
+
+
+def _green_table(spark, sf_dir, table):
+    e = _events(spark, sf_dir)
+    write_version(
+        spark,
+        e.repartition("event_type"),
+        table,
+        partition_by=["event_type"],
+        stats_cols=["event_id"],
+        txn_app="app",
+        txn_version=1,
+    )
+    delete_version(spark, table, F.col("event_id") % 7 == 0, mode="mor")
+    return e
+
+
+def test_fsck_green(spark, sf_dir, table):
+    _green_table(spark, sf_dir, table)
+    rep = verify_table(spark, table, deep=True)
+    assert rep["ok"], rep["errors"]
+    for name in (
+        "files_exist",
+        "dv_files_exist",
+        "schema_parses",
+        "stats_scoped",
+        "partitions_scoped",
+        "txn_monotonic",
+        "row_count",
+        "stats_envelopes",
+        "partition_purity",
+    ):
+        assert rep["checks"][name]["ok"], name
+
+
+def test_fsck_detects_missing_file(spark, sf_dir, table):
+    _green_table(spark, sf_dir, table)
+    os.remove(_load_manifest(table, None)["files"][0])
+    rep = verify_table(spark, table, deep=True)
+    assert not rep["ok"]
+    assert not rep["checks"]["files_exist"]["ok"]
+    assert rep["checks"]["files_exist"]["n_missing"] == 1
+
+
+def _tamper(table, version, fn):
+    p = _manifest_path(table, version)
+    m = json.load(open(p))
+    fn(m)
+    os.remove(p)
+    with open(p, "w") as fh:
+        json.dump(m, fh)
+
+
+def test_fsck_detects_tampered_metadata(spark, sf_dir, table):
+    _green_table(spark, sf_dir, table)
+    head = _load_manifest(table, None)["version"]
+
+    _tamper(table, head, lambda m: m.__setitem__("n_rows", m["n_rows"] + 1))
+    rep = verify_table(spark, table, deep=True)
+    assert not rep["checks"]["row_count"]["ok"]
+
+    def wrong_partition(m):
+        f = next(iter(m["partitions"]))
+        m["partitions"][f]["event_type"] = "nope"
+
+    _tamper(table, head, wrong_partition)
+    rep = verify_table(spark, table, deep=True)
+    assert not rep["checks"]["partition_purity"]["ok"]
+
+    def stray_stats(m):
+        m["stats"]["/nonexistent/file.parquet"] = {"event_id": [0, 1]}
+
+    _tamper(table, head, stray_stats)
+    rep = verify_table(spark, table)
+    assert not rep["checks"]["stats_scoped"]["ok"]
+
+
+def test_fsck_detects_txn_regression(spark, sf_dir, table):
+    e = _events(spark, sf_dir)
+    write_version(spark, e, table, txn_app="app", txn_version=5)
+    write_version(spark, e.limit(3), table, mode="append")
+    # simulate a corrupted manifest claiming an older txn landed later
+    _tamper(table, 2, lambda m: m.__setitem__("txn", {"app": "app", "version": 4}))
+    rep = verify_table(spark, table)
+    assert not rep["checks"]["txn_monotonic"]["ok"]
