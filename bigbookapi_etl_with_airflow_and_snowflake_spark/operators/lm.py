@@ -41,6 +41,8 @@ __all__ = [
     "quality_buckets",
     "dsir_weights",
     "dsir_sample",
+    "nb_token_weights",
+    "nb_classify",
 ]
 
 
@@ -258,6 +260,111 @@ def dsir_sample(
     # cached copy of the scored corpus for the session lifetime
     scored.unpersist()
     return sample
+
+
+def nb_token_weights(
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-token Naive-Bayes vote weights from two labeled seed slices
+    — the *seed classifier* step every production curation stack runs
+    (CCNet/LLaMA train a fastText model on Wikipedia-vs-crawl; GPT-3 a
+    logistic classifier on WebText-vs-crawl) to score raw documents by
+    target-likeness. fastText with unigram features IS a linear
+    classifier over token log-odds; this is that model with the
+    module's integer quantization so train + inference replay exactly
+    in SQL (the DSIR convention — engine-order-sensitive floats never
+    decide a keep/drop).
+
+    Weight per token w: ``δ(w) = ilog2(c_pos(w)+1) − ilog2(c_neg(w)+1)``
+    with ``ilog2(x) = length(bin(x))`` — the add-one-smoothed
+    log-likelihood ratio quantized to whole bits, pure string/integer
+    ops. The class-prior and total-count normalizers are per-token
+    constants (they shift every token's weight equally) and are
+    deliberately dropped: the decision threshold in
+    :func:`nb_classify` anchors the scale, exactly as DSIR's min-shift
+    does.
+
+    Output: (tok, c_pos, c_neg, delta) for every token in either seed
+    — |vocab| rows, broadcastable at any corpus size (the model is a
+    dictionary, not a corpus)."""
+    cp = _doc_tokens(pos, text_col, id_col).groupBy("tok").agg(
+        F.count("*").alias("c_pos")
+    )
+    cn = _doc_tokens(neg, text_col, id_col).groupBy("tok").agg(
+        F.count("*").alias("c_neg")
+    )
+
+    def ilog2p1(c):
+        return F.length(F.bin(c + F.lit(1)))
+
+    return (
+        cp.join(cn, "tok", "full")
+        .select(
+            "tok",
+            F.coalesce("c_pos", F.lit(0)).cast("long").alias("c_pos"),
+            F.coalesce("c_neg", F.lit(0)).cast("long").alias("c_neg"),
+        )
+        .withColumn(
+            "delta",
+            (
+                ilog2p1(F.col("c_pos")) - ilog2p1(F.col("c_neg"))
+            ).cast("long"),
+        )
+    )
+
+
+def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, tok) — one row per whitespace token occurrence (module-
+    standard tokenization, operators/text.py tokens)."""
+    from .text import tokens
+
+    return df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+
+
+def nb_classify(
+    docs: DataFrame,
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: int = 0,
+) -> DataFrame:
+    """Score every document with the :func:`nb_token_weights` seed
+    classifier: ``nb_score = Σ δ(w)`` over the document's token
+    occurrences (tokens unseen in both seeds vote 0), and
+    ``nb_positive = nb_score > threshold`` — the keep/drop signal a
+    curation funnel feeds into its quality gate (CCNet routes the
+    classifier score into its head/middle/tail split; GPT-3 used it as
+    a Pareto-resampling weight).
+
+    Integer-exact end to end, so the decision — not just the score —
+    replays bit-identically in any engine. Documents with no tokens
+    (NULL text) are excluded, same convention as
+    :func:`score_bigram_lm`.
+
+    Scale: the weight table is |vocab| rows (broadcastable); scoring is
+    one explode → hash-join → map-side-combined groupBy, a single pass
+    over the document stream — the same plan at 100 TB."""
+    w = nb_token_weights(pos, neg, text_col, id_col).select("tok", "delta")
+    return (
+        _doc_tokens(docs, text_col, id_col)
+        .join(F.broadcast(w), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("delta"), F.lit(0)))
+            .cast("long")
+            .alias("nb_score"),
+        )
+        .withColumn(
+            "nb_positive", F.col("nb_score") > F.lit(int(threshold))
+        )
+    )
 
 
 def quality_buckets(

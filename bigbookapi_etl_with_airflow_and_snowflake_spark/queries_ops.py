@@ -864,6 +864,48 @@ WHERE (cum - dsir_weight) // step < LEAST(cum // step, 200)
 """
 
 
+def q_nb_seed_classifier(spark, sf):
+    """Seed quality classifier (operators/lm.py nb_classify — the
+    CCNet/fastText/GPT-3 'train a small classifier on a trusted seed,
+    score the crawl' step, with unigram Naive-Bayes log-odds as the
+    linear model): positive seed = the src0 slice, negative seed =
+    everything else; every document is then scored by the sum of
+    whole-bit-quantized token log-likelihood ratios and flagged
+    positive above 0. Integer-exact train AND inference, so the oracle
+    replays the full model — token counts, the ilog2 quantization via
+    length(bin(c+1)), the unseen-token zero vote, the decision — not
+    just aggregate shapes."""
+    from .operators.lm import nb_classify
+
+    docs = _t(spark, sf, "documents")
+    return nb_classify(
+        docs,
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") != "src0"),
+    ).select("doc_id", "n_tokens", "nb_score", "nb_positive")
+
+
+SQL_NB_SEED_CLASSIFIER = r"""
+WITH toks AS (
+  SELECT doc_id, source, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+),
+cp AS (SELECT tok, COUNT(*) AS c FROM toks WHERE source = 'src0' GROUP BY tok),
+cn AS (SELECT tok, COUNT(*) AS c FROM toks WHERE source <> 'src0' GROUP BY tok),
+w AS (
+  SELECT COALESCE(cp.tok, cn.tok) AS tok,
+         CAST(length(bin(COALESCE(cp.c, 0) + 1)) AS BIGINT)
+         - CAST(length(bin(COALESCE(cn.c, 0) + 1)) AS BIGINT) AS delta
+  FROM cp FULL JOIN cn ON cp.tok = cn.tok
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(COALESCE(w.delta, 0)) AS BIGINT) AS nb_score,
+       CAST(SUM(COALESCE(w.delta, 0)) AS BIGINT) > 0 AS nb_positive
+FROM toks t LEFT JOIN w ON t.tok = w.tok
+GROUP BY t.doc_id
+"""
+
+
 def q_flac_meta(spark, sf):
     """N5 FLAC STREAMINFO demux under the oracle gate: a valid FLAC
     stream head is synthesized per document from (doc_id, text length)
@@ -4832,6 +4874,143 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_rollup_from_changes(spark, sf):
+    """The incremental producer meets the incremental consumer
+    (sinks/versioned.py read_changes → operators/rollup.py
+    refresh_rollup): events land in a versioned table as three
+    append-only commits; after each, a CDF read from the consumer's
+    cursor yields exactly the new rows — scanning ONLY the commit's
+    files, never the carried ones — and folds them into the
+    materialized hourly rollup. The final rollup must equal the
+    from-scratch aggregation (the oracle), and ``incremental_scoped``
+    pins that every feed read cost O(increment): zero before-side
+    scans, after-side scans exactly the appended files. This is the
+    materialized-view-maintenance loop a warehouse runs forever — the
+    decomposability contract (q_rollup_refresh) composed with the
+    manifest-scoped feed."""
+    from .operators.rollup import refresh_rollup
+    from .sinks.versioned import read_changes, write_version
+
+    e = _t(spark, sf, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    aggs = [
+        ("count", "event_id", "n_events"),
+        ("min", "value", "min_value"),
+        ("max", "value", "max_value"),
+    ]
+    d = tempfile.mkdtemp(prefix="q_rollchg_")
+    t, roll = os.path.join(d, "events_v"), os.path.join(d, "rollup")
+    try:
+        cursor = 0
+        scoped = []
+        for mod in (0, 1, 2):
+            v = write_version(
+                spark,
+                e.filter(F.col("event_id") % 3 == mod).repartition(2),
+                t,
+                mode="append" if mod else "overwrite",
+            )
+            info: dict = {}
+            inc = (
+                read_changes(spark, t, cursor, v, info=info)
+                .filter(F.col("_change_type") == "insert")
+                .drop("_change_type")
+            )
+            refresh_rollup(spark, inc, roll, "ts", "hour", ["event_type"], aggs)
+            scoped.append(
+                info["files_scanned_before"] == 0
+                and info["files_scanned_after"]
+                == info["files_after"] - info["files_before"]
+            )
+            cursor = v
+        out = (
+            spark.read.parquet(roll)
+            .select(
+                "bucket_start", "event_type", "n_events",
+                "min_value", "max_value",
+            )
+            .withColumn("incremental_scoped", F.lit(all(scoped)))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_ROLLUP_FROM_CHANGES = """
+SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+       COUNT(*) AS n_events, MIN(value) AS min_value,
+       MAX(value) AS max_value, TRUE AS incremental_scoped
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_table_history(spark, sf):
+    """DESCRIBE HISTORY (sinks/versioned.py versions — the audit
+    surface a lakehouse operator reads first): a table takes one of
+    each commit type — overwrite, append, COW delete, MOR delete — and
+    the reported history must carry the right mode label, the right
+    row-count bookkeeping at every step (append adds, COW subtracts via
+    rewrite, MOR subtracts via DV with no file rewritten), and the DV
+    flag flipping only on the MOR commit. The oracle recomputes every
+    row count from the source table, so a bookkeeping drift anywhere in
+    the commit paths fails the hash."""
+    from .sinks.versioned import (
+        _load_manifest,
+        delete_version,
+        versions as table_versions,
+        write_version,
+    )
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    d = tempfile.mkdtemp(prefix="q_thist_")
+    t = os.path.join(d, "orders_v")
+    try:
+        write_version(
+            spark, o.filter(F.col("o_orderkey") % 2 == 0).repartition(2), t
+        )
+        write_version(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 1).repartition(2),
+            t,
+            mode="append",
+        )
+        delete_version(spark, t, F.col("o_orderkey") % 5 == 0)
+        delete_version(spark, t, F.col("o_orderkey") % 7 == 0, mode="mor")
+        rows = [
+            (
+                h["version"],
+                h["mode"],
+                h["n_rows"],
+                bool(_load_manifest(t, h["version"]).get("dv_files")),
+            )
+            for h in table_versions(t)
+        ]
+        out = spark.createDataFrame(
+            rows, "version int, mode string, n_rows long, has_dv boolean"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_TABLE_HISTORY = """
+SELECT CAST(1 AS INTEGER) AS version, 'overwrite' AS mode,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_rows,
+       FALSE AS has_dv
+UNION ALL
+SELECT 2, 'append', (SELECT COUNT(*) FROM orders), FALSE
+UNION ALL
+SELECT 3, 'delete',
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 <> 0), FALSE
+UNION ALL
+SELECT 4, 'delete_mor',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0), TRUE
+"""
+
+
 OPS_REGISTRY = {
     "exact_substr_spans": (q_exact_substr_spans, SQL_EXACT_SUBSTR_SPANS),
     "exact_substr_scrub": (q_exact_substr_scrub, SQL_EXACT_SUBSTR_SCRUB),
@@ -4916,6 +5095,7 @@ OPS_REGISTRY = {
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "mp4_samples": (q_mp4_samples, SQL_MP4_SAMPLES),
     "lm_quality": (q_lm_quality, SQL_LM_QUALITY),
+    "nb_seed_classifier": (q_nb_seed_classifier, SQL_NB_SEED_CLASSIFIER),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "corpus_manifest": (q_corpus_manifest, _sql_corpus_manifest()),
     "streaming_curated_ingest": (
@@ -4937,4 +5117,6 @@ OPS_REGISTRY = {
     "versioned_clone": (q_versioned_clone, SQL_VERSIONED_CLONE),
     "table_fsck": (q_table_fsck, SQL_TABLE_FSCK),
     "versioned_concurrent": (q_versioned_concurrent, SQL_VERSIONED_CONCURRENT),
+    "rollup_from_changes": (q_rollup_from_changes, SQL_ROLLUP_FROM_CHANGES),
+    "table_history": (q_table_history, SQL_TABLE_HISTORY),
 }

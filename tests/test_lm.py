@@ -217,3 +217,110 @@ def test_dsir_sample_empty_corpus_is_loud(spark):
     )
     with pytest.raises(ValueError, match="bigram-bearing"):
         dsir_sample(df, df, k=1)
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes seed classifier (nb_token_weights / nb_classify)
+# ---------------------------------------------------------------------------
+
+POS_SEED = [
+    (0, "good clean prose flows well", "seed"),
+    (1, "clean prose reads well", "seed"),
+]
+NEG_SEED = [
+    (100, "spam spam buy buy buy", "crawl"),
+    (101, "click spam here buy", "crawl"),
+]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def _py_nb(pos_texts, neg_texts):
+    cp: dict[str, int] = {}
+    cn: dict[str, int] = {}
+    for t in pos_texts:
+        for w in t.split():
+            cp[w] = cp.get(w, 0) + 1
+    for t in neg_texts:
+        for w in t.split():
+            cn[w] = cn.get(w, 0) + 1
+
+    def ilog2p1(c):
+        return len(bin(c + 1)) - 2  # strip '0b'
+
+    return {
+        w: ilog2p1(cp.get(w, 0)) - ilog2p1(cn.get(w, 0))
+        for w in set(cp) | set(cn)
+    }
+
+
+def test_nb_classifier_matches_python_reference(spark):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lm import nb_classify
+
+    docs = _docs(
+        spark,
+        [
+            (10, "clean prose flows", "x"),       # all-positive tokens
+            (11, "buy spam buy", "x"),            # all-negative tokens
+            (12, "clean spam", "x"),              # mixed
+            (13, "quantum flux unseen", "x"),     # fully unseen -> score 0
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nb_score"], r["nb_positive"])
+        for r in nb_classify(
+            docs, _docs(spark, POS_SEED), _docs(spark, NEG_SEED)
+        ).collect()
+    }
+    w = _py_nb([t for _, t, _ in POS_SEED], [t for _, t, _ in NEG_SEED])
+    for doc_id, text in [(10, "clean prose flows"), (11, "buy spam buy"),
+                         (12, "clean spam"), (13, "quantum flux unseen")]:
+        toks = text.split()
+        score = sum(w.get(t, 0) for t in toks)
+        assert got[doc_id] == (len(toks), score, score > 0), doc_id
+    assert got[10][2] and not got[11][2]  # signs are right
+    assert got[13][1] == 0  # unseen vocabulary votes neutrally
+
+
+def test_nb_weights_are_vocab_sized_and_exact(spark):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lm import (
+        nb_token_weights,
+    )
+
+    w = nb_token_weights(_docs(spark, POS_SEED), _docs(spark, NEG_SEED))
+    rows = {r["tok"]: (r["c_pos"], r["c_neg"], r["delta"]) for r in w.collect()}
+    ref = _py_nb([t for _, t, _ in POS_SEED], [t for _, t, _ in NEG_SEED])
+    assert set(rows) == set(ref)  # exactly the union vocabulary
+    for tok, (cp, cn, delta) in rows.items():
+        assert delta == ref[tok], tok
+    assert rows["buy"][2] < 0 < rows["clean"][2]
+    # one-sided tokens carry counts from the side that saw them only
+    assert rows["flows"][:2] == (1, 0) and rows["click"][:2] == (0, 1)
+
+
+def test_nb_classifier_partition_invariance(spark):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lm import nb_classify
+
+    docs = _docs(
+        spark, [(i, f"clean spam token{i % 3}", "x") for i in range(40)]
+    )
+    a = nb_classify(
+        docs.repartition(1), _docs(spark, POS_SEED), _docs(spark, NEG_SEED)
+    )
+    b = nb_classify(
+        docs.repartition(7), _docs(spark, POS_SEED), _docs(spark, NEG_SEED)
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_nb_classifier_null_text_excluded_and_threshold(spark):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.lm import nb_classify
+
+    docs = _docs(spark, [(1, None, "x"), (2, "clean prose", "x")])
+    got = nb_classify(
+        docs, _docs(spark, POS_SEED), _docs(spark, NEG_SEED), threshold=10**9
+    ).collect()
+    assert [r["doc_id"] for r in got] == [2]  # NULL text contributes no row
+    assert not got[0]["nb_positive"]  # threshold is respected
