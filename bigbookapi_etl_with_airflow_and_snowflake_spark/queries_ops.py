@@ -4874,6 +4874,93 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_versioned_scoped_dml(spark, sf):
+    """Partition-scoped DML (sinks/versioned.py delete_version /
+    update_version ``partition_scope`` — how Delta executes ``DELETE
+    WHERE dt = ...``): on a partitioned events table, a scope-only COW
+    delete drops the 'view' partition OPENING ONLY ITS FILES (the scope
+    is ANDed into the predicate, so the skipping can never change which
+    rows qualify — out-of-scope files are carried unopened), then a
+    scoped MOR update zeroes 'click' values scanning only that
+    partition and rewriting NOTHING. At 100 TB this is the difference
+    between a partition-sized scan and a table-sized one for every
+    GDPR/compaction/backfill DML.
+
+    Literals (oracle-pinned TRUE): ``delete_scoped`` /
+    ``update_scoped`` — each DML's ``files_scanned`` was a strict
+    subset of the snapshot; ``mor_zero_rewrite`` — the scoped update
+    rewrote zero files. The aggregate reads the final head, so a scope
+    that skipped a file it shouldn't have fails the value hash."""
+    from .sinks.versioned import (
+        _load_manifest,
+        delete_version,
+        read_version,
+        update_version,
+        write_version,
+    )
+
+    e = _t(spark, sf, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    d = tempfile.mkdtemp(prefix="q_vscope_")
+    t = os.path.join(d, "events_v")
+    try:
+        write_version(
+            spark,
+            e.repartition("event_type"),
+            t,
+            partition_by=["event_type"],
+        )
+        n1 = len(_load_manifest(t, 1)["files"])
+        r1 = delete_version(
+            spark, t, partition_scope={"event_type": ["view"]}
+        )
+        delete_scoped = 0 < r1["files_scanned"] < n1
+        n2 = len(_load_manifest(t, None)["files"])
+        r2 = update_version(
+            spark,
+            t,
+            None,
+            {"value": F.lit(0.0)},
+            mode="mor",
+            partition_scope={"event_type": ["click"]},
+        )
+        update_scoped = 0 < r2["files_scanned"] < n2
+        mor_zero_rewrite = r2["files_rewritten"] == 0
+        out = (
+            read_version(spark, t)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("event_id").cast("long").alias("sum_id"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .withColumn("delete_scoped", F.lit(delete_scoped))
+            .withColumn("update_scoped", F.lit(update_scoped))
+            .withColumn("mor_zero_rewrite", F.lit(mor_zero_rewrite))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_SCOPED_DML = """
+WITH state AS (
+  SELECT event_id, event_type, user_id,
+         CASE WHEN event_type = 'click' THEN 0.0 ELSE value END AS value
+  FROM events WHERE event_type <> 'view'
+)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_id,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       TRUE AS delete_scoped, TRUE AS update_scoped,
+       TRUE AS mor_zero_rewrite
+FROM state GROUP BY event_type
+"""
+
+
 def q_rollup_from_changes(spark, sf):
     """The incremental producer meets the incremental consumer
     (sinks/versioned.py read_changes → operators/rollup.py
@@ -5119,4 +5206,5 @@ OPS_REGISTRY = {
     "versioned_concurrent": (q_versioned_concurrent, SQL_VERSIONED_CONCURRENT),
     "rollup_from_changes": (q_rollup_from_changes, SQL_ROLLUP_FROM_CHANGES),
     "table_history": (q_table_history, SQL_TABLE_HISTORY),
+    "versioned_scoped_dml": (q_versioned_scoped_dml, SQL_VERSIONED_SCOPED_DML),
 }

@@ -882,6 +882,57 @@ def _carried_partitions(base: dict | None, files: Sequence[str]) -> dict:
     }
 
 
+def _partition_candidates(m: dict, scope: dict | None) -> list[str] | None:
+    """Files of manifest ``m`` that CAN hold rows matching the
+    partition-scope equalities (``{col: [values...]}``), from the
+    recorded per-file value map — the DML file-skipping pass. Returns
+    ``None`` when nothing is skippable (no scope, no recorded
+    partitioning, or no scoped column is a partition column) so callers
+    scan everything. Unmapped files (COW-rewritten) are always
+    candidates — conservative, never wrong. Metadata-only: zero I/O."""
+    if not scope:
+        return None
+    pcols = set(m.get("partition_cols") or [])
+    pmap = m.get("partitions") or {}
+    usable = {
+        c: {_norm_part_value(v) for v in vals}
+        for c, vals in scope.items()
+        if c in pcols
+    }
+    if not usable or not pmap:
+        return None
+    out = []
+    for f in m["files"]:
+        rec = pmap.get(_canon(f))
+        if rec is None or all(
+            rec.get(c) in want for c, want in usable.items()
+        ):
+            out.append(f)
+    return out
+
+
+def _scoped_cond(predicate, partition_scope: dict | None):
+    """Compose the DML predicate with the partition scope: the scope IS
+    part of the predicate (ANDed in), so correctness can never depend
+    on the file skipping it also enables — a scope that the candidates
+    pass happens to match is a fast path, a scope the caller got wrong
+    just deletes/updates fewer rows than they imagined, loudly visible
+    in the result counts. ``predicate=None`` with a scope is the
+    partition-DML form (``DELETE WHERE dt = '2024-01-01'``)."""
+    from pyspark.sql import functions as F
+
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    if partition_scope:
+        for c, vals in sorted(partition_scope.items()):
+            clause = F.col(c).isin(list(vals))
+            cond = clause if cond is None else cond & clause
+    if cond is None:
+        raise ValueError(
+            "DML needs a predicate, a partition_scope, or both"
+        )
+    return cond
+
+
 def write_version(
     spark: SparkSession,
     df: DataFrame,
@@ -1470,12 +1521,13 @@ def merge_version(
 def delete_version(
     spark: SparkSession,
     table_dir: str,
-    predicate,
+    predicate=None,
     base_version: int | None = None,
     mode: str = "cow",
     index_cols: Sequence[str] = (),
     index_geometry: dict[str, tuple[int, int]] | None = None,
     index_max_chain: int = 8,
+    partition_scope: dict[str, Sequence] | None = None,
 ) -> dict:
     """DELETE on a versioned table: rows where ``predicate`` is TRUE
     leave the table; rows where it is FALSE or NULL stay (SQL DELETE
@@ -1504,25 +1556,42 @@ def delete_version(
     :func:`write_version`; a MOR commit's index maintenance is the
     zero-new-files chain link (the file set is unchanged).
 
+    ``partition_scope`` (``{col: [values...]}``): partition-DML file
+    skipping (how Delta executes ``DELETE WHERE dt = ...``): the scope
+    is ANDed INTO the predicate — so it can never change which rows
+    qualify beyond what it states — and files whose RECORDED partition
+    value (write_version ``partition_by``) can't match are carried
+    WITHOUT BEING OPENED. A partition-scoped delete on a 100 TB table
+    scans the scoped partitions only; with ``predicate=None`` the scope
+    alone is the delete condition. Unmapped files still scan
+    (conservative). The result's ``files_scanned`` reports the actual
+    scan set.
+
     Returns ``{"version", "files_rewritten", "files_carried",
-    "n_deleted", "n_rows"}`` (+ ``"dv_files_added"`` for MOR).
+    "files_scanned", "n_deleted", "n_rows"}`` (+ ``"dv_files_added"``
+    for MOR).
     """
     from pyspark.sql import functions as F
 
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be cow|mor, got {mode!r}")
-    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    cond = _scoped_cond(predicate, partition_scope)
     base = _load_manifest(table_dir, base_version)
+    cand = _partition_candidates(base, partition_scope)
+    scan_files = base["files"] if cand is None else cand
     if mode == "mor":
         return _delete_version_mor(
             spark, table_dir, cond, base,
             index_cols, index_geometry, index_max_chain,
+            scan_files=scan_files,
         )
-    if base["files"]:
+    if base["files"] and scan_files:
         # _live_scan: recorded schema + existing DVs applied — an
         # already-MOR-deleted row must neither mark its file touched
-        # nor resurrect in the rewrite
-        cur = _live_scan(spark, base, identity=True)
+        # nor resurrect in the rewrite; the scan is scoped to the
+        # partition candidates (out-of-scope files can't match the
+        # scoped predicate by construction)
+        cur = _live_scan(spark, base, files=sorted(scan_files), identity=True)
         schema_json = base.get("schema") or _recorded_reader(
             spark, base
         ).parquet(*base["files"]).schema.json()
@@ -1530,6 +1599,12 @@ def delete_version(
             r[_DV_FILE]
             for r in cur.filter(cond).select(_DV_FILE).distinct().collect()
         }
+    elif base["files"]:
+        # every file is out of scope: no row can match — no-op commit
+        schema_json = base.get("schema") or _recorded_reader(
+            spark, base
+        ).parquet(*base["files"]).schema.json()
+        touched = set()
     else:
         # already-empty snapshot (a prior delete removed every row and
         # staged no part files): the delete is a no-op commit
@@ -1580,6 +1655,7 @@ def delete_version(
         "version": v,
         "files_rewritten": len(touched),
         "files_carried": len(carried),
+        "files_scanned": len(scan_files),
         "n_deleted": n_touched - n_new,
         "n_rows": base["n_rows"] - n_touched + n_new,
     }
@@ -1593,6 +1669,7 @@ def _delete_version_mor(
     index_cols: Sequence[str],
     index_geometry: dict[str, tuple[int, int]] | None,
     index_max_chain: int,
+    scan_files: Sequence[str] | None = None,
 ) -> dict:
     """Merge-on-read DELETE body (see :func:`delete_version`
     ``mode='mor'``): one scan finds the matching LIVE rows' physical
@@ -1607,10 +1684,14 @@ def _delete_version_mor(
     dv_new: list[str] = []
     n_deleted = 0
     dv_dir = None
-    if base["files"]:
+    scoped = list(base["files"] if scan_files is None else scan_files)
+    if scoped:
         # existing DVs applied: a row deleted by a PRIOR MOR commit
-        # must not be re-recorded (double-decrementing n_rows)
-        live = _live_scan(spark, base, identity=True)
+        # must not be re-recorded (double-decrementing n_rows); the
+        # scan is scoped to the partition candidates when the caller
+        # passed a partition_scope (out-of-scope files can't match the
+        # scoped predicate by construction)
+        live = _live_scan(spark, base, files=sorted(scoped), identity=True)
         matched = live.filter(cond).select(
             F.col(_DV_FILE).alias("file"), F.col(_DV_POS).alias("pos")
         )
@@ -1666,6 +1747,7 @@ def _delete_version_mor(
         "version": v,
         "files_rewritten": 0,
         "files_carried": len(base["files"]),
+        "files_scanned": len(scoped),
         "n_deleted": n_deleted,
         "n_rows": base["n_rows"] - n_deleted,
         "dv_files_added": len(dv_new),
@@ -1682,6 +1764,7 @@ def update_version(
     index_cols: Sequence[str] = (),
     index_geometry: dict[str, tuple[int, int]] | None = None,
     index_max_chain: int = 8,
+    partition_scope: dict[str, Sequence] | None = None,
 ) -> dict:
     """UPDATE on a versioned table: rows where ``predicate`` is TRUE
     get ``assignments`` (column → Column/SQL-string expression)
@@ -1708,17 +1791,22 @@ def update_version(
       overwrite/compaction folds the DVs away.
 
     Existing DVs are honored on both paths: a MOR-deleted row never
-    matches, never resurrects, and never re-records. Returns
-    ``{"version", "files_rewritten", "files_carried", "files_added",
-    "n_updated", "n_rows"}``."""
+    matches, never resurrects, and never re-records.
+    ``partition_scope``: partition-DML file skipping, same contract as
+    :func:`delete_version` — the scope is ANDed into the predicate and
+    files whose recorded partition value can't match are never opened.
+    Returns ``{"version", "files_rewritten", "files_carried",
+    "files_added", "files_scanned", "n_updated", "n_rows"}``."""
     from pyspark.sql import functions as F
 
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be cow|mor, got {mode!r}")
     if not assignments:
         raise ValueError("update_version: empty assignments")
-    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    cond = _scoped_cond(predicate, partition_scope)
     base = _load_manifest(table_dir, base_version)
+    cand = _partition_candidates(base, partition_scope)
+    scan_files = base["files"] if cand is None else cand
     if not base["files"]:
         raise ValueError("update on an empty snapshot — nothing to match")
     schema_json = base.get("schema") or _recorded_reader(spark, base).parquet(
@@ -1755,8 +1843,16 @@ def update_version(
         import shutil
 
         # one scan feeds two writes (DV coordinates + updated images):
-        # persist the matched slice so the full-table filter runs once
-        matched = _live_scan(spark, base, identity=True).filter(cond).persist()
+        # persist the matched slice so the full-table filter runs once;
+        # the scan is scoped to the partition candidates (out-of-scope
+        # files can't match the scoped predicate by construction)
+        matched = (
+            _live_scan(spark, base, files=sorted(scan_files), identity=True)
+            .filter(cond)
+            .persist()
+            if scan_files
+            else _live_scan(spark, base, identity=True).filter(F.lit(False)).persist()
+        )
         try:
             dv_dir = os.path.join(table_dir, _DV_DIR, uuid.uuid4().hex)
             matched.select(
@@ -1814,15 +1910,20 @@ def update_version(
             "files_rewritten": 0,
             "files_carried": len(base["files"]),
             "files_added": len(new_files),
+            "files_scanned": len(scan_files),
             "n_updated": n_updated,
             "n_rows": base["n_rows"],
         }
 
-    cur = _live_scan(spark, base, identity=True)
-    touched = {
-        r[_DV_FILE]
-        for r in cur.filter(cond).select(_DV_FILE).distinct().collect()
-    }
+    if scan_files:
+        cur = _live_scan(spark, base, files=sorted(scan_files), identity=True)
+        touched = {
+            r[_DV_FILE]
+            for r in cur.filter(cond).select(_DV_FILE).distinct().collect()
+        }
+    else:
+        # every file is out of scope: no row can match — no-op commit
+        touched = set()
     carried = _carried_files(base["files"], touched)
     if touched:
         scope = _live_scan(spark, base, files=sorted(touched), identity=True)
@@ -1866,6 +1967,7 @@ def update_version(
         "files_rewritten": len(touched),
         "files_carried": len(carried),
         "files_added": len(new_files),
+        "files_scanned": len(scan_files),
         "n_updated": n_updated,
         "n_rows": base["n_rows"],
     }

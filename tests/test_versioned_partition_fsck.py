@@ -372,3 +372,88 @@ def test_fsck_detects_txn_regression(spark, sf_dir, table):
     _tamper(table, 2, lambda m: m.__setitem__("txn", {"app": "app", "version": 4}))
     rep = verify_table(spark, table)
     assert not rep["checks"]["txn_monotonic"]["ok"]
+
+
+# ---------------------------------------------------------------------------
+# partition-scoped DML (delete_version / update_version partition_scope)
+# ---------------------------------------------------------------------------
+
+
+def test_scoped_delete_skips_unscoped_files(spark, sf_dir, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        update_version,
+    )
+
+    e = _events(spark, sf_dir)
+    write_version(
+        spark, e.repartition("event_type"), table, partition_by=["event_type"]
+    )
+    n_files = len(_load_manifest(table, 1)["files"])
+    # scope-only delete (predicate=None): the Delta partition-DELETE form
+    r = delete_version(spark, table, partition_scope={"event_type": ["view"]})
+    assert r["files_scanned"] == 1 < n_files
+    got = read_version(spark, table)
+    want = e.filter(F.col("event_type") != "view")
+    assert got.count() == want.count() and got.exceptAll(want).isEmpty()
+    # scope + predicate compose (AND): only in-scope matching rows go
+    r2 = delete_version(
+        spark,
+        table,
+        F.col("event_id") % 2 == 0,
+        mode="mor",
+        partition_scope={"event_type": ["click"]},
+    )
+    assert r2["files_rewritten"] == 0  # MOR stays zero-rewrite
+    assert r2["files_scanned"] < len(_load_manifest(table, None)["files"])
+    want2 = e.filter(
+        (F.col("event_type") != "view")
+        & ~((F.col("event_type") == "click") & (F.col("event_id") % 2 == 0))
+    )
+    got2 = read_version(spark, table)
+    assert got2.count() == want2.count() and got2.exceptAll(want2).isEmpty()
+    # scoped UPDATE, both modes
+    r3 = update_version(
+        spark,
+        table,
+        None,
+        {"value": F.lit(0.0)},
+        partition_scope={"event_type": ["signup"]},
+    )
+    assert r3["files_scanned"] < len(_load_manifest(table, None)["files"])
+    assert (
+        read_version(spark, table)
+        .filter((F.col("event_type") == "signup") & (F.col("value") != 0.0))
+        .count()
+        == 0
+    )
+
+
+def test_scoped_delete_out_of_scope_is_noop(spark, sf_dir, table):
+    e = _events(spark, sf_dir)
+    write_version(
+        spark, e.repartition("event_type"), table, partition_by=["event_type"]
+    )
+    r = delete_version(spark, table, partition_scope={"event_type": ["zzz"]})
+    assert r["n_deleted"] == 0 and r["files_rewritten"] == 0
+    assert r["files_scanned"] == 0  # every file skipped from the manifest
+    assert read_version(spark, table).count() == e.count()
+
+
+def test_scoped_delete_without_partitioning_scans_all(spark, sf_dir, table):
+    # scope on an UNPARTITIONED table: no skipping, but the scope still
+    # narrows the predicate (correctness never depends on the map)
+    e = _events(spark, sf_dir)
+    write_version(spark, e.repartition(4), table)
+    r = delete_version(spark, table, partition_scope={"event_type": ["view"]})
+    assert r["files_scanned"] == 4
+    assert (
+        read_version(spark, table).count()
+        == e.filter(F.col("event_type") != "view").count()
+    )
+
+
+def test_dml_requires_predicate_or_scope(spark, sf_dir, table):
+    e = _events(spark, sf_dir)
+    write_version(spark, e, table)
+    with pytest.raises(ValueError, match="predicate"):
+        delete_version(spark, table)
