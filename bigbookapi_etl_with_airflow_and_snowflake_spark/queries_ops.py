@@ -4961,6 +4961,126 @@ FROM state GROUP BY event_type
 """
 
 
+def q_table_constraints(spark, sf):
+    """Table-level CHECK constraints (sinks/versioned.py
+    ``check_constraints`` + add_constraint/drop_constraint — Delta
+    ``ALTER TABLE ... ADD CONSTRAINT CHECK``): the table records its
+    invariants in the manifest and enforces them on EVERY writer's
+    append at O(increment) cost (the violation counts ride the same
+    single aggregation that counts the staged rows). The script: v1
+    commits the even orders under a positivity CHECK; a poisoned
+    append is REFUSED with nothing staged; the odd half lands clean;
+    ``add_constraint`` validates ALL history before growing the
+    contract, and refuses when history violates; the grown contract is
+    enforced on the next append; a deep FSCK confirms the head honors
+    every recorded constraint.
+
+    Literals (oracle-pinned TRUE): ``violation_refused`` +
+    ``nothing_staged`` (the poisoned append raised and left zero
+    orphan bytes and no version), ``bad_add_refused`` (history
+    validation works), ``grown_enforced`` (the added constraint
+    rejects the next bad append), ``fsck_holds``. The aggregate reads
+    the final head — exactly the clean union — so enforcement that
+    let a poisoned row slip fails the value hash too."""
+    import glob as _glob
+
+    from .sinks.versioned import (
+        add_constraint,
+        read_version,
+        versions as table_versions,
+        write_version,
+        verify_table,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = tempfile.mkdtemp(prefix="q_tcc_")
+    t = os.path.join(d, "orders_v")
+    try:
+        write_version(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 0).repartition(2),
+            t,
+            check_constraints={"price_pos": "o_totalprice > 0"},
+        )
+        staged = set(_glob.glob(os.path.join(t, "data", "*", "*.parquet")))
+        try:
+            write_version(
+                spark,
+                o.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+                    "o_totalprice", -F.col("o_totalprice")
+                ),
+                t,
+                mode="append",
+            )
+            violation_refused = False
+        except ValueError:
+            violation_refused = True
+        nothing_staged = (
+            set(_glob.glob(os.path.join(t, "data", "*", "*.parquet")))
+            == staged
+            and len(table_versions(t)) == 1
+        )
+        write_version(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 1).repartition(2),
+            t,
+            mode="append",
+        )
+        add_constraint(
+            spark, t, "status_valid", "o_orderstatus IN ('F','O','P')"
+        )
+        try:
+            add_constraint(spark, t, "impossible", "o_orderkey < 0")
+            bad_add_refused = False
+        except ValueError:
+            bad_add_refused = True
+        try:
+            write_version(
+                spark,
+                o.limit(2).withColumn("o_orderstatus", F.lit("X")),
+                t,
+                mode="append",
+            )
+            grown_enforced = False
+        except ValueError:
+            grown_enforced = True
+        rep = verify_table(spark, t, deep=True)
+        fsck_holds = rep["ok"] and rep["checks"]["constraints_hold"]["ok"]
+        out = (
+            read_version(spark, t)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).alias("cents"),
+            )
+            .withColumn("violation_refused", F.lit(violation_refused))
+            .withColumn("nothing_staged", F.lit(nothing_staged))
+            .withColumn("bad_add_refused", F.lit(bad_add_refused))
+            .withColumn("grown_enforced", F.lit(grown_enforced))
+            .withColumn("fsck_holds", F.lit(fsck_holds))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_TABLE_CONSTRAINTS = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       TRUE AS violation_refused, TRUE AS nothing_staged,
+       TRUE AS bad_add_refused, TRUE AS grown_enforced, TRUE AS fsck_holds
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q_rollup_from_changes(spark, sf):
     """The incremental producer meets the incremental consumer
     (sinks/versioned.py read_changes → operators/rollup.py
@@ -5207,4 +5327,5 @@ OPS_REGISTRY = {
     "rollup_from_changes": (q_rollup_from_changes, SQL_ROLLUP_FROM_CHANGES),
     "table_history": (q_table_history, SQL_TABLE_HISTORY),
     "versioned_scoped_dml": (q_versioned_scoped_dml, SQL_VERSIONED_SCOPED_DML),
+    "table_constraints": (q_table_constraints, SQL_TABLE_CONSTRAINTS),
 }

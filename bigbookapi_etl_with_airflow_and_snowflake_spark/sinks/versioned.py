@@ -64,6 +64,8 @@ __all__ = [
     "vacuum",
     "verify_table",
     "clone_table",
+    "add_constraint",
+    "drop_constraint",
     "merge_version",
     "delete_version",
     "CommitConflict",
@@ -882,6 +884,17 @@ def _carried_partitions(base: dict | None, files: Sequence[str]) -> dict:
     }
 
 
+def _carried_constraints(base: dict | None) -> dict:
+    """Manifest constraint field for a child commit: the recorded CHECK
+    set is the TABLE's contract and rides every commit verbatim. DML
+    paths carry it without re-validating their rewritten rows (an
+    UPDATE assignment could in principle break a CHECK) —
+    :func:`verify_table` ``deep=True`` is the documented backstop."""
+    if not base or not base.get("constraints"):
+        return {}
+    return {"constraints": dict(base["constraints"])}
+
+
 def _partition_candidates(m: dict, scope: dict | None) -> list[str] | None:
     """Files of manifest ``m`` that CAN hold rows matching the
     partition-scope equalities (``{col: [values...]}``), from the
@@ -947,6 +960,7 @@ def write_version(
     txn_version: int | None = None,
     stats_cols: Sequence[str] = (),
     partition_by: Sequence[str] | None = (),
+    check_constraints: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` as the next version of the table; returns the new
     version number. ``mode='overwrite'`` → the snapshot is exactly
@@ -1026,6 +1040,28 @@ def write_version(
     the fewest files; a hash-scattered df on k values and t tasks can
     stage up to k×t.
 
+    ``check_constraints`` (``{name: sql_expr}``): TABLE-LEVEL CHECK
+    constraints (Delta ``ALTER TABLE ... ADD CONSTRAINT CHECK``): the
+    manifest records them, and every later append — from ANY writer, a
+    constraint is the table's contract, not one pipeline's — is
+    validated against all recorded constraints before it can commit. A
+    row where the expression is FALSE **or NULL** is a violation (SQL
+    CHECK semantics); a violating commit is REFUSED loudly with
+    per-constraint counts and its staged files are discarded.
+    Enforcement costs nothing extra: the violation counts ride the
+    same single aggregation pass over the staged increment that
+    already computes the commit's row count. Appends INHERIT the
+    recorded set (pass nothing); changing the set on an append is
+    refused — grow it with :func:`add_constraint` (which validates
+    HISTORY, the part an append can't vouch for) or shrink it with
+    :func:`drop_constraint`; an overwrite records exactly what it was
+    passed (its snapshot replaces the contract like it replaces the
+    schema). DML paths (merge/update) carry the recorded set forward
+    but do not re-validate rewritten rows — :func:`verify_table`
+    ``deep=True`` audits the head against every recorded constraint as
+    the backstop (documented scope, same honesty rule as the stats
+    degrade path).
+
     ``txn_app`` + ``txn_version``: IDEMPOTENT writes (the Delta
     ``txnAppId``/``txnVersion`` contract — what makes a foreachBatch
     sink exactly-once): the manifest records the pair, and a commit
@@ -1099,6 +1135,28 @@ def write_version(
         _validate_partition_cols(df, eff_part_by)
     commit_id = uuid.uuid4().hex
     data_dir = os.path.join(table_dir, "data", commit_id)
+    # effective CHECK constraints: explicit set when given ({} clears),
+    # else inherited from the recorded contract (appends and OPTIMIZE
+    # overwrites must not silently shed the table's invariants)
+    recorded_cc = dict(
+        (
+            _load_manifest(table_dir, nums_pc[-1], branch).get("constraints")
+            if nums_pc
+            else None
+        )
+        or {}
+    )
+    if check_constraints is None:
+        eff_cc = recorded_cc
+    else:
+        eff_cc = dict(check_constraints)
+        if mode == "append" and recorded_cc and eff_cc != recorded_cc:
+            raise ValueError(
+                "append cannot change the recorded CHECK constraints "
+                f"{sorted(recorded_cc)} — add_constraint() (validates "
+                "history) or drop_constraint() are the contract-change "
+                "paths"
+            )
     if eff_part_by:
         try:
             new_files, new_parts = _stage_partitioned(
@@ -1117,7 +1175,38 @@ def write_version(
             if f.endswith(".parquet")
         )
         new_parts = {}
-    n_new = spark.read.parquet(*new_files).count() if new_files else 0
+    if new_files:
+        from pyspark.sql import functions as F
+
+        # constraint enforcement rides the row-count pass: ONE
+        # aggregation over the staged increment yields n_new and every
+        # per-constraint violation count (FALSE **or NULL** violates —
+        # SQL CHECK semantics)
+        cc_items = sorted(eff_cc.items())
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.sum(
+                F.when(F.coalesce(F.expr(cexpr), F.lit(False)), 0).otherwise(1)
+            )
+            .cast("long")
+            .alias(f"__viol_{i}")
+            for i, (_, cexpr) in enumerate(cc_items)
+        ]
+        row = spark.read.parquet(*new_files).agg(*aggs).first()
+        n_new = row["__n"]
+        bad = {
+            cname: int(row[f"__viol_{i}"])
+            for i, (cname, _) in enumerate(cc_items)
+            if row[f"__viol_{i}"]
+        }
+        if bad:
+            _discard_staged(new_files)
+            raise ValueError(
+                f"CHECK constraint violation — commit refused, nothing "
+                f"staged: {bad} (constraints: "
+                f"{ {c: eff_cc[c] for c in bad} })"
+            )
+    else:
+        n_new = 0
     schema_json = df.schema.json()
     # stats columns: explicit, else inherited from the table's latest
     # recorded list (coverage must not decay because one writer forgot)
@@ -1187,6 +1276,8 @@ def write_version(
                 parts = {**(prior.get("partitions") or {}), **new_parts}
             body["partition_cols"] = eff_part_by
             body["partitions"] = parts
+        if eff_cc:
+            body["constraints"] = eff_cc
         return body
 
     try:
@@ -1490,6 +1581,7 @@ def merge_version(
             "schema": schema_json,
             **_carried_stats(spark, base, carried + new_files, new_files),
             **_carried_partitions(base, carried + new_files),
+            **_carried_constraints(base),
             # carried files keep needing their DVs; entries addressing
             # the rewritten files go stale-but-harmless (fresh uuid
             # paths never reuse a dead identity) — compaction reclaims
@@ -1632,6 +1724,7 @@ def delete_version(
             "schema": schema_json,
             **_carried_stats(spark, base, carried + new_files, new_files),
             **_carried_partitions(base, carried + new_files),
+            **_carried_constraints(base),
             # carried files keep their DVs; rewritten files' entries go
             # stale-but-harmless (see merge_version)
             "dv_files": base.get("dv_files") or [],
@@ -1723,6 +1816,7 @@ def _delete_version_mor(
             "dv_files": (base.get("dv_files") or []) + dv_new,
             **_carried_stats(spark, base, base["files"]),
             **_carried_partitions(base, base["files"]),
+            **_carried_constraints(base),
         }
 
     try:
@@ -1890,6 +1984,7 @@ def update_version(
                     spark, base, base["files"] + new_files, new_files
                 ),
                 **_carried_partitions(base, base["files"] + new_files),
+                **_carried_constraints(base),
             }
 
         try:
@@ -1948,6 +2043,7 @@ def update_version(
             "dv_files": base.get("dv_files") or [],
             **_carried_stats(spark, base, carried + new_files, new_files),
             **_carried_partitions(base, carried + new_files),
+            **_carried_constraints(base),
         }
 
     try:
@@ -2439,6 +2535,8 @@ def restore_version(
         if target.get("partition_cols"):
             body["partition_cols"] = target["partition_cols"]
             body["partitions"] = target.get("partitions") or {}
+        if target.get("constraints"):
+            body["constraints"] = dict(target["constraints"])
         return body
 
     v = _commit(table_dir, build, branch=branch)
@@ -2471,6 +2569,106 @@ def restore_version(
         "data_files_written": 0,
         "index": index_result,
     }
+
+
+def _metadata_only_body(m: dict, mode: str) -> dict:
+    """Manifest body that carries an existing snapshot verbatim (files,
+    rows, schema, DVs, stats, partitions, constraints) under a new
+    ``mode`` — the shape of every metadata-only commit (constraint
+    add/drop)."""
+    body = {
+        "mode": mode,
+        "files": list(m["files"]),
+        "n_rows": m["n_rows"],
+        "schema": m.get("schema"),
+        "dv_files": list(m.get("dv_files") or []),
+    }
+    if m.get("stats_cols"):
+        body["stats_cols"] = m["stats_cols"]
+        body["stats"] = m.get("stats") or {}
+    if m.get("partition_cols"):
+        body["partition_cols"] = m["partition_cols"]
+        body["partitions"] = m.get("partitions") or {}
+    if m.get("constraints"):
+        body["constraints"] = dict(m["constraints"])
+    return body
+
+
+def add_constraint(
+    spark: SparkSession, table_dir: str, name: str, expr: str
+) -> int:
+    """ADD a table-level CHECK constraint (Delta ``ALTER TABLE ... ADD
+    CONSTRAINT name CHECK (expr)``): validates the ENTIRE current
+    snapshot first — the part a later append can't vouch for — then
+    commits a metadata-only version recording the grown contract
+    (zero data files written; history stays time-travel-readable
+    without the constraint). Validation is one filter-count over the
+    live head, O(snapshot) by necessity and by honesty: a constraint
+    nobody checked against history is a comment, not a contract. A
+    violating snapshot REFUSES the add with the violation count.
+    Every later :func:`write_version` append then enforces it at
+    O(increment) cost. Returns the new version number."""
+    from pyspark.sql import functions as F
+
+    m = _load_manifest(table_dir, None)
+    cc = dict(m.get("constraints") or {})
+    if name in cc:
+        raise ValueError(
+            f"constraint {name!r} already recorded ({cc[name]!r}) — "
+            "drop_constraint() first to deliberately replace it"
+        )
+    if m["files"]:
+        n_bad = (
+            _live_scan(spark, m)
+            .filter(~F.coalesce(F.expr(expr), F.lit(False)))
+            .count()
+        )
+        if n_bad:
+            raise ValueError(
+                f"cannot add constraint {name!r}: {n_bad} existing rows "
+                f"violate {expr!r} — clean the data first (the history a "
+                "constraint can't vouch for is exactly what this "
+                "validation is for)"
+            )
+    cc[name] = expr
+
+    def build(prior: dict | None) -> dict:
+        if prior is None or prior["version"] != m["version"]:
+            raise CommitConflict(
+                f"table advanced past v{m['version']} — re-run add_constraint"
+            )
+        body = _metadata_only_body(m, "add_constraint")
+        body["constraints"] = cc
+        return body
+
+    return _commit(table_dir, build)
+
+
+def drop_constraint(table_dir: str, name: str) -> int:
+    """DROP a recorded CHECK constraint — a metadata-only commit (the
+    deliberate contract-shrink path; loud on an unknown name). Returns
+    the new version number."""
+    m = _load_manifest(table_dir, None)
+    cc = dict(m.get("constraints") or {})
+    if name not in cc:
+        raise ValueError(
+            f"constraint {name!r} not recorded (have {sorted(cc)})"
+        )
+    del cc[name]
+
+    def build(prior: dict | None) -> dict:
+        if prior is None or prior["version"] != m["version"]:
+            raise CommitConflict(
+                f"table advanced past v{m['version']} — re-run drop_constraint"
+            )
+        body = _metadata_only_body(m, "drop_constraint")
+        if cc:
+            body["constraints"] = cc
+        else:
+            body.pop("constraints", None)
+        return body
+
+    return _commit(table_dir, build)
 
 
 def clone_table(
@@ -2536,6 +2734,8 @@ def clone_table(
         if src.get("partition_cols"):
             body["partition_cols"] = src["partition_cols"]
             body["partitions"] = src.get("partitions") or {}
+        if src.get("constraints"):
+            body["constraints"] = dict(src["constraints"])
         return body
 
     v = _commit(dst_dir, build)
@@ -3316,6 +3516,10 @@ def verify_table(
       ``_metadata.file_path``; a violation means partition pruning
       would silently drop live rows — the one check that guards
       CORRECTNESS, not just latency).
+    - ``constraints_hold`` (only when the table records CHECK
+      constraints) — the live head satisfies every recorded constraint
+      in one aggregation pass; the backstop for DML paths, which carry
+      the contract without re-validating rewritten rows.
 
     Returns ``{"ok", "version", "checks": {name: {"ok", ...detail}},
     "errors": [...]}`` — never raises on a failed check (the caller is
@@ -3385,6 +3589,27 @@ def verify_table(
             ]
             record("stats_envelopes", not bad, mismatched=bad[:5],
                    n_checked=sum(len(e) for e in recorded.values()))
+        ccs = m.get("constraints") or {}
+        if ccs:
+            cc_items = sorted(ccs.items())
+            live = read_version(spark, table_dir, version=m["version"])
+            aggs = [
+                F.sum(
+                    F.when(F.coalesce(F.expr(cexpr), F.lit(False)), 0)
+                    .otherwise(1)
+                )
+                .cast("long")
+                .alias(f"__viol_{i}")
+                for i, (_, cexpr) in enumerate(cc_items)
+            ]
+            vrow = live.agg(*aggs).first()
+            viol = {
+                cname: int(vrow[f"__viol_{i}"] or 0)
+                for i, (cname, _) in enumerate(cc_items)
+                if vrow[f"__viol_{i}"]
+            }
+            record("constraints_hold", not viol, violations=viol,
+                   n_constraints=len(ccs))
         part_cols = m.get("partition_cols") or []
         part_map = m.get("partitions") or {}
         if part_cols and part_map:

@@ -457,3 +457,143 @@ def test_dml_requires_predicate_or_scope(spark, sf_dir, table):
     write_version(spark, e, table)
     with pytest.raises(ValueError, match="predicate"):
         delete_version(spark, table)
+
+
+# ---------------------------------------------------------------------------
+# table-level CHECK constraints (write_version check_constraints,
+# add_constraint / drop_constraint)
+# ---------------------------------------------------------------------------
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def test_constraints_enforced_on_append(spark, sf_dir, table):
+    import glob
+
+    o = _orders(spark, sf_dir)
+    write_version(
+        spark, o, table, check_constraints={"price_pos": "o_totalprice > 0"}
+    )
+    staged = set(glob.glob(os.path.join(table, "data", "*", "*.parquet")))
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        write_version(
+            spark,
+            o.limit(5).withColumn("o_totalprice", F.lit(-1.0)),
+            table,
+            mode="append",
+        )
+    # the refused commit left no orphan bytes and no version
+    assert set(glob.glob(os.path.join(table, "data", "*", "*.parquet"))) == staged
+    assert _load_manifest(table, None)["version"] == 1
+    # NULL violates (SQL CHECK semantics)
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        write_version(
+            spark,
+            o.limit(3).withColumn("o_totalprice", F.lit(None).cast("double")),
+            table,
+            mode="append",
+        )
+    # a clean append inherits and lands with the contract carried
+    v = write_version(spark, o.limit(5), table, mode="append")
+    assert _load_manifest(table, v)["constraints"] == {
+        "price_pos": "o_totalprice > 0"
+    }
+
+
+def test_append_cannot_change_contract(spark, sf_dir, table):
+    o = _orders(spark, sf_dir)
+    write_version(
+        spark, o, table, check_constraints={"price_pos": "o_totalprice > 0"}
+    )
+    with pytest.raises(ValueError, match="cannot change the recorded"):
+        write_version(
+            spark,
+            o.limit(5),
+            table,
+            mode="append",
+            check_constraints={"weaker": "TRUE"},
+        )
+
+
+def test_add_constraint_validates_history(spark, sf_dir, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        add_constraint,
+        drop_constraint,
+    )
+
+    o = _orders(spark, sf_dir)
+    write_version(spark, o, table)
+    m1 = _load_manifest(table, 1)
+    v = add_constraint(
+        spark, table, "status_valid", "o_orderstatus IN ('F','O','P')"
+    )
+    m2 = _load_manifest(table, v)
+    assert m2["mode"] == "add_constraint"
+    assert m2["files"] == m1["files"]  # metadata-only commit
+    with pytest.raises(ValueError, match="existing rows violate"):
+        add_constraint(spark, table, "impossible", "o_orderkey < 0")
+    with pytest.raises(ValueError, match="already recorded"):
+        add_constraint(spark, table, "status_valid", "TRUE")
+    # the added constraint is enforced on the next append
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        write_version(
+            spark,
+            o.limit(2).withColumn("o_orderstatus", F.lit("X")),
+            table,
+            mode="append",
+        )
+    v3 = drop_constraint(table, "status_valid")
+    assert "constraints" not in _load_manifest(table, v3)
+    with pytest.raises(ValueError, match="not recorded"):
+        drop_constraint(table, "status_valid")
+    # contract gone: the formerly-violating append now lands
+    write_version(
+        spark,
+        o.limit(2).withColumn("o_orderstatus", F.lit("X")),
+        table,
+        mode="append",
+    )
+
+
+def test_fsck_backstops_dml_constraint_break(spark, sf_dir, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        update_version,
+    )
+
+    o = _orders(spark, sf_dir)
+    write_version(
+        spark, o, table, check_constraints={"price_pos": "o_totalprice > 0"}
+    )
+    rep = verify_table(spark, table, deep=True)
+    assert rep["checks"]["constraints_hold"]["ok"]
+    # UPDATE carries the contract but does not re-validate (documented)
+    update_version(
+        spark, table, F.col("o_orderkey") % 97 == 0,
+        {"o_totalprice": F.lit(-5.0)},
+    )
+    assert _load_manifest(table, None)["constraints"]
+    rep2 = verify_table(spark, table, deep=True)
+    assert not rep2["ok"]
+    assert rep2["checks"]["constraints_hold"]["violations"]["price_pos"] > 0
+
+
+def test_restore_rolls_contract_back(spark, sf_dir, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        drop_constraint,
+        restore_version,
+    )
+
+    o = _orders(spark, sf_dir)
+    write_version(
+        spark, o, table, check_constraints={"price_pos": "o_totalprice > 0"}
+    )
+    drop_constraint(table, "price_pos")
+    assert "constraints" not in _load_manifest(table, None)
+    restore_version(spark, table, 1)
+    assert _load_manifest(table, None)["constraints"] == {
+        "price_pos": "o_totalprice > 0"
+    }
