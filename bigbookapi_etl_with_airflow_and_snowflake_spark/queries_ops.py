@@ -5081,6 +5081,108 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_versioned_replace_where(spark, sf):
+    """Dynamic partition overwrite (sinks/versioned.py
+    overwrite_partitions — Delta ``replaceWhere`` / Hive ``INSERT
+    OVERWRITE PARTITION``, the daily-backfill pattern): the click
+    partition is atomically replaced by a transformed copy (values
+    doubled) in ONE commit that drops the scoped files WITHOUT OPENING
+    them, carries every other partition BY FILE IDENTITY, and refuses
+    incoming rows outside the declared scope (the guard that turns a
+    mis-scoped backfill into a loud error instead of silent row loss).
+
+    Literals (oracle-pinned TRUE): ``swap_scoped`` — at least one file
+    was replaced, zero rewritten, and carried+replaced covers the base
+    exactly; ``carried_identity`` — every non-click file of v1 is in
+    v2 verbatim (the backfill cost O(replaced partition), not
+    O(table)); ``out_of_scope_refused`` — a write whose rows spill
+    past its declared scope raised before staging anything. The
+    aggregate reads the final head: original non-click rows ∪ the
+    doubled click rows."""
+    from .sinks.versioned import (
+        _load_manifest,
+        overwrite_partitions,
+        read_version,
+        write_version,
+    )
+
+    e = _t(spark, sf, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    d = tempfile.mkdtemp(prefix="q_vrw_")
+    t = os.path.join(d, "events_v")
+    try:
+        write_version(
+            spark,
+            e.repartition("event_type"),
+            t,
+            partition_by=["event_type"],
+        )
+        m1 = _load_manifest(t, 1)
+        backfill = (
+            e.filter(F.col("event_type") == "click")
+            .withColumn("value", F.col("value") * 2)
+            .repartition("event_type")
+        )
+        r = overwrite_partitions(spark, backfill, t)
+        swap_scoped = (
+            r["files_replaced"] >= 1
+            and r["files_rewritten"] == 0
+            and r["files_replaced"] + r["files_carried"] == len(m1["files"])
+        )
+        m2 = _load_manifest(t, 2)
+        click_files = {
+            f
+            for f in m1["files"]
+            if m1["partitions"][f]["event_type"] == "click"
+        }
+        carried_identity = (
+            set(m1["files"]) - click_files <= set(m2["files"])
+        )
+        try:
+            overwrite_partitions(
+                spark,
+                e.filter(F.col("event_type") != "view"),
+                t,
+                partition_scope={"event_type": ["view"]},
+            )
+            out_of_scope_refused = False
+        except ValueError:
+            out_of_scope_refused = True
+        out = (
+            read_version(spark, t)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("event_id").cast("long").alias("sum_id"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .withColumn("swap_scoped", F.lit(swap_scoped))
+            .withColumn("carried_identity", F.lit(carried_identity))
+            .withColumn("out_of_scope_refused", F.lit(out_of_scope_refused))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_REPLACE_WHERE = """
+WITH state AS (
+  SELECT event_id, event_type, user_id,
+         CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_id,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       TRUE AS swap_scoped, TRUE AS carried_identity,
+       TRUE AS out_of_scope_refused
+FROM state GROUP BY event_type
+"""
+
+
 def q_rollup_from_changes(spark, sf):
     """The incremental producer meets the incremental consumer
     (sinks/versioned.py read_changes → operators/rollup.py
@@ -5328,4 +5430,8 @@ OPS_REGISTRY = {
     "table_history": (q_table_history, SQL_TABLE_HISTORY),
     "versioned_scoped_dml": (q_versioned_scoped_dml, SQL_VERSIONED_SCOPED_DML),
     "table_constraints": (q_table_constraints, SQL_TABLE_CONSTRAINTS),
+    "versioned_replace_where": (
+        q_versioned_replace_where,
+        SQL_VERSIONED_REPLACE_WHERE,
+    ),
 }

@@ -68,6 +68,7 @@ __all__ = [
     "drop_constraint",
     "merge_version",
     "delete_version",
+    "overwrite_partitions",
     "CommitConflict",
 ]
 
@@ -1751,6 +1752,195 @@ def delete_version(
         "files_scanned": len(scan_files),
         "n_deleted": n_touched - n_new,
         "n_rows": base["n_rows"] - n_touched + n_new,
+    }
+
+
+def overwrite_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    partition_scope: dict[str, Sequence] | None = None,
+    base_version: int | None = None,
+) -> dict:
+    """Dynamic partition overwrite (Delta ``replaceWhere`` / Hive
+    ``INSERT OVERWRITE PARTITION`` — the daily-backfill pattern): ONE
+    atomic commit whose snapshot is "the base with the scoped
+    partitions' rows replaced by ``df``". Requires a partitioned table
+    (:func:`write_version` ``partition_by``).
+
+    ``partition_scope`` (``{col: [values...]}``) names what is
+    replaced; omitted, it is derived from ``df``'s distinct partition
+    values — but only for SINGLE-column layouts (a per-column scope on
+    a multi-column layout is a cross product, which could silently
+    replace combinations the incoming data doesn't refill; name them
+    explicitly there). Rows of ``df`` OUTSIDE the scope are REFUSED
+    before anything stages — replaceWhere's contract: the write may
+    only touch what it declared it replaces (the guard that makes a
+    mis-scoped backfill a loud error instead of silent row loss).
+
+    Cost is O(replaced + incoming), never O(table): mapped files whose
+    recorded value is in scope are DROPPED without being opened;
+    mapped out-of-scope files are CARRIED without being opened;
+    only UNMAPPED files (COW-rewritten earlier, value unknown) are
+    scanned — their out-of-scope live rows rewrite into fresh files,
+    their in-scope rows fall away with the replacement. Recorded CHECK
+    constraints are enforced on the staged increment (same single-pass
+    accounting as write_version); stats/partition-map coverage is
+    re-recorded for the new files; carried files keep their entries
+    and their DV applicability. Same optimistic-concurrency commit as
+    every DML (stale base → :class:`CommitConflict`, staging
+    discarded).
+
+    Returns ``{"version", "files_replaced", "files_carried",
+    "files_rewritten", "files_added", "n_replaced", "n_rows"}``."""
+    from pyspark.sql import functions as F
+
+    base = _load_manifest(table_dir, base_version)
+    pcols = list(base.get("partition_cols") or [])
+    if not pcols:
+        raise ValueError(
+            "overwrite_partitions needs a partitioned table "
+            "(write_version partition_by) — an unpartitioned overwrite "
+            "is write_version(mode='overwrite')"
+        )
+    if partition_scope is None:
+        if len(pcols) != 1:
+            raise ValueError(
+                f"derived scope on a multi-column layout {pcols} would be "
+                "a per-column cross product — pass partition_scope "
+                "explicitly to say exactly what is replaced"
+            )
+        vals = [
+            r[0] for r in df.select(pcols[0]).distinct().collect()
+        ]
+        if len(vals) > _PART_MAX_VALUES:
+            raise ValueError(
+                f"incoming data spans {len(vals)} partition values "
+                f"(max {_PART_MAX_VALUES})"
+            )
+        if not vals:
+            raise ValueError(
+                "incoming data is empty and no partition_scope was given "
+                "— nothing says what to replace; pass the scope explicitly"
+            )
+        partition_scope = {pcols[0]: vals}
+    unknown = sorted(set(partition_scope) - set(pcols))
+    if unknown:
+        raise ValueError(
+            f"scope columns {unknown} are not partition columns {pcols}"
+        )
+    scope_cond = _scoped_cond(None, partition_scope)
+    n_out = df.filter(~F.coalesce(scope_cond, F.lit(False))).count()
+    if n_out:
+        raise ValueError(
+            f"{n_out} incoming rows fall OUTSIDE the replaced scope "
+            f"{ {c: sorted(map(str, v)) for c, v in partition_scope.items()} } "
+            "— replaceWhere may only write what it declared it replaces"
+        )
+    pmap = base.get("partitions") or {}
+    want = {
+        c: {_norm_part_value(v) for v in vals}
+        for c, vals in partition_scope.items()
+    }
+
+    def _in_scope(rec: dict) -> bool:
+        return all(rec.get(c) in w for c, w in want.items())
+
+    replaced = [
+        f
+        for f in base["files"]
+        if _canon(f) in pmap and _in_scope(pmap[_canon(f)])
+    ]
+    unmapped = [f for f in base["files"] if _canon(f) not in pmap]
+    carried = [
+        f
+        for f in base["files"]
+        if f not in set(replaced) and f not in set(unmapped)
+    ]
+    # live rows leaving the table: the replaced partitions' (cheap —
+    # exactly the files being dropped) plus unmapped in-scope rows
+    n_replaced = (
+        _live_scan(spark, base, files=sorted(replaced)).count()
+        if replaced
+        else 0
+    )
+    rw_files: list[str] = []
+    rw_n = 0
+    n_unmapped_live = 0
+    if unmapped:
+        um = _live_scan(spark, base, files=sorted(unmapped))
+        n_unmapped_live = um.count()
+        keep = um.filter(~F.coalesce(scope_cond, F.lit(False)))
+        rw_files, rw_n = _write_data_files(spark, keep, table_dir)
+        n_replaced += n_unmapped_live - rw_n
+    # stage the replacement through the partitioned writer (map entries
+    # for the new files) and enforce the recorded CHECK contract
+    data_dir = os.path.join(table_dir, "data", uuid.uuid4().hex)
+    new_files, new_parts = _stage_partitioned(df, data_dir, pcols)
+    n_new = 0
+    if new_files:
+        cc_items = sorted((base.get("constraints") or {}).items())
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.sum(
+                F.when(F.coalesce(F.expr(cexpr), F.lit(False)), 0).otherwise(1)
+            )
+            .cast("long")
+            .alias(f"__viol_{i}")
+            for i, (_, cexpr) in enumerate(cc_items)
+        ]
+        row = spark.read.parquet(*new_files).agg(*aggs).first()
+        n_new = row["__n"]
+        bad = {
+            cname: int(row[f"__viol_{i}"])
+            for i, (cname, _) in enumerate(cc_items)
+            if row[f"__viol_{i}"]
+        }
+        if bad:
+            _discard_staged(new_files)
+            _discard_staged(rw_files)
+            raise ValueError(
+                f"CHECK constraint violation — replace refused, nothing "
+                f"staged: {bad}"
+            )
+    files = carried + rw_files + new_files
+
+    def build(prior: dict | None) -> dict:
+        if prior is None or prior["version"] != base["version"]:
+            raise CommitConflict(
+                f"table advanced past v{base['version']} — re-run the replace"
+            )
+        body = {
+            "mode": "replace_where",
+            "files": files,
+            "n_rows": base["n_rows"] - n_replaced + n_new,
+            "schema": base.get("schema"),
+            # carried files keep needing their DVs; entries addressing
+            # dropped/rewritten files go stale-but-harmless
+            "dv_files": base.get("dv_files") or [],
+            **_carried_stats(spark, base, files, rw_files + new_files),
+            **_carried_constraints(base),
+        }
+        parts = {
+            f: v for f, v in pmap.items() if f in {_canon(x) for x in carried}
+        }
+        body["partition_cols"] = pcols
+        body["partitions"] = {**parts, **new_parts}
+        return body
+
+    try:
+        v = _commit(table_dir, build)
+    except CommitConflict:
+        _discard_staged(new_files)
+        _discard_staged(rw_files)
+        raise
+    return {
+        "version": v,
+        "files_replaced": len(replaced),
+        "files_carried": len(carried),
+        "files_rewritten": len(rw_files),
+        "files_added": len(new_files),
+        "n_replaced": n_replaced,
+        "n_rows": base["n_rows"] - n_replaced + n_new,
     }
 
 

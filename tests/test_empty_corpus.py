@@ -38,6 +38,7 @@ EXPECT_RAISE = {
     "versioned_optimize",  # packing zero rows is a documented refusal
     "maintenance_advisor",  # its optimize step shares that refusal
     "versioned_scoped_dml",  # update on an empty snapshot is a documented refusal
+    "versioned_replace_where",  # empty incoming + derived scope: nothing says what to replace
 }
 
 

@@ -597,3 +597,113 @@ def test_restore_rolls_contract_back(spark, sf_dir, table):
     assert _load_manifest(table, None)["constraints"] == {
         "price_pos": "o_totalprice > 0"
     }
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition overwrite (overwrite_partitions / replaceWhere)
+# ---------------------------------------------------------------------------
+
+
+def test_replace_where_swaps_only_scoped_partitions(spark, sf_dir, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        overwrite_partitions,
+    )
+
+    e = _events(spark, sf_dir)
+    write_version(
+        spark, e.repartition("event_type"), table, partition_by=["event_type"]
+    )
+    m1 = _load_manifest(table, 1)
+    backfill = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") * 2)
+        .repartition("event_type")
+    )
+    r = overwrite_partitions(spark, backfill, table)  # derived scope
+    assert r["files_replaced"] >= 1 and r["files_rewritten"] == 0
+    got = read_version(spark, table)
+    want = e.filter(F.col("event_type") != "click").unionByName(backfill)
+    assert got.count() == want.count() and got.exceptAll(want).isEmpty()
+    # out-of-scope partitions carried by FILE IDENTITY, not rewritten
+    m2 = _load_manifest(table, 2)
+    click_files = {
+        f for f in m1["files"] if m1["partitions"][f]["event_type"] == "click"
+    }
+    assert set(m1["files"]) - click_files <= set(m2["files"])
+    assert m2["n_rows"] == got.count()
+
+
+def test_replace_where_guards(spark, sf_dir, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        overwrite_partitions,
+    )
+
+    e = _events(spark, sf_dir)
+    # unpartitioned table refused
+    write_version(spark, e, table)
+    with pytest.raises(ValueError, match="partitioned table"):
+        overwrite_partitions(spark, e.limit(5), table)
+    # out-of-scope incoming rows refused (the silent-row-loss guard)
+    t2 = table + "_p"
+    write_version(
+        spark, e.repartition("event_type"), t2, partition_by=["event_type"]
+    )
+    with pytest.raises(ValueError, match="OUTSIDE the replaced scope"):
+        overwrite_partitions(
+            spark, e.limit(50), t2, partition_scope={"event_type": ["view"]}
+        )
+    with pytest.raises(ValueError, match="not partition columns"):
+        overwrite_partitions(
+            spark, e.limit(0), t2, partition_scope={"user_id": [1]}
+        )
+    with pytest.raises(ValueError, match="nothing says what to replace"):
+        overwrite_partitions(spark, e.limit(0), t2)
+
+
+def test_replace_where_scans_unmapped_and_keeps_dvs(spark, sf_dir, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        overwrite_partitions,
+    )
+
+    e = _events(spark, sf_dir)
+    write_version(
+        spark, e.repartition("event_type"), table, partition_by=["event_type"]
+    )
+    # MOR-delete some purchase rows (DV on a partition we will CARRY),
+    # COW-delete some error rows (unmaps the rewritten file)
+    delete_version(
+        spark,
+        table,
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 3 == 0),
+        mode="mor",
+    )
+    delete_version(
+        spark,
+        table,
+        (F.col("event_type") == "error") & (F.col("event_id") % 2 == 0),
+    )
+    backfill = (
+        e.filter(F.col("event_type") == "signup")
+        .withColumn("value", F.lit(0.0))
+        .repartition("event_type")
+    )
+    r = overwrite_partitions(spark, backfill, table)
+    assert r["files_rewritten"] >= 1  # the unmapped file was re-sieved
+    got = read_version(spark, table)
+    want = (
+        e.filter(~F.col("event_type").isin("purchase", "error", "signup"))
+        .unionByName(
+            e.filter(
+                (F.col("event_type") == "purchase")
+                & (F.col("event_id") % 3 != 0)
+            )
+        )
+        .unionByName(
+            e.filter(
+                (F.col("event_type") == "error") & (F.col("event_id") % 2 != 0)
+            )
+        )
+        .unionByName(backfill)
+    )
+    assert got.count() == want.count() and got.exceptAll(want).isEmpty()
+    assert _load_manifest(table, None)["n_rows"] == got.count()
