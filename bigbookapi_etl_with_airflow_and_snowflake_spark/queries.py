@@ -2489,7 +2489,11 @@ REGISTRY.update(OPS_REGISTRY)
 # expectations_quarantine, streaming_quarantine_ingest,
 # streaming_exactly_once_ingest, cdc_replicate, scd2_from_changes,
 # fuzzy_decontaminate, bm25_topk, pq_codes, pq_topk_fixed, and the
-# no-oracle pq_topk) deliberately wait OUTSIDE the window: displacing
+# no-oracle pq_topk; session 3: versioned_partition_prune,
+# versioned_clone, table_fsck, versioned_concurrent,
+# nb_seed_classifier, rollup_from_changes, table_history,
+# versioned_scoped_dml, table_constraints, versioned_replace_where)
+# deliberately wait OUTSIDE the window: displacing
 # r7-stale entries for them would break the "nothing predates r8"
 # goal; they are proven this round by the sf0.001 pytest parity replay
 # + the full sf0.01 replay, and rotate into the r12 window.

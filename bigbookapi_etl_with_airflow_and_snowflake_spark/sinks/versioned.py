@@ -854,6 +854,12 @@ def _validate_partition_cols(df: DataFrame, cols: Sequence[str]) -> None:
         BooleanType, DateType,
     )
     types = {f.name: f.dataType for f in df.schema.fields}
+    shadow_clash = [n for n in types if n.startswith(_PART_SHADOW)]
+    if shadow_clash:
+        raise ValueError(
+            f"columns {shadow_clash} collide with the reserved partition "
+            f"shadow prefix {_PART_SHADOW!r}"
+        )
     for c in cols:
         if c not in types:
             raise ValueError(f"partition column {c!r} not in schema")
@@ -1829,6 +1835,7 @@ def overwrite_partitions(
         raise ValueError(
             f"scope columns {unknown} are not partition columns {pcols}"
         )
+    _validate_partition_cols(df, pcols)
     scope_cond = _scoped_cond(None, partition_scope)
     n_out = df.filter(~F.coalesce(scope_cond, F.lit(False))).count()
     if n_out:
@@ -1876,7 +1883,16 @@ def overwrite_partitions(
     # stage the replacement through the partitioned writer (map entries
     # for the new files) and enforce the recorded CHECK contract
     data_dir = os.path.join(table_dir, "data", uuid.uuid4().hex)
-    new_files, new_parts = _stage_partitioned(df, data_dir, pcols)
+    try:
+        new_files, new_parts = _stage_partitioned(df, data_dir, pcols)
+    except ValueError:
+        # over-cardinality (or shadow-clash) raised AFTER the unmapped
+        # rewrite staged — discard both stagings, leak nothing
+        import shutil
+
+        shutil.rmtree(data_dir, ignore_errors=True)
+        _discard_staged(rw_files)
+        raise
     n_new = 0
     if new_files:
         cc_items = sorted((base.get("constraints") or {}).items())
@@ -3801,7 +3817,14 @@ def verify_table(
             record("constraints_hold", not viol, violations=viol,
                    n_constraints=len(ccs))
         part_cols = m.get("partition_cols") or []
-        part_map = m.get("partitions") or {}
+        # stray entries (files not in the manifest) are already reported
+        # by partitions_scoped — scanning them here would crash the
+        # purity check on a nonexistent path and hide the real report
+        part_map = {
+            f: v
+            for f, v in (m.get("partitions") or {}).items()
+            if f in file_set
+        }
         if part_cols and part_map:
             scan = (
                 spark.read.schema(schema)

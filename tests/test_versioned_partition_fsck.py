@@ -707,3 +707,31 @@ def test_replace_where_scans_unmapped_and_keeps_dvs(spark, sf_dir, table):
     )
     assert got.count() == want.count() and got.exceptAll(want).isEmpty()
     assert _load_manifest(table, None)["n_rows"] == got.count()
+
+
+def test_shadow_prefix_collision_refused(spark, table):
+    df = spark.range(5).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.lit("x").alias("__part_g"),
+    )
+    with pytest.raises(ValueError, match="reserved partition shadow"):
+        write_version(spark, df, table, partition_by=["g"])
+
+
+def test_fsck_stray_partition_entry_does_not_crash_deep(spark, sf_dir, table):
+    e = _events(spark, sf_dir)
+    write_version(
+        spark, e.repartition("event_type"), table, partition_by=["event_type"]
+    )
+    head = _load_manifest(table, None)["version"]
+    _tamper(
+        table,
+        head,
+        lambda m: m["partitions"].__setitem__(
+            "/nonexistent/file.parquet", {"event_type": "ghost"}
+        ),
+    )
+    rep = verify_table(spark, table, deep=True)
+    assert not rep["checks"]["partitions_scoped"]["ok"]
+    assert rep["checks"]["partition_purity"]["ok"]  # real entries still audited
