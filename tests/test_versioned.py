@@ -513,7 +513,8 @@ def test_empty_manifest_reads_via_recorded_schema(spark, table):
         spark, table, ranges={"id": (0, 10)}, version=2
     )
     assert df.count() == 0 and info == {
-        "files_total": 0, "files_read": 0, "footer_files": 0
+        "files_total": 0, "files_read": 0, "footer_files": 0,
+        "partition_skipped": 0,
     }
 
     m3 = {k: v for k, v in m2.items() if k != "schema"}
