@@ -5183,6 +5183,106 @@ FROM state GROUP BY event_type
 """
 
 
+def q_versioned_generated_partition(spark, sf):
+    """Generated columns + hidden partitioning (sinks/versioned.py
+    ``generated_cols`` — Delta generated columns / Iceberg's
+    ``days(ts)`` partition transform): the table records ``dt =
+    CAST(date_trunc('day', ts) AS DATE)`` and DERIVES it on every
+    commit whose frame lacks it — so the daily layout cannot be
+    forgotten by any writer — while a frame that carries its own dt is
+    VALIDATED against the derivation (a wrong dt would silently
+    corrupt partition pruning, so it refuses the commit). The probe
+    then date-prunes from the manifest's exact map with zero I/O.
+
+    Literals (oracle-pinned TRUE): ``derived_inherited`` — the
+    no-params append inherited both the derivation and the layout, and
+    every file is mapped; ``zero_io_prune`` — the date probe skipped
+    files with zero footer reads; ``mismatch_refused`` — an append
+    carrying a wrong precomputed dt raised. The aggregate reads the
+    pruned minimum-date slice; the oracle recomputes the same date
+    arithmetic from raw ts."""
+    from .sinks.versioned import (
+        _load_manifest,
+        read_version_pruned,
+        write_version,
+    )
+
+    GEN = {"dt": "CAST(date_trunc('day', ts) AS DATE)"}
+    e = _t(spark, sf, "events").select(
+        "event_id", "ts", "event_type", "user_id"
+    )
+    d = tempfile.mkdtemp(prefix="q_vgen_")
+    t = os.path.join(d, "events_v")
+    try:
+        write_version(
+            spark,
+            e.filter(F.col("event_id") % 2 == 0).repartition(
+                F.to_date("ts")
+            ),
+            t,
+            generated_cols=GEN,
+            partition_by=["dt"],
+        )
+        write_version(
+            spark,
+            e.filter(F.col("event_id") % 2 == 1).repartition(
+                F.to_date("ts")
+            ),
+            t,
+            mode="append",  # derivation + layout both inherit
+        )
+        m = _load_manifest(t, 2)
+        derived_inherited = m.get("generated_cols") == GEN and set(
+            m["partitions"]
+        ) == {os.path.realpath(f) for f in m["files"]}
+        d0 = e.agg(F.min(F.to_date("ts"))).first()[0]
+        df, info = read_version_pruned(spark, t, keys={"dt": [d0]})
+        zero_io_prune = (
+            info["footer_files"] == 0 and info["partition_skipped"] > 0
+        )
+        try:
+            import datetime
+
+            write_version(
+                spark,
+                e.limit(5).withColumn(
+                    "dt", F.lit(datetime.date(1999, 1, 1))
+                ),
+                t,
+                mode="append",
+            )
+            mismatch_refused = False
+        except ValueError:
+            mismatch_refused = True
+        out = (
+            df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("event_id").cast("long").alias("sum_id"),
+                F.sum("user_id").cast("long").alias("sum_user"),
+            )
+            .withColumn("derived_inherited", F.lit(derived_inherited))
+            .withColumn("zero_io_prune", F.lit(zero_io_prune))
+            .withColumn("mismatch_refused", F.lit(mismatch_refused))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_GENERATED_PARTITION = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user,
+       TRUE AS derived_inherited, TRUE AS zero_io_prune,
+       TRUE AS mismatch_refused
+FROM events
+WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
+GROUP BY event_type
+"""
+
+
 def q_rollup_from_changes(spark, sf):
     """The incremental producer meets the incremental consumer
     (sinks/versioned.py read_changes → operators/rollup.py
@@ -5433,5 +5533,9 @@ OPS_REGISTRY = {
     "versioned_replace_where": (
         q_versioned_replace_where,
         SQL_VERSIONED_REPLACE_WHERE,
+    ),
+    "versioned_generated_partition": (
+        q_versioned_generated_partition,
+        SQL_VERSIONED_GENERATED_PARTITION,
     ),
 }

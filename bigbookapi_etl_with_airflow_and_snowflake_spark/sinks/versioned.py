@@ -891,6 +891,15 @@ def _carried_partitions(base: dict | None, files: Sequence[str]) -> dict:
     }
 
 
+def _carried_generated(base: dict | None) -> dict:
+    """Manifest generated-column field for a child commit — recorded
+    derivations ride every commit verbatim, same policy (and same
+    deep-FSCK backstop) as CHECK constraints."""
+    if not base or not base.get("generated_cols"):
+        return {}
+    return {"generated_cols": dict(base["generated_cols"])}
+
+
 def _carried_constraints(base: dict | None) -> dict:
     """Manifest constraint field for a child commit: the recorded CHECK
     set is the TABLE's contract and rides every commit verbatim. DML
@@ -968,6 +977,7 @@ def write_version(
     stats_cols: Sequence[str] = (),
     partition_by: Sequence[str] | None = (),
     check_constraints: dict[str, str] | None = None,
+    generated_cols: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` as the next version of the table; returns the new
     version number. ``mode='overwrite'`` → the snapshot is exactly
@@ -1047,6 +1057,22 @@ def write_version(
     the fewest files; a hash-scattered df on k values and t tasks can
     stage up to k×t.
 
+    ``generated_cols`` (``{name: sql_expr}``): GENERATED columns (Delta
+    generated columns / Iceberg hidden partitioning): the manifest
+    records the derivation, and every commit DERIVES the column when
+    the incoming frame lacks it — so ``partition_by`` a generated
+    ``dt = CAST(date_trunc('day', ts) AS DATE)`` and no writer can
+    ever forget the daily layout. A frame that DOES carry the column
+    is VALIDATED against the expression instead (null-safe equality,
+    counted in the same staging aggregation as the CHECK constraints —
+    a mismatching commit refuses loudly, because a wrong ``dt`` would
+    silently corrupt partition pruning). Appends inherit the recorded
+    derivations and cannot change them; pass ``generated_cols={}`` on
+    an overwrite to clear. DML rewrites carry the recorded derivations
+    without re-validating (an UPDATE could break one) —
+    ``verify_table(deep=True)`` audits the head (``generated_match``)
+    as the backstop, same policy as CHECK constraints.
+
     ``check_constraints`` (``{name: sql_expr}``): TABLE-LEVEL CHECK
     constraints (Delta ``ALTER TABLE ... ADD CONSTRAINT CHECK``): the
     manifest records them, and every later append — from ANY writer, a
@@ -1105,6 +1131,39 @@ def write_version(
                 f"branch {branch!r} not found (have "
                 f"{sorted(branches(table_dir))}) — create_branch() first"
             )
+    # generated columns: explicit set when given ({} clears), else
+    # inherited; DERIVE missing ones onto df before any schema check
+    # or staging sees it (present ones validate in the staging agg)
+    nums_g = _version_numbers(table_dir, branch)
+    recorded_gen = dict(
+        (
+            _load_manifest(table_dir, nums_g[-1], branch).get(
+                "generated_cols"
+            )
+            if nums_g
+            else None
+        )
+        or {}
+    )
+    if generated_cols is None:
+        eff_gen = recorded_gen
+    else:
+        eff_gen = dict(generated_cols)
+        if mode == "append" and recorded_gen and eff_gen != recorded_gen:
+            raise ValueError(
+                "append cannot change the recorded generated columns "
+                f"{sorted(recorded_gen)} — overwrite to re-derive the table"
+            )
+    gen_validate: list[tuple[str, str]] = []
+    if eff_gen:
+        from pyspark.sql import functions as F
+
+        gen_validate = [
+            (g, eff_gen[g]) for g in sorted(eff_gen) if g in df.columns
+        ]
+        for gname in sorted(eff_gen):
+            if gname not in df.columns:
+                df = df.withColumn(gname, F.expr(eff_gen[gname]))
     if mode == "append":
         # fail-fast schema check against the current latest BEFORE any
         # data stages; build() re-derives against the commit-time prior
@@ -1198,6 +1257,16 @@ def write_version(
             .alias(f"__viol_{i}")
             for i, (_, cexpr) in enumerate(cc_items)
         ]
+        # caller-supplied generated columns validate in the same pass
+        # (a wrong dt would silently corrupt partition pruning)
+        aggs += [
+            F.sum(
+                F.when(F.col(gname).eqNullSafe(F.expr(gexpr)), 0).otherwise(1)
+            )
+            .cast("long")
+            .alias(f"__gen_{i}")
+            for i, (gname, gexpr) in enumerate(gen_validate)
+        ]
         row = spark.read.parquet(*new_files).agg(*aggs).first()
         n_new = row["__n"]
         bad = {
@@ -1205,12 +1274,26 @@ def write_version(
             for i, (cname, _) in enumerate(cc_items)
             if row[f"__viol_{i}"]
         }
-        if bad:
+        gen_bad = {
+            gname: int(row[f"__gen_{i}"])
+            for i, (gname, _) in enumerate(gen_validate)
+            if row[f"__gen_{i}"]
+        }
+        if bad or gen_bad:
             _discard_staged(new_files)
+            msgs = []
+            if bad:
+                msgs.append(
+                    f"CHECK constraint violation: {bad} (constraints: "
+                    f"{ {c: eff_cc[c] for c in bad} })"
+                )
+            if gen_bad:
+                msgs.append(
+                    f"generated-column mismatch: {gen_bad} (derivations: "
+                    f"{ {g: eff_gen[g] for g in gen_bad} })"
+                )
             raise ValueError(
-                f"CHECK constraint violation — commit refused, nothing "
-                f"staged: {bad} (constraints: "
-                f"{ {c: eff_cc[c] for c in bad} })"
+                "commit refused, nothing staged — " + "; ".join(msgs)
             )
     else:
         n_new = 0
@@ -1285,6 +1368,8 @@ def write_version(
             body["partitions"] = parts
         if eff_cc:
             body["constraints"] = eff_cc
+        if eff_gen:
+            body["generated_cols"] = eff_gen
         return body
 
     try:
@@ -1589,6 +1674,7 @@ def merge_version(
             **_carried_stats(spark, base, carried + new_files, new_files),
             **_carried_partitions(base, carried + new_files),
             **_carried_constraints(base),
+            **_carried_generated(base),
             # carried files keep needing their DVs; entries addressing
             # the rewritten files go stale-but-harmless (fresh uuid
             # paths never reuse a dead identity) — compaction reclaims
@@ -1732,6 +1818,7 @@ def delete_version(
             **_carried_stats(spark, base, carried + new_files, new_files),
             **_carried_partitions(base, carried + new_files),
             **_carried_constraints(base),
+            **_carried_generated(base),
             # carried files keep their DVs; rewritten files' entries go
             # stale-but-harmless (see merge_version)
             "dv_files": base.get("dv_files") or [],
@@ -1809,6 +1896,12 @@ def overwrite_partitions(
             "(write_version partition_by) — an unpartitioned overwrite "
             "is write_version(mode='overwrite')"
         )
+    gen = dict(base.get("generated_cols") or {})
+    gen_validate = [(g, gen[g]) for g in sorted(gen) if g in df.columns]
+    if gen:
+        for gname in sorted(gen):
+            if gname not in df.columns:
+                df = df.withColumn(gname, F.expr(gen[gname]))
     if partition_scope is None:
         if len(pcols) != 1:
             raise ValueError(
@@ -1903,6 +1996,13 @@ def overwrite_partitions(
             .cast("long")
             .alias(f"__viol_{i}")
             for i, (_, cexpr) in enumerate(cc_items)
+        ] + [
+            F.sum(
+                F.when(F.col(gname).eqNullSafe(F.expr(gexpr)), 0).otherwise(1)
+            )
+            .cast("long")
+            .alias(f"__gen_{i}")
+            for i, (gname, gexpr) in enumerate(gen_validate)
         ]
         row = spark.read.parquet(*new_files).agg(*aggs).first()
         n_new = row["__n"]
@@ -1911,12 +2011,17 @@ def overwrite_partitions(
             for i, (cname, _) in enumerate(cc_items)
             if row[f"__viol_{i}"]
         }
-        if bad:
+        gen_bad = {
+            gname: int(row[f"__gen_{i}"])
+            for i, (gname, _) in enumerate(gen_validate)
+            if row[f"__gen_{i}"]
+        }
+        if bad or gen_bad:
             _discard_staged(new_files)
             _discard_staged(rw_files)
             raise ValueError(
-                f"CHECK constraint violation — replace refused, nothing "
-                f"staged: {bad}"
+                "replace refused, nothing staged — CHECK/generated "
+                f"violations: { {**bad, **gen_bad} }"
             )
     files = carried + rw_files + new_files
 
@@ -1935,6 +2040,7 @@ def overwrite_partitions(
             "dv_files": base.get("dv_files") or [],
             **_carried_stats(spark, base, files, rw_files + new_files),
             **_carried_constraints(base),
+            **_carried_generated(base),
         }
         parts = {
             f: v for f, v in pmap.items() if f in {_canon(x) for x in carried}
@@ -2023,6 +2129,7 @@ def _delete_version_mor(
             **_carried_stats(spark, base, base["files"]),
             **_carried_partitions(base, base["files"]),
             **_carried_constraints(base),
+            **_carried_generated(base),
         }
 
     try:
@@ -2191,6 +2298,7 @@ def update_version(
                 ),
                 **_carried_partitions(base, base["files"] + new_files),
                 **_carried_constraints(base),
+            **_carried_generated(base),
             }
 
         try:
@@ -2250,6 +2358,7 @@ def update_version(
             **_carried_stats(spark, base, carried + new_files, new_files),
             **_carried_partitions(base, carried + new_files),
             **_carried_constraints(base),
+            **_carried_generated(base),
         }
 
     try:
@@ -2743,6 +2852,8 @@ def restore_version(
             body["partitions"] = target.get("partitions") or {}
         if target.get("constraints"):
             body["constraints"] = dict(target["constraints"])
+        if target.get("generated_cols"):
+            body["generated_cols"] = dict(target["generated_cols"])
         return body
 
     v = _commit(table_dir, build, branch=branch)
@@ -2797,6 +2908,8 @@ def _metadata_only_body(m: dict, mode: str) -> dict:
         body["partitions"] = m.get("partitions") or {}
     if m.get("constraints"):
         body["constraints"] = dict(m["constraints"])
+    if m.get("generated_cols"):
+        body["generated_cols"] = dict(m["generated_cols"])
     return body
 
 
@@ -2942,6 +3055,8 @@ def clone_table(
             body["partitions"] = src.get("partitions") or {}
         if src.get("constraints"):
             body["constraints"] = dict(src["constraints"])
+        if src.get("generated_cols"):
+            body["generated_cols"] = dict(src["generated_cols"])
         return body
 
     v = _commit(dst_dir, build)
@@ -3816,6 +3931,40 @@ def verify_table(
             }
             record("constraints_hold", not viol, violations=viol,
                    n_constraints=len(ccs))
+        gens = m.get("generated_cols") or {}
+        if gens:
+            g_items = sorted(gens.items())
+            live_g = read_version(spark, table_dir, version=m["version"])
+            have = [
+                (i, g, x) for i, (g, x) in enumerate(g_items)
+                if g in live_g.columns
+            ]
+            g_missing = [g for g, _ in g_items if g not in live_g.columns]
+            g_bad: dict[str, int] = {}
+            if have:
+                aggs_g = [
+                    F.sum(
+                        F.when(
+                            F.col(g).eqNullSafe(F.expr(x)), 0
+                        ).otherwise(1)
+                    )
+                    .cast("long")
+                    .alias(f"__gen_{i}")
+                    for i, g, x in have
+                ]
+                grow = live_g.agg(*aggs_g).first()
+                g_bad = {
+                    g: int(grow[f"__gen_{i}"] or 0)
+                    for i, g, _ in have
+                    if grow[f"__gen_{i}"]
+                }
+            record(
+                "generated_match",
+                not g_bad and not g_missing,
+                mismatches=g_bad,
+                missing_columns=g_missing,
+                n_generated=len(gens),
+            )
         part_cols = m.get("partition_cols") or []
         # stray entries (files not in the manifest) are already reported
         # by partitions_scoped — scanning them here would crash the

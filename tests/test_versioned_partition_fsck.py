@@ -735,3 +735,89 @@ def test_fsck_stray_partition_entry_does_not_crash_deep(spark, sf_dir, table):
     rep = verify_table(spark, table, deep=True)
     assert not rep["checks"]["partitions_scoped"]["ok"]
     assert rep["checks"]["partition_purity"]["ok"]  # real entries still audited
+
+
+# ---------------------------------------------------------------------------
+# generated columns (write_version generated_cols — hidden partitioning)
+# ---------------------------------------------------------------------------
+
+GEN_DT = {"dt": "CAST(date_trunc('day', ts) AS DATE)"}
+
+
+def _events_ts(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "event_type", "user_id"
+    )
+
+
+def test_generated_column_derives_and_inherits(spark, sf_dir, table):
+    e = _events_ts(spark, sf_dir)
+    write_version(
+        spark,
+        e.filter(F.col("event_id") % 2 == 0).repartition(F.to_date("ts")),
+        table,
+        generated_cols=GEN_DT,
+        partition_by=["dt"],
+    )
+    # append WITHOUT dt and WITHOUT params: derivation + layout inherit
+    write_version(
+        spark,
+        e.filter(F.col("event_id") % 2 == 1).repartition(F.to_date("ts")),
+        table,
+        mode="append",
+    )
+    m = _load_manifest(table, 2)
+    assert m["generated_cols"] == GEN_DT
+    assert set(m["partitions"]) == {os.path.realpath(f) for f in m["files"]}
+    import datetime
+
+    d0 = datetime.date(2024, 1, 15)
+    df, info = read_version_pruned(spark, table, keys={"dt": [d0]})
+    assert info["partition_skipped"] > 0 and info["footer_files"] == 0
+    assert df.count() == e.filter(F.to_date("ts") == F.lit(d0)).count()
+
+
+def test_generated_column_mismatch_refused(spark, sf_dir, table):
+    import datetime
+
+    e = _events_ts(spark, sf_dir)
+    write_version(spark, e, table, generated_cols=GEN_DT, partition_by=["dt"])
+    with pytest.raises(ValueError, match="generated-column mismatch"):
+        write_version(
+            spark,
+            e.limit(5).withColumn("dt", F.lit(datetime.date(1999, 1, 1))),
+            table,
+            mode="append",
+        )
+    # a correctly-precomputed dt is accepted (validated, not re-derived)
+    write_version(
+        spark,
+        e.limit(5).withColumn("dt", F.expr(GEN_DT["dt"])),
+        table,
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="cannot change the recorded generated"):
+        write_version(
+            spark, e.limit(5), table, mode="append",
+            generated_cols={"dt": "CAST(NULL AS DATE)"},
+        )
+
+
+def test_generated_column_fsck_backstop_and_clone_carry(spark, sf_dir, tmp_path):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        update_version,
+    )
+
+    e = _events_ts(spark, sf_dir)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_version(spark, e, src, generated_cols=GEN_DT, partition_by=["dt"])
+    clone_table(src, dst)
+    assert _load_manifest(dst, 1)["generated_cols"] == GEN_DT
+    rep = verify_table(spark, src, deep=True)
+    assert rep["checks"]["generated_match"]["ok"]
+    update_version(
+        spark, src, F.col("event_id") % 101 == 0, {"dt": "DATE'1999-01-01'"}
+    )
+    rep2 = verify_table(spark, src, deep=True)
+    assert not rep2["ok"]
+    assert rep2["checks"]["generated_match"]["mismatches"]["dt"] > 0
