@@ -1854,6 +1854,9 @@ def overwrite_partitions(
     table_dir: str,
     partition_scope: dict[str, Sequence] | None = None,
     base_version: int | None = None,
+    index_cols: Sequence[str] = (),
+    index_geometry: dict[str, tuple[int, int]] | None = None,
+    index_max_chain: int = 8,
 ) -> dict:
     """Dynamic partition overwrite (Delta ``replaceWhere`` / Hive
     ``INSERT OVERWRITE PARTITION`` — the daily-backfill pattern): ONE
@@ -1880,9 +1883,11 @@ def overwrite_partitions(
     constraints are enforced on the staged increment (same single-pass
     accounting as write_version); stats/partition-map coverage is
     re-recorded for the new files; carried files keep their entries
-    and their DV applicability. Same optimistic-concurrency commit as
-    every DML (stale base → :class:`CommitConflict`, staging
-    discarded).
+    and their DV applicability. ``index_cols`` maintain the at-rest
+    Bloom index as an O(increment) chain link over the rewritten +
+    replacement files, exactly like the COW DML paths. Same
+    optimistic-concurrency commit as every DML (stale base →
+    :class:`CommitConflict`, staging discarded).
 
     Returns ``{"version", "files_replaced", "files_carried",
     "files_rewritten", "files_added", "n_replaced", "n_rows"}``."""
@@ -2055,6 +2060,17 @@ def overwrite_partitions(
         _discard_staged(new_files)
         _discard_staged(rw_files)
         raise
+    for col in index_cols:
+        # carried files keep their prior index rows; only the commit's
+        # rewritten + replacement files hash (O(increment), same
+        # contract as the COW DML paths). Rows indexed for dropped
+        # files go stale-but-harmless, as everywhere.
+        maintain_bloom_index(
+            spark, table_dir, col, version=v,
+            new_files=rw_files + new_files, prior_version=base["version"],
+            max_chain=index_max_chain,
+            geometry=(index_geometry or {}).get(col),
+        )
     return {
         "version": v,
         "files_replaced": len(replaced),
@@ -2783,10 +2799,11 @@ def version_as_of(table_dir: str, ts: float, branch: str | None = None) -> int:
 def restore_version(
     spark: SparkSession,
     table_dir: str,
-    version: int,
+    version: int | None = None,
     index_cols: Sequence[str] = (),
     index_max_chain: int = 8,
     branch: str | None = None,
+    tag: str | None = None,
 ) -> dict:
     """RESTORE: commit a new head whose snapshot is EXACTLY an earlier
     version's (the Delta Lake ``RESTORE TABLE ... TO VERSION`` /
@@ -2807,7 +2824,10 @@ def restore_version(
     file lists mostly re-converge.
 
     The target must still be a RETAINED version (loadable manifest):
-    tag it or keep it inside vacuum's window. Restoring re-references
+    tag it or keep it inside vacuum's window. ``tag="name"`` restores
+    straight to a NAMED snapshot (the Iceberg rollback-to-tag form;
+    exactly one of ``version``/``tag``) — tags are vacuum-retained, so
+    a named target is loadable for as long as the name exists. Restoring re-references
     the target's files, and vacuum's liveness walk then keeps them via
     the new head's manifest.
 
@@ -2833,6 +2853,20 @@ def restore_version(
             "index_cols on a branch restore — Bloom indexes are "
             "main-lineage; build them when the branch publishes"
         )
+    if (version is None) == (tag is None):
+        raise ValueError(
+            "restore_version takes exactly one of version= or tag="
+        )
+    if tag is not None:
+        # restore to a NAMED snapshot (Iceberg rollback-to-tag): tags
+        # are retained by vacuum, so the target manifest is loadable by
+        # construction for as long as the name exists
+        pinned = tags(table_dir)
+        if tag not in pinned:
+            raise ValueError(
+                f"tag {tag!r} not found (have {sorted(pinned)})"
+            )
+        version = pinned[tag]
     target = _load_manifest(table_dir, version, branch)
 
     def build(prior: dict | None) -> dict:
@@ -4022,9 +4056,17 @@ def verify_table(
     }
 
 
-def vacuum(table_dir: str, keep_last: int = 2) -> dict:
+def vacuum(
+    table_dir: str,
+    keep_last: int = 2,
+    older_than_hours: float | None = None,
+) -> dict:
     """Drop manifests older than the newest ``keep_last`` versions —
-    except versions pinned by a tag (:func:`tag_version`), which are
+    except versions committed within the last ``older_than_hours``
+    (the Delta ``VACUUM ... RETAIN N HOURS`` promise: time travel over
+    the audit window survives regardless of commit rate; ``keep_last``
+    stays the count floor) and versions pinned by a tag
+    (:func:`tag_version`), which are
     retained with their data files and index dirs until the tag is
     deleted — delete data files no retained version references (files
     and DV sidecars any BRANCH manifest references are likewise
@@ -4080,6 +4122,8 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    if older_than_hours is not None and older_than_hours < 0:
+        raise ValueError("older_than_hours must be >= 0")
     vs = _version_numbers(table_dir)
     # retention = the newest keep_last versions ∪ every TAGGED version
     # (tag_version): a tag is a promise that an audit can re-read that
@@ -4088,7 +4132,18 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict:
     # delete — so a tagger that raced the first read is still honored
     # (see the tagger-race caveat in the docstring).
     tagged = set(tags(table_dir).values())
-    keep = sorted(set(vs[-keep_last:]) | (tagged & set(vs)))
+    # time-based retention (Delta `VACUUM ... RETAIN N HOURS`): a
+    # version younger than the horizon is kept even outside keep_last —
+    # the audit window is a TIME promise, keep_last the count floor
+    recent: set[int] = set()
+    if older_than_hours is not None:
+        cutoff = time.time() - older_than_hours * 3600.0
+        recent = {
+            v
+            for v in vs
+            if _load_manifest(table_dir, v).get("committed_at", 0) >= cutoff
+        }
+    keep = sorted(set(vs[-keep_last:]) | (tagged & set(vs)) | recent)
     drop = [v for v in vs if v not in set(keep)]
     keep_files = set()
     for v in keep:

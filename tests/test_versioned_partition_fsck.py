@@ -821,3 +821,118 @@ def test_generated_column_fsck_backstop_and_clone_carry(spark, sf_dir, tmp_path)
     rep2 = verify_table(spark, src, deep=True)
     assert not rep2["ok"]
     assert rep2["checks"]["generated_match"]["mismatches"]["dt"] > 0
+
+
+# ---------------------------------------------------------------------------
+# round-out: replaceWhere index maintenance, restore-by-tag, RETAIN-hours
+# vacuum, multi-column partition layouts
+# ---------------------------------------------------------------------------
+
+
+def test_replace_where_maintains_bloom_index(spark, sf_dir, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        overwrite_partitions,
+    )
+
+    e = _events(spark, sf_dir)
+    write_version(
+        spark,
+        e.repartition("event_type"),
+        table,
+        partition_by=["event_type"],
+        index_cols=["event_id"],
+    )
+    backfill = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("value", F.lit(0.0))
+        .repartition("event_type")
+    )
+    overwrite_partitions(spark, backfill, table, index_cols=["event_id"])
+    # a key probe on the new head still prunes via the chained index
+    k = e.filter(F.col("event_type") == "click").agg(
+        F.min("event_id")
+    ).first()[0]
+    df, info = read_version_pruned(spark, table, keys={"event_id": [k]})
+    assert df.count() == 1 and info["files_read"] < info["files_total"]
+
+
+def test_restore_by_tag(spark, sf_dir, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        restore_version,
+        tag_version,
+    )
+
+    e = _events(spark, sf_dir)
+    write_version(spark, e, table)
+    tag_version(table, "golden")
+    delete_version(spark, table, F.col("event_id") % 2 == 0)
+    r = restore_version(spark, table, tag="golden")
+    assert r["restored_from"] == 1 and r["data_files_written"] == 0
+    assert read_version(spark, table).count() == e.count()
+    with pytest.raises(ValueError, match="exactly one of"):
+        restore_version(spark, table)
+    with pytest.raises(ValueError, match="exactly one of"):
+        restore_version(spark, table, 1, tag="golden")
+    with pytest.raises(ValueError, match="not found"):
+        restore_version(spark, table, tag="nope")
+
+
+def test_vacuum_retain_hours(spark, sf_dir, table):
+    e = _events(spark, sf_dir)
+    for i in range(4):
+        write_version(spark, e.limit(5 + i), table, mode="append")
+    # a huge horizon retains everything regardless of keep_last
+    res = vacuum(table, keep_last=1, older_than_hours=24.0)
+    assert res["versions_dropped"] == 0
+    assert [m["version"] for m in __import__(
+        "bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned",
+        fromlist=["versions"],
+    ).versions(table)] == [1, 2, 3, 4]
+    # a zero horizon degrades to pure keep_last
+    res2 = vacuum(table, keep_last=2, older_than_hours=0.0)
+    assert res2["versions_dropped"] == 2
+    assert read_version(spark, table).count() == 5 + 6 + 7 + 8
+
+
+def test_multi_column_partition_layout(spark, sf_dir, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        overwrite_partitions,
+    )
+
+    e = _events(spark, sf_dir).withColumn(
+        "half", (F.col("event_id") % 2).cast("string")
+    )
+    write_version(
+        spark,
+        e.repartition("event_type", "half"),
+        table,
+        partition_by=["event_type", "half"],
+    )
+    m = _load_manifest(table, 1)
+    assert set(m["partition_cols"]) == {"event_type", "half"}
+    # pruning composes across both columns
+    df, info = read_version_pruned(
+        spark, table, keys={"event_type": ["click"], "half": ["0"]}
+    )
+    want = e.filter((F.col("event_type") == "click") & (F.col("half") == "0"))
+    assert df.count() == want.count() and info["partition_skipped"] > 0
+    # derived scope is refused on multi-column layouts; explicit works
+    repl = want.withColumn("value", F.lit(0.0))
+    with pytest.raises(ValueError, match="cross product"):
+        overwrite_partitions(spark, repl, table)
+    r = overwrite_partitions(
+        spark,
+        repl,
+        table,
+        partition_scope={"event_type": ["click"], "half": ["0"]},
+    )
+    assert r["files_replaced"] >= 1
+    got = read_version(spark, table)
+    want_all = e.withColumn(
+        "value",
+        F.when(
+            (F.col("event_type") == "click") & (F.col("half") == "0"),
+            F.lit(0.0),
+        ).otherwise(F.col("value")),
+    )
+    assert got.count() == want_all.count() and got.exceptAll(want_all).isEmpty()
