@@ -928,6 +928,12 @@ def _partition_candidates(m: dict, scope: dict | None) -> list[str] | None:
         for c, vals in scope.items()
         if c in pcols
     }
+    for want in usable.values():
+        if "" in want:
+            # hive dir-encoding conflates '' with NULL (see the pruned
+            # read): None-recorded files may hold ''-rows the ANDed
+            # predicate matches, so they stay candidates
+            want.add(None)
     if not usable or not pmap:
         return None
     out = []
@@ -1933,6 +1939,15 @@ def overwrite_partitions(
         raise ValueError(
             f"scope columns {unknown} are not partition columns {pcols}"
         )
+    for c, vals in partition_scope.items():
+        if any(v is None or _norm_part_value(v) == "" for v in vals):
+            raise ValueError(
+                f"partition_scope[{c!r}] names the empty/null partition — "
+                "hive dir-encoding conflates '' with NULL (one sentinel "
+                "dir), so an exact partition swap there is ambiguous; "
+                "use delete_version + write_version with explicit "
+                "NULL-aware predicates instead"
+            )
     _validate_partition_cols(df, pcols)
     scope_cond = _scoped_cond(None, partition_scope)
     n_out = df.filter(~F.coalesce(scope_cond, F.lit(False))).count()
@@ -3741,6 +3756,13 @@ def read_version_pruned(
             if col not in part_cols:
                 continue
             want = {_norm_part_value(v) for v in vals}
+            if "" in want:
+                # hive dir-encoding conflates '' with NULL (both land in
+                # the null-sentinel dir, recorded as None) — an
+                # empty-string probe must keep None-recorded files or
+                # it would silently prune live rows; the exact filter
+                # below still returns only the ''-rows
+                want.add(None)
             candidates = [
                 f
                 for f in candidates
@@ -4033,7 +4055,13 @@ def verify_table(
                 for c in part_cols:
                     want = rec.get(c)
                     if want is None:
-                        ok_f = r[f"__nd_{c}"] == 0
+                        # the hive null sentinel holds NULL **and ''**
+                        # rows (dir-encoding conflates them) — both are
+                        # pure for a None-recorded file; the pruning
+                        # passes apply the matching conflation rule
+                        ok_f = r[f"__nd_{c}"] == 0 or (
+                            r[f"__nd_{c}"] == 1 and r[f"__v_{c}"] == ""
+                        )
                     else:
                         ok_f = (
                             r[f"__nd_{c}"] == 1

@@ -936,3 +936,129 @@ def test_multi_column_partition_layout(spark, sf_dir, table):
         ).otherwise(F.col("value")),
     )
     assert got.count() == want_all.count() and got.exceptAll(want_all).isEmpty()
+
+
+def test_partition_value_special_chars_round_trip(spark, table):
+    # hive dir-encoding escapes path-hostile characters; the manifest
+    # map must record the DECODED value and pruning must match it
+    vals = ["a b", "x=y", "p/q", "50%", "héllo", "dot.dash-_"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals * 3)], "k long, g string"
+    )
+    write_version(spark, df.repartition("g"), table, partition_by=["g"])
+    m = _load_manifest(table, 1)
+    recorded = {p["g"] for p in m["partitions"].values()}
+    assert recorded == set(vals)
+    for v in vals:
+        got, info = read_version_pruned(spark, table, keys={"g": [v]})
+        assert got.count() == 3, v
+        assert info["partition_skipped"] > 0, v
+    # and the full read returns the decoded originals
+    assert {
+        r["g"] for r in read_version(spark, table).select("g").distinct().collect()
+    } == set(vals)
+
+
+def test_fsck_deep_on_clone_and_scoped_dml_on_clone(spark, sf_dir, tmp_path):
+    # a clone borrows bytes outside its own root: fsck must still find
+    # them, and partition-scoped DML must still skip them correctly
+    e = _events(spark, sf_dir)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_version(
+        spark, e.repartition("event_type"), src,
+        partition_by=["event_type"], stats_cols=["event_id"],
+    )
+    clone_table(src, dst)
+    rep = verify_table(spark, dst, deep=True)
+    assert rep["ok"], rep["errors"]
+    r = delete_version(spark, dst, partition_scope={"event_type": ["view"]})
+    assert r["files_scanned"] < len(_load_manifest(src, 1)["files"])
+    assert (
+        read_version(spark, dst).count()
+        == e.filter(F.col("event_type") != "view").count()
+    )
+    assert read_version(spark, src).count() == e.count()  # src untouched
+
+
+def test_norm_part_value_matches_spark_dir_encoding(spark, tmp_path):
+    # _norm_part_value (probe side) must agree with the shadow
+    # CAST(col AS STRING) (write side) for every supported type —
+    # a disagreement would silently skip live files on probes
+    import datetime
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        _norm_part_value,
+    )
+
+    cases = [
+        ("int", "long", [0, -7, 42, 2**40]),
+        ("bool", "boolean", [True, False]),
+        (
+            "date",
+            "date",
+            [datetime.date(2024, 1, 2), datetime.date(1970, 12, 31)],
+        ),
+        ("str", "string", ["plain", "UPPER", ""]),
+    ]
+    for name, typ, values in cases:
+        t = str(tmp_path / f"t_{name}")
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], f"k long, g {typ}"
+        )
+        write_version(spark, df.repartition("g"), t, partition_by=["g"])
+        m = _load_manifest(t, 1)
+        recorded = {p["g"] for p in m["partitions"].values()}
+        for v in values:
+            if v == "":
+                # Spark dir-encodes '' as the hive null sentinel, so
+                # the map records None — the conflation the probe-side
+                # rule below compensates for
+                assert None in recorded, (name, v)
+            else:
+                assert _norm_part_value(v) in recorded, (name, v)
+            got, info = read_version_pruned(spark, t, keys={"g": [v]})
+            # for '': the probe must keep the None-recorded file
+            # (conflation rule) and the exact filter then returns
+            # exactly the ''-rows
+            assert got.count() == 1, (name, v)
+
+
+def test_empty_string_partition_probe_and_scope(spark, table, tmp_path):
+    # the self-caught conflation bug: '' dir-encodes to the hive null
+    # sentinel; probes and scoped DML must keep None-recorded files
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        overwrite_partitions,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "a"), (4, None)], "k long, g string"
+    )
+    write_version(spark, df.repartition("g"), table, partition_by=["g"])
+    got, info = read_version_pruned(spark, table, keys={"g": [""]})
+    assert sorted(r["k"] for r in got.collect()) == [1, 2]  # no row loss
+    assert info["partition_skipped"] > 0  # the 'a' file still skips
+    # scoped delete of the ''-rows: None-recorded file stays a candidate
+    r = delete_version(spark, table, partition_scope={"g": [""]})
+    assert r["n_deleted"] == 2
+    left = read_version(spark, table)
+    assert sorted((x["k"], x["g"]) for x in left.collect()) == [
+        (3, "a"), (4, None)
+    ]  # the NULL row survived the ''-scoped delete
+    # replaceWhere refuses the ambiguous partition loudly
+    with pytest.raises(ValueError, match="empty/null partition"):
+        overwrite_partitions(
+            spark, df.limit(0), table, partition_scope={"g": [""]}
+        )
+    with pytest.raises(ValueError, match="empty/null partition"):
+        overwrite_partitions(spark, df.filter(F.col("g") == ""), table)
+
+
+def test_fsck_purity_accepts_hive_null_conflation(spark, table):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, None)], "k long, g string"
+    )
+    write_version(spark, df.repartition("g"), table, partition_by=["g"])
+    rep = verify_table(spark, table, deep=True)
+    assert rep["checks"]["partition_purity"]["ok"], rep["checks"][
+        "partition_purity"
+    ]
