@@ -5420,6 +5420,71 @@ SELECT 4, 'delete_mor',
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-sequence packing + RAG chunking (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+
+def q_seq_pack(spark, sf):
+    """GPT/T5 concatenate-and-split sequence packing over the document
+    corpus (operators/packing.py pack_sequences): whitespace tokens laid
+    end-to-end in doc_id order, cut into 64-token training sequences,
+    with per-sequence document-boundary offsets (the attention-mask
+    payload) and an md5 content fingerprint.
+
+    Scale: global token offsets come from the two-pass distributed
+    prefix sum over a (doc_id, n_tokens) projection — never a global
+    window; tokens shuffle once into uniform seq_id groups with state
+    bounded by seq_len. The oracle replays the identical arithmetic
+    with a window sum (fine at sf0.01; the operator exists because that
+    window is single-task at 100 TB)."""
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), seq_len=64)
+
+
+SQL_SEQ_PACK = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), sized AS (
+  SELECT doc_id, t,
+         SUM(len(t)) OVER (ORDER BY doc_id) - len(t) AS start
+  FROM toks
+), tok AS (
+  SELECT doc_id, start + u.i - 1 AS gpos, u.i AS pos1, t[u.i] AS token
+  FROM sized, UNNEST(range(1, len(t) + 1)) AS u(i)
+)
+SELECT CAST(gpos // 64 AS BIGINT) AS seq_id,
+       COUNT(*) AS n_tokens,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       COALESCE(string_agg(CASE WHEN pos1 = 1 THEN CAST(gpos % 64 AS VARCHAR) END,
+                           ',' ORDER BY gpos), '') AS doc_starts,
+       md5(string_agg(token, ' ' ORDER BY gpos)) AS seq_md5
+FROM tok GROUP BY 1
+"""
+
+
+def q_doc_chunks(spark, sf):
+    """RAG ingestion chunker (operators/packing.py chunk_documents):
+    120-char windows with 30-char overlap (stride 90) per document,
+    offsets recorded. Pure narrow map — sequence/explode/substr in
+    whole-stage codegen, zero shuffles."""
+    from .operators.packing import chunk_documents
+
+    return chunk_documents(_t(spark, sf, "documents"), chunk_size=120, overlap=30)
+
+
+SQL_DOC_CHUNKS = """
+SELECT doc_id, CAST(u.i AS INT) AS chunk_idx, CAST(u.i * 90 AS BIGINT) AS char_start,
+       substr(text, u.i * 90 + 1, 120) AS chunk_text,
+       CAST(length(substr(text, u.i * 90 + 1, 120)) AS BIGINT) AS chunk_len
+FROM documents,
+     UNNEST(range(0, 1 + (greatest(length(text) - 120, 0) + 89) // 90)) AS u(i)
+"""
+
+
 OPS_REGISTRY = {
     "exact_substr_spans": (q_exact_substr_spans, SQL_EXACT_SUBSTR_SPANS),
     "exact_substr_scrub": (q_exact_substr_scrub, SQL_EXACT_SUBSTR_SCRUB),
@@ -5538,4 +5603,6 @@ OPS_REGISTRY = {
         q_versioned_generated_partition,
         SQL_VERSIONED_GENERATED_PARTITION,
     ),
+    "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
 }
