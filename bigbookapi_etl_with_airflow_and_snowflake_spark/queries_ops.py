@@ -5420,6 +5420,89 @@ SELECT 4, 'delete_mor',
 """
 
 
+def q_streaming_versioned_changes(spark, sf):
+    """The versioned table as a first-class STRUCTURED STREAMING SOURCE
+    (sources/versioned_stream.py, Spark 4 Python DataSource API):
+    offsets are version numbers checkpointed by the engine, partitions
+    are one-executor-task-per-file planned from manifests alone, and
+    executors read with pyarrow (added data files → inserts, new DV
+    sidecars → merge-on-read deletes) — Arrow batches straight into
+    Spark, no per-row Python.
+
+    Shape: v1 appends even orders, v2 appends odd orders, v3
+    merge-on-read deletes keys ≡0 mod 7; one stream drains all three
+    commits and the query summarizes per (commit, change_type). The
+    oracle replays each commit's exact change set from the orders
+    table — a duplicated, dropped or mis-attributed row anywhere in the
+    offset/partition/DV pipeline fails the value hash. Checkpoint
+    resume, COW refusal, schema evolution and per-file partition
+    planning are locked by tests/test_versioned_stream.py."""
+    import uuid as _uuid
+
+    from .sinks.versioned import delete_version, write_version
+    from .sources.versioned_stream import read_changes_stream
+
+    d = tempfile.mkdtemp(prefix="q_vstream_")
+    t = os.path.join(d, "orders_v")
+    try:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        write_version(spark, o.filter(F.col("o_orderkey") % 2 == 0).repartition(2), t)
+        write_version(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 1).repartition(2),
+            t,
+            mode="append",
+        )
+        delete_version(spark, t, F.col("o_orderkey") % 7 == 0, mode="mor")
+
+        name = f"q_vstream_{_uuid.uuid4().hex[:8]}"
+        q = (
+            read_changes_stream(spark, t)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        out = (
+            spark.table(name)
+            .groupBy(
+                F.col("_commit_version").alias("commit_version"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("o_orderkey").alias("sum_key"),
+                F.countDistinct("o_custkey").alias("n_cust"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_VERSIONED_CHANGES = """
+SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,
+       COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       COUNT(DISTINCT o_custkey) AS n_cust
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 2, 'insert', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       COUNT(DISTINCT o_custkey)
+FROM orders WHERE o_orderkey % 2 = 1
+UNION ALL
+SELECT 3, 'delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       COUNT(DISTINCT o_custkey)
+FROM orders WHERE o_orderkey % 7 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-sequence packing + RAG chunking (operators/packing.py)
 # ---------------------------------------------------------------------------
@@ -5605,4 +5688,8 @@ OPS_REGISTRY = {
     ),
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "streaming_versioned_changes": (
+        q_streaming_versioned_changes,
+        SQL_STREAMING_VERSIONED_CHANGES,
+    ),
 }

@@ -1,0 +1,254 @@
+"""Streaming change-data-feed source over versioned tables — the
+versioned table (sinks/versioned.py) as a first-class Structured
+Streaming source via the Spark 4 Python DataSource API:
+
+    register_versioned_stream(spark)
+    df = (spark.readStream.format("versioned_changes")
+          .option("path", table_dir).load())
+
+Offsets ARE version numbers (``{"version": N}`` JSON in the stream's
+checkpoint), so exactly-once progress tracking falls out of the commit
+log itself: a restarted query resumes from the last committed version,
+and every committed version is delivered exactly once. Each microbatch
+covers the commits ``(start_version, end_version]`` and emits the
+table's columns plus ``_change_type`` ('insert' | 'delete') and
+``_commit_version`` — the same row convention as the batch
+:func:`sinks.versioned.read_changes`.
+
+Scale design — this is a ``DataSourceStreamReader`` (executor-parallel
+``partitions()`` + ``read()``), deliberately NOT the driver-side
+``SimpleDataSourceStreamReader``:
+
+- ``partitions(start, end)`` plans from MANIFESTS ONLY (O(files)
+  driver metadata, zero data reads): for each version in the range,
+  data files added by the commit become insert partitions and DV
+  sidecar files added by the commit (merge-on-read deletes) become
+  delete partitions. One partition per file — a commit that wrote 512
+  files fans out to 512 executor tasks.
+- ``read(partition)`` runs on executors with pyarrow: an insert
+  partition streams its data file's record batches (minus any DV'd
+  positions); a delete partition reads its sidecar, groups positions
+  by data file, and ``take``s exactly the deleted rows. Arrow batches
+  go straight into Spark — no per-row Python.
+- Schema is pinned at stream start (the latest manifest's recorded
+  schema). Older files missing evolved columns read as NULL — same
+  recorded-schema semantics as the batch readers. A column whose
+  parquet type disagrees with the recorded schema fails loudly.
+
+Semantics boundary, stated rather than fudged: commits that REMOVE
+data files (copy-on-write rewrites — COW delete/update, optimize,
+overwrite, replaceWhere, restore) cannot be streamed exactly without
+commit-time change files (Delta writes ``_change_data`` for exactly
+this reason), because a rewrite's carried rows are indistinguishable
+from changed rows at the file level. ``partitions()`` REFUSES such a
+commit with a pointed error naming the version and the batch escape
+hatch (``read_changes``, which nets the rewrite via its multiset
+diff). A streaming tail is the append + merge-on-read ingest shape;
+table-rewriting maintenance belongs to a batch consumer.
+
+The reference pipeline re-extracts the full corpus every run
+(``/root/reference/dags/``); this source is what replaces that at
+100 TB — downstream consumers see O(changed rows) per trigger, with
+the lake's own commit log as the offset ledger.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+
+def _manifest(table_dir: str, version: int) -> dict:
+    from ..sinks.versioned import _load_manifest
+
+    return _load_manifest(table_dir, version)
+
+
+def _latest_version(table_dir: str) -> int:
+    from ..sinks.versioned import _version_numbers
+
+    vs = _version_numbers(table_dir)
+    if not vs:
+        raise ValueError(f"no committed versions under {table_dir!r}")
+    return vs[-1]
+
+
+class _ChangePartition(InputPartition):
+    """One executor task: either the live rows of one ADDED data file
+    (kind='insert') or the rows addressed by one NEW DV sidecar
+    (kind='delete'). ``dv_files`` (insert kind) are the snapshot's
+    sidecars — positions addressing ``data_file`` are masked out."""
+
+    def __init__(
+        self,
+        kind: str,
+        version: int,
+        data_file: str | None,
+        dv_files: Sequence[str],
+    ) -> None:
+        self.kind = kind
+        self.version = version
+        self.data_file = data_file
+        self.dv_files = list(dv_files)
+
+
+class VersionedChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self._table_dir = options.get("path") or options.get("tabledir")
+        if not self._table_dir:
+            raise ValueError("versioned_changes requires .option('path', table_dir)")
+        self._start = int(options.get("startingversion", 0))
+        self._schema = schema
+
+    # -- offset protocol ---------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        return {"version": _latest_version(self._table_dir)}
+
+    def commit(self, end: dict) -> None:  # offsets live in the commit log
+        pass
+
+    # -- planning (driver, manifests only) ----------------------------------
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        parts: list[InputPartition] = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            m = _manifest(self._table_dir, v)
+            prev_files: set[str] = set()
+            prev_dvs: set[str] = set()
+            if v > 1:
+                pm = _manifest(self._table_dir, v - 1)
+                prev_files = set(pm["files"])
+                prev_dvs = set(pm.get("dv_files") or [])
+            files = set(m["files"])
+            dvs = list(m.get("dv_files") or [])
+            removed = prev_files - files
+            if removed:
+                raise ValueError(
+                    f"version {v} of {self._table_dir!r} rewrote "
+                    f"{len(removed)} data file(s) (mode={m.get('mode')!r}) — "
+                    "a copy-on-write rewrite cannot be streamed exactly at "
+                    "file granularity; consume it with the batch "
+                    "read_changes(), which nets carried rows via its "
+                    "multiset diff, then resume the stream past it with "
+                    "startingVersion"
+                )
+            for f in sorted(files - prev_files):
+                parts.append(_ChangePartition("insert", v, f, dvs))
+            for dv in sorted(set(dvs) - prev_dvs):
+                parts.append(_ChangePartition("delete", v, None, [dv]))
+        return parts
+
+    # -- execution (executors, pyarrow) --------------------------------------
+    def read(self, partition: _ChangePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        out_schema = to_arrow_schema(self._schema)
+        table_fields = out_schema.names[:-2]  # minus _change_type/_commit_version
+
+        def conform(tbl: pa.Table, change: str, version: int) -> pa.Table:
+            n = tbl.num_rows
+            cols = []
+            for name in table_fields:
+                target = out_schema.field(name).type
+                if name in tbl.schema.names:
+                    cols.append(tbl.column(name).cast(target))
+                else:  # evolved column absent in an older file → NULL
+                    cols.append(pa.nulls(n, type=target))
+            cols.append(pa.array([change] * n, type=pa.string()))
+            cols.append(pa.array([version] * n, type=pa.int64()))
+            return pa.Table.from_arrays(cols, schema=out_schema)
+
+        if partition.kind == "insert":
+            tbl = pq.read_table(partition.data_file)
+            dead = _dv_positions_for(partition.dv_files, partition.data_file)
+            if dead:
+                mask = [i for i in range(tbl.num_rows) if i not in dead]
+                tbl = tbl.take(pa.array(mask, type=pa.int64()))
+            yield from conform(tbl, "insert", partition.version).to_batches()
+        else:
+            sidecar = pq.read_table(partition.dv_files[0], columns=["file", "pos"])
+            by_file: dict[str, list[int]] = {}
+            for f, p in zip(
+                sidecar.column("file").to_pylist(), sidecar.column("pos").to_pylist()
+            ):
+                by_file.setdefault(f, []).append(p)
+            for f in sorted(by_file):
+                tbl = pq.read_table(f).take(
+                    pa.array(sorted(by_file[f]), type=pa.int64())
+                )
+                yield from conform(tbl, "delete", partition.version).to_batches()
+
+
+def _dv_positions_for(dv_files: Sequence[str], data_file: str) -> set[int]:
+    """Positions any of the snapshot's DV sidecars mark dead in
+    ``data_file``. Sidecars are O(deleted rows); entries addressing
+    other files simply don't match."""
+    import pyarrow.parquet as pq
+
+    dead: set[int] = set()
+    for dv in dv_files:
+        t = pq.read_table(dv, columns=["file", "pos"])
+        files = t.column("file").to_pylist()
+        poss = t.column("pos").to_pylist()
+        dead.update(p for f, p in zip(files, poss) if f == data_file)
+    return dead
+
+
+class VersionedChangesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_changes"
+
+    def schema(self) -> str:
+        table_dir = self.options.get("path") or self.options.get("tabledir")
+        if not table_dir:
+            raise ValueError("versioned_changes requires .option('path', table_dir)")
+        m = _manifest(table_dir, _latest_version(table_dir))
+        if not m.get("schema"):
+            raise ValueError(
+                f"{table_dir!r} has no recorded schema — cannot define a "
+                "change stream over an untyped table"
+            )
+        base = StructType.fromJson(json.loads(m["schema"]))
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in base.fields
+        )
+        return f"{cols}, _change_type string, _commit_version long"
+
+    def streamReader(self, schema: StructType) -> VersionedChangesStreamReader:
+        return VersionedChangesStreamReader(schema, dict(self.options))
+
+
+def register_versioned_stream(spark) -> None:
+    """Idempotently register the ``versioned_changes`` streaming format
+    on this session."""
+    spark.dataSource.register(VersionedChangesDataSource)
+
+
+def read_changes_stream(spark, table_dir: str, starting_version: int = 0):
+    """Convenience: register + open the change stream.
+
+    ``starting_version=0`` bootstraps (the first microbatch delivers
+    every live row of the current snapshot as inserts, provided the
+    history is append/MOR — a table with rewrites in its history needs
+    ``starting_version`` past the last rewrite, with the bootstrap done
+    by a batch ``read_version``/``read_changes``)."""
+    register_versioned_stream(spark)
+    return (
+        spark.readStream.format("versioned_changes")
+        .option("path", os.path.abspath(table_dir))
+        .option("startingVersion", starting_version)
+        .load()
+    )

@@ -1,0 +1,178 @@
+"""Streaming change-data-feed source (sources/versioned_stream.py):
+the versioned table as a Structured Streaming source via the Python
+DataSource API — offsets are version numbers, partitions are files."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+import pytest
+
+from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+    delete_version,
+    write_version,
+)
+from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.versioned_stream import (
+    VersionedChangesStreamReader,
+    read_changes_stream,
+)
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="vstream_test_")
+    yield os.path.join(d, "tbl")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _orders(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def _drain(spark, df, checkpoint=None):
+    name = f"chg_{uuid.uuid4().hex[:8]}"
+    w = df.writeStream.format("memory").queryName(name).outputMode("append")
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name).localCheckpoint(eager=True)
+
+
+def test_append_and_mor_tail_exact(spark, sf_dir, tdir):
+    o = _orders(spark, sf_dir)
+    write_version(spark, o.filter(F.col("o_orderkey") % 2 == 0).repartition(2), tdir)
+    write_version(
+        spark, o.filter(F.col("o_orderkey") % 2 == 1).repartition(2), tdir,
+        mode="append",
+    )
+    delete_version(spark, tdir, F.col("o_orderkey") % 7 == 0, mode="mor")
+
+    got = _drain(spark, read_changes_stream(spark, tdir))
+    # row-level equality per commit, not just counts
+    for v, ct, pred in [
+        (1, "insert", F.col("o_orderkey") % 2 == 0),
+        (2, "insert", F.col("o_orderkey") % 2 == 1),
+        (3, "delete", F.col("o_orderkey") % 7 == 0),
+    ]:
+        g = got.filter(
+            (F.col("_commit_version") == v) & (F.col("_change_type") == ct)
+        ).select("o_orderkey", "o_custkey", "o_totalprice")
+        want = o.filter(pred)
+        assert g.exceptAll(want).count() == 0 and want.exceptAll(g).count() == 0, (
+            f"v{v} {ct} mismatch"
+        )
+
+
+def test_cow_rewrite_refused_loudly(spark, sf_dir, tdir):
+    o = _orders(spark, sf_dir)
+    write_version(spark, o.repartition(2), tdir)
+    delete_version(spark, tdir, F.col("o_orderkey") % 5 == 0)  # COW rewrite
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="read_changes"):
+        _drain(spark, read_changes_stream(spark, tdir))
+
+
+def test_checkpoint_resume_delivers_only_new_commits(spark, sf_dir, tdir):
+    o = _orders(spark, sf_dir)
+    write_version(spark, o.filter(F.col("o_orderkey") % 2 == 0).repartition(2), tdir)
+    work = tempfile.mkdtemp(prefix="vstream_ckpt_")
+    ckpt, out = os.path.join(work, "ckpt"), os.path.join(work, "out")
+
+    def run_once():
+        q = (
+            read_changes_stream(spark, tdir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        return spark.read.parquet(out)
+
+    try:
+        first = run_once()
+        assert first.select(F.max("_commit_version")).first()[0] == 1
+        n1 = first.count()
+        assert n1 == o.filter(F.col("o_orderkey") % 2 == 0).count()
+        write_version(
+            spark, o.filter(F.col("o_orderkey") % 2 == 1).repartition(2), tdir,
+            mode="append",
+        )
+        # restart with the SAME checkpoint: only version 2 is delivered,
+        # exactly once (offset = version number lives in the checkpoint)
+        second = run_once()
+        v2 = second.filter(F.col("_commit_version") == 2)
+        assert second.count() == n1 + o.filter(F.col("o_orderkey") % 2 == 1).count()
+        assert v2.count() == o.filter(F.col("o_orderkey") % 2 == 1).count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_schema_evolution_nulls_old_files(spark, sf_dir, tdir):
+    o = _orders(spark, sf_dir).limit(100).localCheckpoint(eager=True)
+    write_version(spark, o.repartition(1), tdir)
+    write_version(
+        spark,
+        o.withColumn("o_flag", F.lit("new")).repartition(1),
+        tdir,
+        mode="append",
+        merge_schema=True,
+    )
+    got = _drain(spark, read_changes_stream(spark, tdir))
+    assert "o_flag" in got.columns
+    v1 = got.filter(F.col("_commit_version") == 1)
+    v2 = got.filter(F.col("_commit_version") == 2)
+    assert v1.filter(F.col("o_flag").isNotNull()).count() == 0
+    assert v2.filter(F.col("o_flag") != "new").count() == 0
+
+
+def test_starting_version_skips_history(spark, sf_dir, tdir):
+    o = _orders(spark, sf_dir)
+    write_version(spark, o.filter(F.col("o_orderkey") % 2 == 0).repartition(2), tdir)
+    write_version(
+        spark, o.filter(F.col("o_orderkey") % 2 == 1).repartition(2), tdir,
+        mode="append",
+    )
+    got = _drain(spark, read_changes_stream(spark, tdir, starting_version=1))
+    assert got.select(F.collect_set("_commit_version")).first()[0] == [2]
+
+
+def test_partitions_plan_one_task_per_file(spark, sf_dir, tdir):
+    o = _orders(spark, sf_dir)
+    write_version(spark, o.repartition(5), tdir)
+    delete_version(spark, tdir, F.col("o_orderkey") % 11 == 0, mode="mor")
+    r = VersionedChangesStreamReader.__new__(VersionedChangesStreamReader)
+    r._table_dir = tdir
+    r._start = 0
+    parts = r.partitions({"version": 0}, {"version": 2})
+    inserts = [p for p in parts if p.kind == "insert"]
+    deletes = [p for p in parts if p.kind == "delete"]
+    assert len(inserts) == 5  # one executor task per added data file
+    # one task per DV sidecar part file, covering the commit's whole DV set
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        _load_manifest,
+    )
+
+    dv_set = set(_load_manifest(tdir, 2)["dv_files"])
+    assert deletes and all(len(p.dv_files) == 1 for p in deletes)
+    assert {p.dv_files[0] for p in deletes} == dv_set
+    assert r.latestOffset() == {"version": 2}
+    assert r.initialOffset() == {"version": 0}
