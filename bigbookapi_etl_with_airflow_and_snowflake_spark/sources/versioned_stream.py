@@ -84,8 +84,13 @@ def _latest_version(table_dir: str) -> int:
 class _ChangePartition(InputPartition):
     """One executor task: either the live rows of one ADDED data file
     (kind='insert') or the rows addressed by one NEW DV sidecar
-    (kind='delete'). ``dv_files`` (insert kind) are the snapshot's
-    sidecars — positions addressing ``data_file`` are masked out."""
+    (kind='delete'). ``dv_files`` (insert kind) are the commit's NEW
+    sidecars — positions addressing ``data_file`` are masked out.
+    ``skip_files`` (delete kind) are files added by the SAME commit: a
+    row both added and DV'd at one version nets to nothing, so its
+    sidecar entries must not surface as deletes of rows the consumer
+    never saw (no current commit type produces this shape — the guard
+    keeps a future one correct rather than subtly wrong)."""
 
     def __init__(
         self,
@@ -93,11 +98,13 @@ class _ChangePartition(InputPartition):
         version: int,
         data_file: str | None,
         dv_files: Sequence[str],
+        skip_files: Sequence[str] = (),
     ) -> None:
         self.kind = kind
         self.version = version
         self.data_file = data_file
         self.dv_files = list(dv_files)
+        self.skip_files = list(skip_files)
 
 
 class VersionedChangesStreamReader(DataSourceStreamReader):
@@ -122,15 +129,23 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         parts: list[InputPartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            m = _manifest(self._table_dir, v)
-            prev_files: set[str] = set()
-            prev_dvs: set[str] = set()
-            if v > 1:
-                pm = _manifest(self._table_dir, v - 1)
-                prev_files = set(pm["files"])
-                prev_dvs = set(pm.get("dv_files") or [])
+            try:
+                m = _manifest(self._table_dir, v)
+                prev_files: set[str] = set()
+                prev_dvs: set[str] = set()
+                if v > 1:
+                    pm = _manifest(self._table_dir, v - 1)
+                    prev_files = set(pm["files"])
+                    prev_dvs = set(pm.get("dv_files") or [])
+            except ValueError as ex:
+                raise ValueError(
+                    f"change stream over {self._table_dir!r} needs manifests "
+                    f"{max(v - 1, 1)}..{v} and one is gone ({ex}) — the "
+                    "stream fell behind vacuum retention; re-bootstrap with "
+                    "a batch read_version + startingVersion at the current "
+                    "head"
+                ) from ex
             files = set(m["files"])
-            dvs = list(m.get("dv_files") or [])
             removed = prev_files - files
             if removed:
                 raise ValueError(
@@ -142,10 +157,21 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     "multiset diff, then resume the stream past it with "
                     "startingVersion"
                 )
-            for f in sorted(files - prev_files):
-                parts.append(_ChangePartition("insert", v, f, dvs))
-            for dv in sorted(set(dvs) - prev_dvs):
-                parts.append(_ChangePartition("delete", v, None, [dv]))
+            # Only sidecars ADDED at v can address a file added at v
+            # (older sidecars predate the file) — so insert partitions
+            # carry the commit's new DVs, not the cumulative set, and
+            # an append-heavy stream never re-reads historic DVs.
+            new_dvs = sorted(set(m.get("dv_files") or []) - prev_dvs)
+            added = sorted(files - prev_files)
+            for f in added:
+                parts.append(_ChangePartition("insert", v, f, new_dvs))
+            for dv in new_dvs:
+                parts.append(
+                    _ChangePartition(
+                        "delete", v, None, [dv],
+                        skip_files=added if added else (),
+                    )
+                )
         return parts
 
     # -- execution (executors, pyarrow) --------------------------------------
@@ -179,11 +205,13 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             yield from conform(tbl, "insert", partition.version).to_batches()
         else:
             sidecar = pq.read_table(partition.dv_files[0], columns=["file", "pos"])
+            skip = set(partition.skip_files)
             by_file: dict[str, list[int]] = {}
             for f, p in zip(
                 sidecar.column("file").to_pylist(), sidecar.column("pos").to_pylist()
             ):
-                by_file.setdefault(f, []).append(p)
+                if f not in skip:  # added-and-DV'd same commit: nets out
+                    by_file.setdefault(f, []).append(p)
             for f in sorted(by_file):
                 tbl = pq.read_table(f).take(
                     pa.array(sorted(by_file[f]), type=pa.int64())
