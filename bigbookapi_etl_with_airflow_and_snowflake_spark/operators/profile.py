@@ -25,10 +25,12 @@ distribution-aware outlier screen — both as single-pass aggregations.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns", "integer_sigma_outliers"]
+__all__ = ["profile_columns", "integer_sigma_outliers", "snapshot_drift"]
 
 
 def profile_columns(df: DataFrame, approx: bool = False) -> DataFrame:
@@ -114,3 +116,121 @@ def integer_sigma_outliers(
         F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")
     )
     return joined.filter(lhs * lhs > rhs).drop("__n", "__s", "__q")
+
+
+def snapshot_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    numeric_cols: Sequence[str] = (),
+    categorical_cols: Sequence[str] = (),
+    n_bins: int = 20,
+) -> DataFrame:
+    """Distribution drift between two snapshots of the same table — the
+    per-ingest monitor a production pipeline runs before promoting new
+    data (the role PSI plays in ML scorecards). The metric is TOTAL
+    VARIATION distance in per-mille, ``tv_pm = ⌊500·Σ|p_ref − p_cur|·
+    1000 / 1⌋``, chosen over PSI deliberately: PSI's ``ln`` is not
+    bit-portable across engines, while TV over integer bin counts is
+    exact rational arithmetic — partition-invariant AND replayable in
+    SQL to the last digit (the cross-multiplied form
+    ``Σ|cur_n·N_ref − ref_n·N_cur|`` never forms a float; DECIMAL(38,0)
+    carries it past 2^63, the same routing as ``mixture_plan``).
+
+    ``numeric_cols`` must be integer-valued (fixed-point them first —
+    cents, micros); each is binned on the REFERENCE range: ``width =
+    ceil((max−min+1)/n_bins)``, bin = ``(x−min) div width`` (never a
+    negative dividend: values below the reference min take the
+    dedicated underflow bin ``-1``, values above clamp into overflow
+    bin ``n_bins`` — new mass outside the reference range is exactly
+    what drift must surface, and Spark's truncating ``div`` vs
+    DuckDB's flooring ``//`` only disagree on negative dividends, so
+    the underflow short-circuit is also what keeps the oracle exact).
+    ``categorical_cols`` bin by value. Output, one row per column:
+    ``(col_name, n_ref, n_cur, tv_pm, top_shift_bin)`` where
+    ``top_shift_bin`` is the bin contributing the largest absolute
+    proportion shift (ties → lexicographically smallest label).
+
+    Scale: ONE scan per side for ALL columns (each row melts into
+    (col, bin-label) pairs via an inline array→explode — no per-column
+    passes), one groupBy on (col, bin), then arithmetic over the
+    bounded (cols × bins) count table. The reference min/max come from
+    one bounded aggregation (2 values per numeric column). Nothing
+    data-sized ever concentrates.
+    """
+    if not numeric_cols and not categorical_cols:
+        raise ValueError("no columns to compare")
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    ranges: dict[str, tuple[int, int]] = {}
+    if numeric_cols:
+        row = ref.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in numeric_cols],
+            *[F.max(c).alias(f"hi_{c}") for c in numeric_cols],
+        ).first()
+        for c in numeric_cols:
+            lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+            if lo is None:
+                raise ValueError(f"reference snapshot has no rows for {c!r}")
+            ranges[c] = (int(lo), int(hi))
+
+    def melt(df: DataFrame) -> DataFrame:
+        pairs = []
+        for c in numeric_cols:
+            lo, hi = ranges[c]
+            width = (hi - lo + n_bins) // n_bins  # ceil((hi-lo+1)/n_bins)
+            bin_ = (
+                F.when(F.col(c) < lo, F.lit(-1))
+                .otherwise(
+                    F.least(
+                        F.expr(f"({c} - {lo}) div {width}"), F.lit(n_bins)
+                    )
+                )
+                .cast("long")
+                .cast("string")
+            )
+            pairs.append(F.struct(F.lit(c).alias("col_name"), bin_.alias("bin")))
+        for c in categorical_cols:
+            pairs.append(
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null")).alias(
+                        "bin"
+                    ),
+                )
+            )
+        return df.select(F.explode(F.array(*pairs)).alias("p")).select(
+            "p.col_name", "p.bin"
+        )
+
+    d38 = "decimal(38,0)"
+    rc = melt(ref).groupBy("col_name", "bin").agg(F.count("*").alias("ref_n"))
+    cc = melt(cur).groupBy("col_name", "bin").agg(F.count("*").alias("cur_n"))
+    bins = (
+        rc.join(cc, ["col_name", "bin"], "full_outer")
+        .fillna(0, subset=["ref_n", "cur_n"])
+    )
+    totals = bins.groupBy("col_name").agg(
+        F.sum("ref_n").alias("n_ref"), F.sum("cur_n").alias("n_cur")
+    )
+    b = bins.join(F.broadcast(totals), "col_name")
+    shift = F.abs(
+        F.col("cur_n").cast(d38) * F.col("n_ref").cast(d38)
+        - F.col("ref_n").cast(d38) * F.col("n_cur").cast(d38)
+    )
+    per_col = b.groupBy("col_name", "n_ref", "n_cur").agg(
+        F.sum(shift).alias("__t"),
+        F.min(F.struct((-shift).alias("s"), F.col("bin").alias("b"))).alias("__m"),
+    )
+    num = (F.lit(500).cast(d38) * F.col("__t")).cast(d38)
+    den = (F.col("n_ref").cast(d38) * F.col("n_cur").cast(d38)).cast(d38)
+    # an empty side is total drift by definition (and would divide by 0)
+    tv_pm = F.when(
+        (F.col("n_ref") == 0) | (F.col("n_cur") == 0), F.lit(1000)
+    ).otherwise(((num - F.pmod(num, den)) / den).cast("long"))
+    return per_col.select(
+        "col_name",
+        "n_ref",
+        "n_cur",
+        tv_pm.alias("tv_pm"),
+        F.col("__m.b").alias("top_shift_bin"),
+    )

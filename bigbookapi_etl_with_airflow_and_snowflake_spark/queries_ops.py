@@ -5420,6 +5420,70 @@ SELECT 4, 'delete_mor',
 """
 
 
+def q_snapshot_drift_events(spark, sf):
+    """Distribution-drift monitor between two snapshots
+    (operators/profile.py snapshot_drift): the per-ingest promotion
+    gate, with TOTAL VARIATION distance in per-mille instead of PSI —
+    TV over integer bin counts is exact rational arithmetic
+    (DECIMAL-routed cross-multiplication), so the result is
+    partition-invariant and replays in SQL to the last digit, where
+    PSI's ln is not bit-portable. Numeric columns bin on the REFERENCE
+    range with dedicated underflow/overflow bins (new mass outside the
+    seen range is precisely what drift must surface); categoricals bin
+    by value.
+
+    Scale: one scan per side melts ALL columns into (col, bin) pairs
+    (inline array→explode), one groupBy over the bounded cols×bins
+    domain, arithmetic on a tiny count table."""
+    from .operators.profile import snapshot_drift
+
+    e = _t(spark, sf, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents")
+    ref = e.filter(F.col("event_id") % 2 == 0).select(cents, "event_type")
+    cur = e.filter(F.col("event_id") % 2 == 1).select(cents, "event_type")
+    return snapshot_drift(
+        ref, cur, numeric_cols=["value_cents"],
+        categorical_cols=["event_type"], n_bins=20,
+    )
+
+
+SQL_SNAPSHOT_DRIFT_EVENTS = r"""
+WITH ref AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS v, event_type
+             FROM events WHERE event_id % 2 = 0),
+cur AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS v, event_type
+        FROM events WHERE event_id % 2 = 1),
+w AS (SELECT MIN(v) AS lo, (MAX(v) - MIN(v) + 20) // 20 AS width FROM ref),
+refb AS (
+  SELECT 'value_cents' AS col_name,
+         CAST(CASE WHEN v < lo THEN -1
+              ELSE least((v - lo) // width, 20) END AS VARCHAR) AS bin
+  FROM ref, w
+  UNION ALL SELECT 'event_type', COALESCE(event_type, chr(0) || 'null') FROM ref),
+curb AS (
+  SELECT 'value_cents' AS col_name,
+         CAST(CASE WHEN v < lo THEN -1
+              ELSE least((v - lo) // width, 20) END AS VARCHAR) AS bin
+  FROM cur, w
+  UNION ALL SELECT 'event_type', COALESCE(event_type, chr(0) || 'null') FROM cur),
+rc AS (SELECT col_name, bin, COUNT(*) AS ref_n FROM refb GROUP BY 1, 2),
+cc AS (SELECT col_name, bin, COUNT(*) AS cur_n FROM curb GROUP BY 1, 2),
+bins AS (SELECT col_name, bin, COALESCE(ref_n, 0) AS ref_n,
+                COALESCE(cur_n, 0) AS cur_n
+         FROM rc FULL OUTER JOIN cc USING (col_name, bin)),
+tot AS (SELECT col_name, SUM(ref_n) AS n_ref, SUM(cur_n) AS n_cur
+        FROM bins GROUP BY 1),
+b AS (SELECT bins.col_name, bin, ref_n, cur_n, n_ref, n_cur,
+             abs(cur_n * n_ref - ref_n * n_cur) AS shift,
+             ROW_NUMBER() OVER (PARTITION BY bins.col_name
+                 ORDER BY abs(cur_n * n_ref - ref_n * n_cur) DESC, bin ASC) AS rk
+      FROM bins JOIN tot USING (col_name))
+SELECT col_name, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       CAST((500 * SUM(shift)) // (n_ref * n_cur) AS BIGINT) AS tv_pm,
+       MAX(CASE WHEN rk = 1 THEN bin END) AS top_shift_bin
+FROM b GROUP BY col_name, n_ref, n_cur
+"""
+
+
 def q_streaming_versioned_changes(spark, sf):
     """The versioned table as a first-class STRUCTURED STREAMING SOURCE
     (sources/versioned_stream.py, Spark 4 Python DataSource API):
@@ -5692,4 +5756,5 @@ OPS_REGISTRY = {
         q_streaming_versioned_changes,
         SQL_STREAMING_VERSIONED_CHANGES,
     ),
+    "snapshot_drift_events": (q_snapshot_drift_events, SQL_SNAPSHOT_DRIFT_EVENTS),
 }

@@ -68,3 +68,75 @@ def test_sigma_outliers_partition_invariant(spark):
 def test_sigma_outliers_uniform_group_yields_nothing(spark):
     df = spark.createDataFrame([("g", i, 100) for i in range(50)], "grp string, id int, cents long")
     assert integer_sigma_outliers(df, ["grp"], "cents").count() == 0
+
+
+def test_snapshot_drift_exact(spark):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.profile import (
+        snapshot_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "a" if i < 8 else "b") for i in range(10)], "x long, cat string"
+    )
+    # cur shifts 2 rows out of 'a' into 'b' and pushes one value past max
+    cur = spark.createDataFrame(
+        [(i, "a" if i < 6 else "b") for i in range(9)] + [(99, "b")],
+        "x long, cat string",
+    )
+    out = {
+        r["col_name"]: r
+        for r in snapshot_drift(ref, cur, ["x"], ["cat"], n_bins=5).collect()
+    }
+    # ref range 0..9 → width 2, bins 0..4; cur's 99 lands in overflow bin 5
+    x = out["x"]
+    assert (x["n_ref"], x["n_cur"]) == (10, 10)
+    # per-bin ref counts: 2,2,2,2,2 / cur: 2,2,2,2,1 + 1 in overflow
+    # TV = 0.5*(0+0+0+0+0.1+0.1) = 0.1 → 100 pm; top bin tie → '4' < '5'
+    assert x["tv_pm"] == 100
+    assert x["top_shift_bin"] == "4"
+    c = out["cat"]
+    # a: 8→6, b: 2→4 → TV = 0.2 → 200 pm; top bin tie → 'a' < 'b'
+    assert c["tv_pm"] == 200
+    assert c["top_shift_bin"] == "a"
+
+
+def test_snapshot_drift_underflow_and_null_bins(spark):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.profile import (
+        snapshot_drift,
+    )
+
+    ref = spark.createDataFrame([(10, "a"), (20, "a")], "x long, cat string")
+    cur = spark.createDataFrame([(-5, None), (15, "a")], "x long, cat string")
+    out = {
+        r["col_name"]: r
+        for r in snapshot_drift(ref, cur, ["x"], ["cat"], n_bins=2).collect()
+    }
+    assert out["x"]["top_shift_bin"] == "-1"  # mass below the ref range
+    assert out["cat"]["tv_pm"] == 500  # half the mass moved to the null bin
+
+
+def test_snapshot_drift_identical_and_empty(spark):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.profile import (
+        snapshot_drift,
+    )
+
+    ref = spark.createDataFrame([(i,) for i in range(20)], "x long")
+    same = snapshot_drift(ref, ref, ["x"], n_bins=4).collect()
+    assert same[0]["tv_pm"] == 0
+    empty = ref.filter("x < 0")
+    gone = snapshot_drift(ref, empty, ["x"], n_bins=4).collect()
+    assert gone[0]["tv_pm"] == 1000  # empty side = total drift by definition
+
+
+def test_snapshot_drift_validation(spark):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.profile import (
+        snapshot_drift,
+    )
+
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="no columns"):
+        snapshot_drift(df, df)
+    with pytest.raises(ValueError, match="n_bins"):
+        snapshot_drift(df, df, ["x"], n_bins=0)
+    with pytest.raises(ValueError, match="no rows"):
+        snapshot_drift(df.filter("x < 0"), df, ["x"])
