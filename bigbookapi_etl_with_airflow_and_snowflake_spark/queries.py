@@ -2494,7 +2494,7 @@ REGISTRY.update(OPS_REGISTRY)
 # nb_seed_classifier, rollup_from_changes, table_history,
 # versioned_scoped_dml, table_constraints, versioned_replace_where;
 # session 4: seq_pack, doc_chunks, streaming_versioned_changes,
-# snapshot_drift_events)
+# snapshot_drift_events, wap_drift_gate)
 # deliberately wait OUTSIDE the window: displacing
 # r7-stale entries for them would break the "nothing predates r8"
 # goal; they are proven this round by the sf0.001 pytest parity replay

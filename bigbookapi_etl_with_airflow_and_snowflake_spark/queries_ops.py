@@ -5420,6 +5420,138 @@ SELECT 4, 'delete_mor',
 """
 
 
+def q_wap_drift_gate(spark, sf):
+    """Write-Audit-Publish with a DRIFT AUDIT — the composition the two
+    tiers were built for: stage an ingest on a branch
+    (sinks/versioned.py create_branch), audit the staged increment
+    against the current main head with the exact-TV drift monitor
+    (operators/profile.py snapshot_drift), and publish_branch ONLY
+    under threshold. Two increments run the gate: a same-distribution
+    quarter of the events (passes, publishes, main advances) and a
+    poisoned one (values ×5 → mass beyond the reference range, all
+    rows 'error') that must stay staged. The audit here scores the
+    staged increment frame directly; a production job would read it
+    off the branch via read_changes — same rows either way (the
+    branch append's added files ARE the increment).
+
+    Hard oracle: the final aggregation covers exactly main ∪ the GOOD
+    increment (a wrongly-published bad batch or a wrongly-refused good
+    one changes counts and sums), and the two audit scores are
+    replayed column-for-column by the same TV arithmetic in SQL — the
+    gate's inputs, not just its verdicts, are pinned."""
+    from .operators.profile import snapshot_drift
+    from .sinks.versioned import (
+        create_branch,
+        publish_branch,
+        read_version,
+        write_version,
+    )
+
+    threshold = 300
+    e = _t(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents"),
+    )
+    base = e.filter(F.col("event_id") % 2 == 0)
+    inc_good = e.filter(F.col("event_id") % 4 == 1)
+    inc_bad = (
+        e.filter(F.col("event_id") % 4 == 3)
+        .withColumn("value_cents", F.col("value_cents") * 5)
+        .withColumn("event_type", F.lit("error"))
+    )
+    d = tempfile.mkdtemp(prefix="q_wap_drift_")
+    t = os.path.join(d, "events_v")
+    try:
+        write_version(spark, base.repartition(2), t)
+
+        def stage_and_audit(name, inc):
+            create_branch(t, name)
+            write_version(spark, inc.repartition(2), t, mode="append", branch=name)
+            drift = snapshot_drift(
+                read_version(spark, t).select("value_cents", "event_type"),
+                inc.select("value_cents", "event_type"),
+                numeric_cols=["value_cents"],
+                categorical_cols=["event_type"],
+                n_bins=10,
+            )
+            tv = max(r["tv_pm"] for r in drift.collect())
+            if tv <= threshold:
+                publish_branch(t, name)
+            return tv
+
+        tv_good = stage_and_audit("ingest_good", inc_good)
+        tv_bad = stage_and_audit("ingest_bad", inc_bad)
+        out = (
+            read_version(spark, t)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("value_cents").alias("sum_cents"),
+                F.sum("event_id").alias("sum_id"),
+            )
+            .withColumn("tv_good", F.lit(int(tv_good)).cast("long"))
+            .withColumn("tv_bad", F.lit(int(tv_bad)).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def _sql_tv_max(ref_where: str, cur_select: str, n_bins: int) -> str:
+    """Max-over-columns TV per-mille between two event selections —
+    the SQL replay of one snapshot_drift audit (value_cents binned on
+    the reference range, event_type categorical)."""
+    return f"""
+WITH ref AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS v, event_type
+             FROM events WHERE {ref_where}),
+cur AS ({cur_select}),
+w AS (SELECT MIN(v) AS lo, (MAX(v) - MIN(v) + {n_bins}) // {n_bins} AS width
+      FROM ref),
+refb AS (SELECT 'num' AS c, CAST(CASE WHEN v < lo THEN -1
+                ELSE least((v - lo) // width, {n_bins}) END AS VARCHAR) AS bin
+         FROM ref, w
+  UNION ALL SELECT 'cat', COALESCE(event_type, chr(0) || 'null') FROM ref),
+curb AS (SELECT 'num' AS c, CAST(CASE WHEN v < lo THEN -1
+                ELSE least((v - lo) // width, {n_bins}) END AS VARCHAR) AS bin
+         FROM cur, w
+  UNION ALL SELECT 'cat', COALESCE(event_type, chr(0) || 'null') FROM cur),
+rc AS (SELECT c, bin, COUNT(*) AS rn FROM refb GROUP BY 1, 2),
+cc AS (SELECT c, bin, COUNT(*) AS cn FROM curb GROUP BY 1, 2),
+bins AS (SELECT c, bin, COALESCE(rn, 0) AS rn, COALESCE(cn, 0) AS cn
+         FROM rc FULL OUTER JOIN cc USING (c, bin)),
+tot AS (SELECT c, SUM(rn) AS nr, SUM(cn) AS nc FROM bins GROUP BY 1)
+SELECT MAX(CAST((500 * t) // (nr * nc) AS BIGINT)) FROM (
+  SELECT bins.c, nr, nc, SUM(abs(cn * nr - rn * nc)) AS t
+  FROM bins JOIN tot USING (c) GROUP BY 1, 2, 3)"""
+
+
+def _sql_wap_drift_gate() -> str:
+    good_cur = (
+        "SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS v, event_type "
+        "FROM events WHERE event_id % 4 = 1"
+    )
+    bad_cur = (
+        "SELECT 5 * CAST(floor(value*100 + 0.5) AS BIGINT) AS v, "
+        "'error' AS event_type FROM events WHERE event_id % 4 = 3"
+    )
+    tv_good = _sql_tv_max("event_id % 2 = 0", good_cur, 10)
+    tv_bad = _sql_tv_max("event_id % 2 = 0 OR event_id % 4 = 1", bad_cur, 10)
+    return f"""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(SUM(event_id) AS BIGINT) AS sum_id,
+       ({tv_good}
+       ) AS tv_good,
+       ({tv_bad}
+       ) AS tv_bad
+FROM events
+WHERE event_id % 2 = 0 OR event_id % 4 = 1
+GROUP BY event_type
+"""
+
+
 def q_snapshot_drift_events(spark, sf):
     """Distribution-drift monitor between two snapshots
     (operators/profile.py snapshot_drift): the per-ingest promotion
@@ -5757,4 +5889,5 @@ OPS_REGISTRY = {
         SQL_STREAMING_VERSIONED_CHANGES,
     ),
     "snapshot_drift_events": (q_snapshot_drift_events, SQL_SNAPSHOT_DRIFT_EVENTS),
+    "wap_drift_gate": (q_wap_drift_gate, _sql_wap_drift_gate()),
 }

@@ -234,3 +234,68 @@ def test_schema_evolution_on_branch(spark, table):
     assert set(read_version(spark, table).columns) == {"id", "g"}
     publish_branch(table, "dev")
     assert set(read_version(spark, table).columns) == {"id", "g", "flag"}
+
+
+def test_wap_drift_gate_refuses_poisoned_branch(spark, sf_dir, tmp_path):
+    """Composition: branch WAP + snapshot_drift as the audit — a
+    poisoned staged increment stays on its branch; main is unchanged."""
+    import pyspark.sql.functions as F
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.profile import (
+        snapshot_drift,
+    )
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        create_branch,
+        publish_branch,
+        read_version,
+        write_version,
+    )
+
+    t = str(tmp_path / "events_v")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents"),
+    )
+    write_version(spark, e.filter(F.col("event_id") % 2 == 0).repartition(2), t)
+    n_main = read_version(spark, t).count()
+
+    poisoned = (
+        e.filter(F.col("event_id") % 2 == 1)
+        .withColumn("value_cents", F.col("value_cents") * 5)
+        .withColumn("event_type", F.lit("error"))
+    )
+    create_branch(t, "ingest")
+    write_version(spark, poisoned.repartition(2), t, mode="append", branch="ingest")
+    tv = max(
+        r["tv_pm"]
+        for r in snapshot_drift(
+            read_version(spark, t).select("value_cents", "event_type"),
+            poisoned.select("value_cents", "event_type"),
+            numeric_cols=["value_cents"],
+            categorical_cols=["event_type"],
+            n_bins=10,
+        ).collect()
+    )
+    assert tv > 300  # the audit fires
+    # gate refuses: no publish — main head unchanged, staged rows only
+    # visible on the branch
+    assert read_version(spark, t).count() == n_main
+    assert read_version(spark, t, branch="ingest").count() > n_main
+    # and an in-distribution increment WOULD pass the same gate
+    clean = e.filter(F.col("event_id") % 4 == 1)
+    tv_ok = max(
+        r["tv_pm"]
+        for r in snapshot_drift(
+            read_version(spark, t).select("value_cents", "event_type"),
+            clean.select("value_cents", "event_type"),
+            numeric_cols=["value_cents"],
+            categorical_cols=["event_type"],
+            n_bins=10,
+        ).collect()
+    )
+    assert tv_ok <= 300
+    create_branch(t, "ingest2")
+    write_version(spark, clean.repartition(2), t, mode="append", branch="ingest2")
+    publish_branch(t, "ingest2")
+    assert read_version(spark, t).count() == n_main + clean.count()
