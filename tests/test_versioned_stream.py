@@ -176,3 +176,68 @@ def test_partitions_plan_one_task_per_file(spark, sf_dir, tdir):
     assert {p.dv_files[0] for p in deletes} == dv_set
     assert r.latestOffset() == {"version": 2}
     assert r.initialOffset() == {"version": 0}
+
+
+def test_stream_feeds_rollup_maintenance(spark, sf_dir, tdir, tmp_path):
+    """Composition: the change STREAM is the rollup maintainer's feed —
+    foreachBatch folds each microbatch's inserts into the materialized
+    rollup, and the result equals the from-scratch aggregation. The
+    batch twin (rollup_from_changes) proves the math; this proves the
+    streaming plumbing delivers the identical increments."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.rollup import (
+        refresh_rollup,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    write_version(spark, e.filter(F.col("event_id") % 3 == 0).repartition(2), tdir)
+    write_version(
+        spark, e.filter(F.col("event_id") % 3 == 1).repartition(2), tdir,
+        mode="append",
+    )
+    write_version(
+        spark, e.filter(F.col("event_id") % 3 == 2).repartition(2), tdir,
+        mode="append",
+    )
+    rollup = str(tmp_path / "rollup")
+    aggs = [("sum", "value", "sum_value"), ("count", "event_id", "n_events")]
+
+    def fold(batch, batch_id):
+        inc = batch.filter(F.col("_change_type") == "insert").drop(
+            "_change_type", "_commit_version"
+        )
+        if not inc.isEmpty():
+            refresh_rollup(
+                spark, inc, rollup, ts_col="ts", bucket="hour",
+                keys=["event_type"], aggs=aggs,
+            )
+
+    q = (
+        read_changes_stream(spark, tdir)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(rollup)
+    want = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+        ).agg(
+            F.sum("value").alias("sum_value"),
+            F.count("event_id").alias("n_events"),
+        )
+    )
+    assert got.count() == want.count()
+    joined = got.alias("g").join(
+        want.alias("w"), ["bucket_start", "event_type"], "full_outer"
+    )
+    bad = joined.filter(
+        (F.col("g.n_events") != F.col("w.n_events"))
+        | (F.abs(F.col("g.sum_value") - F.col("w.sum_value")) > 1e-6)
+        | F.col("g.n_events").isNull()
+        | F.col("w.n_events").isNull()
+    )
+    assert bad.count() == 0
