@@ -66,18 +66,19 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 
-def _manifest(table_dir: str, version: int) -> dict:
+def _manifest(table_dir: str, version: int, branch: str | None = None) -> dict:
     from ..sinks.versioned import _load_manifest
 
-    return _load_manifest(table_dir, version)
+    return _load_manifest(table_dir, version, branch)
 
 
-def _latest_version(table_dir: str) -> int:
+def _latest_version(table_dir: str, branch: str | None = None) -> int:
     from ..sinks.versioned import _version_numbers
 
-    vs = _version_numbers(table_dir)
+    vs = _version_numbers(table_dir, branch)
     if not vs:
-        raise ValueError(f"no committed versions under {table_dir!r}")
+        where = f"{table_dir!r}" + (f" branch {branch!r}" if branch else "")
+        raise ValueError(f"no committed versions under {where}")
     return vs[-1]
 
 
@@ -113,6 +114,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         if not self._table_dir:
             raise ValueError("versioned_changes requires .option('path', table_dir)")
         self._start = int(options.get("startingversion", 0))
+        self._branch = options.get("branch") or None
         self._schema = schema
 
     # -- offset protocol ---------------------------------------------------
@@ -120,7 +122,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": _latest_version(self._table_dir)}
+        return {"version": _latest_version(self._table_dir, self._branch)}
 
     def commit(self, end: dict) -> None:  # offsets live in the commit log
         pass
@@ -130,11 +132,11 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         parts: list[InputPartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             try:
-                m = _manifest(self._table_dir, v)
+                m = _manifest(self._table_dir, v, self._branch)
                 prev_files: set[str] = set()
                 prev_dvs: set[str] = set()
                 if v > 1:
-                    pm = _manifest(self._table_dir, v - 1)
+                    pm = _manifest(self._table_dir, v - 1, self._branch)
                     prev_files = set(pm["files"])
                     prev_dvs = set(pm.get("dv_files") or [])
             except ValueError as ex:
@@ -243,7 +245,8 @@ class VersionedChangesDataSource(DataSource):
         table_dir = self.options.get("path") or self.options.get("tabledir")
         if not table_dir:
             raise ValueError("versioned_changes requires .option('path', table_dir)")
-        m = _manifest(table_dir, _latest_version(table_dir))
+        branch = self.options.get("branch") or None
+        m = _manifest(table_dir, _latest_version(table_dir, branch), branch)
         if not m.get("schema"):
             raise ValueError(
                 f"{table_dir!r} has no recorded schema — cannot define a "
@@ -265,18 +268,27 @@ def register_versioned_stream(spark) -> None:
     spark.dataSource.register(VersionedChangesDataSource)
 
 
-def read_changes_stream(spark, table_dir: str, starting_version: int = 0):
+def read_changes_stream(
+    spark, table_dir: str, starting_version: int = 0, branch: str | None = None
+):
     """Convenience: register + open the change stream.
 
     ``starting_version=0`` bootstraps (the first microbatch delivers
     every live row of the current snapshot as inserts, provided the
     history is append/MOR — a table with rewrites in its history needs
     ``starting_version`` past the last rewrite, with the bootstrap done
-    by a batch ``read_version``/``read_changes``)."""
+    by a batch ``read_version``/``read_changes``).
+
+    ``branch`` tails that branch's own chain (offsets are BRANCH-local
+    version numbers; the fork commit is v1 and bootstraps the forked
+    snapshot as inserts) — the shape a WAP audit consumer uses to
+    score staged commits before publish."""
     register_versioned_stream(spark)
-    return (
+    reader = (
         spark.readStream.format("versioned_changes")
         .option("path", os.path.abspath(table_dir))
         .option("startingVersion", starting_version)
-        .load()
     )
+    if branch:
+        reader = reader.option("branch", branch)
+    return reader.load()

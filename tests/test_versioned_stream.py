@@ -162,6 +162,7 @@ def test_partitions_plan_one_task_per_file(spark, sf_dir, tdir):
     r = VersionedChangesStreamReader.__new__(VersionedChangesStreamReader)
     r._table_dir = tdir
     r._start = 0
+    r._branch = None
     parts = r.partitions({"version": 0}, {"version": 2})
     inserts = [p for p in parts if p.kind == "insert"]
     deletes = [p for p in parts if p.kind == "delete"]
@@ -241,3 +242,29 @@ def test_stream_feeds_rollup_maintenance(spark, sf_dir, tdir, tmp_path):
         | F.col("w.n_events").isNull()
     )
     assert bad.count() == 0
+
+
+def test_branch_stream_tails_staged_commits(spark, sf_dir, tdir):
+    """A stream on a BRANCH sees the fork bootstrap (branch v1 = the
+    forked snapshot) plus staged branch commits — main's chain is
+    untouched. This is the WAP audit consumer's read."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        create_branch,
+    )
+
+    o = _orders(spark, sf_dir)
+    evens = o.filter(F.col("o_orderkey") % 2 == 0)
+    odds = o.filter(F.col("o_orderkey") % 2 == 1)
+    write_version(spark, evens.repartition(2), tdir)
+    create_branch(tdir, "wap")
+    write_version(spark, odds.repartition(2), tdir, mode="append", branch="wap")
+
+    got = _drain(spark, read_changes_stream(spark, tdir, branch="wap"))
+    v1 = got.filter(F.col("_commit_version") == 1)  # fork bootstrap
+    v2 = got.filter(F.col("_commit_version") == 2)  # staged append
+    assert v1.count() == evens.count()
+    assert v2.count() == odds.count()
+    # main's own stream still sees only its one commit
+    main = _drain(spark, read_changes_stream(spark, tdir))
+    assert main.select(F.collect_set("_commit_version")).first()[0] == [1]
+    assert main.count() == evens.count()
