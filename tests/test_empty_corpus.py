@@ -39,6 +39,8 @@ EXPECT_RAISE = {
     "maintenance_advisor",  # its optimize step shares that refusal
     "versioned_scoped_dml",  # update on an empty snapshot is a documented refusal
     "versioned_replace_where",  # empty incoming + derived scope: nothing says what to replace
+    "snapshot_drift_events",  # drift needs a non-empty REFERENCE to define bins
+    "wap_drift_gate",  # same: the audit's reference snapshot is empty
 }
 
 
