@@ -5627,19 +5627,22 @@ def q_streaming_versioned_changes(spark, sf):
 
     Shape: v1 appends even orders, v2 appends odd orders, v3
     merge-on-read deletes keys ≡0 mod 7; one stream drains all three
-    commits and the query summarizes per (commit, change_type). The
+    commits through a PARQUET file sink (a memory sink would collect
+    every change row to the driver — fine at sf0.01, maxResultSize
+    death at 100×; the file sink keeps delivery executor-side at any
+    scale) and the query summarizes per (commit, change_type). The
     oracle replays each commit's exact change set from the orders
     table — a duplicated, dropped or mis-attributed row anywhere in the
     offset/partition/DV pipeline fails the value hash. Checkpoint
-    resume, COW refusal, schema evolution and per-file partition
-    planning are locked by tests/test_versioned_stream.py."""
-    import uuid as _uuid
-
+    resume, COW refusal, schema evolution, branch tailing and per-file
+    partition planning are locked by tests/test_versioned_stream.py."""
     from .sinks.versioned import delete_version, write_version
     from .sources.versioned_stream import read_changes_stream
 
     d = tempfile.mkdtemp(prefix="q_vstream_")
     t = os.path.join(d, "orders_v")
+    sink = os.path.join(d, "changes_out")
+    ckpt = os.path.join(d, "ckpt")
     try:
         o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
         write_version(spark, o.filter(F.col("o_orderkey") % 2 == 0).repartition(2), t)
@@ -5651,11 +5654,11 @@ def q_streaming_versioned_changes(spark, sf):
         )
         delete_version(spark, t, F.col("o_orderkey") % 7 == 0, mode="mor")
 
-        name = f"q_vstream_{_uuid.uuid4().hex[:8]}"
         q = (
             read_changes_stream(spark, t)
-            .writeStream.format("memory")
-            .queryName(name)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
             .outputMode("append")
             .start()
         )
@@ -5665,7 +5668,7 @@ def q_streaming_versioned_changes(spark, sf):
             q.stop()
             q.awaitTermination()
         out = (
-            spark.table(name)
+            spark.read.parquet(sink)
             .groupBy(
                 F.col("_commit_version").alias("commit_version"),
                 F.col("_change_type").alias("change_type"),
@@ -5677,7 +5680,6 @@ def q_streaming_versioned_changes(spark, sf):
             )
             .localCheckpoint(eager=True)
         )
-        spark.catalog.dropTempView(name)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
