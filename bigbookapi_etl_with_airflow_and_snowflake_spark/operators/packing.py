@@ -40,19 +40,17 @@ exactly in ANSI SQL (DuckDB oracles in queries_ops.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .sampling import distributed_prefix_sum
 
+# ONE corpus tokenization, shared with the text/LM tier (two definitions
+# would drift); tokens never contain whitespace, so a space-joined
+# rendering is unambiguous.
+from .text import tokens as _ws_tokens
+
 __all__ = ["pack_sequences", "chunk_documents"]
-
-
-def _ws_tokens(col: Column) -> Column:
-    """Whitespace tokenization shared with the text/LM tier: split the
-    trimmed text on runs of whitespace. Tokens therefore never contain
-    whitespace, so a space-joined rendering is unambiguous."""
-    return F.split(F.trim(col), r"\s+")
 
 
 def pack_sequences(
@@ -91,7 +89,9 @@ def pack_sequences(
 
     ``id_col`` must be unique — it defines "the" concatenation order,
     which is what makes the packing reproducible on any cluster
-    topology (and SQL-replayable).
+    topology (and SQL-replayable). Duplicates are refused loudly by
+    the prefix sum itself (detected inside its existing scan); they
+    would otherwise fan out the offsets join and corrupt every output.
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
@@ -155,7 +155,10 @@ def chunk_documents(
     document (a document shorter than one chunk yields exactly one).
 
     Returns one row per chunk: ``id_col``, ``chunk_idx`` (0-based),
-    ``char_start`` (0-based), ``chunk_text``, ``chunk_len``.
+    ``char_start`` (0-based), ``chunk_text``, ``chunk_len``. A NULL
+    text yields NO chunks (the document is filtered, explicitly — a
+    RAG index has nothing to embed for it); an empty string yields one
+    empty chunk.
 
     Scale: pure narrow map — sequence/explode/substr inside whole-stage
     codegen, no shuffle, no UDF; cost is one scan of the text column
@@ -174,7 +177,8 @@ def chunk_documents(
         f" + {int(stride) - 1}) div {int(stride)}"
     )
     out = (
-        docs.withColumn(
+        docs.filter(F.col(text_col).isNotNull())
+        .withColumn(
             "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1)))
         )
         .withColumn("char_start", (F.col("chunk_idx") * stride).cast("long"))

@@ -145,7 +145,11 @@ def snapshot_drift(
     what drift must surface, and Spark's truncating ``div`` vs
     DuckDB's flooring ``//`` only disagree on negative dividends, so
     the underflow short-circuit is also what keeps the oracle exact).
-    ``categorical_cols`` bin by value. Output, one row per column:
+    NULL numeric values take their OWN bin (missing data is a
+    different drift signal than out-of-range mass). ``categorical_cols``
+    bin by value, NULLs under a ``\\x00null`` sentinel with genuine
+    ``\\x00`` bytes escaped by doubling so no real value can collide
+    with the sentinel. Output, one row per column:
     ``(col_name, n_ref, n_cur, tv_pm, top_shift_bin)`` where
     ``top_shift_bin`` is the bin contributing the largest absolute
     proportion shift (ties → lexicographically smallest label).
@@ -178,24 +182,33 @@ def snapshot_drift(
         for c in numeric_cols:
             lo, hi = ranges[c]
             width = (hi - lo + n_bins) // n_bins  # ceil((hi-lo+1)/n_bins)
+            # NULL is its own bin — missing data is a different drift
+            # signal than out-of-range mass, and `least` would otherwise
+            # silently fold NULLs into the overflow bin (it skips nulls)
             bin_ = (
-                F.when(F.col(c) < lo, F.lit(-1))
+                F.when(F.col(c).isNull(), F.lit("\x00null"))
+                .when(F.col(c) < lo, F.lit("-1"))
                 .otherwise(
                     F.least(
-                        F.expr(f"({c} - {lo}) div {width}"), F.lit(n_bins)
+                        F.expr(f"(`{c}` - {lo}) div {width}"), F.lit(n_bins)
                     )
+                    .cast("long")
+                    .cast("string")
                 )
-                .cast("long")
-                .cast("string")
             )
             pairs.append(F.struct(F.lit(c).alias("col_name"), bin_.alias("bin")))
         for c in categorical_cols:
+            # escape genuine \x00 bytes (doubling) so the \x00null NULL
+            # sentinel can never collide with a real category value —
+            # the sentinel-conflation lesson from the hive empty-string
+            # partition bug
+            esc = F.replace(
+                F.col(c).cast("string"), F.lit("\x00"), F.lit("\x00\x00")
+            )
             pairs.append(
                 F.struct(
                     F.lit(c).alias("col_name"),
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null")).alias(
-                        "bin"
-                    ),
+                    F.coalesce(esc, F.lit("\x00null")).alias("bin"),
                 )
             )
         return df.select(F.explode(F.array(*pairs)).alias("p")).select(

@@ -83,7 +83,9 @@ def distributed_prefix_sum(
        batches), adding the partition's exclusive offset plus a running
        in-partition cumsum carried across batches.
 
-    ``order_col`` must be unique (it defines "the" order); ``value_col``
+    ``order_col`` must be unique (it defines "the" order) — duplicates
+    are detected inside pass 2's existing scan (sorted input makes them
+    consecutive; zero extra passes) and refused loudly. ``value_col``
     must be integral — integer prefix sums are exact and associative,
     so the result is bit-identical on any partitioning.
     """
@@ -110,9 +112,24 @@ def distributed_prefix_sum(
 
     def add_cum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry = None
+        prev_key = None
         for b in batches:
             if len(b) == 0:
                 continue
+            # rows arrive sorted by order_col, so duplicate keys are
+            # consecutive — detectable here for free (same pass, no
+            # extra action). A duplicate makes "the" order ambiguous
+            # and silently corrupts every consumer (fan-out joins,
+            # double-counted offsets); refuse loudly instead.
+            keys = b[order_col].values
+            if (prev_key is not None and keys[0] == prev_key) or (
+                len(keys) > 1 and (keys[1:] == keys[:-1]).any()
+            ):
+                raise ValueError(
+                    f"order_col {order_col!r} must be unique — duplicate "
+                    "keys make the prefix-sum order ambiguous"
+                )
+            prev_key = keys[-1]
             if carry is None:
                 carry = offsets.get(int(b[_PID].iloc[0]), 0)
             cum = b[value_col].astype("int64").cumsum() + carry

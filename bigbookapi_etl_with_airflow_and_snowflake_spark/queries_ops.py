@@ -5509,14 +5509,24 @@ WITH ref AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS v, event_type
 cur AS ({cur_select}),
 w AS (SELECT MIN(v) AS lo, (MAX(v) - MIN(v) + {n_bins}) // {n_bins} AS width
       FROM ref),
-refb AS (SELECT 'num' AS c, CAST(CASE WHEN v < lo THEN -1
-                ELSE least((v - lo) // width, {n_bins}) END AS VARCHAR) AS bin
+refb AS (SELECT 'num' AS c,
+                CASE WHEN v IS NULL THEN chr(0) || 'null'
+                     WHEN v < lo THEN '-1'
+                     ELSE CAST(least((v - lo) // width, {n_bins}) AS VARCHAR)
+                END AS bin
          FROM ref, w
-  UNION ALL SELECT 'cat', COALESCE(event_type, chr(0) || 'null') FROM ref),
-curb AS (SELECT 'num' AS c, CAST(CASE WHEN v < lo THEN -1
-                ELSE least((v - lo) // width, {n_bins}) END AS VARCHAR) AS bin
+  UNION ALL SELECT 'cat',
+    COALESCE(replace(event_type, chr(0), chr(0) || chr(0)),
+             chr(0) || 'null') FROM ref),
+curb AS (SELECT 'num' AS c,
+                CASE WHEN v IS NULL THEN chr(0) || 'null'
+                     WHEN v < lo THEN '-1'
+                     ELSE CAST(least((v - lo) // width, {n_bins}) AS VARCHAR)
+                END AS bin
          FROM cur, w
-  UNION ALL SELECT 'cat', COALESCE(event_type, chr(0) || 'null') FROM cur),
+  UNION ALL SELECT 'cat',
+    COALESCE(replace(event_type, chr(0), chr(0) || chr(0)),
+             chr(0) || 'null') FROM cur),
 rc AS (SELECT c, bin, COUNT(*) AS rn FROM refb GROUP BY 1, 2),
 cc AS (SELECT c, bin, COUNT(*) AS cn FROM curb GROUP BY 1, 2),
 bins AS (SELECT c, bin, COALESCE(rn, 0) AS rn, COALESCE(cn, 0) AS cn
@@ -5587,16 +5597,20 @@ cur AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS v, event_type
 w AS (SELECT MIN(v) AS lo, (MAX(v) - MIN(v) + 20) // 20 AS width FROM ref),
 refb AS (
   SELECT 'value_cents' AS col_name,
-         CAST(CASE WHEN v < lo THEN -1
-              ELSE least((v - lo) // width, 20) END AS VARCHAR) AS bin
+         CASE WHEN v IS NULL THEN chr(0) || 'null' WHEN v < lo THEN '-1'
+              ELSE CAST(least((v - lo) // width, 20) AS VARCHAR) END AS bin
   FROM ref, w
-  UNION ALL SELECT 'event_type', COALESCE(event_type, chr(0) || 'null') FROM ref),
+  UNION ALL SELECT 'event_type',
+    COALESCE(replace(event_type, chr(0), chr(0) || chr(0)),
+             chr(0) || 'null') FROM ref),
 curb AS (
   SELECT 'value_cents' AS col_name,
-         CAST(CASE WHEN v < lo THEN -1
-              ELSE least((v - lo) // width, 20) END AS VARCHAR) AS bin
+         CASE WHEN v IS NULL THEN chr(0) || 'null' WHEN v < lo THEN '-1'
+              ELSE CAST(least((v - lo) // width, 20) AS VARCHAR) END AS bin
   FROM cur, w
-  UNION ALL SELECT 'event_type', COALESCE(event_type, chr(0) || 'null') FROM cur),
+  UNION ALL SELECT 'event_type',
+    COALESCE(replace(event_type, chr(0), chr(0) || chr(0)),
+             chr(0) || 'null') FROM cur),
 rc AS (SELECT col_name, bin, COUNT(*) AS ref_n FROM refb GROUP BY 1, 2),
 cc AS (SELECT col_name, bin, COUNT(*) AS cur_n FROM curb GROUP BY 1, 2),
 bins AS (SELECT col_name, bin, COALESCE(ref_n, 0) AS ref_n,

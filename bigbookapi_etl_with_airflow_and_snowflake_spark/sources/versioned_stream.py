@@ -37,10 +37,11 @@ Scale design — this is a ``DataSourceStreamReader`` (executor-parallel
 
 Semantics boundary, stated rather than fudged: commits that REMOVE
 data files (copy-on-write rewrites — COW delete/update, optimize,
-overwrite, replaceWhere, restore) cannot be streamed exactly without
-commit-time change files (Delta writes ``_change_data`` for exactly
-this reason), because a rewrite's carried rows are indistinguishable
-from changed rows at the file level. ``partitions()`` REFUSES such a
+overwrite, replaceWhere, restore) or REMOVE DV sidecars (a restore
+past a MOR delete resurrects rows; a fold rewrites them) cannot be
+streamed exactly without commit-time change files (Delta writes
+``_change_data`` for exactly this reason), because a rewrite's carried
+rows are indistinguishable from changed rows at the file level. ``partitions()`` REFUSES such a
 commit with a pointed error naming the version and the batch escape
 hatch (``read_changes``, which nets the rewrite via its multiset
 diff). A streaming tail is the append + merge-on-read ingest shape;
@@ -148,22 +149,34 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     "head"
                 ) from ex
             files = set(m["files"])
+            cur_dvs = set(m.get("dv_files") or [])
             removed = prev_files - files
-            if removed:
+            # A commit that REMOVES DV sidecars resurrects rows (restore
+            # past a MOR delete) or folds them into rewritten files —
+            # either way the per-file emission cannot express it, and
+            # silently emitting an empty batch would leave the consumer
+            # permanently diverged. Refuse it exactly like a file
+            # rewrite.
+            removed_dvs = prev_dvs - cur_dvs
+            if removed or removed_dvs:
+                what = (
+                    f"rewrote {len(removed)} data file(s)"
+                    if removed
+                    else f"removed {len(removed_dvs)} DV sidecar(s)"
+                )
                 raise ValueError(
-                    f"version {v} of {self._table_dir!r} rewrote "
-                    f"{len(removed)} data file(s) (mode={m.get('mode')!r}) — "
-                    "a copy-on-write rewrite cannot be streamed exactly at "
-                    "file granularity; consume it with the batch "
-                    "read_changes(), which nets carried rows via its "
-                    "multiset diff, then resume the stream past it with "
-                    "startingVersion"
+                    f"version {v} of {self._table_dir!r} {what} "
+                    f"(mode={m.get('mode')!r}) — such a commit cannot be "
+                    "streamed exactly at file granularity; consume it with "
+                    "the batch read_changes(), which nets carried rows via "
+                    "its multiset diff, then resume the stream past it "
+                    "with startingVersion"
                 )
             # Only sidecars ADDED at v can address a file added at v
             # (older sidecars predate the file) — so insert partitions
             # carry the commit's new DVs, not the cumulative set, and
             # an append-heavy stream never re-reads historic DVs.
-            new_dvs = sorted(set(m.get("dv_files") or []) - prev_dvs)
+            new_dvs = sorted(cur_dvs - prev_dvs)
             added = sorted(files - prev_files)
             for f in added:
                 parts.append(_ChangePartition("insert", v, f, new_dvs))
@@ -199,11 +212,15 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             return pa.Table.from_arrays(cols, schema=out_schema)
 
         if partition.kind == "insert":
+            import numpy as np
+
             tbl = pq.read_table(partition.data_file)
             dead = _dv_positions_for(partition.dv_files, partition.data_file)
             if dead:
-                mask = [i for i in range(tbl.num_rows) if i not in dead]
-                tbl = tbl.take(pa.array(mask, type=pa.int64()))
+                # vectorized live-row mask — never a per-row Python loop
+                mask = np.ones(tbl.num_rows, dtype=bool)
+                mask[np.fromiter(dead, dtype=np.int64)] = False
+                tbl = tbl.filter(pa.array(mask))
             yield from conform(tbl, "insert", partition.version).to_batches()
         else:
             sidecar = pq.read_table(partition.dv_files[0], columns=["file", "pos"])

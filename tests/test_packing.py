@@ -119,3 +119,19 @@ def test_pack_plan_has_no_global_window(spark, corpus):
     — offsets come from the two-pass prefix sum instead."""
     plan = pack_sequences(corpus, 4)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_pack_sequences_duplicate_ids_refused(spark):
+    docs = spark.createDataFrame(
+        [(5, "a b"), (5, "c")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="unique"):
+        pack_sequences(docs, 4).collect()
+
+
+def test_chunk_documents_null_text_yields_no_chunks(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "ab")], "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, chunk_size=4).collect()
+    assert [(r["doc_id"], r["chunk_text"]) for r in rows] == [(2, "ab")]

@@ -140,3 +140,16 @@ def test_snapshot_drift_validation(spark):
         snapshot_drift(df, df, ["x"], n_bins=0)
     with pytest.raises(ValueError, match="no rows"):
         snapshot_drift(df.filter("x < 0"), df, ["x"])
+
+
+def test_snapshot_drift_numeric_nulls_get_own_bin(spark):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.operators.profile import (
+        snapshot_drift,
+    )
+
+    ref = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    cur = spark.createDataFrame([(None,)] * 5 + [(5,)] * 5, "x long")
+    out = snapshot_drift(ref, cur, ["x"], n_bins=5).collect()[0]
+    # half the mass is MISSING, not out-of-range — the null bin wins
+    assert out["top_shift_bin"] == "\x00null"
+    assert out["tv_pm"] >= 500

@@ -268,3 +268,21 @@ def test_branch_stream_tails_staged_commits(spark, sf_dir, tdir):
     main = _drain(spark, read_changes_stream(spark, tdir))
     assert main.select(F.collect_set("_commit_version")).first()[0] == [1]
     assert main.count() == evens.count()
+
+
+def test_dv_removal_refused_loudly(spark, sf_dir, tdir):
+    """A restore past a MOR delete removes DV sidecars (rows come back
+    alive) with the file list unchanged — silently emitting an empty
+    batch would leave the consumer diverged forever. Must refuse."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        restore_version,
+    )
+
+    o = _orders(spark, sf_dir)
+    write_version(spark, o.repartition(2), tdir)
+    delete_version(spark, tdir, F.col("o_orderkey") % 7 == 0, mode="mor")
+    restore_version(spark, tdir, 1)  # resurrects the MOR-deleted rows
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="read_changes"):
+        _drain(spark, read_changes_stream(spark, tdir))
