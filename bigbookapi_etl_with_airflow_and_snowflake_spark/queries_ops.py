@@ -5777,6 +5777,7 @@ SELECT doc_id, CAST(u.i AS INT) AS chunk_idx, CAST(u.i * 90 AS BIGINT) AS char_s
        CAST(length(substr(text, u.i * 90 + 1, 120)) AS BIGINT) AS chunk_len
 FROM documents,
      UNNEST(range(0, 1 + (greatest(length(text) - 120, 0) + 89) // 90)) AS u(i)
+WHERE text IS NOT NULL
 """
 
 

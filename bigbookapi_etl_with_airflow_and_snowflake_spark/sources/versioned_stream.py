@@ -33,7 +33,11 @@ Scale design — this is a ``DataSourceStreamReader`` (executor-parallel
 - Schema is pinned at stream start (the latest manifest's recorded
   schema). Older files missing evolved columns read as NULL — same
   recorded-schema semantics as the batch readers. A column whose
-  parquet type disagrees with the recorded schema fails loudly.
+  parquet type disagrees with the recorded schema is cast to it with
+  Arrow's safe cast: a lossy conversion raises, a lossless one (e.g.
+  int32 file column vs long recorded type) coerces to the recorded
+  type — the engine's own writers always agree with the manifest, so
+  this path only triggers on hand-edited tables.
 
 Semantics boundary, stated rather than fudged: commits that REMOVE
 data files (copy-on-write rewrites — COW delete/update, optimize,
@@ -270,6 +274,13 @@ class VersionedChangesDataSource(DataSource):
                 "change stream over an untyped table"
             )
         base = StructType.fromJson(json.loads(m["schema"]))
+        reserved = {"_change_type", "_commit_version"} & set(base.names)
+        if reserved:
+            raise ValueError(
+                f"{table_dir!r} schema already contains reserved change-feed "
+                f"column(s) {sorted(reserved)} — a change stream would emit "
+                "a duplicate-name schema; rename the column(s) first"
+            )
         cols = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in base.fields
         )
@@ -290,11 +301,15 @@ def read_changes_stream(
 ):
     """Convenience: register + open the change stream.
 
-    ``starting_version=0`` bootstraps (the first microbatch delivers
-    every live row of the current snapshot as inserts, provided the
-    history is append/MOR — a table with rewrites in its history needs
-    ``starting_version`` past the last rewrite, with the bootstrap done
-    by a batch ``read_version``/``read_changes``).
+    ``starting_version=0`` bootstraps by REPLAYING the append/MOR
+    history: each appended file arrives as inserts at its commit
+    version and each MOR delete as delete rows at its version, so a
+    row deleted mid-history appears as an insert/delete pair rather
+    than being skipped — the net of the first microbatch equals the
+    current snapshot, but consumers that can't absorb retractions
+    should bootstrap with a batch ``read_version`` and start the
+    stream at the current head. A table with rewrites in its history
+    needs ``starting_version`` past the last rewrite.
 
     ``branch`` tails that branch's own chain (offsets are BRANCH-local
     version numbers; the fork commit is v1 and bootstraps the forked

@@ -286,3 +286,13 @@ def test_dv_removal_refused_loudly(spark, sf_dir, tdir):
 
     with pytest.raises(StreamingQueryException, match="read_changes"):
         _drain(spark, read_changes_stream(spark, tdir))
+
+
+def test_reserved_change_columns_refused(spark, sf_dir, tdir):
+    """A table whose own schema already holds _change_type or
+    _commit_version would produce a duplicate-name stream schema and
+    silently misaligned rows — schema() must refuse loudly instead."""
+    o = _orders(spark, sf_dir).withColumn("_change_type", F.lit("x"))
+    write_version(spark, o.repartition(2), tdir)
+    with pytest.raises(Exception, match="reserved change-feed"):
+        read_changes_stream(spark, tdir).schema
