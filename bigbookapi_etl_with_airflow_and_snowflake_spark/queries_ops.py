@@ -5715,6 +5715,149 @@ FROM orders WHERE o_orderkey % 7 = 0
 """
 
 
+def q_streaming_cdf_rewrites(spark, sf):
+    """The change stream CROSSING REWRITE COMMITS via commit-time
+    change files (sinks/versioned.py ``change_files=True`` — the Delta
+    ``_change_data`` pattern; sources/versioned_stream.py consumes the
+    recorded sets): v1 writes the even orders off the ≡4 (mod 10)
+    residue, v2 appends the ≡4 keys into their own files, v3
+    copy-on-write UPDATEs those keys (+1000 on the price) recording
+    its exact old+new images, v4 OPTIMIZEs recording an explicit EMPTY
+    set, v5 merge-on-read deletes keys ≡0 (mod 7). Without change
+    files v3 and v4 are refusals (locked by tests); with them ONE
+    stream drains all five commits through a parquet file sink and the
+    query summarizes per (commit, change_type).
+
+    Scale literals, oracle-pinned TRUE: ``carried_never_scanned`` —
+    the v3 microbatch plans exactly one task per recorded change file
+    while the commit carried untouched data files (the rewrite's
+    carried files are never opened; at 100 TB the update's cost in the
+    stream is O(updated rows), not O(table)); and
+    ``optimize_zero_tasks`` — the OPTIMIZE commit plans zero tasks
+    (layout changed, content didn't). The oracle replays every
+    commit's exact change set from the orders table, updated images
+    included — a mis-attributed or double-delivered row anywhere fails
+    the value hash."""
+    from .sinks.versioned import (
+        delete_version,
+        optimize_table,
+        update_version,
+        write_version,
+    )
+    from .sources.versioned_stream import (
+        VersionedChangesStreamReader,
+        read_changes_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="q_cfstream_")
+    t = os.path.join(d, "orders_v")
+    sink = os.path.join(d, "changes_out")
+    ckpt = os.path.join(d, "ckpt")
+    try:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        evens = o.filter(F.col("o_orderkey") % 2 == 0)
+        write_version(
+            spark,
+            evens.filter(F.col("o_orderkey") % 10 != 4).repartition(2),
+            t,
+        )
+        write_version(
+            spark,
+            evens.filter(F.col("o_orderkey") % 10 == 4).repartition(1),
+            t,
+            mode="append",
+        )
+        upd = update_version(
+            spark,
+            t,
+            "o_orderkey % 10 = 4",
+            {"o_totalprice": "o_totalprice + 1000"},
+            change_files=True,
+        )
+        optimize_table(spark, t, change_files=True)
+        delete_version(spark, t, F.col("o_orderkey") % 7 == 0, mode="mor")
+
+        # plan-shape literals straight from the stream's planner
+        # (partitions() is manifest-only; schema is unused by it)
+        rdr = VersionedChangesStreamReader(None, {"path": t})
+        v3_tasks = len(rdr.partitions({"version": 2}, {"version": 3}))
+        carried_never_scanned = (
+            v3_tasks == upd["change_files_added"] and upd["files_carried"] > 0
+        )
+        optimize_zero_tasks = (
+            len(rdr.partitions({"version": 3}, {"version": 4})) == 0
+        )
+
+        q = (
+            read_changes_stream(spark, t)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        out = (
+            spark.read.parquet(sink)
+            .groupBy(
+                F.col("_commit_version").alias("commit_version"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("o_orderkey").alias("sum_key"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).alias("cents"),
+            )
+            .withColumn(
+                "carried_never_scanned", F.lit(carried_never_scanned)
+            )
+            .withColumn("optimize_zero_tasks", F.lit(optimize_zero_tasks))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_CDF_REWRITES = """
+SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,
+       COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       TRUE AS carried_never_scanned, TRUE AS optimize_zero_tasks
+FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 4
+UNION ALL
+SELECT 2, 'insert', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT),
+       TRUE, TRUE
+FROM orders WHERE o_orderkey % 10 = 4
+UNION ALL
+SELECT 3, 'delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT),
+       TRUE, TRUE
+FROM orders WHERE o_orderkey % 10 = 4
+UNION ALL
+SELECT 3, 'insert', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(SUM(CAST(FLOOR((o_totalprice + 1000) * 100 + 0.5) AS BIGINT))
+            AS BIGINT),
+       TRUE, TRUE
+FROM orders WHERE o_orderkey % 10 = 4
+UNION ALL
+SELECT 5, 'delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(SUM(CAST(FLOOR(
+         (CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 1000
+               ELSE o_totalprice END) * 100 + 0.5) AS BIGINT)) AS BIGINT),
+       TRUE, TRUE
+FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 7 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-sequence packing + RAG chunking (operators/packing.py)
 # ---------------------------------------------------------------------------
@@ -5901,6 +6044,10 @@ OPS_REGISTRY = {
     ),
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "streaming_cdf_rewrites": (
+        q_streaming_cdf_rewrites,
+        SQL_STREAMING_CDF_REWRITES,
+    ),
     "streaming_versioned_changes": (
         q_streaming_versioned_changes,
         SQL_STREAMING_VERSIONED_CHANGES,

@@ -480,13 +480,15 @@ def delete_branch(table_dir: str, name: str) -> dict:
         m = _load_manifest(table_dir, v, name)
         mine.update(m["files"])
         mine.update(m.get("dv_files") or [])
+        mine.update(m.get("change_files") or [])
     others: set[str] = set()
     for v in _version_numbers(table_dir):
         m = _load_manifest(table_dir, v)
         others.update(m["files"])
         others.update(m.get("dv_files") or [])
-    other_files, other_dv = _branch_referenced(table_dir, skip=name)
-    others |= other_files | other_dv
+        others.update(m.get("change_files") or [])
+    other_files, other_dv, other_cf = _branch_referenced(table_dir, skip=name)
+    others |= other_files | other_dv | other_cf
     deleted = 0
     for f in sorted(mine - others):
         if os.path.exists(f):
@@ -498,15 +500,16 @@ def delete_branch(table_dir: str, name: str) -> dict:
 
 def _branch_referenced(
     table_dir: str, skip: str | None = None
-) -> tuple[set[str], set[str]]:
-    """(data files, dv files) referenced by ANY branch manifest —
-    vacuum's extra retention set: a branch is a promise its snapshots
-    stay readable until delete_branch withdraws it. ``skip`` excludes
-    one branch (delete_branch's "everyone but me" reference walk —
-    one traversal definition, so a new manifest file-reference key
-    can never desync the two callers)."""
+) -> tuple[set[str], set[str], set[str]]:
+    """(data files, dv files, change files) referenced by ANY branch
+    manifest — vacuum's extra retention set: a branch is a promise its
+    snapshots stay readable until delete_branch withdraws it. ``skip``
+    excludes one branch (delete_branch's "everyone but me" reference
+    walk — one traversal definition, so a new manifest file-reference
+    key can never desync the two callers)."""
     files: set[str] = set()
     dvs: set[str] = set()
+    changes: set[str] = set()
     root = os.path.join(table_dir, _BRANCH_DIR)
     if os.path.isdir(root):
         for nm in os.listdir(root):
@@ -520,7 +523,8 @@ def _branch_referenced(
                 m = _load_manifest(table_dir, v, nm)
                 files.update(m["files"])
                 dvs.update(m.get("dv_files") or [])
-    return files, dvs
+                changes.update(m.get("change_files") or [])
+    return files, dvs, changes
 
 
 def _load_manifest(
@@ -603,6 +607,46 @@ def _recorded_reader(spark: SparkSession, m: dict):
 
 _DV_DIR = "_dv"
 _DV_FILE, _DV_POS = "__dv_file", "__dv_pos"
+
+_CHANGE_DIR = "_change_data"
+
+
+def _write_change_files(
+    spark: SparkSession, changes: DataFrame, table_dir: str
+) -> list[str]:
+    """Stage a commit's row-level CHANGE SET — the Delta ``_change_data``
+    pattern: parquet rows with the table's columns plus ``_change_type``
+    ('insert' | 'delete') under ``_change_data/<uuid>/``, written BEFORE
+    the manifest commit and referenced by its ``change_files`` key in
+    the same atomic commit. A rewrite commit that records its change
+    set becomes exactly streamable (:mod:`sources.versioned_stream`)
+    and exactly diffable (:func:`read_changes`) WITHOUT scanning
+    carried files — the change files are O(changed rows) by
+    construction, the cost CDF-on-rewrite fundamentally requires.
+    Uncommitted stagings (conflict aborts, crashes) are reclaimed by
+    :func:`vacuum`'s full ``_change_data`` sweep."""
+    if "_change_type" not in changes.columns:
+        raise ValueError("change set must carry _change_type")
+    out = os.path.join(table_dir, _CHANGE_DIR, uuid.uuid4().hex)
+    changes.write.parquet(out)
+    return sorted(
+        _canon(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+
+
+def _refuse_change_clash(schema_cols: Sequence[str]) -> None:
+    """A table column named ``_change_type`` would be shadowed inside
+    recorded change files (and mis-delivered by the stream) — refuse
+    ``change_files=True`` on such tables, mirroring the read-side
+    reserved-name guards."""
+    if "_change_type" in schema_cols:
+        raise ValueError(
+            "change_files=True on a table whose schema already contains "
+            "_change_type — the recorded change set could not be told "
+            "apart from the data column; rename it first"
+        )
 
 
 def _identity_cols(df: DataFrame) -> DataFrame:
@@ -984,6 +1028,7 @@ def write_version(
     partition_by: Sequence[str] | None = (),
     check_constraints: dict[str, str] | None = None,
     generated_cols: dict[str, str] | None = None,
+    change_files: Sequence[str] | None = None,
 ) -> int:
     """Commit ``df`` as the next version of the table; returns the new
     version number. ``mode='overwrite'`` → the snapshot is exactly
@@ -1112,7 +1157,18 @@ def write_version(
     loop, so two racing writers with the same pair cannot both land.
     Versions must be monotonically increasing per app (streaming batch
     ids are). Vacuum retention bounds replay memory — see
-    :func:`_last_txn_version`."""
+    :func:`_last_txn_version`.
+
+    ``change_files``: a PRE-STAGED commit-time change-file list
+    (parquet paths from :func:`_write_change_files`) to record under
+    the manifest's ``change_files`` key — the caller asserts these are
+    the commit's exact row-level change set. Pass ``[]`` for a rewrite
+    that changes NOTHING logically (what :func:`optimize_table` does:
+    the layout changed, the content didn't, so the recorded change set
+    is empty and the change stream passes the commit with zero rows).
+    The DML paths stage their own change sets from a boolean flag; this
+    parameter is the low-level hook for orchestrators that already
+    know theirs."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     if (txn_app is None) != (txn_version is None):
@@ -1376,6 +1432,8 @@ def write_version(
             body["constraints"] = eff_cc
         if eff_gen:
             body["generated_cols"] = eff_gen
+        if change_files is not None:
+            body["change_files"] = list(change_files)
         return body
 
     try:
@@ -1719,6 +1777,7 @@ def delete_version(
     index_geometry: dict[str, tuple[int, int]] | None = None,
     index_max_chain: int = 8,
     partition_scope: dict[str, Sequence] | None = None,
+    change_files: bool = False,
 ) -> dict:
     """DELETE on a versioned table: rows where ``predicate`` is TRUE
     leave the table; rows where it is FALSE or NULL stay (SQL DELETE
@@ -1758,9 +1817,18 @@ def delete_version(
     (conservative). The result's ``files_scanned`` reports the actual
     scan set.
 
+    ``change_files=True`` additionally records the commit's exact
+    row-level change set (the deleted rows, ``_change_type='delete'``)
+    as ``_change_data`` parquet referenced by the manifest — the Delta
+    commit-time change-file pattern. O(deleted rows) extra write, and
+    it is what lets the streaming source
+    (:mod:`sources.versioned_stream`) cross a COW delete instead of
+    refusing it, and :func:`read_changes` diff the range without
+    scanning any snapshot file.
+
     Returns ``{"version", "files_rewritten", "files_carried",
     "files_scanned", "n_deleted", "n_rows"}`` (+ ``"dv_files_added"``
-    for MOR).
+    for MOR, + ``"change_files_added"`` when ``change_files=True``).
     """
     from pyspark.sql import functions as F
 
@@ -1775,6 +1843,7 @@ def delete_version(
             spark, table_dir, cond, base,
             index_cols, index_geometry, index_max_chain,
             scan_files=scan_files,
+            change_files=change_files,
         )
     if base["files"] and scan_files:
         # _live_scan: recorded schema + existing DVs applied — an
@@ -1802,11 +1871,24 @@ def delete_version(
         schema_json = base.get("schema")
         touched = set()
     carried = _carried_files(base["files"], touched)
+    cf: list[str] | None = None
+    if change_files:
+        _refuse_change_clash(
+            [f["name"] for f in json.loads(schema_json)["fields"]]
+            if schema_json
+            else []
+        )
+        cf = []
     if touched:
         scope = _live_scan(spark, base, files=sorted(touched))
         n_touched = scope.count()
         kept = scope.filter(~F.coalesce(cond, F.lit(False)))
         new_files, n_new = _write_data_files(spark, kept, table_dir)
+        if change_files:
+            deleted_rows = scope.filter(
+                F.coalesce(cond, F.lit(False))
+            ).withColumn("_change_type", F.lit("delete"))
+            cf = _write_change_files(spark, deleted_rows, table_dir)
     else:
         n_touched, new_files, n_new = 0, [], 0
 
@@ -1816,7 +1898,7 @@ def delete_version(
                 f"table advanced past v{base['version']} "
                 f"(latest: v{prior['version'] if prior else 0}) — re-run the delete"
             )
-        return {
+        body = {
             "mode": "delete",
             "files": carried + new_files,
             "n_rows": base["n_rows"] - n_touched + n_new,
@@ -1829,11 +1911,16 @@ def delete_version(
             # stale-but-harmless (see merge_version)
             "dv_files": base.get("dv_files") or [],
         }
+        if cf is not None:
+            body["change_files"] = cf
+        return body
 
     try:
         v = _commit(table_dir, build)
     except CommitConflict:
         _discard_staged(new_files)
+        if cf:
+            _discard_staged(cf)
         raise
     for col in index_cols:
         # copy-on-write commit: carried files keep their prior index
@@ -1844,7 +1931,7 @@ def delete_version(
             max_chain=index_max_chain,
             geometry=(index_geometry or {}).get(col),
         )
-    return {
+    result = {
         "version": v,
         "files_rewritten": len(touched),
         "files_carried": len(carried),
@@ -1852,6 +1939,9 @@ def delete_version(
         "n_deleted": n_touched - n_new,
         "n_rows": base["n_rows"] - n_touched + n_new,
     }
+    if cf is not None:
+        result["change_files_added"] = len(cf)
+    return result
 
 
 def overwrite_partitions(
@@ -1863,6 +1953,7 @@ def overwrite_partitions(
     index_cols: Sequence[str] = (),
     index_geometry: dict[str, tuple[int, int]] | None = None,
     index_max_chain: int = 8,
+    change_files: bool = False,
 ) -> dict:
     """Dynamic partition overwrite (Delta ``replaceWhere`` / Hive
     ``INSERT OVERWRITE PARTITION`` — the daily-backfill pattern): ONE
@@ -1895,8 +1986,15 @@ def overwrite_partitions(
     optimistic-concurrency commit as every DML (stale base →
     :class:`CommitConflict`, staging discarded).
 
+    ``change_files=True`` records the commit's exact change set
+    (the replaced partitions' outgoing live rows as deletes + the
+    incoming rows as inserts) as ``_change_data`` parquet in the same
+    commit — O(replaced + incoming), and the streaming source then
+    crosses the backfill instead of refusing it.
+
     Returns ``{"version", "files_replaced", "files_carried",
-    "files_rewritten", "files_added", "n_replaced", "n_rows"}``."""
+    "files_rewritten", "files_added", "n_replaced", "n_rows"}`` (+
+    ``"change_files_added"`` when ``change_files=True``)."""
     from pyspark.sql import functions as F
 
     base = _load_manifest(table_dir, base_version)
@@ -2044,6 +2142,38 @@ def overwrite_partitions(
                 f"violations: { {**bad, **gen_bad} }"
             )
     files = carried + rw_files + new_files
+    cf: list[str] | None = None
+    if change_files:
+        _refuse_change_clash(df.columns)
+        cf = []
+        # outgoing rows: the dropped partitions' live rows (exactly the
+        # files being replaced) + unmapped in-scope live rows; incoming
+        # rows: the staged replacement (post-generated, exactly what
+        # commits). O(replaced + incoming), never O(table).
+        gone = None
+        if replaced:
+            gone = _live_scan(spark, base, files=sorted(replaced))
+        if unmapped:
+            um_gone = _live_scan(
+                spark, base, files=sorted(unmapped)
+            ).filter(F.coalesce(scope_cond, F.lit(False)))
+            gone = um_gone if gone is None else gone.unionByName(um_gone)
+        pieces = []
+        if gone is not None:
+            pieces.append(gone.withColumn("_change_type", F.lit("delete")))
+        if new_files:
+            # explicit leaf-file read: the shadow dir key is not
+            # inferred, so this is exactly the committed table columns
+            pieces.append(
+                spark.read.parquet(*new_files).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        if pieces:
+            changes = pieces[0]
+            for p in pieces[1:]:
+                changes = changes.unionByName(p, allowMissingColumns=True)
+            cf = _write_change_files(spark, changes, table_dir)
 
     def build(prior: dict | None) -> dict:
         if prior is None or prior["version"] != base["version"]:
@@ -2062,6 +2192,8 @@ def overwrite_partitions(
             **_carried_constraints(base),
             **_carried_generated(base),
         }
+        if cf is not None:
+            body["change_files"] = cf
         parts = {
             f: v for f, v in pmap.items() if f in {_canon(x) for x in carried}
         }
@@ -2074,6 +2206,8 @@ def overwrite_partitions(
     except CommitConflict:
         _discard_staged(new_files)
         _discard_staged(rw_files)
+        if cf:
+            _discard_staged(cf)
         raise
     for col in index_cols:
         # carried files keep their prior index rows; only the commit's
@@ -2086,7 +2220,7 @@ def overwrite_partitions(
             max_chain=index_max_chain,
             geometry=(index_geometry or {}).get(col),
         )
-    return {
+    result = {
         "version": v,
         "files_replaced": len(replaced),
         "files_carried": len(carried),
@@ -2095,6 +2229,9 @@ def overwrite_partitions(
         "n_replaced": n_replaced,
         "n_rows": base["n_rows"] - n_replaced + n_new,
     }
+    if cf is not None:
+        result["change_files_added"] = len(cf)
+    return result
 
 
 def _delete_version_mor(
@@ -2106,17 +2243,29 @@ def _delete_version_mor(
     index_geometry: dict[str, tuple[int, int]] | None,
     index_max_chain: int,
     scan_files: Sequence[str] | None = None,
+    change_files: bool = False,
 ) -> dict:
     """Merge-on-read DELETE body (see :func:`delete_version`
     ``mode='mor'``): one scan finds the matching LIVE rows' physical
     coordinates, one O(deleted rows) parquet write stages the DV
     sidecar, the manifest commit appends it to the snapshot's DV list.
     Zero data files are rewritten — that is the contract the registry
-    entry pins as a literal."""
+    entry pins as a literal. ``change_files=True`` additionally records
+    the deleted rows' full images as ``_change_data`` (the stream reads
+    MOR deletes natively from the sidecars, but a uniform change-file
+    history lets :func:`read_changes` stay on its O(changed rows) fast
+    path across every commit in a range)."""
     import shutil
 
     from pyspark.sql import functions as F
 
+    cf: list[str] | None = None
+    if change_files:
+        sch = base.get("schema")
+        _refuse_change_clash(
+            [f["name"] for f in json.loads(sch)["fields"]] if sch else []
+        )
+        cf = []
     dv_new: list[str] = []
     n_deleted = 0
     dv_dir = None
@@ -2128,22 +2277,38 @@ def _delete_version_mor(
         # passed a partition_scope (out-of-scope files can't match the
         # scoped predicate by construction)
         live = _live_scan(spark, base, files=sorted(scoped), identity=True)
-        matched = live.filter(cond).select(
-            F.col(_DV_FILE).alias("file"), F.col(_DV_POS).alias("pos")
-        )
-        dv_dir = os.path.join(table_dir, _DV_DIR, uuid.uuid4().hex)
-        matched.write.parquet(dv_dir)
-        dv_new = sorted(
-            _canon(os.path.join(dv_dir, f))
-            for f in os.listdir(dv_dir)
-            if f.endswith(".parquet")
-        )
-        n_deleted = spark.read.parquet(dv_dir).count()
-        if n_deleted == 0:
-            # nothing matched: drop the staged empty sidecar so reads
-            # never pay an anti-join for a no-op delete
-            shutil.rmtree(dv_dir, ignore_errors=True)
-            dv_new, dv_dir = [], None
+        hit = live.filter(cond)
+        if change_files:
+            # one scan feeds two writes (DV coordinates + change rows)
+            hit = hit.persist()
+        try:
+            matched = hit.select(
+                F.col(_DV_FILE).alias("file"), F.col(_DV_POS).alias("pos")
+            )
+            dv_dir = os.path.join(table_dir, _DV_DIR, uuid.uuid4().hex)
+            matched.write.parquet(dv_dir)
+            dv_new = sorted(
+                _canon(os.path.join(dv_dir, f))
+                for f in os.listdir(dv_dir)
+                if f.endswith(".parquet")
+            )
+            n_deleted = spark.read.parquet(dv_dir).count()
+            if n_deleted == 0:
+                # nothing matched: drop the staged empty sidecar so reads
+                # never pay an anti-join for a no-op delete
+                shutil.rmtree(dv_dir, ignore_errors=True)
+                dv_new, dv_dir = [], None
+            elif change_files:
+                cf = _write_change_files(
+                    spark,
+                    hit.drop(_DV_FILE, _DV_POS).withColumn(
+                        "_change_type", F.lit("delete")
+                    ),
+                    table_dir,
+                )
+        finally:
+            if change_files:
+                hit.unpersist()
 
     def build(prior: dict | None) -> dict:
         if prior is None or prior["version"] != base["version"]:
@@ -2151,7 +2316,7 @@ def _delete_version_mor(
                 f"table advanced past v{base['version']} "
                 f"(latest: v{prior['version'] if prior else 0}) — re-run the delete"
             )
-        return {
+        body = {
             "mode": "delete_mor",
             "files": base["files"],
             "n_rows": base["n_rows"] - n_deleted,
@@ -2162,12 +2327,17 @@ def _delete_version_mor(
             **_carried_constraints(base),
             **_carried_generated(base),
         }
+        if cf is not None:
+            body["change_files"] = cf
+        return body
 
     try:
         v = _commit(table_dir, build)
     except CommitConflict:
         if dv_dir is not None:
             shutil.rmtree(dv_dir, ignore_errors=True)
+        if cf:
+            _discard_staged(cf)
         raise
     for col in index_cols:
         # file set unchanged → the index chains a zero-new-files link
@@ -2181,7 +2351,7 @@ def _delete_version_mor(
             max_chain=index_max_chain,
             geometry=(index_geometry or {}).get(col),
         )
-    return {
+    result = {
         "version": v,
         "files_rewritten": 0,
         "files_carried": len(base["files"]),
@@ -2190,6 +2360,9 @@ def _delete_version_mor(
         "n_rows": base["n_rows"] - n_deleted,
         "dv_files_added": len(dv_new),
     }
+    if cf is not None:
+        result["change_files_added"] = len(cf)
+    return result
 
 
 def update_version(
@@ -2203,6 +2376,7 @@ def update_version(
     index_geometry: dict[str, tuple[int, int]] | None = None,
     index_max_chain: int = 8,
     partition_scope: dict[str, Sequence] | None = None,
+    change_files: bool = False,
 ) -> dict:
     """UPDATE on a versioned table: rows where ``predicate`` is TRUE
     get ``assignments`` (column → Column/SQL-string expression)
@@ -2233,8 +2407,14 @@ def update_version(
     ``partition_scope``: partition-DML file skipping, same contract as
     :func:`delete_version` — the scope is ANDed into the predicate and
     files whose recorded partition value can't match are never opened.
+    ``change_files=True`` records the commit's exact change set
+    (old images as deletes + new images as inserts — the keyless-CDF
+    update convention) as ``_change_data`` parquet in the same commit:
+    O(updated rows), and the streaming source then crosses the COW
+    update instead of refusing it.
     Returns ``{"version", "files_rewritten", "files_carried",
-    "files_added", "files_scanned", "n_updated", "n_rows"}``."""
+    "files_added", "files_scanned", "n_updated", "n_rows"}`` (+
+    ``"change_files_added"`` when ``change_files=True``)."""
     from pyspark.sql import functions as F
 
     if mode not in ("cow", "mor"):
@@ -2261,6 +2441,10 @@ def update_version(
             f"{sorted(types)}) — schema changes go through write_version "
             "merge_schema, not UPDATE"
         )
+    cf: list[str] | None = None
+    if change_files:
+        _refuse_change_clash([f.name for f in recorded.fields])
+        cf = []
 
     def apply_assignments(df: DataFrame, condition) -> DataFrame:
         cols = []
@@ -2310,6 +2494,18 @@ def update_version(
                     matched.drop(_DV_FILE, _DV_POS), F.lit(True)
                 )
                 new_files, _ = _write_data_files(spark, updated, table_dir)
+                if change_files:
+                    cf = _write_change_files(
+                        spark,
+                        matched.drop(_DV_FILE, _DV_POS)
+                        .withColumn("_change_type", F.lit("delete"))
+                        .unionByName(
+                            updated.withColumn(
+                                "_change_type", F.lit("insert")
+                            )
+                        ),
+                        table_dir,
+                    )
         finally:
             matched.unpersist()
 
@@ -2318,7 +2514,7 @@ def update_version(
                 raise CommitConflict(
                     f"table advanced past v{base['version']} — re-run the update"
                 )
-            return {
+            body = {
                 "mode": "update_mor",
                 "files": base["files"] + new_files,
                 "n_rows": base["n_rows"],
@@ -2331,12 +2527,17 @@ def update_version(
                 **_carried_constraints(base),
             **_carried_generated(base),
             }
+            if cf is not None:
+                body["change_files"] = cf
+            return body
 
         try:
             v = _commit(table_dir, build)
         except CommitConflict:
             shutil.rmtree(dv_dir, ignore_errors=True)
             _discard_staged(new_files)
+            if cf:
+                _discard_staged(cf)
             raise
         for col in index_cols:
             maintain_bloom_index(
@@ -2345,7 +2546,7 @@ def update_version(
                 max_chain=index_max_chain,
                 geometry=(index_geometry or {}).get(col),
             )
-        return {
+        result = {
             "version": v,
             "files_rewritten": 0,
             "files_carried": len(base["files"]),
@@ -2354,6 +2555,9 @@ def update_version(
             "n_updated": n_updated,
             "n_rows": base["n_rows"],
         }
+        if cf is not None:
+            result["change_files_added"] = len(cf)
+        return result
 
     if scan_files:
         cur = _live_scan(spark, base, files=sorted(scan_files), identity=True)
@@ -2372,6 +2576,19 @@ def update_version(
             scope, F.coalesce(cond, F.lit(False))
         ).drop(_DV_FILE, _DV_POS)
         new_files, n_new = _write_data_files(spark, rewritten, table_dir)
+        if change_files:
+            hit = scope.filter(cond)
+            cf = _write_change_files(
+                spark,
+                hit.drop(_DV_FILE, _DV_POS)
+                .withColumn("_change_type", F.lit("delete"))
+                .unionByName(
+                    apply_assignments(hit, F.lit(True))
+                    .drop(_DV_FILE, _DV_POS)
+                    .withColumn("_change_type", F.lit("insert"))
+                ),
+                table_dir,
+            )
     else:
         n_updated, new_files = 0, []
 
@@ -2380,7 +2597,7 @@ def update_version(
             raise CommitConflict(
                 f"table advanced past v{base['version']} — re-run the update"
             )
-        return {
+        body = {
             "mode": "update",
             "files": carried + new_files,
             "n_rows": base["n_rows"],
@@ -2391,11 +2608,16 @@ def update_version(
             **_carried_constraints(base),
             **_carried_generated(base),
         }
+        if cf is not None:
+            body["change_files"] = cf
+        return body
 
     try:
         v = _commit(table_dir, build)
     except CommitConflict:
         _discard_staged(new_files)
+        if cf:
+            _discard_staged(cf)
         raise
     for col in index_cols:
         maintain_bloom_index(
@@ -2404,7 +2626,7 @@ def update_version(
             max_chain=index_max_chain,
             geometry=(index_geometry or {}).get(col),
         )
-    return {
+    result = {
         "version": v,
         "files_rewritten": len(touched),
         "files_carried": len(carried),
@@ -2413,6 +2635,9 @@ def update_version(
         "n_updated": n_updated,
         "n_rows": base["n_rows"],
     }
+    if cf is not None:
+        result["change_files_added"] = len(cf)
+    return result
 
 
 def replicate_changes(
@@ -2647,6 +2872,7 @@ def optimize_table(
     cluster_by: Sequence[str] = (),
     target_file_bytes: int = 128 * 1024 * 1024,
     index_cols: Sequence[str] = (),
+    change_files: bool = False,
 ) -> dict:
     """The OPTIMIZE orchestrator (Delta ``OPTIMIZE ... ZORDER BY`` /
     Iceberg rewrite_data_files): one overwrite commit that bin-packs
@@ -2668,6 +2894,11 @@ def optimize_table(
     layout changes, which is what makes OPTIMIZE safe to run from a
     maintenance cron forever.
 
+    ``change_files=True`` records an explicit EMPTY change set in the
+    commit (OPTIMIZE changes layout, never content — the Delta CDF
+    convention): the streaming change feed then passes the commit with
+    zero rows instead of refusing a file rewrite it cannot attribute.
+
     Returns ``{"version", "files_before", "files_after",
     "bytes_before", "dv_files_folded", "n_rows"}``."""
     from pyspark.sql import functions as F
@@ -2683,7 +2914,8 @@ def optimize_table(
     else:
         live = live.repartition(n_out)
     v = write_version(
-        spark, live, table_dir, mode="overwrite", index_cols=index_cols
+        spark, live, table_dir, mode="overwrite", index_cols=index_cols,
+        change_files=[] if change_files else None,
     )
     m2 = _load_manifest(table_dir, v)
     return {
@@ -2819,6 +3051,7 @@ def restore_version(
     index_max_chain: int = 8,
     branch: str | None = None,
     tag: str | None = None,
+    change_files: bool = False,
 ) -> dict:
     """RESTORE: commit a new head whose snapshot is EXACTLY an earlier
     version's (the Delta Lake ``RESTORE TABLE ... TO VERSION`` /
@@ -2859,10 +3092,18 @@ def restore_version(
     rebuild at the recorded/inherited geometry. Refused on branches,
     like every index build (indexes are main-lineage).
 
+    ``change_files=True`` records the restore's exact row-level UNDO
+    set (the inverse of :func:`read_changes` between the target and the
+    pre-restore head) as ``_change_data`` in the same commit — the
+    restore then costs O(changed files) instead of O(manifest), but the
+    streaming change feed crosses it exactly instead of refusing.
+    Refused on branch restores (the change feed is main-lineage).
+
     Returns ``{"version", "restored_from", "files_restored",
     "data_files_written", "index"}`` with ``data_files_written`` always
-    0 (the literal the registry entry pins) and ``index`` mapping each
-    requested column to ``"chained"`` or ``"rebuilt"``."""
+    0 (the literal the registry entry pins; change files are sidecars,
+    not data files) and ``index`` mapping each requested column to
+    ``"chained"`` or ``"rebuilt"``."""
     if branch is not None and index_cols:
         raise ValueError(
             "index_cols on a branch restore — Bloom indexes are "
@@ -2883,8 +3124,41 @@ def restore_version(
             )
         version = pinned[tag]
     target = _load_manifest(table_dir, version, branch)
+    cf: list[str] | None = None
+    if change_files:
+        if branch is not None:
+            raise ValueError(
+                "change_files=True on a branch restore — the change "
+                "feed is main-lineage; restore the branch without it"
+            )
+        from pyspark.sql import functions as F
+
+        sch = target.get("schema")
+        _refuse_change_clash(
+            [f["name"] for f in json.loads(sch)["fields"]] if sch else []
+        )
+        head = _version_numbers(table_dir)[-1]
+        # the restore turns snapshot(head) into snapshot(target): its
+        # change set is the INVERSE of the target→head feed, computed
+        # with read_changes' own O(changed files) scoping
+        undo = read_changes(
+            spark, table_dir, from_version=version, to_version=head
+        ).withColumn(
+            "_change_type",
+            F.when(F.col("_change_type") == "insert", F.lit("delete"))
+            .otherwise(F.lit("insert")),
+        )
+        cf = _write_change_files(spark, undo, table_dir)
 
     def build(prior: dict | None) -> dict:
+        if cf is not None and (prior is None or prior["version"] != head):
+            # the recorded undo set was computed against `head`; a
+            # commit that raced in between would make it wrong — refuse
+            # rather than record a stale change set
+            raise CommitConflict(
+                f"table advanced past v{head} while the restore's change "
+                "set was being computed — re-run the restore"
+            )
         body = {
             "mode": "restore",
             "restored_from": version,
@@ -2893,6 +3167,8 @@ def restore_version(
             "schema": target.get("schema"),
             "dv_files": list(target.get("dv_files") or []),
         }
+        if cf is not None:
+            body["change_files"] = cf
         if target.get("stats_cols"):
             body["stats_cols"] = target["stats_cols"]
             body["stats"] = target.get("stats") or {}
@@ -2905,7 +3181,12 @@ def restore_version(
             body["generated_cols"] = dict(target["generated_cols"])
         return body
 
-    v = _commit(table_dir, build, branch=branch)
+    try:
+        v = _commit(table_dir, build, branch=branch)
+    except CommitConflict:
+        if cf:
+            _discard_staged(cf)
+        raise
     index_result: dict[str, str] = {}
     for col in index_cols:
         if _usable_index_params(table_dir, col, version) is not None:
@@ -3214,6 +3495,13 @@ def read_changes(
     so callers and tests can assert the scoping actually skipped the
     carried files.
 
+    Commit-time change files: when every commit in the range recorded
+    its change set (``change_files=True`` on the DML / OPTIMIZE /
+    RESTORE paths), the feed is computed from the recorded sets alone
+    — O(changed rows), no snapshot file opened at all — and ``info``
+    additionally carries ``change_files_used``. One commit without a
+    recorded set falls back to the snapshot multiset diff.
+
     Composes with :func:`operators.rollup.refresh_rollup`: feed
     ``read_changes(dir, last_seen, v).filter("_change_type =
     'insert'")`` as the increment on an append-only table — the
@@ -3281,8 +3569,52 @@ def read_changes(
             ]
         )
 
-    # ---- scope: which files can hold a change ----
+    # ---- commit-time change files: the O(changed rows) fast path ----
+    # When EVERY commit in (from, to] recorded its change set (a
+    # ``change_files`` manifest key — possibly empty, as OPTIMIZE
+    # writes), the concatenated sets net to exactly the range diff by
+    # induction (each commit's set turns snapshot v-1 into v), with
+    # ZERO snapshot file I/O — a rewrite's carried files are never even
+    # named. One commit without the key falls back to the snapshot
+    # multiset diff below, which is always correct.
     from_files, to_files = set(m_from["files"]), set(m_to["files"])
+    if from_version > 0:
+        range_mans = [
+            _load_manifest(table_dir, v)
+            for v in range(from_version + 1, to_version + 1)
+        ]
+        if range_mans and all("change_files" in mm for mm in range_mans):
+            from pyspark.sql.types import StringType, StructField
+
+            paths = [p for mm in range_mans for p in mm["change_files"]]
+            if info is not None:
+                info.update(
+                    files_before=len(from_files),
+                    files_after=len(to_files),
+                    files_scanned_before=0,
+                    files_scanned_after=0,
+                    change_files_used=len(paths),
+                )
+            cf_schema = StructType(
+                list(union_fields)
+                + [StructField("_change_type", StringType(), True)]
+            )
+            # pinned-schema read: a change file predating an evolved
+            # column reads NULL for it, same as the snapshot readers
+            rows = (
+                spark.read.schema(cf_schema).parquet(*paths)
+                if paths
+                else spark.createDataFrame([], cf_schema)
+            )
+            signed = rows.withColumn(
+                "__cdf_delta",
+                F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            ).drop("_change_type")
+            return _net_change_rows(signed, cols)
+
+    # ---- scope: which files can hold a change ----
     added = to_files - from_files
     removed = from_files - to_files
     common = from_files & to_files
@@ -3338,20 +3670,31 @@ def read_changes(
         if scope_after
         else empty
     )
+    signed = before.withColumn("__cdf_delta", F.lit(-1)).unionByName(
+        after.withColumn("__cdf_delta", F.lit(1))
+    )
+    return _net_change_rows(signed, cols)
+
+
+def _net_change_rows(signed: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Net ±1-signed row occurrences (``__cdf_delta``) into
+    per-occurrence change rows — :func:`read_changes`'s shared tail for
+    the snapshot-diff and change-file paths.
+
+    Multiplicity expansion is CHUNKED: a single sequence(1, net) builds
+    the whole per-group array in one unsafe row — a duplicate-heavy
+    table (exactly what a dedup corpus holds) can put 1e8 identical
+    tuples in one group, which is ~800 MB in one task and a hard
+    error past Spark's max array length. Two nested explodes bound
+    every materialized array at max(ceil(net/C), C) elements while
+    emitting exactly net rows."""
+    from pyspark.sql import functions as F
+
     net = (
-        before.withColumn("__cdf_delta", F.lit(-1))
-        .unionByName(after.withColumn("__cdf_delta", F.lit(1)))
-        .groupBy(*cols)
+        signed.groupBy(*cols)
         .agg(F.sum("__cdf_delta").alias("__cdf_net"))
         .filter(F.col("__cdf_net") != 0)
     )
-    # multiplicity expansion, CHUNKED: a single sequence(1, net) builds
-    # the whole per-group array in one unsafe row — a duplicate-heavy
-    # table (exactly what a dedup corpus holds) can put 1e8 identical
-    # tuples in one group, which is ~800 MB in one task and a hard
-    # error past Spark's max array length. Two nested explodes bound
-    # every materialized array at max(ceil(net/C), C) elements while
-    # emitting exactly net rows.
     chunk = 4096
     n = F.abs(F.col("__cdf_net"))
     return (
@@ -3920,6 +4263,14 @@ def verify_table(
     dv_missing = [f for f in dv if not os.path.exists(f)]
     record("dv_files_exist", not dv_missing, missing=dv_missing[:5],
            n_missing=len(dv_missing), n_dv=len(dv))
+    if m.get("change_files") is not None:
+        # only audited when the commit recorded a change set (same
+        # conditional policy as constraints_hold)
+        cfs = m["change_files"]
+        cf_missing = [f for f in cfs if not os.path.exists(f)]
+        record("change_files_exist", not cf_missing,
+               missing=cf_missing[:5], n_missing=len(cf_missing),
+               n_change=len(cfs))
     schema = None
     try:
         if m.get("schema") is not None:
@@ -4189,7 +4540,7 @@ def vacuum(
     # branch retention: every file/DV any branch manifest references
     # stays until delete_branch — a dropped MAIN version's files may be
     # exactly what a fork carried (see create_branch)
-    branch_files, branch_dv = _branch_referenced(table_dir)
+    branch_files, branch_dv, branch_cf = _branch_referenced(table_dir)
     keep_files |= branch_files
     # index dirs still referenced: each retained version's own dir plus
     # every chain link its recorded params name, per index column
@@ -4272,9 +4623,33 @@ def vacuum(
                 continue
             shutil.rmtree(full, ignore_errors=True)
             dv_dirs_dropped += 1
+    # change-file sweep: identical full-walk shape as the DV sweep —
+    # _change_data dirs are carried by reference in manifests, and a
+    # conflict-aborted DML's staged change dir has no manifest at all,
+    # so only a namespace walk reclaims every orphan.
+    keep_cf: set[str] = set(branch_cf)
+    for v in keep:
+        keep_cf.update(_load_manifest(table_dir, v).get("change_files") or [])
+    cf_root = os.path.join(table_dir, _CHANGE_DIR)
+    change_dirs_dropped = 0
+    if os.path.isdir(cf_root):
+        for cf_dir in sorted(os.listdir(cf_root)):
+            full = os.path.join(cf_root, cf_dir)
+            if not os.path.isdir(full):
+                continue
+            parts = [
+                _canon(os.path.join(full, f))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            ]
+            if parts and any(p in keep_cf for p in parts):
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            change_dirs_dropped += 1
     return {
         "versions_dropped": len(drop),
         "files_deleted": deleted,
         "indexes_dropped": indexes_dropped,
         "dv_dirs_dropped": dv_dirs_dropped,
+        "change_dirs_dropped": change_dirs_dropped,
     }

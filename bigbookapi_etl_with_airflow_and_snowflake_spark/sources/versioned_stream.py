@@ -39,17 +39,19 @@ Scale design — this is a ``DataSourceStreamReader`` (executor-parallel
   type — the engine's own writers always agree with the manifest, so
   this path only triggers on hand-edited tables.
 
-Semantics boundary, stated rather than fudged: commits that REMOVE
-data files (copy-on-write rewrites — COW delete/update, optimize,
-overwrite, replaceWhere, restore) or REMOVE DV sidecars (a restore
-past a MOR delete resurrects rows; a fold rewrites them) cannot be
-streamed exactly without commit-time change files (Delta writes
-``_change_data`` for exactly this reason), because a rewrite's carried
-rows are indistinguishable from changed rows at the file level. ``partitions()`` REFUSES such a
-commit with a pointed error naming the version and the batch escape
-hatch (``read_changes``, which nets the rewrite via its multiset
-diff). A streaming tail is the append + merge-on-read ingest shape;
-table-rewriting maintenance belongs to a batch consumer.
+Rewrite commits: a commit that RECORDED its change set at commit time
+(``change_files=True`` on the COW DML / OPTIMIZE / RESTORE paths —
+the Delta ``_change_data`` pattern, manifest key ``change_files``)
+streams EXACTLY: one task per recorded change file, rows delivered
+with their recorded ``_change_type``, carried snapshot files never
+opened; an OPTIMIZE's explicit empty set passes through as zero rows.
+Commits that REMOVE data files or DV sidecars WITHOUT a recorded
+change set cannot be streamed exactly at file granularity (a
+rewrite's carried rows are indistinguishable from changed rows), so
+``partitions()`` REFUSES them with a pointed error naming the version
+and both escape hatches: re-run the rewrite with ``change_files=True``,
+or consume the commit with the batch ``read_changes`` (which nets the
+rewrite via its multiset diff) and resume past it.
 
 The reference pipeline re-extracts the full corpus every run
 (``/root/reference/dags/``); this source is what replaces that at
@@ -138,6 +140,17 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             try:
                 m = _manifest(self._table_dir, v, self._branch)
+                if "change_files" in m:
+                    # the commit recorded its exact change set at
+                    # commit time (change_files=True on the DML /
+                    # OPTIMIZE / RESTORE paths): one task per change
+                    # file, carried snapshot files never opened — and
+                    # rewrite commits stream exactly instead of
+                    # refusing below. An empty list (OPTIMIZE) is a
+                    # zero-row pass-through.
+                    for f in m["change_files"]:
+                        parts.append(_ChangePartition("change", v, f, []))
+                    continue
                 prev_files: set[str] = set()
                 prev_dvs: set[str] = set()
                 if v > 1:
@@ -171,10 +184,12 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     f"version {v} of {self._table_dir!r} {what} "
                     f"(mode={m.get('mode')!r}) — such a commit cannot be "
-                    "streamed exactly at file granularity; consume it with "
-                    "the batch read_changes(), which nets carried rows via "
-                    "its multiset diff, then resume the stream past it "
-                    "with startingVersion"
+                    "streamed exactly at file granularity; either re-run "
+                    "the rewrite with change_files=True (the commit then "
+                    "records its exact change set and streams), or consume "
+                    "it with the batch read_changes(), which nets carried "
+                    "rows via its multiset diff, then resume the stream "
+                    "past it with startingVersion"
                 )
             # Only sidecars ADDED at v can address a file added at v
             # (older sidecars predate the file) — so insert partitions
@@ -215,6 +230,21 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             cols.append(pa.array([version] * n, type=pa.int64()))
             return pa.Table.from_arrays(cols, schema=out_schema)
 
+        if partition.kind == "change":
+            # commit-time change file: rows already carry _change_type
+            tbl = pq.read_table(partition.data_file)
+            n = tbl.num_rows
+            cols = []
+            for name in table_fields:
+                target = out_schema.field(name).type
+                if name in tbl.schema.names:
+                    cols.append(tbl.column(name).cast(target))
+                else:  # change set predating an evolved column → NULL
+                    cols.append(pa.nulls(n, type=target))
+            cols.append(tbl.column("_change_type").cast(pa.string()))
+            cols.append(pa.array([partition.version] * n, type=pa.int64()))
+            yield from pa.Table.from_arrays(cols, schema=out_schema).to_batches()
+            return
         if partition.kind == "insert":
             import numpy as np
 

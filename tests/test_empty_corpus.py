@@ -40,6 +40,7 @@ EXPECT_RAISE = {
     "versioned_scoped_dml",  # update on an empty snapshot is a documented refusal
     "versioned_replace_where",  # empty incoming + derived scope: nothing says what to replace
     "snapshot_drift_events",  # drift needs a non-empty REFERENCE to define bins
+    "streaming_cdf_rewrites",  # its COW update shares the empty-snapshot refusal
     "wap_drift_gate",  # same: the audit's reference snapshot is empty
 }
 
