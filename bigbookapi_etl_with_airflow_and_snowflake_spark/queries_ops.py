@@ -5715,6 +5715,91 @@ FROM orders WHERE o_orderkey % 7 = 0
 """
 
 
+def q_versioned_column_mapping(spark, sf):
+    """FIELD-ID COLUMN MAPPING (sinks/versioned.py rename_column /
+    drop_column — Delta columnMapping / Iceberg field ids): RENAME and
+    DROP are METADATA-ONLY commits. v1 writes the even orders, v2
+    renames o_totalprice→price, v3 drops o_custkey, v4 appends the odd
+    orders under the NEW schema (its files store the frozen PHYSICAL
+    name o_totalprice — readers scan physical, alias to logical), v5
+    copy-on-write deletes keys ≡0 (mod 7) under the new name. The
+    final aggregate reads a snapshot whose rows span pre-rename files,
+    post-rename files and a DML rewrite — every value flows through
+    the id translation, so a mis-mapped column fails the hash.
+
+    Literals, oracle-pinned TRUE: ``metadata_only`` — v2's and v3's
+    manifests reference EXACTLY v1's data files (zero rewrites: on a
+    100 TB table the rename costs one manifest write, the point of
+    field ids); ``time_travel_names`` — v1 still reads under its own
+    original column names while the head reads under the new ones."""
+    from .sinks.versioned import (
+        _load_manifest,
+        delete_version,
+        drop_column,
+        read_version,
+        rename_column,
+        write_version,
+    )
+
+    d = tempfile.mkdtemp(prefix="q_colmap_")
+    t = os.path.join(d, "orders_v")
+    try:
+        o = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        write_version(
+            spark, o.filter(F.col("o_orderkey") % 2 == 0).repartition(2), t
+        )
+        rename_column(t, "o_totalprice", "price")
+        drop_column(t, "o_custkey")
+        write_version(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", F.col("o_totalprice").alias("price"))
+            .repartition(2),
+            t,
+            mode="append",
+        )
+        delete_version(spark, t, F.col("o_orderkey") % 7 == 0)
+
+        m1, m2, m3 = (_load_manifest(t, v) for v in (1, 2, 3))
+        metadata_only = (
+            m2["files"] == m1["files"] and m3["files"] == m1["files"]
+        )
+        time_travel_names = read_version(spark, t, version=1).columns == [
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ] and read_version(spark, t).columns == ["o_orderkey", "price"]
+
+        out = (
+            read_version(spark, t)
+            .groupBy((F.col("o_orderkey") % 5).alias("bucket"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.sum(
+                    F.floor(F.col("price") * 100 + 0.5).cast("long")
+                ).alias("cents"),
+            )
+            .withColumn("metadata_only", F.lit(metadata_only))
+            .withColumn("time_travel_names", F.lit(time_travel_names))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_COLUMN_MAPPING = """
+SELECT o_orderkey % 5 AS bucket, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       TRUE AS metadata_only, TRUE AS time_travel_names
+FROM orders WHERE o_orderkey % 7 <> 0
+GROUP BY o_orderkey % 5
+"""
+
+
 def q_streaming_cdf_rewrites(spark, sf):
     """The change stream CROSSING REWRITE COMMITS via commit-time
     change files (sinks/versioned.py ``change_files=True`` — the Delta
@@ -6044,6 +6129,10 @@ OPS_REGISTRY = {
     ),
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "versioned_column_mapping": (
+        q_versioned_column_mapping,
+        SQL_VERSIONED_COLUMN_MAPPING,
+    ),
     "streaming_cdf_rewrites": (
         q_streaming_cdf_rewrites,
         SQL_STREAMING_CDF_REWRITES,

@@ -66,6 +66,9 @@ __all__ = [
     "clone_table",
     "add_constraint",
     "drop_constraint",
+    "enable_column_mapping",
+    "rename_column",
+    "drop_column",
     "merge_version",
     "delete_version",
     "overwrite_partitions",
@@ -351,6 +354,7 @@ def create_branch(table_dir: str, name: str, version: int | None = None) -> int:
         "n_rows": m["n_rows"],
         "schema": m.get("schema"),
         "dv_files": m.get("dv_files") or [],
+        **_carried_mapping(m),
         "branch": name,
         "forked_from": m["version"],
         # incarnation id: publish's crash self-heal must distinguish
@@ -448,6 +452,7 @@ def publish_branch(table_dir: str, name: str) -> int:
             "n_rows": head["n_rows"],
             "schema": head.get("schema"),
             "dv_files": head.get("dv_files") or [],
+            **_carried_mapping(head),
             "published_branch": name,
             "published_fork": fork_id,
             "branch_version": head["version"],
@@ -596,13 +601,181 @@ def _recorded_reader(spark: SparkSession, m: dict):
     added column yield NULLs and every snapshot reads with exactly the
     schema its commit declared — no mergeSchema footer pass, no
     one-footer-wins column loss. Pre-schema manifests fall back to the
-    plain scan."""
+    plain scan.
+
+    Column mapping (``column_mapping`` manifest key): data files store
+    PHYSICAL names (a column's name at creation time, frozen — renames
+    are metadata-only), so the scan reads the physical schema and
+    aliases back to the manifest's logical names. Field ids make the
+    translation stable across any number of renames."""
     from pyspark.sql.types import StructType
 
     sch = m.get("schema")
     if sch is None:
         return spark.read
-    return spark.read.schema(StructType.fromJson(json.loads(sch)))
+    logical = StructType.fromJson(json.loads(sch))
+    mapping = _col_mapping(m)
+    if mapping is None:
+        return spark.read.schema(logical)
+    return _MappedReader(spark, logical, mapping)
+
+
+# ---------------------------------------------------------------------------
+# Column mapping (field ids): Delta/Iceberg-style metadata-only RENAME
+# and DROP. The manifest's ``column_mapping`` key holds
+# ``{"fields": {logical: {"id": int, "physical": str}}, "next_id": int,
+# "retired": [physical, ...]}``. Invariants:
+#   - a column's PHYSICAL name is its logical name at creation time,
+#     frozen forever — every data file stores physical names, so a
+#     rename touches zero files and old files keep reading correctly;
+#   - field ids are unique and never reused; a dropped column's
+#     physical name goes to ``retired`` and a NEW column may not take
+#     it (old files still hold those bytes — reusing the name would
+#     resurrect them);
+#   - time travel keeps each version's own logical names (every
+#     manifest carries its own mapping).
+# ---------------------------------------------------------------------------
+
+
+def _col_mapping(m: dict | None) -> dict | None:
+    return (m or {}).get("column_mapping")
+
+
+def _phys_names(mapping: dict | None) -> dict[str, str]:
+    """logical → physical (empty when unmapped)."""
+    if not mapping:
+        return {}
+    return {l: e["physical"] for l, e in mapping["fields"].items()}
+
+
+def _carried_mapping(base: dict | None) -> dict:
+    cm = _col_mapping(base)
+    return {"column_mapping": cm} if cm else {}
+
+
+def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
+    """Rename mapped logical columns to their physical names before
+    staging data (or change) files. Columns outside the mapping (e.g.
+    ``_change_type``) pass through untouched; identity mappings cost
+    nothing (no-op projection elided)."""
+    phys = _phys_names(mapping)
+    if not phys or all(phys.get(c, c) == c for c in df.columns):
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
+    )
+
+
+class _MappedReader:
+    """Drop-in for ``spark.read.schema(...)`` under column mapping:
+    ``.parquet(*files)`` scans with the PHYSICAL schema and aliases the
+    result back to logical names — one projection, no data movement."""
+
+    def __init__(self, spark: SparkSession, logical, mapping: dict) -> None:
+        from pyspark.sql.types import StructField, StructType
+
+        phys = _phys_names(mapping)
+        self._spark = spark
+        self._pairs = [(phys.get(f.name, f.name), f.name) for f in logical.fields]
+        self._phys_schema = StructType(
+            [
+                StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
+                for f in logical.fields
+            ]
+        )
+
+    def parquet(self, *files):
+        from pyspark.sql import functions as F
+
+        df = self._spark.read.schema(self._phys_schema).parquet(*files)
+        if any(p != l for p, l in self._pairs):
+            df = df.select(*[F.col(p).alias(l) for p, l in self._pairs])
+        return df
+
+
+def _init_mapping(schema) -> dict:
+    """Fresh mapping for a table enabling column mapping: physical =
+    current logical (exactly what the existing files store), ids 1..n
+    in field order."""
+    fields = {
+        f.name: {"id": i + 1, "physical": f.name}
+        for i, f in enumerate(schema.fields)
+    }
+    return {"fields": fields, "next_id": len(schema.fields) + 1, "retired": []}
+
+
+def _used_physicals(mapping: dict) -> set[str]:
+    return {e["physical"] for e in mapping["fields"].values()} | set(
+        mapping.get("retired") or []
+    )
+
+
+def _extend_mapping(prior_map: dict, schema) -> dict:
+    """Append-side mapping evolution: existing logical columns keep
+    their entries; NEW columns get fresh ids with physical = logical —
+    refused when that name was ever used physically before (an old
+    file still holds those bytes under it; silently reusing it would
+    resurrect a dropped column's values)."""
+    fields = dict(prior_map["fields"])
+    next_id = prior_map["next_id"]
+    used = _used_physicals(prior_map)
+    for f in schema.fields:
+        if f.name in fields:
+            continue
+        if f.name in used:
+            raise ValueError(
+                f"column name {f.name!r} was previously used by this "
+                "table (physical name still present in old data files) "
+                "— adding it back would resurrect the old bytes; pick a "
+                "new name or rewrite the table with mode='overwrite'"
+            )
+        fields[f.name] = {"id": next_id, "physical": f.name}
+        used.add(f.name)
+        next_id += 1
+    return {
+        "fields": fields,
+        "next_id": next_id,
+        "retired": list(prior_map.get("retired") or []),
+    }
+
+
+def _rebuild_mapping(prior_map: dict, schema) -> dict:
+    """Overwrite-side mapping evolution: logical names that persist
+    keep their ids and physical names (the change feed stays id-stable
+    across an overwrite); vanished columns retire their physicals; new
+    names get fresh ids. Unlike the append rule, a RETIRED physical
+    name MAY be reused here: the overwrite replaces the entire file
+    set, so no file in the new snapshot holds the old column's bytes —
+    old manifests keep their own mappings and read their own files
+    correctly. Only a clash with an ACTIVE physical (a renamed column
+    still alive under another logical name) is refused."""
+    new_names = {f.name for f in schema.fields}
+    fields = {
+        l: e for l, e in prior_map["fields"].items() if l in new_names
+    }
+    retired = set(prior_map.get("retired") or []) | {
+        e["physical"]
+        for l, e in prior_map["fields"].items()
+        if l not in new_names
+    }
+    next_id = prior_map["next_id"]
+    active = {e["physical"] for e in fields.values()}
+    for f in schema.fields:
+        if f.name in fields:
+            continue
+        if f.name in active:
+            raise ValueError(
+                f"column name {f.name!r} is the physical name of a "
+                "renamed column still in the schema — rename that "
+                "column back or pick a different name"
+            )
+        fields[f.name] = {"id": next_id, "physical": f.name}
+        active.add(f.name)
+        retired.discard(f.name)  # reused by the new snapshot
+        next_id += 1
+    return {"fields": fields, "next_id": next_id, "retired": sorted(retired)}
 
 
 _DV_DIR = "_dv"
@@ -612,7 +785,10 @@ _CHANGE_DIR = "_change_data"
 
 
 def _write_change_files(
-    spark: SparkSession, changes: DataFrame, table_dir: str
+    spark: SparkSession,
+    changes: DataFrame,
+    table_dir: str,
+    mapping: dict | None = None,
 ) -> list[str]:
     """Stage a commit's row-level CHANGE SET — the Delta ``_change_data``
     pattern: parquet rows with the table's columns plus ``_change_type``
@@ -628,7 +804,9 @@ def _write_change_files(
     if "_change_type" not in changes.columns:
         raise ValueError("change set must carry _change_type")
     out = os.path.join(table_dir, _CHANGE_DIR, uuid.uuid4().hex)
-    changes.write.parquet(out)
+    # under column mapping change files store physical names, exactly
+    # like data files (_change_type is unmapped and passes through)
+    _to_physical(changes, mapping).write.parquet(out)
     return sorted(
         _canon(os.path.join(out, f))
         for f in os.listdir(out)
@@ -833,7 +1011,10 @@ def _norm_part_value(v) -> str | None:
 
 
 def _stage_partitioned(
-    df: DataFrame, data_dir: str, cols: Sequence[str]
+    df: DataFrame,
+    data_dir: str,
+    cols: Sequence[str],
+    mapping: dict | None = None,
 ) -> tuple[list[str], dict[str, dict]]:
     """Stage ``df`` hive-partitioned by ``cols`` under ``data_dir`` in
     ONE write job and return ``(files, {file: {col: str|None}})``. The
@@ -845,7 +1026,9 @@ def _stage_partitioned(
     %-escaping undone; the hive null sentinel maps to ``None``)."""
     from pyspark.sql import functions as F
 
-    staged = df
+    # under column mapping data files store physical names; partition
+    # columns are rename-refused, so their names stay logical==physical
+    staged = _to_physical(df, mapping)
     shadows = []
     for c in cols:
         s = f"{_PART_SHADOW}{c}"
@@ -1285,10 +1468,39 @@ def write_version(
                 "history) or drop_constraint() are the contract-change "
                 "paths"
             )
+    # column mapping: inherited and evolved with the commit — appends
+    # extend it (new columns get fresh field ids), overwrites rebuild
+    # it carrying ids for persisting logical names; staged data files
+    # store PHYSICAL names either way
+    prior_map = (
+        _col_mapping(_load_manifest(table_dir, nums_pc[-1], branch))
+        if nums_pc
+        else None
+    )
+    if prior_map is not None:
+        eff_map = (
+            _extend_mapping(prior_map, df.schema)
+            if mode == "append"
+            else _rebuild_mapping(prior_map, df.schema)
+        )
+        phys = _phys_names(eff_map)
+        bad_named = sorted(
+            c
+            for c in set(eff_part_by) | set(index_cols)
+            if phys.get(c, c) != c
+        )
+        if bad_named:
+            raise ValueError(
+                f"columns {bad_named} were renamed (logical != physical) "
+                "— partition/index machinery addresses data files by "
+                "name; use the original name or rewrite the table"
+            )
+    else:
+        eff_map = None
     if eff_part_by:
         try:
             new_files, new_parts = _stage_partitioned(
-                df, data_dir, eff_part_by
+                df, data_dir, eff_part_by, eff_map
             )
         except ValueError:
             import shutil
@@ -1296,7 +1508,7 @@ def write_version(
             shutil.rmtree(data_dir, ignore_errors=True)
             raise
     else:
-        df.write.parquet(data_dir)
+        _to_physical(df, eff_map).write.parquet(data_dir)
         new_files = sorted(
             _canon(os.path.join(data_dir, f))
             for f in os.listdir(data_dir)
@@ -1329,7 +1541,17 @@ def write_version(
             .alias(f"__gen_{i}")
             for i, (gname, gexpr) in enumerate(gen_validate)
         ]
-        row = spark.read.parquet(*new_files).agg(*aggs).first()
+        # mapped read when column mapping is on: staged files hold
+        # physical names, constraint/generated exprs logical ones
+        staged_reader = (
+            _recorded_reader(
+                spark,
+                {"schema": df.schema.json(), "column_mapping": eff_map},
+            )
+            if eff_map
+            else spark.read
+        )
+        row = staged_reader.parquet(*new_files).agg(*aggs).first()
         n_new = row["__n"]
         bad = {
             cname: int(row[f"__viol_{i}"])
@@ -1371,6 +1593,17 @@ def write_version(
                     "stats_cols"
                 )
                 or []
+            )
+    if eff_map and eff_stats_cols:
+        phys = _phys_names(eff_map)
+        bad_stats = sorted(
+            c for c in eff_stats_cols if phys.get(c, c) != c
+        )
+        if bad_stats:
+            raise ValueError(
+                f"stats_cols {bad_stats} were renamed (logical != "
+                "physical) — footer stats address data files by name; "
+                "use the original name or rewrite the table"
             )
     new_stats = _stats_for_files(spark, new_files, eff_stats_cols)
 
@@ -1432,6 +1665,8 @@ def write_version(
             body["constraints"] = eff_cc
         if eff_gen:
             body["generated_cols"] = eff_gen
+        if eff_map is not None:
+            body["column_mapping"] = eff_map
         if change_files is not None:
             body["change_files"] = list(change_files)
         return body
@@ -1528,12 +1763,16 @@ def _discard_staged(files: Sequence[str]) -> None:
 
 
 def _write_data_files(
-    spark: SparkSession, df: DataFrame, table_dir: str
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    mapping: dict | None = None,
 ) -> tuple[list[str], int]:
     """Stage ``df`` under a fresh immutable commit subdirectory; return
-    (file list, row count)."""
+    (file list, row count). ``mapping``: stage under PHYSICAL names
+    (column mapping — see :func:`_to_physical`)."""
     data_dir = os.path.join(table_dir, "data", uuid.uuid4().hex)
-    df.write.parquet(data_dir)
+    _to_physical(df, mapping).write.parquet(data_dir)
     files = sorted(
         _canon(os.path.join(data_dir, f))
         for f in os.listdir(data_dir)
@@ -1721,7 +1960,11 @@ def merge_version(
         # a key whose winner is a directive leaves the table
         merged = merged.filter(F.col("__src") != 1)
     merged = merged.drop("__src")
-    new_files, n_new = _write_data_files(spark, merged, table_dir)
+    base_map = _col_mapping(base)
+    eff_map = (
+        _extend_mapping(base_map, merged.schema) if base_map else None
+    )
+    new_files, n_new = _write_data_files(spark, merged, table_dir, eff_map)
     schema_json = merged.schema.json()
 
     def build(prior: dict | None) -> dict:
@@ -1735,6 +1978,7 @@ def merge_version(
             "files": carried + new_files,
             "n_rows": base["n_rows"] - n_touched + n_new,
             "schema": schema_json,
+            **({"column_mapping": eff_map} if eff_map else {}),
             **_carried_stats(spark, base, carried + new_files, new_files),
             **_carried_partitions(base, carried + new_files),
             **_carried_constraints(base),
@@ -1883,12 +2127,16 @@ def delete_version(
         scope = _live_scan(spark, base, files=sorted(touched))
         n_touched = scope.count()
         kept = scope.filter(~F.coalesce(cond, F.lit(False)))
-        new_files, n_new = _write_data_files(spark, kept, table_dir)
+        new_files, n_new = _write_data_files(
+            spark, kept, table_dir, _col_mapping(base)
+        )
         if change_files:
             deleted_rows = scope.filter(
                 F.coalesce(cond, F.lit(False))
             ).withColumn("_change_type", F.lit("delete"))
-            cf = _write_change_files(spark, deleted_rows, table_dir)
+            cf = _write_change_files(
+                spark, deleted_rows, table_dir, _col_mapping(base)
+            )
     else:
         n_touched, new_files, n_new = 0, [], 0
 
@@ -1903,6 +2151,7 @@ def delete_version(
             "files": carried + new_files,
             "n_rows": base["n_rows"] - n_touched + n_new,
             "schema": schema_json,
+            **_carried_mapping(base),
             **_carried_stats(spark, base, carried + new_files, new_files),
             **_carried_partitions(base, carried + new_files),
             **_carried_constraints(base),
@@ -2089,13 +2338,17 @@ def overwrite_partitions(
         um = _live_scan(spark, base, files=sorted(unmapped))
         n_unmapped_live = um.count()
         keep = um.filter(~F.coalesce(scope_cond, F.lit(False)))
-        rw_files, rw_n = _write_data_files(spark, keep, table_dir)
+        rw_files, rw_n = _write_data_files(
+            spark, keep, table_dir, _col_mapping(base)
+        )
         n_replaced += n_unmapped_live - rw_n
     # stage the replacement through the partitioned writer (map entries
     # for the new files) and enforce the recorded CHECK contract
     data_dir = os.path.join(table_dir, "data", uuid.uuid4().hex)
     try:
-        new_files, new_parts = _stage_partitioned(df, data_dir, pcols)
+        new_files, new_parts = _stage_partitioned(
+            df, data_dir, pcols, _col_mapping(base)
+        )
     except ValueError:
         # over-cardinality (or shadow-clash) raised AFTER the unmapped
         # rewrite staged — discard both stagings, leak nothing
@@ -2122,7 +2375,14 @@ def overwrite_partitions(
             .alias(f"__gen_{i}")
             for i, (gname, gexpr) in enumerate(gen_validate)
         ]
-        row = spark.read.parquet(*new_files).agg(*aggs).first()
+        # mapped reader: staged files hold physical names, constraint
+        # exprs reference logical ones (identity read when unmapped)
+        row = (
+            _recorded_reader(spark, base)
+            .parquet(*new_files)
+            .agg(*aggs)
+            .first()
+        )
         n_new = row["__n"]
         bad = {
             cname: int(row[f"__viol_{i}"])
@@ -2162,18 +2422,21 @@ def overwrite_partitions(
         if gone is not None:
             pieces.append(gone.withColumn("_change_type", F.lit("delete")))
         if new_files:
-            # explicit leaf-file read: the shadow dir key is not
-            # inferred, so this is exactly the committed table columns
+            # explicit leaf-file read (the shadow dir key is not
+            # inferred) via the mapped reader, so the piece joins the
+            # union in LOGICAL names like the live scans
             pieces.append(
-                spark.read.parquet(*new_files).withColumn(
-                    "_change_type", F.lit("insert")
-                )
+                _recorded_reader(spark, base)
+                .parquet(*new_files)
+                .withColumn("_change_type", F.lit("insert"))
             )
         if pieces:
             changes = pieces[0]
             for p in pieces[1:]:
                 changes = changes.unionByName(p, allowMissingColumns=True)
-            cf = _write_change_files(spark, changes, table_dir)
+            cf = _write_change_files(
+                spark, changes, table_dir, _col_mapping(base)
+            )
 
     def build(prior: dict | None) -> dict:
         if prior is None or prior["version"] != base["version"]:
@@ -2188,6 +2451,7 @@ def overwrite_partitions(
             # carried files keep needing their DVs; entries addressing
             # dropped/rewritten files go stale-but-harmless
             "dv_files": base.get("dv_files") or [],
+            **_carried_mapping(base),
             **_carried_stats(spark, base, files, rw_files + new_files),
             **_carried_constraints(base),
             **_carried_generated(base),
@@ -2305,6 +2569,7 @@ def _delete_version_mor(
                         "_change_type", F.lit("delete")
                     ),
                     table_dir,
+                    _col_mapping(base),
                 )
         finally:
             if change_files:
@@ -2322,6 +2587,7 @@ def _delete_version_mor(
             "n_rows": base["n_rows"] - n_deleted,
             "schema": base.get("schema"),
             "dv_files": (base.get("dv_files") or []) + dv_new,
+            **_carried_mapping(base),
             **_carried_stats(spark, base, base["files"]),
             **_carried_partitions(base, base["files"]),
             **_carried_constraints(base),
@@ -2493,7 +2759,9 @@ def update_version(
                 updated = apply_assignments(
                     matched.drop(_DV_FILE, _DV_POS), F.lit(True)
                 )
-                new_files, _ = _write_data_files(spark, updated, table_dir)
+                new_files, _ = _write_data_files(
+                    spark, updated, table_dir, _col_mapping(base)
+                )
                 if change_files:
                     cf = _write_change_files(
                         spark,
@@ -2505,6 +2773,7 @@ def update_version(
                             )
                         ),
                         table_dir,
+                        _col_mapping(base),
                     )
         finally:
             matched.unpersist()
@@ -2520,6 +2789,7 @@ def update_version(
                 "n_rows": base["n_rows"],
                 "schema": schema_json,
                 "dv_files": (base.get("dv_files") or []) + dv_new,
+                **_carried_mapping(base),
                 **_carried_stats(
                     spark, base, base["files"] + new_files, new_files
                 ),
@@ -2575,7 +2845,9 @@ def update_version(
         rewritten = apply_assignments(
             scope, F.coalesce(cond, F.lit(False))
         ).drop(_DV_FILE, _DV_POS)
-        new_files, n_new = _write_data_files(spark, rewritten, table_dir)
+        new_files, n_new = _write_data_files(
+            spark, rewritten, table_dir, _col_mapping(base)
+        )
         if change_files:
             hit = scope.filter(cond)
             cf = _write_change_files(
@@ -2588,6 +2860,7 @@ def update_version(
                     .withColumn("_change_type", F.lit("insert"))
                 ),
                 table_dir,
+                _col_mapping(base),
             )
     else:
         n_updated, new_files = 0, []
@@ -2603,6 +2876,7 @@ def update_version(
             "n_rows": base["n_rows"],
             "schema": schema_json,
             "dv_files": base.get("dv_files") or [],
+            **_carried_mapping(base),
             **_carried_stats(spark, base, carried + new_files, new_files),
             **_carried_partitions(base, carried + new_files),
             **_carried_constraints(base),
@@ -3148,7 +3422,7 @@ def restore_version(
             F.when(F.col("_change_type") == "insert", F.lit("delete"))
             .otherwise(F.lit("insert")),
         )
-        cf = _write_change_files(spark, undo, table_dir)
+        cf = _write_change_files(spark, undo, table_dir, _col_mapping(target))
 
     def build(prior: dict | None) -> dict:
         if cf is not None and (prior is None or prior["version"] != head):
@@ -3166,6 +3440,7 @@ def restore_version(
             "n_rows": target["n_rows"],
             "schema": target.get("schema"),
             "dv_files": list(target.get("dv_files") or []),
+            **_carried_mapping(target),
         }
         if cf is not None:
             body["change_files"] = cf
@@ -3229,6 +3504,7 @@ def _metadata_only_body(m: dict, mode: str) -> dict:
         "n_rows": m["n_rows"],
         "schema": m.get("schema"),
         "dv_files": list(m.get("dv_files") or []),
+        **_carried_mapping(m),
     }
     if m.get("stats_cols"):
         body["stats_cols"] = m["stats_cols"]
@@ -3320,6 +3596,196 @@ def drop_constraint(table_dir: str, name: str) -> int:
     return _commit(table_dir, build)
 
 
+_RESERVED_COLUMN_NAMES = {
+    "_change_type", "_commit_version", _DV_FILE, _DV_POS,
+    "__cdf_delta", "__cdf_net", "__cdf_i", "__cdf_chunk", "__cdc_rank",
+    "__deleted", "__src",
+}
+
+
+def _refuse_column_dependents(table_dir: str, m: dict, name: str, op: str) -> None:
+    """RENAME/DROP guards: the name-addressed machinery (partition
+    layout, recorded footer stats, Bloom index dirs, CHECK/generated
+    SQL expressions) cannot follow a field id — refuse loudly instead
+    of letting pruning or enforcement silently rot. The escape hatch
+    is always explicit: drop the constraint / rebuild the index /
+    overwrite the layout first."""
+    if name in (m.get("partition_cols") or []):
+        raise ValueError(
+            f"cannot {op} {name!r}: it is a partition column — overwrite "
+            "with a new partition_by first"
+        )
+    if name in (m.get("stats_cols") or []):
+        raise ValueError(
+            f"cannot {op} {name!r}: it has recorded footer stats "
+            "(stats_cols) — re-commit with a stats_cols list that "
+            "excludes it first"
+        )
+    word = re.compile(rf"\b{re.escape(name)}\b")
+    for cname, cexpr in sorted((m.get("constraints") or {}).items()):
+        if word.search(cexpr):
+            raise ValueError(
+                f"cannot {op} {name!r}: CHECK constraint {cname!r} "
+                f"references it ({cexpr!r}) — drop_constraint() first"
+            )
+    for gname, gexpr in sorted((m.get("generated_cols") or {}).items()):
+        if gname == name or word.search(gexpr):
+            raise ValueError(
+                f"cannot {op} {name!r}: generated column {gname!r} "
+                f"involves it ({gexpr!r}) — overwrite with new "
+                "generated_cols first"
+            )
+    if os.path.isdir(os.path.join(table_dir, "_index", f"bloom_{name}")):
+        raise ValueError(
+            f"cannot {op} {name!r}: a Bloom index namespace exists for "
+            "it — indexes address data files by name; rebuild the index "
+            "under the new name after an overwrite instead"
+        )
+
+
+def enable_column_mapping(table_dir: str) -> int:
+    """Turn on FIELD-ID COLUMN MAPPING for a versioned table (the
+    Delta ``columnMapping.mode=name`` / Iceberg field-id upgrade): a
+    metadata-only commit that freezes every current column's name as
+    its PHYSICAL name (exactly what the existing data files store — no
+    rewrite) and assigns stable integer field ids.
+    :func:`rename_column` / :func:`drop_column` then become O(manifest)
+    commits on a table of any size, old files keep reading correctly
+    under new names (readers scan physical, alias to logical), and
+    time travel shows each version under its own names. Idempotent —
+    an already-mapped table returns its current version untouched."""
+    from pyspark.sql.types import StructType
+
+    m = _load_manifest(table_dir, None)
+    if _col_mapping(m):
+        return m["version"]
+    if not m.get("schema"):
+        raise ValueError(
+            f"{table_dir!r} has no recorded schema — column mapping "
+            "needs one to freeze physical names from"
+        )
+    mapping = _init_mapping(StructType.fromJson(json.loads(m["schema"])))
+
+    def build(prior: dict | None) -> dict:
+        if prior is None or prior["version"] != m["version"]:
+            raise CommitConflict(
+                f"table advanced past v{m['version']} — re-run "
+                "enable_column_mapping"
+            )
+        body = _metadata_only_body(m, "enable_column_mapping")
+        body["column_mapping"] = mapping
+        return body
+
+    return _commit(table_dir, build)
+
+
+def rename_column(table_dir: str, old: str, new: str) -> int:
+    """RENAME a column — a METADATA-ONLY commit (Delta ``ALTER TABLE
+    ... RENAME COLUMN`` under column mapping): zero data files are
+    touched; the column keeps its field id and physical name, only the
+    manifest's logical name changes, so every old file reads correctly
+    under the new name and time travel keeps each version's own names.
+    Auto-enables column mapping on first use. Refused when the column
+    feeds name-addressed machinery (partition layout, recorded stats,
+    Bloom indexes, CHECK/generated expressions) — see
+    :func:`_refuse_column_dependents` — or when ``new`` collides with
+    an existing column or a reserved internal name. Returns the new
+    version number."""
+    from pyspark.sql.types import StructField, StructType
+
+    m = _load_manifest(table_dir, None)
+    if not m.get("schema"):
+        raise ValueError(f"{table_dir!r} has no recorded schema")
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"column {old!r} not in schema (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    if (
+        not new
+        or new in _RESERVED_COLUMN_NAMES
+        or new.startswith(_PART_SHADOW)
+    ):
+        raise ValueError(f"{new!r} is a reserved or invalid column name")
+    _refuse_column_dependents(table_dir, m, old, "rename")
+    mapping = _col_mapping(m) or _init_mapping(schema)
+    fields = dict(mapping["fields"])
+    entry = fields.pop(old)
+    fields[new] = entry
+    new_mapping = {
+        "fields": fields,
+        "next_id": mapping["next_id"],
+        "retired": list(mapping.get("retired") or []),
+    }
+    new_schema = StructType(
+        [
+            StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+    def build(prior: dict | None) -> dict:
+        if prior is None or prior["version"] != m["version"]:
+            raise CommitConflict(
+                f"table advanced past v{m['version']} — re-run rename_column"
+            )
+        body = _metadata_only_body(m, "rename_column")
+        body["schema"] = new_schema.json()
+        body["column_mapping"] = new_mapping
+        body["renamed"] = {"from": old, "to": new, "id": entry["id"]}
+        return body
+
+    return _commit(table_dir, build)
+
+
+def drop_column(table_dir: str, name: str) -> int:
+    """DROP a column — a METADATA-ONLY commit (Delta ``ALTER TABLE ...
+    DROP COLUMN`` under column mapping): zero data files are rewritten;
+    the column leaves the manifest schema and its physical name is
+    RETIRED (old files still hold the bytes, readers simply never
+    project them; re-adding the same name is refused so those bytes can
+    never resurrect — vacuum of the pre-drop versions is what actually
+    reclaims them). Time travel before the drop still shows the column.
+    Auto-enables column mapping on first use; same dependent-machinery
+    refusals as :func:`rename_column`; the last column cannot be
+    dropped. Returns the new version number."""
+    from pyspark.sql.types import StructType
+
+    m = _load_manifest(table_dir, None)
+    if not m.get("schema"):
+        raise ValueError(f"{table_dir!r} has no recorded schema")
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        raise ValueError(f"column {name!r} not in schema (have {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the last column")
+    _refuse_column_dependents(table_dir, m, name, "drop")
+    mapping = _col_mapping(m) or _init_mapping(schema)
+    fields = dict(mapping["fields"])
+    entry = fields.pop(name)
+    new_mapping = {
+        "fields": fields,
+        "next_id": mapping["next_id"],
+        "retired": list(mapping.get("retired") or []) + [entry["physical"]],
+    }
+    new_schema = StructType([f for f in schema.fields if f.name != name])
+
+    def build(prior: dict | None) -> dict:
+        if prior is None or prior["version"] != m["version"]:
+            raise CommitConflict(
+                f"table advanced past v{m['version']} — re-run drop_column"
+            )
+        body = _metadata_only_body(m, "drop_column")
+        body["schema"] = new_schema.json()
+        body["column_mapping"] = new_mapping
+        body["dropped"] = {"name": name, "id": entry["id"]}
+        return body
+
+    return _commit(table_dir, build)
+
+
 def clone_table(
     src_dir: str,
     dst_dir: str,
@@ -3376,6 +3842,7 @@ def clone_table(
             "n_rows": src["n_rows"],
             "schema": src.get("schema"),
             "dv_files": list(src.get("dv_files") or []),
+            **_carried_mapping(src),
         }
         if src.get("stats_cols"):
             body["stats_cols"] = src["stats_cols"]
@@ -3536,6 +4003,30 @@ def read_changes(
         return spark.read.parquet(*m["files"]).schema
 
     sch_from, sch_to = _schema_of(m_from), _schema_of(m_to)
+    # column mapping across the range: when both endpoints carry field
+    # ids, re-alias the FROM side to the TO side's logical names for
+    # shared ids — a renamed column diffs as ITSELF (by id), not as a
+    # drop+add of every row (Delta's CDF-under-column-mapping rule)
+    map_from, map_to = _col_mapping(m_from), _col_mapping(m_to)
+    ren_from: dict[str, str] = {}
+    if map_from and map_to:
+        id_to_l = {e["id"]: l for l, e in map_to["fields"].items()}
+        ren_from = {
+            l: id_to_l[e["id"]]
+            for l, e in map_from["fields"].items()
+            if e["id"] in id_to_l and id_to_l[e["id"]] != l
+        }
+    if ren_from:
+        from pyspark.sql.types import StructField
+
+        sch_from = StructType(
+            [
+                StructField(
+                    ren_from.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in sch_from.fields
+            ]
+        )
     from_types = {f.name: f.dataType for f in sch_from.fields}
     conflicts = sorted(
         f.name
@@ -3583,7 +4074,23 @@ def read_changes(
             _load_manifest(table_dir, v)
             for v in range(from_version + 1, to_version + 1)
         ]
-        if range_mans and all("change_files" in mm for mm in range_mans):
+        # (the lookup below keys physical names; a range straddling an
+        # overwrite that REUSED a retired physical for a new field id
+        # would alias two logical columns onto one physical — fall back
+        # to the snapshot diff for that rare shape)
+        _pl: dict[str, str] = {}
+        if map_from:
+            for _l, _e in map_from["fields"].items():
+                _pl[ren_from.get(_l, _l)] = _e["physical"]
+        if map_to:
+            for _l, _e in map_to["fields"].items():
+                _pl[_l] = _e["physical"]
+        _dup_phys = len(set(_pl.values())) != len(_pl)
+        if (
+            range_mans
+            and not _dup_phys
+            and all("change_files" in mm for mm in range_mans)
+        ):
             from pyspark.sql.types import StringType, StructField
 
             paths = [p for mm in range_mans for p in mm["change_files"]]
@@ -3595,8 +4102,18 @@ def read_changes(
                     files_scanned_after=0,
                     change_files_used=len(paths),
                 )
+            # change files store PHYSICAL names under column mapping —
+            # field ids are stable, so one logical→physical lookup
+            # (to-side preferred, from-side for columns dropped since)
+            # covers every commit in the range
+            phys_lookup = _pl
             cf_schema = StructType(
-                list(union_fields)
+                [
+                    StructField(
+                        phys_lookup.get(f.name, f.name), f.dataType, True
+                    )
+                    for f in union_fields
+                ]
                 + [StructField("_change_type", StringType(), True)]
             )
             # pinned-schema read: a change file predating an evolved
@@ -3606,6 +4123,17 @@ def read_changes(
                 if paths
                 else spark.createDataFrame([], cf_schema)
             )
+            if any(
+                phys_lookup.get(f.name, f.name) != f.name
+                for f in union_fields
+            ):
+                rows = rows.select(
+                    *[
+                        F.col(phys_lookup.get(f.name, f.name)).alias(f.name)
+                        for f in union_fields
+                    ],
+                    F.col("_change_type"),
+                )
             signed = rows.withColumn(
                 "__cdf_delta",
                 F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
@@ -3660,8 +4188,16 @@ def read_changes(
 
     union_schema = StructType(union_fields)
     empty = spark.createDataFrame([], union_schema)
+
+    def _apply_ren(df: DataFrame) -> DataFrame:
+        if not ren_from:
+            return df
+        return df.select(
+            *[F.col(c).alias(ren_from.get(c, c)) for c in df.columns]
+        )
+
     before = (
-        conform(_live_scan(spark, m_from, files=scope_before))
+        conform(_apply_ren(_live_scan(spark, m_from, files=scope_before)))
         if scope_before
         else empty
     )
@@ -4271,6 +4807,41 @@ def verify_table(
         record("change_files_exist", not cf_missing,
                missing=cf_missing[:5], n_missing=len(cf_missing),
                n_change=len(cfs))
+    cm = _col_mapping(m)
+    if cm is not None:
+        # mapping consistency (conditional, like constraints_hold):
+        # every schema field mapped, ids and physical names unique,
+        # retired names disjoint from active — a violation means reads
+        # would project the wrong bytes, the worst kind of quiet wrong
+        problems = []
+        try:
+            import json as _json
+
+            from pyspark.sql.types import StructType as _ST
+
+            sch_names = (
+                [f.name for f in _ST.fromJson(_json.loads(m["schema"])).fields]
+                if m.get("schema")
+                else []
+            )
+            fields = cm.get("fields") or {}
+            unmapped = [n for n in sch_names if n not in fields]
+            if unmapped:
+                problems.append(f"schema columns without mapping: {unmapped[:5]}")
+            ids = [e["id"] for e in fields.values()]
+            if len(ids) != len(set(ids)):
+                problems.append("duplicate field ids")
+            phys = [e["physical"] for e in fields.values()]
+            if len(phys) != len(set(phys)):
+                problems.append("duplicate physical names")
+            clash = set(phys) & set(cm.get("retired") or [])
+            if clash:
+                problems.append(f"active physicals also retired: {sorted(clash)[:5]}")
+            if ids and max(ids) >= cm.get("next_id", 0):
+                problems.append("next_id not past the max assigned id")
+        except Exception as e:  # noqa: BLE001 — audit reports, never raises
+            problems.append(f"mapping unreadable: {str(e)[:120]}")
+        record("mapping_consistent", not problems, problems=problems[:5])
     schema = None
     try:
         if m.get("schema") is not None:

@@ -123,6 +123,18 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         self._start = int(options.get("startingversion", 0))
         self._branch = options.get("branch") or None
         self._schema = schema
+        # column mapping: files store PHYSICAL names; the stream schema
+        # is logical. Physical names are frozen at column creation, so
+        # ONE logical→physical map (from the head manifest) covers
+        # every file regardless of age or intervening renames.
+        from ..sinks.versioned import _col_mapping, _phys_names
+
+        m = _manifest(
+            self._table_dir,
+            _latest_version(self._table_dir, self._branch),
+            self._branch,
+        )
+        self._phys = _phys_names(_col_mapping(m))
 
     # -- offset protocol ---------------------------------------------------
     def initialOffset(self) -> dict:
@@ -216,14 +228,16 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
 
         out_schema = to_arrow_schema(self._schema)
         table_fields = out_schema.names[:-2]  # minus _change_type/_commit_version
+        phys = self._phys  # logical→physical (empty when unmapped)
 
         def conform(tbl: pa.Table, change: str, version: int) -> pa.Table:
             n = tbl.num_rows
             cols = []
             for name in table_fields:
                 target = out_schema.field(name).type
-                if name in tbl.schema.names:
-                    cols.append(tbl.column(name).cast(target))
+                src = phys.get(name, name)
+                if src in tbl.schema.names:
+                    cols.append(tbl.column(src).cast(target))
                 else:  # evolved column absent in an older file → NULL
                     cols.append(pa.nulls(n, type=target))
             cols.append(pa.array([change] * n, type=pa.string()))
@@ -237,8 +251,9 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             cols = []
             for name in table_fields:
                 target = out_schema.field(name).type
-                if name in tbl.schema.names:
-                    cols.append(tbl.column(name).cast(target))
+                src = phys.get(name, name)
+                if src in tbl.schema.names:
+                    cols.append(tbl.column(src).cast(target))
                 else:  # change set predating an evolved column → NULL
                     cols.append(pa.nulls(n, type=target))
             cols.append(tbl.column("_change_type").cast(pa.string()))

@@ -1,0 +1,352 @@
+"""Field-id column mapping: metadata-only RENAME and DROP (zero files
+rewritten), physical-name reads across any number of renames, time
+travel under each version's own names, id-stable CDF/streaming, carry
+through clone/restore/branch/optimize, and the loud refusals for
+name-addressed machinery."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+    _load_manifest,
+    clone_table,
+    delete_version,
+    drop_column,
+    enable_column_mapping,
+    merge_version,
+    optimize_table,
+    read_changes,
+    read_version,
+    rename_column,
+    restore_version,
+    update_version,
+    vacuum,
+    verify_table,
+    write_version,
+)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, lo=0, hi=100):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), (F.col("id") * 2).alias("v")
+    )
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# rename / drop basics
+# ---------------------------------------------------------------------------
+
+
+def test_rename_is_metadata_only_and_reads_correctly(spark, table):
+    write_version(spark, _df(spark).repartition(3), table)
+    files_before = list(_load_manifest(table, None)["files"])
+    v = rename_column(table, "v", "value")
+    m = _load_manifest(table, v)
+    assert m["files"] == files_before  # zero files touched
+    got = read_version(spark, table)
+    assert got.columns == ["id", "g", "value"]
+    assert _rows(got.filter("id < 3"), "id", "value") == [
+        (0, 0), (1, 2), (2, 4)
+    ]
+    # time travel keeps the OLD name
+    old = read_version(spark, table, version=1)
+    assert old.columns == ["id", "g", "v"]
+
+
+def test_double_rename_and_rename_back(spark, table):
+    write_version(spark, _df(spark).coalesce(2), table)
+    rename_column(table, "v", "value")
+    rename_column(table, "value", "amount")
+    got = read_version(spark, table)
+    assert got.columns == ["id", "g", "amount"]
+    assert _rows(got.filter("id = 9"), "amount") == [(18,)]
+    # renaming back to the original logical name is fine (physical
+    # never moved)
+    rename_column(table, "amount", "v")
+    assert read_version(spark, table).columns == ["id", "g", "v"]
+
+
+def test_drop_is_metadata_only_and_time_travel_keeps_it(spark, table):
+    write_version(spark, _df(spark).coalesce(2), table)
+    files_before = list(_load_manifest(table, None)["files"])
+    v = drop_column(table, "g")
+    m = _load_manifest(table, v)
+    assert m["files"] == files_before
+    assert read_version(spark, table).columns == ["id", "v"]
+    assert read_version(spark, table, version=1).columns == ["id", "g", "v"]
+
+
+def test_dropped_name_cannot_be_readded(spark, table):
+    write_version(spark, _df(spark).coalesce(2), table)
+    drop_column(table, "g")
+    with pytest.raises(ValueError, match="previously used"):
+        write_version(
+            spark,
+            _df(spark, 100, 110).coalesce(1),
+            table,
+            mode="append",
+            merge_schema=True,
+        )
+
+
+# ---------------------------------------------------------------------------
+# writes + DML after a rename
+# ---------------------------------------------------------------------------
+
+
+def test_append_after_rename_mixes_old_and_new_files(spark, table):
+    write_version(spark, _df(spark).coalesce(2), table)
+    rename_column(table, "v", "value")
+    inc = spark.range(100, 110).select(
+        F.col("id"), (F.col("id") % 7).alias("g"),
+        (F.col("id") * 2).alias("value"),
+    )
+    write_version(spark, inc.coalesce(1), table, mode="append")
+    got = read_version(spark, table)
+    assert got.count() == 110
+    assert _rows(got.filter("id IN (5, 105)"), "id", "value") == [
+        (5, 10), (105, 210)
+    ]
+    # new files store the PHYSICAL name (creation-time name 'v')
+    m = _load_manifest(table, None)
+    assert m["column_mapping"]["fields"]["value"]["physical"] == "v"
+
+
+def test_dml_under_new_name(spark, table):
+    write_version(spark, _df(spark).coalesce(2), table)
+    rename_column(table, "v", "value")
+    update_version(spark, table, "id = 4", {"value": "value + 1"})
+    delete_version(spark, table, "value > 150")  # ids 76..99
+    got = read_version(spark, table)
+    assert got.count() == 76
+    assert _rows(got.filter("id = 4"), "value") == [(9,)]
+    # MOR path too
+    delete_version(spark, table, F.col("value") < 10, mode="mor")
+    assert read_version(spark, table).count() == 71
+
+
+def test_merge_after_rename(spark, table):
+    write_version(spark, _df(spark).coalesce(2), table)
+    rename_column(table, "v", "value")
+    inc = spark.range(95, 105).select(
+        F.col("id"), (F.col("id") % 7).alias("g"),
+        F.lit(-1).cast("long").alias("value"),
+    )
+    merge_version(spark, inc, table, keys=["id"])
+    got = read_version(spark, table)
+    assert got.count() == 105
+    assert _rows(got.filter("id IN (94, 95, 104)"), "id", "value") == [
+        (94, 188), (95, -1), (104, -1)
+    ]
+
+
+def test_optimize_preserves_mapping(spark, table):
+    write_version(spark, _df(spark).repartition(6), table)
+    rename_column(table, "v", "value")
+    optimize_table(spark, table)
+    got = read_version(spark, table)
+    assert got.columns == ["id", "g", "value"]
+    assert got.count() == 100
+    m = _load_manifest(table, None)
+    # ids carried across the overwrite; physical resets are refused by
+    # design, the persisting logical keeps its frozen physical
+    assert m["column_mapping"]["fields"]["value"]["physical"] == "v"
+
+
+# ---------------------------------------------------------------------------
+# CDF + streaming stay id-stable across renames
+# ---------------------------------------------------------------------------
+
+
+def test_cdf_across_rename_has_no_phantom_churn(spark, table):
+    write_version(spark, _df(spark).coalesce(2), table)
+    enable_column_mapping(table)  # v2
+    rename_column(table, "v", "value")  # v3
+    write_version(
+        spark,
+        spark.range(100, 105).select(
+            F.col("id"), (F.col("id") % 7).alias("g"),
+            (F.col("id") * 2).alias("value"),
+        ).coalesce(1),
+        table,
+        mode="append",
+    )  # v4
+    info = {}
+    rows = read_changes(spark, table, 1, 4, info=info).collect()
+    # the rename itself contributes NOTHING; only the append shows, and
+    # under the NEW logical name
+    assert sorted((r["id"], r["_change_type"], r["value"]) for r in rows) == [
+        (i, "insert", i * 2) for i in range(100, 105)
+    ]
+    assert info["files_scanned_before"] == 0  # carried files cancel driver-side
+
+
+def test_stream_over_renamed_table(spark, table):
+    import uuid as _uuid
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.versioned_stream import (
+        read_changes_stream,
+    )
+
+    write_version(spark, _df(spark).coalesce(2), table)
+    rename_column(table, "v", "value")
+    write_version(
+        spark,
+        spark.range(100, 103).select(
+            F.col("id"), (F.col("id") % 7).alias("g"),
+            (F.col("id") * 2).alias("value"),
+        ).coalesce(1),
+        table,
+        mode="append",
+    )
+    name = f"cm_{_uuid.uuid4().hex[:8]}"
+    q = (
+        read_changes_stream(spark, table, starting_version=2)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = spark.table(name).localCheckpoint(eager=True)
+    assert sorted((r["id"], r["value"]) for r in got.collect()) == [
+        (100, 200), (101, 202), (102, 204)
+    ]
+
+
+def test_change_files_under_mapping(spark, table):
+    write_version(spark, _df(spark).coalesce(2), table)
+    rename_column(table, "v", "value")
+    delete_version(spark, table, "value < 10", change_files=True)
+    info = {}
+    rows = read_changes(spark, table, 2, 3, info=info).collect()
+    assert info["change_files_used"] >= 1
+    assert sorted((r["id"], r["value"]) for r in rows) == [
+        (i, i * 2) for i in range(5)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# carry: clone / restore / branch / vacuum / fsck
+# ---------------------------------------------------------------------------
+
+
+def test_clone_and_restore_carry_mapping(spark, table, tmp_path):
+    write_version(spark, _df(spark).coalesce(2), table)
+    rename_column(table, "v", "value")
+    dst = str(tmp_path / "cl")
+    clone_table(table, dst)
+    assert read_version(spark, dst).columns == ["id", "g", "value"]
+    # restore to the PRE-rename version rolls the names back...
+    restore_version(spark, table, 1)
+    assert read_version(spark, table).columns == ["id", "g", "v"]
+    # ...and restoring forward re-applies them
+    restore_version(spark, table, 2)
+    assert read_version(spark, table).columns == ["id", "g", "value"]
+
+
+def test_branch_carries_mapping(spark, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        create_branch,
+        publish_branch,
+    )
+
+    write_version(spark, _df(spark).coalesce(2), table)
+    rename_column(table, "v", "value")
+    create_branch(table, "wap")
+    write_version(
+        spark,
+        spark.range(100, 105).select(
+            F.col("id"), (F.col("id") % 7).alias("g"),
+            (F.col("id") * 2).alias("value"),
+        ).coalesce(1),
+        table,
+        mode="append",
+        branch="wap",
+    )
+    assert read_version(spark, table, branch="wap").count() == 105
+    publish_branch(table, "wap")
+    got = read_version(spark, table)
+    assert got.columns == ["id", "g", "value"] and got.count() == 105
+
+
+def test_fsck_mapping_consistent(spark, table):
+    write_version(spark, _df(spark).coalesce(2), table)
+    rename_column(table, "v", "value")
+    rep = verify_table(spark, table, deep=True)
+    assert rep["ok"]
+    assert rep["checks"]["mapping_consistent"]["ok"]
+
+
+def test_vacuum_under_mapping(spark, table):
+    write_version(spark, _df(spark).coalesce(2), table)
+    rename_column(table, "v", "value")
+    write_version(
+        spark,
+        _df(spark, 0, 50).withColumnRenamed("v", "value").coalesce(2),
+        table,
+    )  # overwrite keeps the renamed logical → same field id
+    res = vacuum(table, keep_last=1)
+    assert res["versions_dropped"] == 2
+    got = read_version(spark, table)
+    assert got.columns == ["id", "g", "value"] and got.count() == 50
+
+
+# ---------------------------------------------------------------------------
+# refusals
+# ---------------------------------------------------------------------------
+
+
+def test_rename_refusals(spark, table):
+    write_version(
+        spark,
+        _df(spark).withColumn("p", (F.col("id") % 2).cast("string"))
+        .repartition("p"),
+        table,
+        partition_by=["p"],
+        stats_cols=["id"],
+        check_constraints={"pos": "v >= 0"},
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        rename_column(table, "p", "bucket")
+    with pytest.raises(ValueError, match="stats"):
+        rename_column(table, "id", "key")
+    with pytest.raises(ValueError, match="constraint"):
+        rename_column(table, "v", "value")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(table, "g", "v")
+    with pytest.raises(ValueError, match="reserved"):
+        rename_column(table, "g", "_change_type")
+    with pytest.raises(ValueError, match="not in schema"):
+        rename_column(table, "nope", "x")
+
+
+def test_drop_refusals(spark, table):
+    write_version(spark, _df(spark).select("id").coalesce(1), table)
+    with pytest.raises(ValueError, match="last column"):
+        drop_column(table, "id")
+
+
+def test_indexed_column_rename_refused(spark, table):
+    write_version(
+        spark, _df(spark).coalesce(2), table, index_cols=["id"]
+    )
+    with pytest.raises(ValueError, match="Bloom index"):
+        rename_column(table, "id", "key")
