@@ -5715,6 +5715,91 @@ FROM orders WHERE o_orderkey % 7 = 0
 """
 
 
+def q_versioned_optimize_incremental(spark, sf):
+    """INCREMENTAL re-cluster (sinks/versioned.py optimize_table
+    ``incremental=True`` — the liquid-clustering cost profile): v1 lays
+    the even orders out range-clustered on o_orderkey with recorded
+    envelopes, v2 appends the odd orders hash-scattered (each appended
+    file spans the whole key domain — the shape a hot partition's
+    appends produce), then the incremental optimize selects ONLY the
+    wide-envelope files from the recorded stats (metadata-only
+    selection, zero probe I/O), rewrites them range-tiled and carries
+    the clustered files BY IDENTITY — O(scattered files), never
+    O(table), which is what keeps a continuously-maintained layout
+    affordable at 100 TB.
+
+    Literals, oracle-pinned TRUE: ``partial`` — 0 < files_rewritten <
+    files_before; ``layout_improved`` — recorded-stats avg_point_reads
+    strictly dropped; ``probe_tightened`` — a narrow range probe
+    (read_version_pruned, zero footer I/O) reads strictly fewer files
+    after the commit. The aggregate hashes the PRUNED probe's rows, so
+    a pruning bug that drops live rows fails the value hash, not just
+    a counter."""
+    from .sinks.versioned import (
+        optimize_table,
+        read_version_pruned,
+        write_version,
+    )
+
+    d = tempfile.mkdtemp(prefix="q_incopt_")
+    t = os.path.join(d, "orders_v")
+    try:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        write_version(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+                4, F.col("o_orderkey")
+            ),
+            t,
+            stats_cols=["o_orderkey"],
+        )
+        write_version(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 1).repartition(3),
+            t,
+            mode="append",
+        )
+        probe = {"o_orderkey": (1, 100)}
+        _, info_before = read_version_pruned(spark, t, ranges=probe)
+        res = optimize_table(
+            spark, t, cluster_by=["o_orderkey"], incremental=True
+        )
+        df_after, info_after = read_version_pruned(spark, t, ranges=probe)
+        partial = 0 < res["files_rewritten"] < res["files_before"]
+        layout_improved = (
+            res["avg_point_reads_after"] < res["avg_point_reads_before"]
+        )
+        probe_tightened = (
+            info_after["files_read"] < info_before["files_read"]
+            and info_after["footer_files"] == 0
+        )
+        out = (
+            df_after.agg(
+                F.count("*").alias("n_rows"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).alias("cents"),
+            )
+            .withColumn("partial", F.lit(partial))
+            .withColumn("layout_improved", F.lit(layout_improved))
+            .withColumn("probe_tightened", F.lit(probe_tightened))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_OPTIMIZE_INCREMENTAL = """
+SELECT COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       TRUE AS partial, TRUE AS layout_improved, TRUE AS probe_tightened
+FROM orders WHERE o_orderkey BETWEEN 1 AND 100
+"""
+
+
 def q_versioned_column_mapping(spark, sf):
     """FIELD-ID COLUMN MAPPING (sinks/versioned.py rename_column /
     drop_column — Delta columnMapping / Iceberg field ids): RENAME and
@@ -6129,6 +6214,10 @@ OPS_REGISTRY = {
     ),
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "versioned_optimize_incremental": (
+        q_versioned_optimize_incremental,
+        SQL_VERSIONED_OPTIMIZE_INCREMENTAL,
+    ),
     "versioned_column_mapping": (
         q_versioned_column_mapping,
         SQL_VERSIONED_COLUMN_MAPPING,

@@ -3147,6 +3147,8 @@ def optimize_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     index_cols: Sequence[str] = (),
     change_files: bool = False,
+    incremental: bool = False,
+    width_frac_threshold: float | None = None,
 ) -> dict:
     """The OPTIMIZE orchestrator (Delta ``OPTIMIZE ... ZORDER BY`` /
     Iceberg rewrite_data_files): one overwrite commit that bin-packs
@@ -3173,6 +3175,23 @@ def optimize_table(
     convention): the streaming change feed then passes the commit with
     zero rows instead of refusing a file rewrite it cannot attribute.
 
+    ``incremental=True`` (the liquid-clustering cost profile): instead
+    of rewriting the whole live table, rewrite ONLY the files whose
+    recorded envelope on ``cluster_by`` (exactly one column, with
+    recorded ``stats_cols`` coverage) is wider than
+    ``width_frac_threshold`` of the column's domain — i.e. the files
+    that actually de-cluster point probes — plus files with no
+    recorded envelope at all (COW-rewritten earlier, coverage unknown).
+    Everything else carries BY IDENTITY: after a hot partition's
+    appends hash-scatter the key, the commit costs O(scattered files),
+    not O(table) — the difference between a nightly full rewrite and a
+    continuously-maintained layout at 100 TB. The default threshold is
+    2/n_covered (twice the perfectly-tiled file's share of the
+    domain). When nothing qualifies the call is a NO-OP (no commit,
+    ``files_rewritten`` 0). Returns the full-optimize keys plus
+    ``files_rewritten``/``files_carried`` and the recorded-stats
+    ``avg_point_reads`` before/after.
+
     Returns ``{"version", "files_before", "files_after",
     "bytes_before", "dv_files_folded", "n_rows"}``."""
     from pyspark.sql import functions as F
@@ -3180,6 +3199,11 @@ def optimize_table(
     m = _load_manifest(table_dir, None)
     if not m["files"] or not m["n_rows"]:
         raise ValueError("optimize on an empty snapshot — nothing to pack")
+    if incremental:
+        return _optimize_incremental(
+            spark, table_dir, m, cluster_by, target_file_bytes,
+            index_cols, change_files, width_frac_threshold,
+        )
     bytes_before = sum(os.path.getsize(f) for f in m["files"])
     n_out = max(1, -(-bytes_before // int(target_file_bytes)))
     live = _live_scan(spark, m)
@@ -3199,6 +3223,140 @@ def optimize_table(
         "bytes_before": bytes_before,
         "dv_files_folded": len(m.get("dv_files") or []),
         "n_rows": m2["n_rows"],
+    }
+
+
+def _optimize_incremental(
+    spark: SparkSession,
+    table_dir: str,
+    m: dict,
+    cluster_by: Sequence[str],
+    target_file_bytes: int,
+    index_cols: Sequence[str],
+    change_files: bool,
+    width_frac_threshold: float | None,
+) -> dict:
+    """Incremental re-cluster body (see :func:`optimize_table`
+    ``incremental=True``): selection is METADATA-ONLY (recorded
+    envelopes), the rewrite scans exactly the selected files, and
+    every other file carries by identity — O(de-clustered files),
+    never O(table)."""
+    from pyspark.sql import functions as F
+
+    if len(cluster_by) != 1:
+        raise ValueError(
+            "incremental optimize clusters on exactly one column "
+            f"(got {list(cluster_by)!r}) — multi-key layouts go through "
+            "a Z-order/Hilbert key and cluster on that"
+        )
+    col = cluster_by[0]
+    if col not in (m.get("stats_cols") or []):
+        raise ValueError(
+            f"incremental optimize needs recorded stats on {col!r} "
+            "(write_version stats_cols) — selection is envelope-driven"
+        )
+    stats = m.get("stats") or {}
+    envs: dict[str, tuple] = {}
+    unknown: list[str] = []
+    for f in m["files"]:
+        e = (stats.get(_canon(f)) or {}).get(col)
+        if e is None:
+            unknown.append(f)
+        else:
+            envs[f] = (e[0], e[1])
+    if not envs:
+        raise ValueError(
+            f"no file has a recorded envelope for {col!r} — run a full "
+            "optimize_table() to (re)record coverage"
+        )
+    lo = min(e[0] for e in envs.values())
+    hi = max(e[1] for e in envs.values())
+    width = hi - lo
+    n_covered = len(envs)
+    thr = (
+        width_frac_threshold
+        if width_frac_threshold is not None
+        else 2.0 / n_covered
+    )
+    if width <= 0:
+        wide: list[str] = []
+        before_reads = float(n_covered)
+    else:
+        wide = [
+            f for f, e in envs.items() if (e[1] - e[0]) / width > thr
+        ]
+        before_reads = sum((e[1] - e[0]) / width for e in envs.values())
+    selected = sorted(set(wide) | set(unknown))
+    if not selected:
+        return {
+            "version": m["version"],
+            "files_before": len(m["files"]),
+            "files_after": len(m["files"]),
+            "files_rewritten": 0,
+            "files_carried": len(m["files"]),
+            "bytes_before": 0,
+            "dv_files_folded": 0,
+            "n_rows": m["n_rows"],
+            "avg_point_reads_before": before_reads,
+            "avg_point_reads_after": before_reads,
+        }
+    carried = _carried_files(m["files"], {_canon(f) for f in selected})
+    bytes_sel = sum(
+        os.path.getsize(f) for f in selected if os.path.exists(f)
+    )
+    n_out = max(1, -(-bytes_sel // int(target_file_bytes)))
+    live = _live_scan(spark, m, files=selected)
+    rewritten = live.repartitionByRange(n_out, F.col(col))
+    new_files, _n_new = _write_data_files(
+        spark, rewritten, table_dir, _col_mapping(m)
+    )
+    cf: list[str] | None = [] if change_files else None
+
+    def build(prior: dict | None) -> dict:
+        if prior is None or prior["version"] != m["version"]:
+            raise CommitConflict(
+                f"table advanced past v{m['version']} — re-run the optimize"
+            )
+        body = {
+            "mode": "optimize_incremental",
+            "files": carried + new_files,
+            # live rows of the selected files rewrote 1:1 (DV'd rows
+            # fold away and were never in n_rows) — content unchanged
+            "n_rows": m["n_rows"],
+            "schema": m.get("schema"),
+            "dv_files": m.get("dv_files") or [],
+            **_carried_mapping(m),
+            **_carried_stats(spark, m, carried + new_files, new_files),
+            **_carried_partitions(m, carried + new_files),
+            **_carried_constraints(m),
+            **_carried_generated(m),
+        }
+        if cf is not None:
+            body["change_files"] = cf
+        return body
+
+    try:
+        v = _commit(table_dir, build)
+    except CommitConflict:
+        _discard_staged(new_files)
+        raise
+    for c in index_cols:
+        maintain_bloom_index(
+            spark, table_dir, c, version=v,
+            new_files=new_files, prior_version=m["version"],
+        )
+    after = layout_report(table_dir, col, version=v)["avg_point_reads"]
+    return {
+        "version": v,
+        "files_before": len(m["files"]),
+        "files_after": len(carried) + len(new_files),
+        "files_rewritten": len(selected),
+        "files_carried": len(carried),
+        "bytes_before": bytes_sel,
+        "dv_files_folded": 0,
+        "n_rows": m["n_rows"],
+        "avg_point_reads_before": before_reads,
+        "avg_point_reads_after": after,
     }
 
 
