@@ -152,7 +152,54 @@ QUERIES = [
 ]
 
 
+def _testdata_generation(sf_dir: str) -> str:
+    """Fingerprint of the BASE corpus generation (same convention as
+    bench.py): md5 over sorted (name, size) of every parquet file.
+    Cross-round SCALE totals are comparable only within a generation
+    (SCALING.md round 10/11) — recording it makes layout-change vs
+    regression distinguishable mechanically."""
+    import hashlib
+
+    h = hashlib.md5()
+    for name in sorted(os.listdir(sf_dir)):
+        p = os.path.join(sf_dir, name)
+        if name.endswith(".parquet"):
+            size = (
+                sum(
+                    os.path.getsize(os.path.join(p, f))
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+                if os.path.isdir(p)
+                else os.path.getsize(p)
+            )
+            h.update(f"{name}:{size};".encode())
+    return h.hexdigest()[:16]
+
+
 def build_corpus(spark, mult: int, out_dir: str) -> None:
+    # generation marker: a replicated corpus built from a PREVIOUS
+    # testdata generation silently skews every timing (the r11 verdict's
+    # open question on minhash_signatures/pagerank tails) — rebuild
+    # whenever the base generation changed, and record which one this
+    # corpus derives from.
+    marker = os.path.join(out_dir, "_generation.json")
+    base_gen = _testdata_generation(BASE)
+    if os.path.isdir(out_dir):
+        stale = True
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                stale = json.load(fh).get("base_generation") != base_gen
+        if stale:
+            import shutil
+
+            print(f"corpus stale (base generation {base_gen}) — rebuilding",
+                  flush=True)
+            shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    if not os.path.exists(marker):
+        with open(marker, "w") as fh:
+            json.dump({"base_generation": base_gen}, fh)
     for table, keys in SHIFT_KEYS.items():
         dst = f"{out_dir}/{table}.parquet"
         if os.path.exists(dst):
@@ -211,6 +258,7 @@ def main() -> None:
             failures[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
             print(name, "FAIL", failures[name], flush=True)
 
+    load1, load5, load15 = os.getloadavg()
     result = {
         "metric": "scale_full_registry" if full else "scale_smoke_total",
         "value": round(sum(timings.values()), 4),
@@ -221,6 +269,8 @@ def main() -> None:
         "n_failures": len(failures),
         "multiplier": mult,
         "base_sf": 0.1,
+        "testdata_generation": _testdata_generation(BASE),
+        "loadavg_end": [round(load1, 2), round(load5, 2), round(load15, 2)],
     }
     print(json.dumps(result))
     if out_json:
