@@ -1762,13 +1762,19 @@ def q_pagerank_2iter(spark, sf):
 
     o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
     l = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    # distinct on the INTEGER key pair BEFORE building node strings:
+    # the join emits one row per lineitem (E×), and deduplicating 2×16
+    # bytes of ints shuffles half the bytes of pre-concatenated strings
+    # — the dominant stage at 100× (SCALING.md round 12); the node-name
+    # concat then runs over the ~E distinct pairs only
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
             F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
         )
-        .distinct()
     )
     edges = pairs.selectExpr("c AS src", "s AS dst").union(
         pairs.selectExpr("s AS src", "c AS dst")

@@ -270,6 +270,12 @@ def main() -> None:
         "multiplier": mult,
         "base_sf": 0.1,
         "testdata_generation": _testdata_generation(BASE),
+        # fingerprint of the REPLICATED corpus build itself: two builds
+        # from the same base generation can differ in row order
+        # (repartition is order-nondeterministic), which measurably
+        # shifts locality-sensitive entries — record it so r(N+1) can
+        # tell corpus-build change from regression mechanically
+        "corpus_fingerprint": _testdata_generation(corpus),
         "loadavg_end": [round(load1, 2), round(load5, 2), round(load15, 2)],
     }
     print(json.dumps(result))

@@ -350,3 +350,28 @@ def test_indexed_column_rename_refused(spark, table):
     )
     with pytest.raises(ValueError, match="Bloom index"):
         rename_column(table, "id", "key")
+
+
+def test_partitioned_table_with_renamed_other_column(spark, table):
+    """Mapping on a PARTITIONED table: renaming a non-partition column
+    leaves the shadow-key layout and manifest value map intact —
+    partition pruning still skips files with zero I/O, and appends
+    under the new logical name stage physical."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        read_version_pruned,
+    )
+
+    df = _df(spark).withColumn("p", (F.col("id") % 2).cast("string"))
+    write_version(spark, df.repartition("p"), table, partition_by=["p"])
+    rename_column(table, "v", "value")
+    inc = spark.range(100, 120).select(
+        F.col("id"), (F.col("id") % 7).alias("g"),
+        (F.col("id") * 2).alias("value"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    write_version(spark, inc.repartition("p"), table, mode="append")
+    out, info = read_version_pruned(spark, table, keys={"p": ["1"]})
+    assert info["files_read"] < info["files_total"]
+    got = sorted(r["id"] for r in out.collect())
+    assert got == sorted(i for i in range(120) if i % 2 == 1)
+    assert out.columns == ["id", "g", "value", "p"]
