@@ -2481,9 +2481,12 @@ REGISTRY.update(OPS_REGISTRY)
 #       deterministic "least recently re-proven" criterion: the seven
 #       entries whose only other row is r3, then the six oldest of the
 #       r3-penultimate three-row group.
-# After this round every oracled entry has at least one driver row.
-# The remaining 30 r8-stale entries rotate in r13 (30 + the 20 oldest
-# r9 rows fill that window). The eight no-oracle entries
+# After this round every oracled entry has at least one driver row
+# EXCEPT versioned_changes_recorded (added late in round 12 — the
+# batch-CDF fast-path twin of streaming_cdf_rewrites), which waits
+# outside the window per the rotation discipline and takes an r13
+# slot. The remaining 30 r8-stale entries rotate in r13 (1 late entry
+# + 30 + the 19 oldest r9 rows fill that window). The eight no-oracle entries
 # (approx/seeded/iterative by design) are EXCLUDED from the first 50 —
 # they can only ever produce a rows-only row; their hard-oracled exact
 # twins carry the signal (tests/test_registry_invariants.py enforces

@@ -5721,6 +5721,84 @@ FROM orders WHERE o_orderkey % 7 = 0
 """
 
 
+def q_versioned_changes_recorded(spark, sf):
+    """The BATCH change feed on its O(changed rows) fast path
+    (sinks/versioned.py read_changes + commit-time change files): v1
+    writes the even orders, v2 merge-on-read deletes keys ≡0 (mod 10)
+    recording its change set, v3 copy-on-write updates keys ≡4
+    (mod 10) (+1000000 on the custkey) recording old+new images, v4
+    OPTIMIZEs recording an explicit empty set. Every commit in (1,4]
+    carries a recorded set, so read_changes nets the range from the
+    recorded rows alone — ZERO snapshot files opened on either side
+    (at 100 TB the feed costs the changed rows, not the table).
+
+    Literals, oracle-pinned TRUE: ``recorded_fast_path`` — the feed
+    reported ``change_files_used`` ≥ 2 with files_scanned_before ==
+    files_scanned_after == 0. The aggregate replays the exact netted
+    change multiset per change_type — old images, new images and MOR
+    deletes each contribute distinct custkey sums, so a dropped or
+    double-counted recorded row fails the value hash."""
+    from .sinks.versioned import (
+        delete_version,
+        optimize_table,
+        read_changes,
+        update_version,
+        write_version,
+    )
+
+    d = tempfile.mkdtemp(prefix="q_cfbatch_")
+    t = os.path.join(d, "orders_v")
+    try:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        write_version(
+            spark, o.filter(F.col("o_orderkey") % 2 == 0).repartition(2), t
+        )
+        delete_version(
+            spark, t, "o_orderkey % 10 = 0", mode="mor", change_files=True
+        )
+        update_version(
+            spark,
+            t,
+            "o_orderkey % 10 = 4",
+            {"o_custkey": "o_custkey + 1000000"},
+            change_files=True,
+        )
+        optimize_table(spark, t, change_files=True)
+
+        info: dict = {}
+        feed = read_changes(spark, t, 1, 4, info=info)
+        agg = feed.groupBy("_change_type").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("o_custkey").alias("cust_sum"),
+        ).localCheckpoint(eager=True)
+        recorded_fast_path = (
+            info.get("change_files_used", 0) >= 2
+            and info["files_scanned_before"] == 0
+            and info["files_scanned_after"] == 0
+        )
+        out = (
+            agg.withColumn("recorded_fast_path", F.lit(recorded_fast_path))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_CHANGES_RECORDED = """
+SELECT 'delete' AS _change_type, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+       TRUE AS recorded_fast_path
+FROM orders WHERE o_orderkey % 10 IN (0, 4)
+UNION ALL
+SELECT 'insert', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(SUM(o_custkey + 1000000) AS BIGINT), TRUE
+FROM orders WHERE o_orderkey % 10 = 4
+"""
+
+
 def q_versioned_optimize_incremental(spark, sf):
     """INCREMENTAL re-cluster (sinks/versioned.py optimize_table
     ``incremental=True`` — the liquid-clustering cost profile): v1 lays
@@ -6223,6 +6301,10 @@ OPS_REGISTRY = {
     "versioned_optimize_incremental": (
         q_versioned_optimize_incremental,
         SQL_VERSIONED_OPTIMIZE_INCREMENTAL,
+    ),
+    "versioned_changes_recorded": (
+        q_versioned_changes_recorded,
+        SQL_VERSIONED_CHANGES_RECORDED,
     ),
     "versioned_column_mapping": (
         q_versioned_column_mapping,
