@@ -2759,22 +2759,31 @@ def update_version(
                 updated = apply_assignments(
                     matched.drop(_DV_FILE, _DV_POS), F.lit(True)
                 )
-                new_files, _ = _write_data_files(
-                    spark, updated, table_dir, _col_mapping(base)
-                )
                 if change_files:
-                    cf = _write_change_files(
-                        spark,
-                        matched.drop(_DV_FILE, _DV_POS)
-                        .withColumn("_change_type", F.lit("delete"))
-                        .unionByName(
-                            updated.withColumn(
-                                "_change_type", F.lit("insert")
-                            )
-                        ),
-                        table_dir,
-                        _col_mapping(base),
+                    # persisted: the recorded insert images must be the
+                    # SAME evaluation the data files committed, even
+                    # under a nondeterministic assignment expression
+                    updated = updated.persist()
+                try:
+                    new_files, _ = _write_data_files(
+                        spark, updated, table_dir, _col_mapping(base)
                     )
+                    if change_files:
+                        cf = _write_change_files(
+                            spark,
+                            matched.drop(_DV_FILE, _DV_POS)
+                            .withColumn("_change_type", F.lit("delete"))
+                            .unionByName(
+                                updated.withColumn(
+                                    "_change_type", F.lit("insert")
+                                )
+                            ),
+                            table_dir,
+                            _col_mapping(base),
+                        )
+                finally:
+                    if change_files:
+                        updated.unpersist()
         finally:
             matched.unpersist()
 
@@ -2839,7 +2848,39 @@ def update_version(
         # every file is out of scope: no row can match — no-op commit
         touched = set()
     carried = _carried_files(base["files"], touched)
-    if touched:
+    if touched and change_files:
+        # one evaluation of the updated images, PERSISTED, feeds both
+        # the rewritten data files and the recorded change set — a
+        # nondeterministic assignment expression must not let the
+        # recorded insert images diverge from the committed rows; this
+        # also cuts the touched-file rescans from four to two
+        scope = _live_scan(spark, base, files=sorted(touched), identity=True)
+        old_images = scope.filter(cond).drop(_DV_FILE, _DV_POS).persist()
+        new_images = apply_assignments(old_images, F.lit(True)).persist()
+        try:
+            n_updated = new_images.count()
+            kept = scope.filter(~F.coalesce(cond, F.lit(False))).drop(
+                _DV_FILE, _DV_POS
+            )
+            new_files, n_new = _write_data_files(
+                spark,
+                kept.unionByName(new_images),
+                table_dir,
+                _col_mapping(base),
+            )
+            cf = _write_change_files(
+                spark,
+                old_images.withColumn("_change_type", F.lit("delete"))
+                .unionByName(
+                    new_images.withColumn("_change_type", F.lit("insert"))
+                ),
+                table_dir,
+                _col_mapping(base),
+            )
+        finally:
+            old_images.unpersist()
+            new_images.unpersist()
+    elif touched:
         scope = _live_scan(spark, base, files=sorted(touched), identity=True)
         n_updated = scope.filter(cond).count()
         rewritten = apply_assignments(
@@ -2848,20 +2889,6 @@ def update_version(
         new_files, n_new = _write_data_files(
             spark, rewritten, table_dir, _col_mapping(base)
         )
-        if change_files:
-            hit = scope.filter(cond)
-            cf = _write_change_files(
-                spark,
-                hit.drop(_DV_FILE, _DV_POS)
-                .withColumn("_change_type", F.lit("delete"))
-                .unionByName(
-                    apply_assignments(hit, F.lit(True))
-                    .drop(_DV_FILE, _DV_POS)
-                    .withColumn("_change_type", F.lit("insert"))
-                ),
-                table_dir,
-                _col_mapping(base),
-            )
     else:
         n_updated, new_files = 0, []
 
@@ -3269,6 +3296,18 @@ def _optimize_incremental(
             f"no file has a recorded envelope for {col!r} — run a full "
             "optimize_table() to (re)record coverage"
         )
+    if not all(
+        isinstance(v, (int, float)) and not isinstance(v, bool)
+        for e in envs.values()
+        for v in e
+    ):
+        raise ValueError(
+            f"incremental optimize needs a NUMERIC envelope on {col!r} "
+            "(recorded min/max are not numbers) — width-fraction "
+            "selection is undefined for string/temporal domains; "
+            "cluster on a numeric key (e.g. a Z-order/Hilbert key "
+            "column) instead"
+        )
     lo = min(e[0] for e in envs.values())
     hi = max(e[1] for e in envs.values())
     width = hi - lo
@@ -3580,7 +3619,26 @@ def restore_version(
             F.when(F.col("_change_type") == "insert", F.lit("delete"))
             .otherwise(F.lit("insert")),
         )
-        cf = _write_change_files(spark, undo, table_dir, _col_mapping(target))
+        # the undo frame carries read_changes' UNION-schema logical
+        # names — the HEAD's names for id-shared columns (a column
+        # renamed between target and head appears under its head name),
+        # plus target-only names for columns dropped since. Translating
+        # with the target mapping alone would miss the head names and
+        # stage the renamed column under a name no consumer's physical
+        # lookup knows (silent NULL-fill downstream) — so physicalize
+        # through target ∪ head, head names winning; physical names are
+        # id-frozen, so both mappings agree wherever they overlap.
+        head_map = _col_mapping(_load_manifest(table_dir, head))
+        syn_fields: dict[str, dict] = {}
+        for src_map in (_col_mapping(target), head_map):
+            if src_map:
+                syn_fields.update(src_map["fields"])
+        syn_map = (
+            {"fields": syn_fields, "next_id": 0, "retired": []}
+            if syn_fields
+            else None
+        )
+        cf = _write_change_files(spark, undo, table_dir, syn_map)
 
     def build(prior: dict | None) -> dict:
         if cf is not None and (prior is None or prior["version"] != head):
@@ -3663,6 +3721,11 @@ def _metadata_only_body(m: dict, mode: str) -> dict:
         "schema": m.get("schema"),
         "dv_files": list(m.get("dv_files") or []),
         **_carried_mapping(m),
+        # a metadata-only commit changes ZERO rows, so its exact change
+        # set is the empty set — record it unconditionally, otherwise
+        # one rename/constraint commit knocks every straddling range
+        # off read_changes' recorded fast path forever
+        "change_files": [],
     }
     if m.get("stats_cols"):
         body["stats_cols"] = m["stats_cols"]
@@ -4228,10 +4291,15 @@ def read_changes(
     # multiset diff below, which is always correct.
     from_files, to_files = set(m_from["files"]), set(m_to["files"])
     if from_version > 0:
-        range_mans = [
-            _load_manifest(table_dir, v)
-            for v in range(from_version + 1, to_version + 1)
-        ]
+        # lazy walk: stop at the first commit without a recorded set
+        # instead of paying O(range) manifest loads before falling back
+        range_mans: list[dict] | None = []
+        for v in range(from_version + 1, to_version + 1):
+            mm = _load_manifest(table_dir, v)
+            if "change_files" not in mm:
+                range_mans = None
+                break
+            range_mans.append(mm)
         # (the lookup below keys physical names; a range straddling an
         # overwrite that REUSED a retired physical for a new field id
         # would alias two logical columns onto one physical — fall back
@@ -4244,11 +4312,7 @@ def read_changes(
             for _l, _e in map_to["fields"].items():
                 _pl[_l] = _e["physical"]
         _dup_phys = len(set(_pl.values())) != len(_pl)
-        if (
-            range_mans
-            and not _dup_phys
-            and all("change_files" in mm for mm in range_mans)
-        ):
+        if range_mans and not _dup_phys:
             from pyspark.sql.types import StringType, StructField
 
             paths = [p for mm in range_mans for p in mm["change_files"]]

@@ -91,14 +91,22 @@ def _latest_version(table_dir: str, branch: str | None = None) -> int:
 
 class _ChangePartition(InputPartition):
     """One executor task: either the live rows of one ADDED data file
-    (kind='insert') or the rows addressed by one NEW DV sidecar
-    (kind='delete'). ``dv_files`` (insert kind) are the commit's NEW
+    (kind='insert'), the rows addressed by one NEW DV sidecar
+    (kind='delete'), or one recorded commit-time change file
+    (kind='change'). ``dv_files`` (insert kind) are the commit's NEW
     sidecars — positions addressing ``data_file`` are masked out.
     ``skip_files`` (delete kind) are files added by the SAME commit: a
     row both added and DV'd at one version nets to nothing, so its
     sidecar entries must not surface as deletes of rows the consumer
     never saw (no current commit type produces this shape — the guard
-    keeps a future one correct rather than subtly wrong)."""
+    keeps a future one correct rather than subtly wrong). ``colmap``
+    is the PER-VERSION stream-logical→physical map resolved by field
+    id against the partition's own manifest (None value = the column
+    had no field at that version → NULL); a single head-manifest map
+    would mis-read files when an overwrite reused a retired physical
+    name for a NEW field id — the per-version id resolution makes that
+    shape read NULL for the old files instead of resurrecting their
+    bytes."""
 
     def __init__(
         self,
@@ -107,12 +115,14 @@ class _ChangePartition(InputPartition):
         data_file: str | None,
         dv_files: Sequence[str],
         skip_files: Sequence[str] = (),
+        colmap: dict | None = None,
     ) -> None:
         self.kind = kind
         self.version = version
         self.data_file = data_file
         self.dv_files = list(dv_files)
         self.skip_files = list(skip_files)
+        self.colmap = colmap
 
 
 class VersionedChangesStreamReader(DataSourceStreamReader):
@@ -124,9 +134,12 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         self._branch = options.get("branch") or None
         self._schema = schema
         # column mapping: files store PHYSICAL names; the stream schema
-        # is logical. Physical names are frozen at column creation, so
-        # ONE logical→physical map (from the head manifest) covers
-        # every file regardless of age or intervening renames.
+        # is logical. The HEAD mapping supplies the stream columns'
+        # field ids; each microbatch then resolves those ids against
+        # the PARTITION's own manifest (see _colmap_for) — resolving by
+        # id per version is what keeps an overwrite that reused a
+        # retired physical name from resurrecting an old column's bytes
+        # out of pre-overwrite files.
         from ..sinks.versioned import _col_mapping, _phys_names
 
         m = _manifest(
@@ -134,7 +147,42 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             _latest_version(self._table_dir, self._branch),
             self._branch,
         )
-        self._phys = _phys_names(_col_mapping(m))
+        self._head_map = _col_mapping(m)
+        self._phys = _phys_names(self._head_map)
+        # earliest retained mapped manifest: pre-mapping versions
+        # resolve against ITS ids (the enable commit froze every
+        # then-existing column's id), never the head's — a head field
+        # id minted later must read NULL from pre-mapping files even
+        # when it reuses a retired physical name
+        self._first_map = None
+        if self._head_map is not None:
+            from ..sinks.versioned import _version_numbers
+
+            for vv in _version_numbers(self._table_dir, self._branch):
+                cm = _col_mapping(
+                    _manifest(self._table_dir, vv, self._branch)
+                )
+                if cm is not None:
+                    self._first_map = cm
+                    break
+
+    def _colmap_for(self, v_map: dict | None) -> dict | None:
+        """stream-logical → physical for ONE version's manifest,
+        resolved by field id. None when the table is unmapped (plain
+        name addressing). A None VALUE means the stream column's field
+        id did not exist at that version — read NULL. A version
+        predating enable_column_mapping resolves against the earliest
+        mapped manifest's ids (retention is a contiguous suffix, so
+        when a pre-mapping version is streamable its enable commit is
+        retained too)."""
+        if self._head_map is None:
+            return None
+        eff = v_map or self._first_map
+        by_id = {e["id"]: e["physical"] for e in eff["fields"].values()}
+        return {
+            l: by_id.get(e["id"])
+            for l, e in self._head_map["fields"].items()
+        }
 
     # -- offset protocol ---------------------------------------------------
     def initialOffset(self) -> dict:
@@ -151,17 +199,23 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         parts: list[InputPartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             try:
+                from ..sinks.versioned import _col_mapping
+
                 m = _manifest(self._table_dir, v, self._branch)
+                colmap = self._colmap_for(_col_mapping(m))
                 if "change_files" in m:
                     # the commit recorded its exact change set at
                     # commit time (change_files=True on the DML /
                     # OPTIMIZE / RESTORE paths): one task per change
                     # file, carried snapshot files never opened — and
                     # rewrite commits stream exactly instead of
-                    # refusing below. An empty list (OPTIMIZE) is a
-                    # zero-row pass-through.
+                    # refusing below. An empty list (OPTIMIZE,
+                    # metadata-only commits) is a zero-row
+                    # pass-through.
                     for f in m["change_files"]:
-                        parts.append(_ChangePartition("change", v, f, []))
+                        parts.append(
+                            _ChangePartition("change", v, f, [], colmap=colmap)
+                        )
                     continue
                 prev_files: set[str] = set()
                 prev_dvs: set[str] = set()
@@ -210,12 +264,15 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             new_dvs = sorted(cur_dvs - prev_dvs)
             added = sorted(files - prev_files)
             for f in added:
-                parts.append(_ChangePartition("insert", v, f, new_dvs))
+                parts.append(
+                    _ChangePartition("insert", v, f, new_dvs, colmap=colmap)
+                )
             for dv in new_dvs:
                 parts.append(
                     _ChangePartition(
                         "delete", v, None, [dv],
                         skip_files=added if added else (),
+                        colmap=colmap,
                     )
                 )
         return parts
@@ -228,37 +285,45 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
 
         out_schema = to_arrow_schema(self._schema)
         table_fields = out_schema.names[:-2]  # minus _change_type/_commit_version
-        phys = self._phys  # logical→physical (empty when unmapped)
+        colmap = partition.colmap  # per-version id-resolved map (or None)
 
-        def conform(tbl: pa.Table, change: str, version: int) -> pa.Table:
+        def src_of(name: str) -> str | None:
+            if colmap is not None:
+                # None = the stream column has no field at this
+                # partition's version (e.g. an id minted after it by an
+                # overwrite that reused a retired name) → NULL, never
+                # the old bytes
+                return colmap.get(name)
+            return name
+
+        def conform(
+            tbl: pa.Table, version: int, change: str | None = None
+        ) -> pa.Table:
+            """Project ``tbl`` onto the stream schema: per-version
+            physical-name resolution, NULL fill for absent columns,
+            then the change-type column — a constant when ``change`` is
+            given (insert/delete partitions), the file's own
+            ``_change_type`` otherwise (recorded change files)."""
             n = tbl.num_rows
             cols = []
             for name in table_fields:
                 target = out_schema.field(name).type
-                src = phys.get(name, name)
-                if src in tbl.schema.names:
+                src = src_of(name)
+                if src is not None and src in tbl.schema.names:
                     cols.append(tbl.column(src).cast(target))
-                else:  # evolved column absent in an older file → NULL
+                else:  # absent at this version / in this file → NULL
                     cols.append(pa.nulls(n, type=target))
-            cols.append(pa.array([change] * n, type=pa.string()))
+            if change is None:
+                cols.append(tbl.column("_change_type").cast(pa.string()))
+            else:
+                cols.append(pa.array([change] * n, type=pa.string()))
             cols.append(pa.array([version] * n, type=pa.int64()))
             return pa.Table.from_arrays(cols, schema=out_schema)
 
         if partition.kind == "change":
             # commit-time change file: rows already carry _change_type
             tbl = pq.read_table(partition.data_file)
-            n = tbl.num_rows
-            cols = []
-            for name in table_fields:
-                target = out_schema.field(name).type
-                src = phys.get(name, name)
-                if src in tbl.schema.names:
-                    cols.append(tbl.column(src).cast(target))
-                else:  # change set predating an evolved column → NULL
-                    cols.append(pa.nulls(n, type=target))
-            cols.append(tbl.column("_change_type").cast(pa.string()))
-            cols.append(pa.array([partition.version] * n, type=pa.int64()))
-            yield from pa.Table.from_arrays(cols, schema=out_schema).to_batches()
+            yield from conform(tbl, partition.version).to_batches()
             return
         if partition.kind == "insert":
             import numpy as np
@@ -270,7 +335,9 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 mask = np.ones(tbl.num_rows, dtype=bool)
                 mask[np.fromiter(dead, dtype=np.int64)] = False
                 tbl = tbl.filter(pa.array(mask))
-            yield from conform(tbl, "insert", partition.version).to_batches()
+            yield from conform(
+                tbl, partition.version, change="insert"
+            ).to_batches()
         else:
             sidecar = pq.read_table(partition.dv_files[0], columns=["file", "pos"])
             skip = set(partition.skip_files)
@@ -284,7 +351,9 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 tbl = pq.read_table(f).take(
                     pa.array(sorted(by_file[f]), type=pa.int64())
                 )
-                yield from conform(tbl, "delete", partition.version).to_batches()
+                yield from conform(
+                    tbl, partition.version, change="delete"
+                ).to_batches()
 
 
 def _dv_positions_for(dv_files: Sequence[str], data_file: str) -> set[int]:

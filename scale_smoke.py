@@ -197,9 +197,6 @@ def build_corpus(spark, mult: int, out_dir: str) -> None:
                   flush=True)
             shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
-    if not os.path.exists(marker):
-        with open(marker, "w") as fh:
-            json.dump({"base_generation": base_gen}, fh)
     for table, keys in SHIFT_KEYS.items():
         dst = f"{out_dir}/{table}.parquet"
         if os.path.exists(dst):
@@ -221,6 +218,11 @@ def build_corpus(spark, mult: int, out_dir: str) -> None:
         else:
             out = df
         out.write.mode("overwrite").parquet(dst)
+    # marker LAST: a crash mid-build must leave a corpus the staleness
+    # check still treats as incomplete (no marker → rebuild), never one
+    # that silently passes as current with half its tables missing
+    with open(marker, "w") as fh:
+        json.dump({"base_generation": base_gen}, fh)
 
 
 def main() -> None:

@@ -375,3 +375,86 @@ def test_partitioned_table_with_renamed_other_column(spark, table):
     got = sorted(r["id"] for r in out.collect())
     assert got == sorted(i for i in range(120) if i % 2 == 1)
     assert out.columns == ["id", "g", "value", "p"]
+
+
+def test_restore_change_files_across_rename(spark, table):
+    """A restore whose undo set spans a rename: the recorded change
+    file must store the column under its frozen PHYSICAL name even
+    though the undo frame carries the pre-restore HEAD's logical name
+    — otherwise every consumer NULL-fills the renamed column's values
+    (the round-12 review finding)."""
+    write_version(spark, _df(spark).coalesce(2), table)  # v1
+    enable_column_mapping(table)  # v2
+    rename_column(table, "v", "value")  # v3
+    delete_version(spark, table, "id < 10")  # v4 (bad commit)
+    restore_version(spark, table, 2, change_files=True)  # v5 → names roll back to 'v'
+    rows = read_changes(spark, table, 4, 5).collect()
+    got = sorted((r["id"], r["_change_type"], r["v"]) for r in rows)
+    # the undo re-inserts the deleted rows WITH their values intact
+    assert got == [(i, "insert", i * 2) for i in range(10)]
+
+
+def test_stream_does_not_resurrect_reused_physical(spark, table):
+    """Per-version id resolution: after a drop + an overwrite that
+    REUSES the retired physical name for a NEW field id, streaming the
+    pre-overwrite commits must deliver NULL for the new column — never
+    the dropped column's old bytes (the round-12 review finding)."""
+    import uuid as _uuid
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        _col_mapping,
+        _load_manifest,
+        _rebuild_mapping,
+        _write_change_files,
+    )
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.versioned_stream import (
+        read_changes_stream,
+    )
+
+    base = spark.range(20).select(
+        F.col("id"), (F.col("id") * 2).alias("a")
+    )
+    write_version(spark, base.coalesce(1), table)  # v1 (physical 'a')
+    enable_column_mapping(table)  # v2
+    drop_column(table, "a")  # v3 — physical 'a' retired
+    # v4: overwrite re-adds logical 'a' (NEW field id, physical 'a'
+    # reused — allowed on overwrite) via the low-level change_files
+    # hook so the stream can cross it
+    new = spark.range(20).select(
+        F.col("id"), (F.col("id") * 7).alias("a")
+    )
+    cur = read_version(spark, table)  # (id)
+    eff_map = _rebuild_mapping(
+        _col_mapping(_load_manifest(table, None)), new.schema
+    )
+    changes = cur.withColumn("_change_type", F.lit("delete")).unionByName(
+        new.withColumn("_change_type", F.lit("insert")),
+        allowMissingColumns=True,
+    )
+    cf = _write_change_files(spark, changes, table, eff_map)
+    write_version(spark, new.coalesce(1), table, change_files=cf)  # v4
+
+    name = f"res_{_uuid.uuid4().hex[:8]}"
+    q = (
+        read_changes_stream(spark, table)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = spark.table(name).localCheckpoint(eager=True)
+    v1 = got.filter(F.col("_commit_version") == 1)
+    # v1 rows: the OLD field's bytes (id*2) must NOT surface under the
+    # new 'a' — the new field id did not exist at v1
+    assert v1.count() == 20
+    assert v1.filter(F.col("a").isNotNull()).count() == 0
+    # v4's recorded set delivers the new values
+    v4_ins = got.filter(
+        (F.col("_commit_version") == 4) & (F.col("_change_type") == "insert")
+    )
+    assert sorted(r["a"] for r in v4_ins.collect()) == sorted(
+        i * 7 for i in range(20)
+    )

@@ -163,6 +163,7 @@ def test_partitions_plan_one_task_per_file(spark, sf_dir, tdir):
     r._table_dir = tdir
     r._start = 0
     r._branch = None
+    r._head_map = None  # unmapped table (planner-only construction)
     parts = r.partitions({"version": 0}, {"version": 2})
     inserts = [p for p in parts if p.kind == "insert"]
     deletes = [p for p in parts if p.kind == "delete"]
