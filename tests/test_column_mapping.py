@@ -458,3 +458,111 @@ def test_stream_does_not_resurrect_reused_physical(spark, table):
     assert sorted(r["a"] for r in v4_ins.collect()) == sorted(
         i * 7 for i in range(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# model-based lifecycle + plan shape
+# ---------------------------------------------------------------------------
+
+
+def test_randomized_mapping_lifecycle_vs_model(spark, tmp_path):
+    """Deterministic randomized sequences of rename/drop/append against
+    a plain-Python model of the logical table: after every op the
+    mapped read must equal the model (names AND values), and every
+    historical version must replay under its own names."""
+    import random
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        t = str(tmp_path / f"m{seed}")
+        # model: list of (logical_name, values) columns; rows keyed by idx
+        n0 = 30
+        cols = {"id": list(range(n0)), "c1": [i * 2 for i in range(n0)],
+                "c2": [i * 3 for i in range(n0)]}
+        order = ["id", "c1", "c2"]
+        df = spark.createDataFrame(
+            list(zip(*[cols[c] for c in order])), order
+        )
+        write_version(spark, df.coalesce(1), t)
+        enable_column_mapping(t)
+        history = {}  # version -> (order snapshot)
+        next_col = 3
+        next_row = n0
+        for _ in range(6):
+            op = rng.choice(["rename", "drop", "append", "add_col"])
+            if op == "rename" and len(order) > 1:
+                old = rng.choice(order[1:])  # keep 'id'
+                new = f"r{next_col}"; next_col += 1
+                rename_column(t, old, new)
+                cols[new] = cols.pop(old)
+                order[order.index(old)] = new
+            elif op == "drop" and len(order) > 2:
+                victim = rng.choice(order[1:])
+                drop_column(t, victim)
+                cols.pop(victim)
+                order.remove(victim)
+            elif op == "append":
+                k = 10
+                inc_cols = {c: [next_row + i if c == "id" else (next_row + i) * 5
+                                for i in range(k)] for c in order}
+                inc = spark.createDataFrame(
+                    list(zip(*[inc_cols[c] for c in order])), order
+                )
+                write_version(spark, inc.coalesce(1), t, mode="append")
+                for c in order:
+                    cols[c] = cols[c] + inc_cols[c]
+                next_row += k
+            elif op == "add_col":
+                new = f"a{next_col}"; next_col += 1
+                k = 10
+                inc_cols = {c: [next_row + i if c == "id" else (next_row + i) * 5
+                                for i in range(k)] for c in order}
+                inc_cols[new] = [(next_row + i) * 9 for i in range(k)]
+                inc = spark.createDataFrame(
+                    list(zip(*[inc_cols[c] for c in order + [new]])),
+                    order + [new],
+                )
+                try:
+                    write_version(
+                        spark, inc.coalesce(1), t, mode="append",
+                        merge_schema=True,
+                    )
+                except ValueError:
+                    continue  # retired-name reuse refused — model unchanged
+                nrows = len(cols["id"])
+                cols[new] = [None] * nrows + inc_cols[new]
+                for c in order:
+                    cols[c] = cols[c] + inc_cols[c]
+                order.append(new)
+                next_row += k
+            # invariant: mapped read == model
+            got = read_version(spark, t)
+            assert got.columns == order, (seed, got.columns, order)
+            want = sorted(zip(*[cols[c] for c in order]))
+            have = sorted(
+                tuple(r[c] for c in order) for r in got.collect()
+            )
+            assert have == want, f"seed {seed}: mismatch after {op}"
+            from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+                _load_manifest,
+            )
+            history[_load_manifest(t, None)["version"]] = list(order)
+        # every historical version replays under its own names
+        for v, names in history.items():
+            assert read_version(spark, t, version=v).columns == names
+
+
+def test_mapped_read_adds_no_shuffle(spark, table):
+    """The physical→logical aliasing is one Project — a mapped read
+    must plan ZERO exchanges, same as an unmapped scan."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.plans.introspect import (
+        shuffle_count,
+    )
+
+    write_version(spark, _df(spark).coalesce(2), table)
+    rename_column(table, "v", "value")
+    got = read_version(spark, table).filter("id < 50")
+    assert shuffle_count(got) == 0
+    assert sorted(r["value"] for r in got.collect()) == sorted(
+        i * 2 for i in range(50)
+    )
