@@ -6112,6 +6112,159 @@ FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 7 = 0
 """
 
 
+def q_streaming_merge_cdf(spark, sf):
+    """The change stream crossing a MERGE commit via commit-time change
+    files (sinks/versioned.py ``merge_version(change_files=True)`` —
+    round 13's CDC-composability close): v1 writes the evens off the
+    2/4/6 residues (mod 10), v2 appends those residues into their own
+    file, v3 is ONE MERGE carrying all three arms at once — update
+    (keys ≡4: +1000 on the price), insert (odd keys ≡1, new), delete
+    directive (keys ≡6, ``delete_col``) — plus an IDENTICAL incoming
+    row per key ≡2, which must record NOTHING (the recorded set is the
+    commit's NET change, always equal to read_changes' multiset diff).
+    Without the flag the merge is a stream refusal (locked by
+    tests/test_change_files.py). One stream drains all three commits
+    through a parquet file sink; the query summarizes per
+    (commit_version, change_type).
+
+    Scale literals, oracle-pinned TRUE: ``merge_carried_never_scanned``
+    — the v3 microbatch plans exactly one task per recorded change
+    file while the merge carried untouched files (at 100 TB a
+    CDC-maintained table streams O(changed rows) per trigger, never
+    O(table)); ``identity_rows_net_out`` — the ≡2 keys appear nowhere
+    in the v3 batch (a no-op upsert is not a change). The oracle
+    replays every commit's exact change set from the orders table,
+    updated images and delete directives included.
+
+    Reference tie-in: this is the P3 upsert shape
+    (``huggingface_extract.py:140-156`` (pyc), per-row ON CONFLICT)
+    re-expressed as one streamable lakehouse commit."""
+    from .sinks.versioned import merge_version, write_version
+    from .sources.versioned_stream import (
+        VersionedChangesStreamReader,
+        read_changes_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="q_mergecdf_")
+    t = os.path.join(d, "orders_v")
+    sink = os.path.join(d, "changes_out")
+    ckpt = os.path.join(d, "ckpt")
+    try:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        evens = o.filter(F.col("o_orderkey") % 2 == 0)
+        res10 = F.col("o_orderkey") % 10
+        write_version(
+            spark, evens.filter(~res10.isin(2, 4, 6)).repartition(2), t
+        )
+        write_version(
+            spark,
+            evens.filter(res10.isin(2, 4, 6)).repartition(1),
+            t,
+            mode="append",
+        )
+        upd = o.filter(res10 == 4).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            F.lit(False).alias("_del"),
+        )
+        ident = o.filter(res10 == 2).select(
+            "o_orderkey", "o_totalprice", F.lit(False).alias("_del")
+        )
+        dirs = o.filter(res10 == 6).select(
+            "o_orderkey",
+            F.lit(None).cast("double").alias("o_totalprice"),
+            F.lit(True).alias("_del"),
+        )
+        ins = o.filter(res10 == 1).select(
+            "o_orderkey", "o_totalprice", F.lit(False).alias("_del")
+        )
+        inc = upd.unionByName(ident).unionByName(dirs).unionByName(ins)
+        mres = merge_version(
+            spark, inc, t, keys=["o_orderkey"], delete_col="_del",
+            change_files=True,
+        )
+        # plan-shape literals straight from the stream's planner
+        rdr = VersionedChangesStreamReader(None, {"path": t})
+        v3_tasks = len(rdr.partitions({"version": 2}, {"version": 3}))
+        merge_carried_never_scanned = (
+            v3_tasks == mres["change_files_added"]
+            and mres["files_carried"] > 0
+        )
+
+        q = (
+            read_changes_stream(spark, t)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        drained = spark.read.parquet(sink)
+        identity_rows_net_out = (
+            drained.filter(
+                (F.col("_commit_version") == 3)
+                & (F.col("o_orderkey") % 10 == 2)
+            ).count()
+            == 0
+        )
+        out = (
+            drained.groupBy(
+                F.col("_commit_version").alias("commit_version"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("o_orderkey").alias("sum_key"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).alias("cents"),
+            )
+            .withColumn(
+                "merge_carried_never_scanned",
+                F.lit(merge_carried_never_scanned),
+            )
+            .withColumn(
+                "identity_rows_net_out", F.lit(identity_rows_net_out)
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_MERGE_CDF = """
+SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,
+       COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       TRUE AS merge_carried_never_scanned, TRUE AS identity_rows_net_out
+FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 NOT IN (2, 4, 6)
+UNION ALL
+SELECT 2, 'insert', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT),
+       TRUE, TRUE
+FROM orders WHERE o_orderkey % 10 IN (2, 4, 6)
+UNION ALL
+SELECT 3, 'delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT),
+       TRUE, TRUE
+FROM orders WHERE o_orderkey % 10 IN (4, 6)
+UNION ALL
+SELECT 3, 'insert', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(SUM(CAST(FLOOR(
+         (CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 1000
+               ELSE o_totalprice END) * 100 + 0.5) AS BIGINT)) AS BIGINT),
+       TRUE, TRUE
+FROM orders WHERE o_orderkey % 10 IN (1, 4)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-sequence packing + RAG chunking (operators/packing.py)
 # ---------------------------------------------------------------------------
@@ -6313,6 +6466,10 @@ OPS_REGISTRY = {
     "streaming_cdf_rewrites": (
         q_streaming_cdf_rewrites,
         SQL_STREAMING_CDF_REWRITES,
+    ),
+    "streaming_merge_cdf": (
+        q_streaming_merge_cdf,
+        SQL_STREAMING_MERGE_CDF,
     ),
     "streaming_versioned_changes": (
         q_streaming_versioned_changes,

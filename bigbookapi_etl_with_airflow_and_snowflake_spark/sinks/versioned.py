@@ -1212,6 +1212,7 @@ def write_version(
     check_constraints: dict[str, str] | None = None,
     generated_cols: dict[str, str] | None = None,
     change_files: Sequence[str] | None = None,
+    record_changes: bool = False,
 ) -> int:
     """Commit ``df`` as the next version of the table; returns the new
     version number. ``mode='overwrite'`` → the snapshot is exactly
@@ -1351,9 +1352,28 @@ def write_version(
     is empty and the change stream passes the commit with zero rows).
     The DML paths stage their own change sets from a boolean flag; this
     parameter is the low-level hook for orchestrators that already
-    know theirs."""
+    know theirs.
+
+    ``record_changes=True``: the commit COMPUTES and records its own
+    change set (mutually exclusive with ``change_files``). An append
+    records its staged rows as inserts — O(increment). An overwrite
+    records the replaced snapshot's live rows as deletes plus the new
+    rows as inserts — inherently O(old + new), because that IS what an
+    overwrite changes (the reference's daily full re-extract shape,
+    ``dags/bigbookapi.py:163-177``, becomes exactly streamable this
+    way); it requires the SAME column set as the prior snapshot (an
+    overwrite that reshapes the schema has no well-defined row-level
+    feed — diff the snapshots with the batch :func:`read_changes`
+    instead) and PINS the base version: a concurrent commit raises
+    :class:`CommitConflict` instead of recording a change set computed
+    against the wrong prior."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if record_changes and change_files is not None:
+        raise ValueError(
+            "record_changes=True computes the commit's change set — "
+            "mutually exclusive with a pre-staged change_files list"
+        )
     if (txn_app is None) != (txn_version is None):
         raise ValueError("txn_app and txn_version come together")
     head0 = 0
@@ -1409,6 +1429,30 @@ def write_version(
         for gname in sorted(eff_gen):
             if gname not in df.columns:
                 df = df.withColumn(gname, F.expr(eff_gen[gname]))
+    rc_base: dict | None = None
+    if record_changes:
+        # refuse BEFORE anything stages (vacuum never reclaims an
+        # uncommitted staging); an overwrite additionally pins its base
+        # — the recorded delete set is computed against it, so a racing
+        # commit must CommitConflict, not rebase
+        _refuse_change_clash(df.columns)
+        nums_rc = _version_numbers(table_dir, branch)
+        if mode == "overwrite" and nums_rc:
+            rc_base = _load_manifest(table_dir, nums_rc[-1], branch)
+            if rc_base.get("schema") is not None:
+                prior_cols = {
+                    f["name"]
+                    for f in json.loads(rc_base["schema"])["fields"]
+                }
+                if prior_cols != set(df.columns):
+                    raise ValueError(
+                        "record_changes=True on an overwrite that changes "
+                        f"the column set (prior {sorted(prior_cols)} vs "
+                        f"incoming {sorted(df.columns)}) — a reshaping "
+                        "overwrite has no well-defined row-level change "
+                        "set; diff the snapshots with read_changes() "
+                        "instead, or conform the frame first"
+                    )
     if mode == "append":
         # fail-fast schema check against the current latest BEFORE any
         # data stages; build() re-derives against the commit-time prior
@@ -1581,6 +1625,42 @@ def write_version(
             )
     else:
         n_new = 0
+    staged_cf: list[str] | None = None
+    if record_changes:
+        from pyspark.sql import functions as F
+
+        pieces = []
+        if new_files:
+            # read the STAGED files back (not df) so the recorded
+            # inserts are exactly the committed rows even under a
+            # nondeterministic incoming frame
+            rdr = (
+                _recorded_reader(
+                    spark,
+                    {"schema": df.schema.json(), "column_mapping": eff_map},
+                )
+                if eff_map
+                else spark.read.schema(df.schema)
+            )
+            pieces.append(
+                rdr.parquet(*new_files).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        if mode == "overwrite" and rc_base is not None and rc_base["files"]:
+            # the replaced snapshot's live rows leave the table
+            pieces.append(
+                _live_scan(spark, rc_base).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+        if pieces:
+            ch = pieces[0]
+            for p in pieces[1:]:
+                ch = ch.unionByName(p)
+            staged_cf = _write_change_files(spark, ch, table_dir, eff_map)
+        else:
+            staged_cf = []
     schema_json = df.schema.json()
     # stats columns: explicit, else inherited from the table's latest
     # recorded list (coverage must not decay because one writer forgot)
@@ -1669,15 +1749,31 @@ def write_version(
             body["column_mapping"] = eff_map
         if change_files is not None:
             body["change_files"] = list(change_files)
+        if staged_cf is not None:
+            if mode == "overwrite" and (
+                (prior["version"] if prior else 0)
+                != (rc_base["version"] if rc_base else 0)
+            ):
+                raise CommitConflict(
+                    "table advanced past "
+                    f"v{rc_base['version'] if rc_base else 0} while "
+                    "record_changes computed the overwrite's delete set "
+                    "— re-run the write"
+                )
+            body["change_files"] = staged_cf
         return body
 
     try:
         v = _commit(table_dir, build, branch=branch)
     except _TxnAlreadyApplied:
         _discard_staged(new_files)
+        if staged_cf:
+            _discard_staged(staged_cf)
         return _version_numbers(table_dir, branch)[-1]
-    except ValueError:
+    except (ValueError, CommitConflict):
         _discard_staged(new_files)
+        if staged_cf:
+            _discard_staged(staged_cf)
         raise
     for col in index_cols:
         explicit = (index_geometry or {}).get(col)
@@ -1793,6 +1889,7 @@ def merge_version(
     index_max_chain: int = 8,
     merge_schema: bool = False,
     delete_col: str | None = None,
+    change_files: bool = False,
 ) -> dict:
     """Copy-on-write MERGE (upsert) into a versioned table.
 
@@ -1832,8 +1929,24 @@ def merge_version(
     is stripped before the schema gate and never lands in the table;
     NULL flags read as False.
 
+    ``change_files=True`` records the commit's EXACT row-level change
+    set as ``_change_data`` parquet in the same commit (the Delta
+    commit-time change-file pattern, same key as the other DML paths):
+    the NET multiset diff of the touched files' live rows vs their
+    merged replacement — an update surfaces as its key's old image
+    (``_change_type='delete'``) plus new image ('insert'), a pure
+    insert as its row, a delete directive as the old image alone, and
+    an incoming row IDENTICAL to the existing one records NOTHING (no
+    logical change — the recorded set always equals what the batch
+    :func:`read_changes` multiset diff would compute). O(touched rows
+    + increment), never O(table); carried files are never scanned. The
+    streaming source then crosses the merge commit instead of refusing
+    the file rewrite, and :func:`read_changes` serves the range from
+    the recorded sets with zero snapshot I/O — MERGE-maintained tables
+    (the CDC ingestion shape) feed the change stream end-to-end.
+
     Returns ``{"version", "files_rewritten", "files_carried",
-    "n_rows"}``.
+    "n_rows"}`` (+ ``"change_files_added"`` when ``change_files=True``).
     """
     from pyspark.sql import functions as F
 
@@ -1863,6 +1976,9 @@ def merge_version(
         ).drop(delete_col)
         rank_attached = True
     data_cols = [c for c in incoming.columns if c != "__cdc_rank"]
+    if change_files:
+        # refuse BEFORE anything stages (bootstrap write included)
+        _refuse_change_clash(data_cols)
     if not _version_numbers(table_dir):
         first = incoming
         if rank_attached:
@@ -1874,14 +1990,18 @@ def merge_version(
         v = write_version(
             spark, first, table_dir, index_cols=index_cols,
             index_geometry=index_geometry, index_max_chain=index_max_chain,
+            record_changes=change_files,
         )
         m = _load_manifest(table_dir, v)
-        return {
+        result = {
             "version": v,
             "files_rewritten": 0,
             "files_carried": 0,
             "n_rows": m["n_rows"],
         }
+        if change_files:
+            result["change_files_added"] = len(m.get("change_files") or [])
+        return result
     base = _load_manifest(table_dir, base_version)
     # schema-on-write (same gate as write_version's append): refuse a
     # divergent increment unless merge_schema=True, then conform BOTH
@@ -1913,6 +2033,10 @@ def merge_version(
             incoming, extra=("__cdc_rank",) if rank_attached else ()
         )
         data_cols = [c for c in incoming.columns if c != "__cdc_rank"]
+        if change_files:
+            # the union schema can re-introduce a base-held column the
+            # incoming frame lacked — re-check the effective column set
+            _refuse_change_clash(data_cols)
     if base["files"]:
         # _live_scan: recorded-schema (an evolved table's plain scan
         # takes one footer's schema and silently drops columns) AND
@@ -1941,12 +2065,11 @@ def merge_version(
         inc = incoming.withColumnRenamed("__cdc_rank", "__src")
     else:
         inc = incoming.withColumn("__src", F.lit(0))
+    old_rows: DataFrame | None = None
     if touched:
         ex = _live_scan(spark, base, files=sorted(touched))
-        existing = (
-            (conform(ex) if conform is not None else ex.select(*data_cols))
-            .withColumn("__src", F.lit(2))
-        )
+        old_rows = conform(ex) if conform is not None else ex.select(*data_cols)
+        existing = old_rows.withColumn("__src", F.lit(2))
         unioned = inc.unionByName(existing)
         n_touched = existing.count()
     else:
@@ -1964,7 +2087,34 @@ def merge_version(
     eff_map = (
         _extend_mapping(base_map, merged.schema) if base_map else None
     )
-    new_files, n_new = _write_data_files(spark, merged, table_dir, eff_map)
+    cf: list[str] | None = None
+    if change_files:
+        # ONE evaluation of the merged frame, PERSISTED, feeds both the
+        # committed data files and the recorded change set — order_by
+        # ties (row_number nondeterminism) must not let them diverge
+        merged = merged.persist()
+    try:
+        new_files, n_new = _write_data_files(spark, merged, table_dir, eff_map)
+        if change_files:
+            # the commit's exact change set = NET multiset diff of the
+            # touched files' old live rows vs their merged replacement
+            # (carried files contribute nothing by construction) — the
+            # same netting read_changes' fallback computes, recorded at
+            # commit time over O(touched + increment) rows only
+            signed = merged.withColumn("__cdf_delta", F.lit(1))
+            if old_rows is not None:
+                signed = signed.unionByName(
+                    old_rows.withColumn("__cdf_delta", F.lit(-1))
+                )
+            cf = _write_change_files(
+                spark,
+                _net_change_rows(signed, list(merged.columns)),
+                table_dir,
+                eff_map,
+            )
+    finally:
+        if change_files:
+            merged.unpersist()
     schema_json = merged.schema.json()
 
     def build(prior: dict | None) -> dict:
@@ -1973,7 +2123,7 @@ def merge_version(
                 f"table advanced past v{base['version']} "
                 f"(latest: v{prior['version'] if prior else 0}) — re-run the merge"
             )
-        return {
+        body = {
             "mode": "merge",
             "files": carried + new_files,
             "n_rows": base["n_rows"] - n_touched + n_new,
@@ -1988,11 +2138,16 @@ def merge_version(
             # paths never reuse a dead identity) — compaction reclaims
             "dv_files": base.get("dv_files") or [],
         }
+        if cf is not None:
+            body["change_files"] = cf
+        return body
 
     try:
         v = _commit(table_dir, build)
     except CommitConflict:
         _discard_staged(new_files)
+        if cf:
+            _discard_staged(cf)
         raise
     for col in index_cols:
         # copy-on-write commit: carried files keep their prior index
@@ -2003,12 +2158,15 @@ def merge_version(
             max_chain=index_max_chain,
             geometry=(index_geometry or {}).get(col),
         )
-    return {
+    result = {
         "version": v,
         "files_rewritten": len(touched),
         "files_carried": len(carried),
         "n_rows": base["n_rows"] - n_touched + n_new,
     }
+    if cf is not None:
+        result["change_files_added"] = len(cf)
+    return result
 
 
 def delete_version(
@@ -2123,20 +2281,38 @@ def delete_version(
             else []
         )
         cf = []
-    if touched:
+    if touched and change_files:
+        # ONE evaluation of the predicate, materialized as a match
+        # column and PERSISTED, feeds both the kept-row data files and
+        # the recorded delete set — a nondeterministic predicate must
+        # not let the recorded change set diverge from the committed
+        # snapshot (same rule as update_version's persisted images)
+        scope = _live_scan(spark, base, files=sorted(touched)).withColumn(
+            "__del_match", F.coalesce(cond, F.lit(False))
+        ).persist()
+        try:
+            n_touched = scope.count()
+            kept = scope.filter(~F.col("__del_match")).drop("__del_match")
+            new_files, n_new = _write_data_files(
+                spark, kept, table_dir, _col_mapping(base)
+            )
+            deleted_rows = (
+                scope.filter(F.col("__del_match"))
+                .drop("__del_match")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            cf = _write_change_files(
+                spark, deleted_rows, table_dir, _col_mapping(base)
+            )
+        finally:
+            scope.unpersist()
+    elif touched:
         scope = _live_scan(spark, base, files=sorted(touched))
         n_touched = scope.count()
         kept = scope.filter(~F.coalesce(cond, F.lit(False)))
         new_files, n_new = _write_data_files(
             spark, kept, table_dir, _col_mapping(base)
         )
-        if change_files:
-            deleted_rows = scope.filter(
-                F.coalesce(cond, F.lit(False))
-            ).withColumn("_change_type", F.lit("delete"))
-            cf = _write_change_files(
-                spark, deleted_rows, table_dir, _col_mapping(base)
-            )
     else:
         n_touched, new_files, n_new = 0, [], 0
 
@@ -2260,6 +2436,12 @@ def overwrite_partitions(
         for gname in sorted(gen):
             if gname not in df.columns:
                 df = df.withColumn(gname, F.expr(gen[gname]))
+    if change_files:
+        # refuse BEFORE anything stages — every other pre-commit abort
+        # in this function discards its stagings, and vacuum's data
+        # sweep is manifest-driven (it can never reclaim an uncommitted
+        # staging this raise would otherwise leak)
+        _refuse_change_clash(df.columns)
     if partition_scope is None:
         if len(pcols) != 1:
             raise ValueError(
@@ -2404,7 +2586,6 @@ def overwrite_partitions(
     files = carried + rw_files + new_files
     cf: list[str] | None = None
     if change_files:
-        _refuse_change_clash(df.columns)
         cf = []
         # outgoing rows: the dropped partitions' live rows (exactly the
         # files being replaced) + unmapped in-scope live rows; incoming
@@ -3216,8 +3397,10 @@ def optimize_table(
     2/n_covered (twice the perfectly-tiled file's share of the
     domain). When nothing qualifies the call is a NO-OP (no commit,
     ``files_rewritten`` 0). Returns the full-optimize keys plus
-    ``files_rewritten``/``files_carried`` and the recorded-stats
-    ``avg_point_reads`` before/after.
+    ``files_rewritten``/``files_carried``, ``bytes_selected`` (bytes of
+    the rewritten files only — ``bytes_before`` stays whole-table on
+    BOTH modes, so callers comparing across modes read one semantics)
+    and the recorded-stats ``avg_point_reads`` before/after.
 
     Returns ``{"version", "files_before", "files_after",
     "bytes_before", "dv_files_folded", "n_rows"}``."""
@@ -3326,6 +3509,12 @@ def _optimize_incremental(
         ]
         before_reads = sum((e[1] - e[0]) / width for e in envs.values())
     selected = sorted(set(wide) | set(unknown))
+    # bytes_before is WHOLE-TABLE live-file bytes on both optimize
+    # modes (callers comparing full vs incremental read one semantics);
+    # the selected subset's bytes report separately as bytes_selected
+    bytes_all = sum(
+        os.path.getsize(f) for f in m["files"] if os.path.exists(f)
+    )
     if not selected:
         return {
             "version": m["version"],
@@ -3333,7 +3522,8 @@ def _optimize_incremental(
             "files_after": len(m["files"]),
             "files_rewritten": 0,
             "files_carried": len(m["files"]),
-            "bytes_before": 0,
+            "bytes_before": bytes_all,
+            "bytes_selected": 0,
             "dv_files_folded": 0,
             "n_rows": m["n_rows"],
             "avg_point_reads_before": before_reads,
@@ -3391,7 +3581,8 @@ def _optimize_incremental(
         "files_after": len(carried) + len(new_files),
         "files_rewritten": len(selected),
         "files_carried": len(carried),
-        "bytes_before": bytes_sel,
+        "bytes_before": bytes_all,
+        "bytes_selected": bytes_sel,
         "dv_files_folded": 0,
         "n_rows": m["n_rows"],
         "avg_point_reads_before": before_reads,
@@ -4312,6 +4503,18 @@ def read_changes(
             for _l, _e in map_to["fields"].items():
                 _pl[_l] = _e["physical"]
         _dup_phys = len(set(_pl.values())) != len(_pl)
+        # recorded change files can be gone while their manifests
+        # remain (vacuum keeps retained manifests' sets, but a manual
+        # sweep / partial restore can orphan them) — the fast path is
+        # an optimization, so a missing path degrades to the snapshot
+        # multiset diff below instead of erroring; the stat walk is
+        # O(change files), driver-side
+        if range_mans is not None and any(
+            not os.path.exists(p)
+            for mm in range_mans
+            for p in mm["change_files"]
+        ):
+            range_mans = None
         if range_mans and not _dup_phys:
             from pyspark.sql.types import StringType, StructField
 

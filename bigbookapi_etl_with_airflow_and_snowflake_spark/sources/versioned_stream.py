@@ -140,7 +140,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # id per version is what keeps an overwrite that reused a
         # retired physical name from resurrecting an old column's bytes
         # out of pre-overwrite files.
-        from ..sinks.versioned import _col_mapping, _phys_names
+        from ..sinks.versioned import _col_mapping
 
         m = _manifest(
             self._table_dir,
@@ -148,7 +148,6 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             self._branch,
         )
         self._head_map = _col_mapping(m)
-        self._phys = _phys_names(self._head_map)
         # earliest retained mapped manifest: pre-mapping versions
         # resolve against ITS ids (the enable commit froze every
         # then-existing column's id), never the head's — a head field
@@ -203,23 +202,9 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
 
                 m = _manifest(self._table_dir, v, self._branch)
                 colmap = self._colmap_for(_col_mapping(m))
-                if "change_files" in m:
-                    # the commit recorded its exact change set at
-                    # commit time (change_files=True on the DML /
-                    # OPTIMIZE / RESTORE paths): one task per change
-                    # file, carried snapshot files never opened — and
-                    # rewrite commits stream exactly instead of
-                    # refusing below. An empty list (OPTIMIZE,
-                    # metadata-only commits) is a zero-row
-                    # pass-through.
-                    for f in m["change_files"]:
-                        parts.append(
-                            _ChangePartition("change", v, f, [], colmap=colmap)
-                        )
-                    continue
                 prev_files: set[str] = set()
                 prev_dvs: set[str] = set()
-                if v > 1:
+                if "change_files" not in m and v > 1:
                     pm = _manifest(self._table_dir, v - 1, self._branch)
                     prev_files = set(pm["files"])
                     prev_dvs = set(pm.get("dv_files") or [])
@@ -231,6 +216,39 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     "a batch read_version + startingVersion at the current "
                     "head"
                 ) from ex
+            if "change_files" in m:
+                # the commit recorded its exact change set at commit
+                # time (change_files=True on the DML / MERGE / OPTIMIZE
+                # / RESTORE paths, record_changes on write_version):
+                # one task per change file, carried snapshot files
+                # never opened — and rewrite commits stream exactly
+                # instead of refusing below. An empty list (OPTIMIZE,
+                # metadata-only commits) is a zero-row pass-through.
+                missing = [
+                    f for f in m["change_files"] if not os.path.exists(f)
+                ]
+                if missing:
+                    # fail at PLAN time with the re-bootstrap path, not
+                    # at read time with an executor FileNotFoundError —
+                    # a swept change set is a retention gap, and
+                    # silently emitting zero rows would leave the
+                    # consumer diverged
+                    raise ValueError(
+                        f"version {v} of {self._table_dir!r} recorded "
+                        f"{len(m['change_files'])} change file(s) but "
+                        f"{len(missing)} are gone (vacuumed or manually "
+                        "removed) — the stream fell behind change-file "
+                        "retention; re-bootstrap with a batch "
+                        "read_version + startingVersion at the current "
+                        "head, or serve the range with the batch "
+                        "read_changes (its snapshot multiset diff does "
+                        "not need the recorded sets)"
+                    )
+                for f in m["change_files"]:
+                    parts.append(
+                        _ChangePartition("change", v, f, [], colmap=colmap)
+                    )
+                continue
             files = set(m["files"])
             cur_dvs = set(m.get("dv_files") or [])
             removed = prev_files - files

@@ -307,3 +307,270 @@ def test_conflict_abort_discards_change_staging(spark, table):
         )
     cf_root = os.path.join(table, "_change_data")
     assert not os.path.isdir(cf_root) or os.listdir(cf_root) == []
+
+
+# ---------------------------------------------------------------------------
+# round 13: MERGE + plain overwrite/append feed the change stream
+# ---------------------------------------------------------------------------
+
+
+def test_merge_change_set_all_three_arms(spark, table):
+    """One MERGE commit with insert + update + delete-directive arms
+    records exactly its net change set; an incoming row IDENTICAL to
+    the existing one records nothing (no logical change)."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        merge_version,
+    )
+
+    write_version(spark, _df(spark, 0, 10).repartitionByRange(3, "id"), table)
+    inc = spark.createDataFrame(
+        [
+            (3, 3 % 7, 9999, False),   # update arm
+            (100, 100 % 7, 200, False),  # insert arm (new key)
+            (5, None, None, True),     # delete directive arm
+            (7, 7 % 7, 14, False),     # identical to existing → no change
+            (999, None, None, True),   # directive for absent key → no-op
+        ],
+        "id long, g long, v long, _del boolean",
+    )
+    res = merge_version(
+        spark, inc, table, keys=["id"], delete_col="_del", change_files=True
+    )
+    assert res["change_files_added"] >= 1
+    info = {}
+    got = _changes(spark, table, 1, 2, info=info)
+    assert got == [
+        (3, "delete"),
+        (3, "insert"),
+        (5, "delete"),
+        (100, "insert"),
+    ]
+    # the fast path served the recorded set — zero snapshot I/O
+    assert info["files_scanned_before"] == 0
+    assert info["files_scanned_after"] == 0
+    assert info["change_files_used"] == res["change_files_added"]
+    # the recorded update's new image carries the assigned value
+    v3 = [
+        r["v"]
+        for r in read_changes(spark, table, 1, 2)
+        .filter("id = 3 and _change_type = 'insert'")
+        .collect()
+    ]
+    assert v3 == [9999]
+
+
+def test_merge_fast_path_matches_snapshot_diff(spark, table):
+    """Recorded merge change set == the multiset diff a flag-less twin
+    computes (the carried_never_scanned-style oracle property)."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        merge_version,
+    )
+
+    twin = table + "_twin"
+    inc_rows = [(i, i % 7, i * 5, i % 3 == 0) for i in range(5, 15)]
+    for t, flag in ((table, True), (twin, False)):
+        write_version(spark, _df(spark).repartitionByRange(4, "id"), t)
+        inc = spark.createDataFrame(
+            inc_rows, "id long, g long, v long, _del boolean"
+        )
+        merge_version(
+            spark, inc, t, keys=["id"], delete_col="_del", change_files=flag
+        )
+    info_fast, info_slow = {}, {}
+    fast = _changes(spark, table, 1, 2, info=info_fast)
+    slow = _changes(spark, twin, 1, 2, info=info_slow)
+    assert fast == slow
+    assert "change_files_used" in info_fast
+    assert "change_files_used" not in info_slow
+
+
+def test_stream_crosses_merge(spark, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        merge_version,
+    )
+
+    write_version(spark, _df(spark, 0, 10).repartitionByRange(3, "id"), table)
+    inc = spark.createDataFrame(
+        [(3, 3, 9999, False), (100, 2, 200, False), (5, None, None, True)],
+        "id long, g long, v long, _del boolean",
+    )
+    merge_version(
+        spark, inc, table, keys=["id"], delete_col="_del", change_files=True
+    )
+    got = _drain(spark, read_changes_stream(spark, table, starting_version=1))
+    assert sorted(
+        (r["id"], r["_change_type"]) for r in got.collect()
+    ) == [(3, "delete"), (3, "insert"), (5, "delete"), (100, "insert")]
+    assert {r["_commit_version"] for r in got.collect()} == {2}
+
+
+def test_stream_still_refuses_unrecorded_merge(spark, table):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        merge_version,
+    )
+
+    write_version(spark, _df(spark, 0, 10).coalesce(2), table)
+    inc = spark.createDataFrame([(3, 3, 9999)], "id long, g long, v long")
+    merge_version(spark, inc, table, keys=["id"])  # no change_files
+    with pytest.raises(StreamingQueryException, match="change_files=True"):
+        _drain(spark, read_changes_stream(spark, table, starting_version=1))
+
+
+def test_bootstrap_merge_records_inserts(spark, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        _load_manifest,
+        merge_version,
+    )
+
+    inc = spark.createDataFrame(
+        [(1, 1, 2, False), (2, 2, 4, True)], "id long, g long, v long, _del boolean"
+    )
+    res = merge_version(
+        spark, inc, table, keys=["id"], delete_col="_del", change_files=True
+    )
+    assert res["version"] == 1 and res["change_files_added"] >= 1
+    m = _load_manifest(table, 1)
+    assert m["change_files"]
+    got = _drain(spark, read_changes_stream(spark, table))
+    # the directive against the not-yet-existing key is a no-op
+    assert sorted((r["id"], r["_change_type"]) for r in got.collect()) == [
+        (1, "insert")
+    ]
+
+
+def test_merge_conflict_discards_change_staging(spark, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        merge_version,
+    )
+
+    write_version(spark, _df(spark, 0, 10).coalesce(2), table)  # v1
+    write_version(
+        spark, _df(spark, 100, 105).coalesce(1), table, mode="append"
+    )  # v2
+    inc = spark.createDataFrame([(3, 3, 9999)], "id long, g long, v long")
+    with pytest.raises(CommitConflict):
+        merge_version(
+            spark, inc, table, keys=["id"], base_version=1, change_files=True
+        )
+    cf_root = os.path.join(table, "_change_data")
+    assert not os.path.isdir(cf_root) or os.listdir(cf_root) == []
+
+
+def test_merge_reserved_column_clash_refused(spark, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        merge_version,
+    )
+
+    df = _df(spark, 0, 10).withColumn("_change_type", F.lit("x"))
+    write_version(spark, df.coalesce(1), table)
+    inc = df.limit(1)
+    with pytest.raises(ValueError, match="_change_type"):
+        merge_version(spark, inc, table, keys=["id"], change_files=True)
+
+
+def test_overwrite_record_changes(spark, table):
+    """record_changes=True on a plain overwrite: old live rows out,
+    new rows in — and the stream crosses the full-replace commit (the
+    reference's daily re-extract shape)."""
+    write_version(spark, _df(spark, 0, 10).coalesce(2), table)
+    # overwrite keeps 0..4 identical, drops 5..9, adds 20..24
+    nxt = _df(spark, 0, 5).unionByName(_df(spark, 20, 25))
+    write_version(
+        spark, nxt.coalesce(2), table, mode="overwrite", record_changes=True
+    )
+    info = {}
+    got = _changes(spark, table, 1, 2, info=info)
+    # read_changes NETS the identical 0..4 pairs away
+    assert got == [(i, "delete") for i in range(5, 10)] + [
+        (i, "insert") for i in range(20, 25)
+    ]
+    assert info["files_scanned_before"] == 0
+    assert info["change_files_used"] >= 1
+    # the stream delivers the RECORDED set verbatim (delete+insert of
+    # identical rows nets to no state change for any consumer)
+    got_s = _drain(
+        spark, read_changes_stream(spark, table, starting_version=1)
+    )
+    by = {
+        (r["_change_type"],): r["cnt"]
+        for r in got_s.groupBy("_change_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert by[("delete",)] == 10 and by[("insert",)] == 10
+
+
+def test_append_record_changes_is_increment_only(spark, table):
+    write_version(spark, _df(spark, 0, 10).coalesce(2), table)
+    write_version(
+        spark,
+        _df(spark, 50, 53).coalesce(1),
+        table,
+        mode="append",
+        record_changes=True,
+    )
+    info = {}
+    got = _changes(spark, table, 1, 2, info=info)
+    assert got == [(i, "insert") for i in range(50, 53)]
+    assert info["change_files_used"] >= 1
+
+
+def test_overwrite_record_changes_refuses_schema_reshape(spark, table):
+    write_version(spark, _df(spark, 0, 10).coalesce(1), table)
+    reshaped = _df(spark, 0, 5).withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="column set"):
+        write_version(
+            spark, reshaped, table, mode="overwrite", record_changes=True
+        )
+    # nothing staged by the refused write
+    assert not os.path.isdir(os.path.join(table, "_change_data"))
+
+
+def test_record_changes_and_change_files_mutually_exclusive(spark, table):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        write_version(
+            spark,
+            _df(spark, 0, 5),
+            table,
+            record_changes=True,
+            change_files=[],
+        )
+
+
+# ---------------------------------------------------------------------------
+# round 13: retention guards for recorded change sets
+# ---------------------------------------------------------------------------
+
+
+def test_stream_past_swept_change_files_gets_pointed_error(spark, table):
+    """A stream resumed past retention of the RECORDED change files
+    (manifest still present) fails at plan time with the re-bootstrap
+    pointer, never a silent gap or an executor FileNotFoundError."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    write_version(spark, _df(spark).coalesce(2), table)
+    delete_version(spark, table, "id < 10", change_files=True)  # v2
+    shutil.rmtree(os.path.join(table, "_change_data"))
+    with pytest.raises(
+        StreamingQueryException, match="change-file retention"
+    ):
+        _drain(spark, read_changes_stream(spark, table, starting_version=1))
+
+
+def test_fast_path_degrades_when_change_files_swept(spark, table):
+    """read_changes falls back to the snapshot multiset diff when a
+    range's recorded change files are gone but the manifests remain —
+    same rows, just not the fast path."""
+    write_version(spark, _df(spark).repartitionByRange(4, "id"), table)
+    delete_version(spark, table, "id < 10", change_files=True)  # v2
+    info0 = {}
+    want = _changes(spark, table, 1, 2, info=info0)
+    assert "change_files_used" in info0
+    shutil.rmtree(os.path.join(table, "_change_data"))
+    info1 = {}
+    got = _changes(spark, table, 1, 2, info=info1)
+    assert got == want == [(i, "delete") for i in range(10)]
+    assert "change_files_used" not in info1
+    assert info1["files_scanned_before"] > 0
