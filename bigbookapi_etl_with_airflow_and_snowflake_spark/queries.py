@@ -2467,86 +2467,87 @@ REGISTRY.update(OPS_REGISTRY)
 # Driver-budget ordering. The grading driver checks the FIRST 50 registry
 # entries in insertion order (each CORRECTNESS_r{N} covers exactly
 # entries 1-50), so insertion order is a validation budget; testdata
-# regenerates between rounds, so green rows age. Round 12 spends the
+# regenerates between rounds, so green rows age. Round 13 spends the
 # budget, in order, on:
-#   (1) the three entries NEW this round — the incremental
-#       (liquid-clustering) OPTIMIZE, field-id column mapping, and the
-#       change stream crossing rewrite commits via commit-time change
-#       files;
-#   (2) ALL 34 oracled entries that have never held a driver row
-#       (added across the round-11 sessions and deliberately held
-#       outside the r11 window — VERDICT r11 "What's missing" #1);
-#   (3) the 13 LEAST-validated of the 43 r8-stale entries, picked by
-#       (penultimate green round, total green rows) ascending — the
-#       deterministic "least recently re-proven" criterion: the seven
-#       entries whose only other row is r3, then the six oldest of the
-#       r3-penultimate three-row group.
-# After this round every oracled entry has at least one driver row
-# EXCEPT versioned_changes_recorded (added late in round 12 — the
-# batch-CDF fast-path twin of streaming_cdf_rewrites), which waits
-# outside the window per the rotation discipline and takes an r13
-# slot. The remaining 30 r8-stale entries rotate in r13 (1 late entry
-# + 30 + the 19 oldest r9 rows fill that window). The eight no-oracle entries
-# (approx/seeded/iterative by design) are EXCLUDED from the first 50 —
-# they can only ever produce a rows-only row; their hard-oracled exact
-# twins carry the signal (tests/test_registry_invariants.py enforces
-# this). All entries are still replayed against DuckDB at sf0.001
-# every pytest run by tests/test_oracle_parity.py.
+#   (1) versioned_changes_recorded — added late in round 12 (the
+#       batch-CDF fast-path twin of streaming_cdf_rewrites), the one
+#       oracled entry with NO driver row yet (VERDICT r12 task #2
+#       names it first);
+#   (2) the three entries NEW this round — the change stream crossing
+#       a three-arm MERGE commit (streaming_merge_cdf), nested field
+#       ids in column mapping (versioned_nested_mapping), and renames
+#       on stats-covered + Bloom-indexed columns
+#       (versioned_rename_stats);
+#   (3) ALL 30 remaining oracled r8-stale entries (their last green
+#       driver row is round 8 — four testdata generations old);
+#   (4) the 16 STALEST r9 rows by the same deterministic criterion as
+#       r12 ((penultimate green round, total green rows) ascending):
+#       image_corpus_manifest (single r9 row), then 15 of the
+#       [1,4,9]-history group alphabetically.
+# After this round every oracled entry's latest driver row is r9 or
+# newer; the remaining [1,4,9]/[5,6,9] r9 rows rotate in r14. The
+# eight no-oracle entries (approx/seeded/iterative by design) are
+# EXCLUDED from the first 50 — they can only ever produce a rows-only
+# row; their hard-oracled exact twins carry the signal
+# (tests/test_registry_invariants.py enforces this). All entries are
+# still replayed against DuckDB at sf0.001 every pytest run by
+# tests/test_oracle_parity.py.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # -- (1) new in round 12 ---------------------------------------------------
-    "versioned_optimize_incremental",
-    "versioned_column_mapping",
-    "streaming_cdf_rewrites",
-    # -- (2) the 34 never-driver-validated oracled entries ---------------------
-    "pq_codes",
-    "pq_topk_fixed",
-    "fuzzy_decontaminate",
-    "bm25_topk",
-    "exact_substr_spans",
-    "exact_substr_scrub",
-    "versioned_branch_publish",
-    "hilbert_key_events",
-    "versioned_restore",
-    "versioned_update",
-    "cdc_replicate",
-    "scd2_from_changes",
-    "versioned_optimize",
-    "versioned_stats_skip",
-    "maintenance_advisor",
-    "expectations_quarantine",
-    "nb_seed_classifier",
-    "streaming_quarantine_ingest",
-    "streaming_exactly_once_ingest",
-    "versioned_partition_prune",
-    "versioned_clone",
-    "table_fsck",
-    "versioned_concurrent",
-    "rollup_from_changes",
-    "table_history",
-    "versioned_scoped_dml",
-    "table_constraints",
-    "versioned_replace_where",
-    "versioned_generated_partition",
-    "seq_pack",
-    "doc_chunks",
-    "streaming_versioned_changes",
-    "snapshot_drift_events",
-    "wap_drift_gate",
-    # -- (3) the 13 least-validated r8-stale entries ---------------------------
-    "bucketed_join_revenue",
-    "global_shuffle",
-    "minhash_jaccard_est",
-    "pack_sequences",
-    "scalar_function_showcase",
-    "streaming_sliding",
-    "word_positions",
-    "asof_join",
-    "asof_join_generic",
-    "curation_decision",
-    "embedding_neardup",
-    "knn_label_vote",
-    "part_name_editdist",
+    # -- (1) the one entry with no driver row ----------------------------------
+    "versioned_changes_recorded",
+    # -- (2) new in round 13 ---------------------------------------------------
+    "streaming_merge_cdf",
+    "versioned_nested_mapping",
+    "versioned_rename_stats",
+    # -- (3) the 30 remaining r8-stale oracled entries -------------------------
+    "bloom_prejoin_revenue",
+    "cluster_sample_init",
+    "except_custkeys",
+    "gif_decode",
+    "grouping_sets",
+    "intersect_custkeys",
+    "ivf_topk_exact",
+    "jpeg_decode",
+    "json_extract",
+    "kmeans_assign_init",
+    "lsh_topk_exact",
+    "pivot_status",
+    "png_decode",
+    "quantity_quartiles",
+    "range_join_buckets",
+    "rolling_fingerprints",
+    "sessionize",
+    "streaming_dedup",
+    "text_stats",
+    "tfidf_topterms",
+    "token_count_bpe",
+    "top_supplier_per_nation",
+    "train_test_split",
+    "tumbling_window",
+    "user_features",
+    "video_frames",
+    "waiting_suppliers",
+    "window_percentiles",
+    "window_rank_lag",
+    "window_running",
+    # -- (4) the 16 stalest r9 rows ---------------------------------------------
+    "image_corpus_manifest",
+    "above_nation_avg",
+    "anti_join",
+    "branded_discount_revenue",
+    "cast_truncate",
+    "cube_flags",
+    "dedup_exact_docs",
+    "doc_fingerprint",
+    "dq_report",
+    "forecast_revenue",
+    "funnel_counts",
+    "join_enrich",
+    "late_ship_priority",
+    "nation_trade_volume",
+    "null_default",
+    "null_key_filter",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

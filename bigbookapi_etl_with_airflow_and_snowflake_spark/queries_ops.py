@@ -6265,6 +6265,290 @@ FROM orders WHERE o_orderkey % 10 IN (1, 4)
 """
 
 
+def q_versioned_nested_mapping(spark, sf):
+    """NESTED field ids in column mapping (round 13 —
+    sinks/versioned.py ``rename_column``/``drop_column`` with dotted
+    paths): the books corpus's ``authors[].id`` shape
+    (``/root/reference/scripts/transform.py:27-29``) generalized. v1
+    writes the even orders as ``(o_orderkey, meta struct<cust,price>,
+    items array<struct<pid,qty>>)`` (items = the order's lineitems);
+    v2 renames the NESTED ``items.pid`` → ``part_id`` and v3 drops the
+    NESTED ``meta.price`` — both METADATA-ONLY commits (zero data
+    files touched at any table size: nested physical names are frozen
+    at creation, readers apply one positional struct cast per column —
+    NULL-preserving); v4 appends the odd orders under the NEW names.
+    The head read projects pre-rename and post-rename files
+    identically; the query aggregates the exploded items per orderkey
+    residue.
+
+    Scale literals, oracle-pinned TRUE: ``metadata_only`` — v2 and v3
+    committed the IDENTICAL file list as their parents (the whole
+    point: an ALTER on a 100 TB table is one manifest write);
+    ``time_travel_names`` — v1 still reads under ``pid``/``price``
+    while the head reads under ``part_id`` without ``price`` (each
+    manifest carries its own mapping). The oracle replays the full
+    aggregate from orders ⋈ lineitem, so a mis-projected nested byte
+    anywhere fails the value hash."""
+    from .sinks.versioned import (
+        _load_manifest,
+        drop_column,
+        read_version,
+        rename_column,
+        write_version,
+    )
+
+    d = tempfile.mkdtemp(prefix="q_nestmap_")
+    t = os.path.join(d, "orders_nested")
+    try:
+        o = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        li = _t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        )
+
+        def shaped(keys, pid_name: str, with_price: bool):
+            items = (
+                li.join(
+                    keys.select("o_orderkey"),
+                    li.l_orderkey == keys.o_orderkey,
+                    "left_semi",
+                )
+                .groupBy("l_orderkey")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("l_partkey").alias(pid_name),
+                                F.col("l_quantity").alias("qty"),
+                            )
+                        )
+                    ).alias("items")
+                )
+            )
+            meta_fields = [F.col("o_custkey").alias("cust")] + (
+                [F.col("o_totalprice").alias("price")] if with_price else []
+            )
+            return (
+                keys.join(items, keys.o_orderkey == items.l_orderkey, "left")
+                .select(
+                    "o_orderkey",
+                    F.struct(*meta_fields).alias("meta"),
+                    F.coalesce(
+                        "items",
+                        F.array().cast(
+                            f"array<struct<{pid_name}:long,qty:double>>"
+                        ),
+                    ).alias("items"),
+                )
+            )
+
+        evens = o.filter(F.col("o_orderkey") % 2 == 0)
+        odds = o.filter(F.col("o_orderkey") % 2 == 1)
+        write_version(spark, shaped(evens, "pid", True).coalesce(2), t)  # v1
+        v2 = rename_column(t, "items.pid", "part_id")
+        v3 = drop_column(t, "meta.price")
+        write_version(
+            spark, shaped(odds, "part_id", False).coalesce(2), t,
+            mode="append",
+        )  # v4
+        f1 = _load_manifest(t, 1)["files"]
+        metadata_only = (
+            _load_manifest(t, v2)["files"] == f1
+            and _load_manifest(t, v3)["files"] == f1
+        )
+        old = read_version(spark, t, version=1)
+        head = read_version(spark, t)
+        time_travel_names = (
+            old.schema["items"].dataType.elementType.names == ["pid", "qty"]
+            and old.schema["meta"].dataType.names == ["cust", "price"]
+            and head.schema["items"].dataType.elementType.names
+            == ["part_id", "qty"]
+            and head.schema["meta"].dataType.names == ["cust"]
+        )
+        grp = (F.col("o_orderkey") % 10).alias("grp")
+        a1 = head.groupBy(grp).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("meta.cust")).alias("sum_cust"),
+        )
+        it = head.select(grp, F.explode("items").alias("item"))
+        a2 = it.groupBy("grp").agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("item.part_id")).alias("sum_part_id"),
+            F.sum(
+                F.floor(F.col("item.qty") * 100 + 0.5).cast("long")
+            ).alias("qty_cents"),
+        )
+        out = (
+            a1.join(a2, "grp", "left")
+            .select(
+                "grp",
+                "n_orders",
+                "sum_cust",
+                F.coalesce("n_items", F.lit(0)).alias("n_items"),
+                F.coalesce("sum_part_id", F.lit(0)).alias("sum_part_id"),
+                F.coalesce("qty_cents", F.lit(0)).alias("qty_cents"),
+            )
+            .withColumn("metadata_only", F.lit(metadata_only))
+            .withColumn("time_travel_names", F.lit(time_travel_names))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_NESTED_MAPPING = """
+WITH o AS (
+  SELECT o_orderkey, o_orderkey % 10 AS grp, o_custkey FROM orders
+), a1 AS (
+  SELECT grp, COUNT(*) AS n_orders,
+         CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+  FROM o GROUP BY grp
+), a2 AS (
+  SELECT o.grp, COUNT(*) AS n_items,
+         CAST(SUM(l.l_partkey) AS BIGINT) AS sum_part_id,
+         CAST(SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS qty_cents
+  FROM o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.grp
+)
+SELECT a1.grp, a1.n_orders, a1.sum_cust,
+       COALESCE(a2.n_items, 0) AS n_items,
+       COALESCE(a2.sum_part_id, 0) AS sum_part_id,
+       COALESCE(a2.qty_cents, 0) AS qty_cents,
+       TRUE AS metadata_only, TRUE AS time_travel_names
+FROM a1 LEFT JOIN a2 ON a1.grp = a2.grp
+"""
+
+
+def q_versioned_rename_stats(spark, sf):
+    """Renames on STATS-COVERED and BLOOM-INDEXED columns (round 13 —
+    recorded footer envelopes and index dirs are keyed by the column's
+    frozen PHYSICAL name; every read/build site resolves logical →
+    physical through the mapping, so the r12 refusals on exactly the
+    columns most worth renaming — the popular, hence covered, ones —
+    are gone): v1 writes the even orders range-clustered on
+    ``o_orderkey`` with recorded stats on it and a Bloom index on
+    ``o_custkey``; v2/v3 rename BOTH to ``order_id``/``cust_id``
+    (metadata-only); v4 appends the odd orders under the new names
+    (stats coverage and the index CHAIN keep maintaining through the
+    mapping); v5 runs incremental OPTIMIZE clustering on the RENAMED
+    column. The result summarizes a range probe and a Bloom equality
+    probe at the head, both under the new names.
+
+    Scale literals, oracle-pinned TRUE: ``range_pruned_zero_footers``
+    — the range probe skipped files from RECORDED envelopes alone
+    (fewer files read than total, zero footer I/O: at 100k files the
+    footer pass is the query latency, and a rename must not bring it
+    back); ``bloom_pruned`` — the equality probe skipped files through
+    the physical-keyed index chain; ``optimize_partial`` — the
+    incremental OPTIMIZE on the renamed column rewrote a strict subset
+    and carried the rest by identity. The probe ROWS are the value
+    hash — a wrong envelope key or index dir would either lose rows
+    (pruning false negative) or fail a literal."""
+    from .sinks.versioned import (
+        optimize_table,
+        read_version_pruned,
+        rename_column,
+        write_version,
+    )
+
+    d = tempfile.mkdtemp(prefix="q_renstats_")
+    t = os.path.join(d, "orders_ren")
+    try:
+        o = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        evens = o.filter(F.col("o_orderkey") % 2 == 0)
+        odds = o.filter(F.col("o_orderkey") % 2 == 1)
+        write_version(
+            spark,
+            evens.repartitionByRange(4, "o_orderkey"),
+            t,
+            stats_cols=["o_orderkey"],
+            index_cols=["o_orderkey"],
+        )  # v1 — the SAME column is stats-covered AND Bloom-indexed
+        rename_column(t, "o_orderkey", "order_id")  # v2
+        rename_column(t, "o_custkey", "cust_id")  # v3
+        write_version(
+            spark,
+            odds.select(
+                F.col("o_orderkey").alias("order_id"),
+                F.col("o_custkey").alias("cust_id"),
+                "o_totalprice",
+            ).repartition(2),
+            t,
+            mode="append",
+            index_cols=["order_id"],
+        )  # v4 — hash-scattered on purpose
+        opt = optimize_table(
+            spark, t, cluster_by=["order_id"], incremental=True,
+            index_cols=["order_id"],
+        )  # v5
+        optimize_partial = (
+            opt["files_rewritten"] > 0 and opt["files_carried"] > 0
+        )
+        r_df, r_info = read_version_pruned(
+            spark, t, ranges={"order_id": (1, 512)}
+        )
+        range_pruned_zero_footers = (
+            r_info["files_read"] < r_info["files_total"]
+            and r_info["footer_files"] == 0
+        )
+        # point lookups on the renamed UNIQUE key: each key lives in
+        # exactly one file, so the Bloom chain prunes at ANY scale
+        # (keys 2 and 7 exist at every TPC-H sf; 2 landed pre-rename,
+        # 7 post-rename — both files probe through the frozen physical)
+        b_df, b_info = read_version_pruned(
+            spark, t, keys={"order_id": [2, 7]}
+        )
+        bloom_pruned = b_info["files_read"] < b_info["files_total"]
+
+        def summarize(df, label):
+            return df.agg(
+                F.lit(label).alias("probe"),
+                F.count("*").alias("n_rows"),
+                F.sum("order_id").alias("sum_order_id"),
+                F.sum("cust_id").alias("sum_cust_id"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).alias("cents"),
+            )
+        out = (
+            summarize(r_df, "range")
+            .unionByName(summarize(b_df, "bloom"))
+            .withColumn(
+                "range_pruned_zero_footers",
+                F.lit(range_pruned_zero_footers),
+            )
+            .withColumn("bloom_pruned", F.lit(bloom_pruned))
+            .withColumn("optimize_partial", F.lit(optimize_partial))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_RENAME_STATS = """
+SELECT 'range' AS probe, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_order_id,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust_id,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       TRUE AS range_pruned_zero_footers, TRUE AS bloom_pruned,
+       TRUE AS optimize_partial
+FROM orders WHERE o_orderkey BETWEEN 1 AND 512
+UNION ALL
+SELECT 'bloom', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(SUM(o_custkey) AS BIGINT),
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT),
+       TRUE, TRUE, TRUE
+FROM orders WHERE o_orderkey IN (2, 7)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-sequence packing + RAG chunking (operators/packing.py)
 # ---------------------------------------------------------------------------
@@ -6470,6 +6754,14 @@ OPS_REGISTRY = {
     "streaming_merge_cdf": (
         q_streaming_merge_cdf,
         SQL_STREAMING_MERGE_CDF,
+    ),
+    "versioned_nested_mapping": (
+        q_versioned_nested_mapping,
+        SQL_VERSIONED_NESTED_MAPPING,
+    ),
+    "versioned_rename_stats": (
+        q_versioned_rename_stats,
+        SQL_VERSIONED_RENAME_STATS,
     ),
     "streaming_versioned_changes": (
         q_streaming_versioned_changes,

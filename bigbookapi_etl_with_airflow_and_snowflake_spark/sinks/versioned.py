@@ -653,45 +653,138 @@ def _carried_mapping(base: dict | None) -> dict:
     return {"column_mapping": cm} if cm else {}
 
 
+def _nested_of(entry: dict | None) -> dict:
+    """A column entry's nested-field map: relative LOGICAL dotted path
+    (array levels traversed transparently) → ``{"id", "physical"}``
+    where ``physical`` is the LEAF's creation-time name. Entries exist
+    only for nested fields that were RENAMED at some point — an absent
+    path is the identity mapping (logical == physical), which is what
+    keeps legacy flat mappings and never-renamed structs zero-cost."""
+    return (entry or {}).get("nested") or {}
+
+
+def _phys_dtype(dtype, nested: dict, prefix: str = ""):
+    """The PHYSICAL version of a column's dataType: struct field names
+    replaced by their recorded creation-time physicals, arrays
+    traversed transparently, everything else untouched. The shape is
+    preserved EXACTLY — same field count/order/types — which is what
+    makes the positional struct CAST between the two a pure rename
+    (and NULL-preserving, unlike a struct() rebuild)."""
+    from pyspark.sql.types import ArrayType, StructField, StructType
+
+    if isinstance(dtype, ArrayType):
+        return ArrayType(
+            _phys_dtype(dtype.elementType, nested, prefix), dtype.containsNull
+        )
+    if isinstance(dtype, StructType):
+        out = []
+        for f in dtype.fields:
+            rel = f"{prefix}.{f.name}" if prefix else f.name
+            phys = (nested.get(rel) or {}).get("physical", f.name)
+            out.append(
+                StructField(
+                    phys, _phys_dtype(f.dataType, nested, rel), f.nullable
+                )
+            )
+        return StructType(out)
+    return dtype
+
+
+def _resolve_nested(dtype, parts: list[str]):
+    """Walk ``dtype`` down a logical nested path (structs by field
+    name, arrays transparently); returns the (parent StructType, leaf
+    StructField) or raises ValueError naming what's missing."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    cur = dtype
+    for depth, p in enumerate(parts):
+        while isinstance(cur, ArrayType):
+            cur = cur.elementType
+        if not isinstance(cur, StructType):
+            raise ValueError(
+                f"path component {'.'.join(parts[:depth]) or '<root>'!r} "
+                "is not a struct (or array of struct) — nested "
+                "rename/drop addresses struct fields only"
+            )
+        match = [f for f in cur.fields if f.name == p]
+        if not match:
+            raise ValueError(
+                f"nested field {p!r} not found under "
+                f"{'.'.join(parts[:depth]) or '<column>'} "
+                f"(have {[f.name for f in cur.fields]})"
+            )
+        if depth == len(parts) - 1:
+            return cur, match[0]
+        cur = match[0].dataType
+    raise ValueError("empty nested path")  # unreachable for parts != []
+
+
 def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
-    """Rename mapped logical columns to their physical names before
-    staging data (or change) files. Columns outside the mapping (e.g.
-    ``_change_type``) pass through untouched; identity mappings cost
-    nothing (no-op projection elided)."""
-    phys = _phys_names(mapping)
-    if not phys or all(phys.get(c, c) == c for c in df.columns):
+    """Rename mapped logical columns (top-level AND nested struct
+    fields) to their physical names before staging data (or change)
+    files. Columns outside the mapping (e.g. ``_change_type``) pass
+    through untouched; identity mappings cost nothing (no-op
+    projection elided). Nested renames apply as one positional struct
+    CAST per column — NULL structs stay NULL, arrays traverse."""
+    if not mapping:
         return df
     from pyspark.sql import functions as F
 
-    return df.select(
-        *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
-    )
+    fields_map = mapping["fields"]
+    exprs, changed = [], False
+    for f in df.schema.fields:
+        e = fields_map.get(f.name)
+        if e is None:
+            exprs.append(F.col(f.name))
+            continue
+        phys_top = e["physical"]
+        p_type = _phys_dtype(f.dataType, _nested_of(e))
+        if p_type != f.dataType:
+            exprs.append(F.col(f.name).cast(p_type).alias(phys_top))
+            changed = True
+        elif phys_top != f.name:
+            exprs.append(F.col(f.name).alias(phys_top))
+            changed = True
+        else:
+            exprs.append(F.col(f.name))
+    return df.select(*exprs) if changed else df
 
 
 class _MappedReader:
     """Drop-in for ``spark.read.schema(...)`` under column mapping:
-    ``.parquet(*files)`` scans with the PHYSICAL schema and aliases the
-    result back to logical names — one projection, no data movement."""
+    ``.parquet(*files)`` scans with the PHYSICAL schema (top-level and
+    nested struct field names at their frozen creation-time values)
+    and projects the result back to logical names — one projection, no
+    data movement; nested renames come back via the positional struct
+    cast (pure rename, NULL-preserving)."""
 
     def __init__(self, spark: SparkSession, logical, mapping: dict) -> None:
         from pyspark.sql.types import StructField, StructType
 
-        phys = _phys_names(mapping)
+        fields_map = mapping["fields"]
         self._spark = spark
-        self._pairs = [(phys.get(f.name, f.name), f.name) for f in logical.fields]
-        self._phys_schema = StructType(
-            [
-                StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
-                for f in logical.fields
-            ]
-        )
+        pairs = []
+        phys_fields = []
+        for f in logical.fields:
+            e = fields_map.get(f.name)
+            p_name = e["physical"] if e else f.name
+            p_type = _phys_dtype(f.dataType, _nested_of(e))
+            phys_fields.append(StructField(p_name, p_type, f.nullable))
+            pairs.append((p_name, p_type, f.name, f.dataType))
+        self._pairs = pairs
+        self._phys_schema = StructType(phys_fields)
 
     def parquet(self, *files):
         from pyspark.sql import functions as F
 
         df = self._spark.read.schema(self._phys_schema).parquet(*files)
-        if any(p != l for p, l in self._pairs):
-            df = df.select(*[F.col(p).alias(l) for p, l in self._pairs])
+        if any(p != l or pt != lt for p, pt, l, lt in self._pairs):
+            df = df.select(
+                *[
+                    (F.col(p).cast(lt) if pt != lt else F.col(p)).alias(l)
+                    for p, pt, l, lt in self._pairs
+                ]
+            )
         return df
 
 
@@ -750,10 +843,40 @@ def _rebuild_mapping(prior_map: dict, schema) -> dict:
     set, so no file in the new snapshot holds the old column's bytes —
     old manifests keep their own mappings and read their own files
     correctly. Only a clash with an ACTIVE physical (a renamed column
-    still alive under another logical name) is refused."""
-    new_names = {f.name for f in schema.fields}
+    still alive under another logical name) is refused. Nested-field
+    entries survive only while their logical path still resolves in
+    the new schema (an overwrite may restructure a struct outright —
+    stale nested ids must not translate the new shape); nested-drop
+    markers reset for the same reason the retired-name rule relaxes
+    here: the overwrite replaced every file, old bytes can't
+    resurrect."""
+    new_types = {f.name: f.dataType for f in schema.fields}
+    new_names = set(new_types)
+
+    def _prune_nested(l: str, e: dict) -> dict:
+        nested = _nested_of(e)
+        if not nested and not e.get("nested_dropped"):
+            return e
+        keep = {}
+        for rel, rec in nested.items():
+            try:
+                _resolve_nested(new_types[l], rel.split("."))
+            except ValueError:
+                continue
+            keep[rel] = rec
+        out = {
+            k: v
+            for k, v in e.items()
+            if k not in ("nested", "nested_dropped")
+        }
+        if keep:
+            out["nested"] = keep
+        return out
+
     fields = {
-        l: e for l, e in prior_map["fields"].items() if l in new_names
+        l: _prune_nested(l, e)
+        for l, e in prior_map["fields"].items()
+        if l in new_names
     }
     retired = set(prior_map.get("retired") or []) | {
         e["physical"]
@@ -987,7 +1110,16 @@ def _carried_stats(
     stats = {
         f: e for f, e in (base.get("stats") or {}).items() if f in keep
     }
-    stats.update(_stats_for_files(spark, list(new_files), cols))
+    # recorded envelopes are keyed by PHYSICAL column name (what the
+    # staged files store — frozen across renames, so rename_column
+    # never invalidates them); stats_cols stays logical and translates
+    # here, the one footer-pass site
+    phys = _phys_names(_col_mapping(base))
+    stats.update(
+        _stats_for_files(
+            spark, list(new_files), [phys.get(c, c) for c in cols]
+        )
+    )
     return {"stats_cols": cols, "stats": stats}
 
 
@@ -1528,16 +1660,18 @@ def write_version(
             else _rebuild_mapping(prior_map, df.schema)
         )
         phys = _phys_names(eff_map)
+        # stats + Bloom machinery resolve logical → frozen physical at
+        # every read/build site, so renamed columns work there; the
+        # PARTITION layout alone stays name-addressed (hive dir keys +
+        # recorded value maps) and keeps the refusal
         bad_named = sorted(
-            c
-            for c in set(eff_part_by) | set(index_cols)
-            if phys.get(c, c) != c
+            c for c in set(eff_part_by) if phys.get(c, c) != c
         )
         if bad_named:
             raise ValueError(
                 f"columns {bad_named} were renamed (logical != physical) "
-                "— partition/index machinery addresses data files by "
-                "name; use the original name or rewrite the table"
+                "— the partition layout addresses data files by name; "
+                "use the original name or rewrite the table"
             )
     else:
         eff_map = None
@@ -1674,18 +1808,13 @@ def write_version(
                 )
                 or []
             )
-    if eff_map and eff_stats_cols:
-        phys = _phys_names(eff_map)
-        bad_stats = sorted(
-            c for c in eff_stats_cols if phys.get(c, c) != c
-        )
-        if bad_stats:
-            raise ValueError(
-                f"stats_cols {bad_stats} were renamed (logical != "
-                "physical) — footer stats address data files by name; "
-                "use the original name or rewrite the table"
-            )
-    new_stats = _stats_for_files(spark, new_files, eff_stats_cols)
+    # footer envelopes are computed (and recorded) under PHYSICAL
+    # names — staged files store physicals, and the keys stay valid
+    # across any number of renames (physicals are frozen)
+    _sphys = _phys_names(eff_map)
+    new_stats = _stats_for_files(
+        spark, new_files, [_sphys.get(c, c) for c in eff_stats_cols]
+    )
 
     def build(prior: dict | None) -> dict:
         if txn_app is not None:
@@ -1786,7 +1915,9 @@ def write_version(
                 max_chain=index_max_chain, geometry=explicit,
             )
         else:
-            geo = _resolve_index_geometry(table_dir, col, v - 1, explicit)
+            geo = _resolve_index_geometry(
+                table_dir, _sphys.get(col, col), v - 1, explicit
+            )
             if geo is None:
                 write_bloom_index(spark, table_dir, col, version=v)
             else:
@@ -3466,10 +3597,12 @@ def _optimize_incremental(
             "(write_version stats_cols) — selection is envelope-driven"
         )
     stats = m.get("stats") or {}
+    # recorded envelopes are physical-keyed (rename-stable)
+    col_phys = _phys_names(_col_mapping(m)).get(col, col)
     envs: dict[str, tuple] = {}
     unknown: list[str] = []
     for f in m["files"]:
-        e = (stats.get(_canon(f)) or {}).get(col)
+        e = (stats.get(_canon(f)) or {}).get(col_phys)
         if e is None:
             unknown.append(f)
         else:
@@ -3604,6 +3737,7 @@ def layout_report(table_dir: str, col: str, version: int | None = None) -> dict:
     is worth its rewrite — see :func:`maintenance_plan`."""
     m = _load_manifest(table_dir, version)
     stats = m.get("stats") or {}
+    col = _phys_names(_col_mapping(m)).get(col, col)  # physical-keyed
     envs = [
         tuple(stats[f][col]) for f in m["files"]
         if f in stats and col in stats[f]
@@ -3870,8 +4004,12 @@ def restore_version(
             _discard_staged(cf)
         raise
     index_result: dict[str, str] = {}
+    _rphys = _phys_names(_col_mapping(target))
     for col in index_cols:
-        if _usable_index_params(table_dir, col, version) is not None:
+        if (
+            _resolve_probe_index(table_dir, target, _rphys.get(col, col))
+            is not None
+        ):
             # the target's index covers exactly the restored file set —
             # chain a zero-increment link onto it (O(1)); the undone
             # versions' links fall out of the reference graph and
@@ -3883,7 +4021,9 @@ def restore_version(
             )
             index_result[col] = "chained"
         else:
-            geo = _resolve_index_geometry(table_dir, col, v - 1, None)
+            geo = _resolve_index_geometry(
+                table_dir, _rphys.get(col, col), v - 1, None
+            )
             if geo is None:
                 write_bloom_index(spark, table_dir, col, version=v)
             else:
@@ -4016,22 +4156,19 @@ _RESERVED_COLUMN_NAMES = {
 
 
 def _refuse_column_dependents(table_dir: str, m: dict, name: str, op: str) -> None:
-    """RENAME/DROP guards: the name-addressed machinery (partition
-    layout, recorded footer stats, Bloom index dirs, CHECK/generated
-    SQL expressions) cannot follow a field id — refuse loudly instead
-    of letting pruning or enforcement silently rot. The escape hatch
-    is always explicit: drop the constraint / rebuild the index /
-    overwrite the layout first."""
+    """RENAME/DROP guards for the machinery that CANNOT follow a field
+    id: the partition layout (hive dir keys + recorded value maps are
+    name-addressed) and CHECK/generated SQL expressions (free text) —
+    refuse loudly instead of letting pruning or enforcement silently
+    rot, escape hatch named. Recorded footer stats and Bloom indexes
+    are NOT refused (round 13): both are keyed by the column's frozen
+    PHYSICAL name and every read/build site resolves logical →
+    physical through the mapping, so a rename never invalidates
+    them."""
     if name in (m.get("partition_cols") or []):
         raise ValueError(
             f"cannot {op} {name!r}: it is a partition column — overwrite "
             "with a new partition_by first"
-        )
-    if name in (m.get("stats_cols") or []):
-        raise ValueError(
-            f"cannot {op} {name!r}: it has recorded footer stats "
-            "(stats_cols) — re-commit with a stats_cols list that "
-            "excludes it first"
         )
     word = re.compile(rf"\b{re.escape(name)}\b")
     for cname, cexpr in sorted((m.get("constraints") or {}).items()):
@@ -4047,12 +4184,6 @@ def _refuse_column_dependents(table_dir: str, m: dict, name: str, op: str) -> No
                 f"involves it ({gexpr!r}) — overwrite with new "
                 "generated_cols first"
             )
-    if os.path.isdir(os.path.join(table_dir, "_index", f"bloom_{name}")):
-        raise ValueError(
-            f"cannot {op} {name!r}: a Bloom index namespace exists for "
-            "it — indexes address data files by name; rebuild the index "
-            "under the new name after an overwrite instead"
-        )
 
 
 def enable_column_mapping(table_dir: str) -> int:
@@ -4091,6 +4222,157 @@ def enable_column_mapping(table_dir: str) -> int:
     return _commit(table_dir, build)
 
 
+def _rename_in_dtype(dtype, parts: list[str], new_leaf: str):
+    """Rebuild ``dtype`` with the struct field at logical path
+    ``parts`` renamed to ``new_leaf`` (arrays traversed)."""
+    from pyspark.sql.types import ArrayType, StructField, StructType
+
+    if isinstance(dtype, ArrayType):
+        return ArrayType(
+            _rename_in_dtype(dtype.elementType, parts, new_leaf),
+            dtype.containsNull,
+        )
+    out = []
+    for f in dtype.fields:
+        if f.name == parts[0]:
+            if len(parts) == 1:
+                out.append(StructField(new_leaf, f.dataType, f.nullable))
+            else:
+                out.append(
+                    StructField(
+                        f.name,
+                        _rename_in_dtype(f.dataType, parts[1:], new_leaf),
+                        f.nullable,
+                    )
+                )
+        else:
+            out.append(f)
+    return StructType(out)
+
+
+def _drop_in_dtype(dtype, parts: list[str]):
+    """Rebuild ``dtype`` without the struct field at logical path
+    ``parts`` (arrays traversed)."""
+    from pyspark.sql.types import ArrayType, StructField, StructType
+
+    if isinstance(dtype, ArrayType):
+        return ArrayType(
+            _drop_in_dtype(dtype.elementType, parts), dtype.containsNull
+        )
+    out = []
+    for f in dtype.fields:
+        if f.name == parts[0]:
+            if len(parts) == 1:
+                continue
+            out.append(
+                StructField(
+                    f.name, _drop_in_dtype(f.dataType, parts[1:]), f.nullable
+                )
+            )
+        else:
+            out.append(f)
+    return StructType(out)
+
+
+def _phys_rel(nested: dict, rel_parts: list[str]) -> str:
+    """Physical dotted path for a logical nested path, from the
+    column's nested map (identity for unrecorded components)."""
+    out = []
+    for i in range(1, len(rel_parts) + 1):
+        p = ".".join(rel_parts[:i])
+        out.append((nested.get(p) or {}).get("physical", rel_parts[i - 1]))
+    return ".".join(out)
+
+
+def _rename_nested(
+    table_dir: str, m: dict, schema, old: str, new: str
+) -> int:
+    """Nested-field RENAME body (see :func:`rename_column`): same
+    metadata-only cost — the leaf keeps its frozen physical name and a
+    freshly-minted (or carried) field id; descendants' map keys ride a
+    prefix rewrite; the recorded schema renames the leaf in place.
+    Reference fixture shape: the books corpus's ``authors[].id``
+    (``/root/reference/scripts/transform.py:27-29``)."""
+    parts = old.split(".")
+    top = parts[0]
+    names = [f.name for f in schema.fields]
+    if top not in names:
+        raise ValueError(f"column {top!r} not in schema (have {names})")
+    if "." in new or not new or new in _RESERVED_COLUMN_NAMES or new.startswith(
+        _PART_SHADOW
+    ):
+        raise ValueError(
+            f"{new!r} is not a valid nested leaf name (single component, "
+            "non-reserved) — a rename cannot move a field between structs"
+        )
+    top_field = next(f for f in schema.fields if f.name == top)
+    parent, leaf = _resolve_nested(top_field.dataType, parts[1:])
+    if any(f.name == new for f in parent.fields):
+        raise ValueError(
+            f"nested field {new!r} already exists beside {old!r}"
+        )
+    # conservative: any machinery addressing the TOP column could reach
+    # the renamed leaf through it
+    _refuse_column_dependents(table_dir, m, top, "rename a nested field of")
+    mapping = _col_mapping(m) or _init_mapping(schema)
+    fields = {l: dict(e) for l, e in mapping["fields"].items()}
+    entry = fields[top]
+    nested = dict(_nested_of(entry))
+    rel = ".".join(parts[1:])
+    rec = nested.pop(rel, None)
+    next_id = mapping["next_id"]
+    if rec is None:
+        # first rename of this leaf: physical = its current logical
+        # (the frozen creation-time name), id minted now — the lazy
+        # minting that keeps never-renamed structs entry-free
+        rec = {"id": next_id, "physical": leaf.name}
+        next_id += 1
+    new_rel = ".".join(parts[1:-1] + [new])
+    pref = rel + "."
+    nested = {
+        (new_rel + "." + k[len(pref):] if k.startswith(pref) else k): v
+        for k, v in nested.items()
+    }
+    nested[new_rel] = rec
+    entry["nested"] = nested
+    new_mapping = {
+        "fields": fields,
+        "next_id": next_id,
+        "retired": list(mapping.get("retired") or []),
+    }
+    from pyspark.sql.types import StructField, StructType
+
+    new_schema = StructType(
+        [
+            StructField(
+                f.name,
+                _rename_in_dtype(f.dataType, parts[1:], new)
+                if f.name == top
+                else f.dataType,
+                f.nullable,
+            )
+            for f in schema.fields
+        ]
+    )
+
+    def build(prior: dict | None) -> dict:
+        if prior is None or prior["version"] != m["version"]:
+            raise CommitConflict(
+                f"table advanced past v{m['version']} — re-run rename_column"
+            )
+        body = _metadata_only_body(m, "rename_column")
+        body["schema"] = new_schema.json()
+        body["column_mapping"] = new_mapping
+        body["renamed"] = {
+            "from": old,
+            "to": ".".join([top] + parts[1:-1] + [new]),
+            "id": rec["id"],
+        }
+        return body
+
+    return _commit(table_dir, build)
+
+
 def rename_column(table_dir: str, old: str, new: str) -> int:
     """RENAME a column — a METADATA-ONLY commit (Delta ``ALTER TABLE
     ... RENAME COLUMN`` under column mapping): zero data files are
@@ -4098,17 +4380,32 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
     manifest's logical name changes, so every old file reads correctly
     under the new name and time travel keeps each version's own names.
     Auto-enables column mapping on first use. Refused when the column
-    feeds name-addressed machinery (partition layout, recorded stats,
-    Bloom indexes, CHECK/generated expressions) — see
-    :func:`_refuse_column_dependents` — or when ``new`` collides with
-    an existing column or a reserved internal name. Returns the new
-    version number."""
+    feeds name-addressed machinery (partition layout, CHECK/generated
+    expressions) — see :func:`_refuse_column_dependents` — or when
+    ``new`` collides with an existing column or a reserved internal
+    name.
+
+    NESTED fields rename through a dotted path (``"authors.id"`` —
+    array levels traverse transparently, so that addresses the ``id``
+    field of each ``authors`` element; ``new`` is the bare leaf name):
+    same metadata-only cost at any depth, zero files touched, old
+    files keep reading via the frozen nested physical names (readers
+    apply one positional struct cast per renamed column — a pure
+    rename, NULL-preserving). The change STREAM refuses tables with
+    nested renames (the Arrow-side translation isn't built — batch
+    ``read_changes``/``read_version`` are the named hatches);
+    ``read_changes`` itself handles ranges crossing a nested rename by
+    field id (a rename diffs as itself, never as drop+add).
+
+    Returns the new version number."""
     from pyspark.sql.types import StructField, StructType
 
     m = _load_manifest(table_dir, None)
     if not m.get("schema"):
         raise ValueError(f"{table_dir!r} has no recorded schema")
     schema = StructType.fromJson(json.loads(m["schema"]))
+    if "." in old:
+        return _rename_nested(table_dir, m, schema, old, new)
     names = [f.name for f in schema.fields]
     if old not in names:
         raise ValueError(f"column {old!r} not in schema (have {names})")
@@ -4146,6 +4443,81 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
         body["schema"] = new_schema.json()
         body["column_mapping"] = new_mapping
         body["renamed"] = {"from": old, "to": new, "id": entry["id"]}
+        if old in (body.get("stats_cols") or []):
+            # the logical list follows the rename; per-file envelopes
+            # are physical-keyed and stay valid untouched
+            body["stats_cols"] = [
+                new if c == old else c for c in body["stats_cols"]
+            ]
+        return body
+
+    return _commit(table_dir, build)
+
+
+def _drop_nested(table_dir: str, m: dict, schema, name: str) -> int:
+    """Nested-field DROP body (see :func:`drop_column`)."""
+    parts = name.split(".")
+    top = parts[0]
+    names = [f.name for f in schema.fields]
+    if top not in names:
+        raise ValueError(f"column {top!r} not in schema (have {names})")
+    top_field = next(f for f in schema.fields if f.name == top)
+    parent, leaf = _resolve_nested(top_field.dataType, parts[1:])
+    if len(parent.fields) == 1:
+        raise ValueError(
+            f"cannot drop {name!r}: it is the last field of its struct "
+            "— drop the enclosing column instead"
+        )
+    _refuse_column_dependents(table_dir, m, top, "drop a nested field of")
+    mapping = _col_mapping(m) or _init_mapping(schema)
+    fields = {l: dict(e) for l, e in mapping["fields"].items()}
+    entry = fields[top]
+    nested = dict(_nested_of(entry))
+    rel = ".".join(parts[1:])
+    # physical path BEFORE mutating the map (prefix components resolve
+    # through it)
+    phys_path = _phys_rel(nested, parts[1:])
+    rec = nested.pop(rel, None)
+    dropped_id = rec["id"] if rec else None
+    nested = {
+        k: v for k, v in nested.items() if not k.startswith(rel + ".")
+    }
+    if nested:
+        entry["nested"] = nested
+    else:
+        entry.pop("nested", None)
+    entry["nested_dropped"] = sorted(
+        set(entry.get("nested_dropped") or []) | {phys_path}
+    )
+    new_mapping = {
+        "fields": fields,
+        "next_id": mapping["next_id"],
+        "retired": list(mapping.get("retired") or []),
+    }
+    from pyspark.sql.types import StructField, StructType
+
+    new_schema = StructType(
+        [
+            StructField(
+                f.name,
+                _drop_in_dtype(f.dataType, parts[1:])
+                if f.name == top
+                else f.dataType,
+                f.nullable,
+            )
+            for f in schema.fields
+        ]
+    )
+
+    def build(prior: dict | None) -> dict:
+        if prior is None or prior["version"] != m["version"]:
+            raise CommitConflict(
+                f"table advanced past v{m['version']} — re-run drop_column"
+            )
+        body = _metadata_only_body(m, "drop_column")
+        body["schema"] = new_schema.json()
+        body["column_mapping"] = new_mapping
+        body["dropped"] = {"name": name, "id": dropped_id}
         return body
 
     return _commit(table_dir, build)
@@ -4161,13 +4533,25 @@ def drop_column(table_dir: str, name: str) -> int:
     reclaims them). Time travel before the drop still shows the column.
     Auto-enables column mapping on first use; same dependent-machinery
     refusals as :func:`rename_column`; the last column cannot be
-    dropped. Returns the new version number."""
+    dropped.
+
+    NESTED fields drop through a dotted path (``"authors.id"``): the
+    leaf leaves the recorded schema metadata-only, its physical path is
+    marked in the column's ``nested_dropped`` list (old files keep the
+    bytes; readers never project them; appends can't re-add a nested
+    field anyway — that would be a per-column type change, which the
+    schema gate refuses; an overwrite restructuring the column resets
+    the marks, as the full file replacement makes resurrection
+    impossible). The last field of a struct cannot be dropped — drop
+    the column itself. Returns the new version number."""
     from pyspark.sql.types import StructType
 
     m = _load_manifest(table_dir, None)
     if not m.get("schema"):
         raise ValueError(f"{table_dir!r} has no recorded schema")
     schema = StructType.fromJson(json.loads(m["schema"]))
+    if "." in name:
+        return _drop_nested(table_dir, m, schema, name)
     names = [f.name for f in schema.fields]
     if name not in names:
         raise ValueError(f"column {name!r} not in schema (have {names})")
@@ -4193,6 +4577,21 @@ def drop_column(table_dir: str, name: str) -> int:
         body["schema"] = new_schema.json()
         body["column_mapping"] = new_mapping
         body["dropped"] = {"name": name, "id": entry["id"]}
+        if name in (body.get("stats_cols") or []):
+            # the dropped column leaves the stats contract; its
+            # physical-keyed per-file envelopes scrub with it (a stale
+            # key would fail the fsck stats_envelopes audit)
+            rest = [c for c in body["stats_cols"] if c != name]
+            scrubbed = {
+                f: {c: e for c, e in ent.items() if c != entry["physical"]}
+                for f, ent in (body.get("stats") or {}).items()
+            }
+            if rest:
+                body["stats_cols"] = rest
+                body["stats"] = {f: e for f, e in scrubbed.items() if e}
+            else:
+                body.pop("stats_cols", None)
+                body.pop("stats", None)
         return body
 
     return _commit(table_dir, build)
@@ -4439,6 +4838,50 @@ def read_changes(
                 for f in sch_from.fields
             ]
         )
+    # NESTED renames by field id: when a shared-id column's types
+    # differ between the endpoints but resolve to the SAME physical
+    # shape under each side's nested map, the difference is pure
+    # renaming — conform the FROM side to the TO side's type (one
+    # positional struct cast, NULL-preserving) instead of refusing.
+    # Same logical shape over DIFFERENT physical layouts (an overwrite
+    # re-created nested fields) is the nested analog of the
+    # duplicate-physical hazard — force the snapshot diff there.
+    nested_cast: dict[str, object] = {}
+    nested_layout_conflict = False
+    if map_from and map_to:
+        from pyspark.sql.types import StructField
+
+        to_types = {f.name: f.dataType for f in sch_to.fields}
+        ft_types = {f.name: f.dataType for f in sch_from.fields}
+        e_from_by_id = {
+            e["id"]: (l, e) for l, e in map_from["fields"].items()
+        }
+        for l_to, e_to in map_to["fields"].items():
+            hit = e_from_by_id.get(e_to["id"])
+            if not hit:
+                continue
+            l_from_orig, e_from = hit
+            l_shared = ren_from.get(l_from_orig, l_from_orig)
+            ft, tt = ft_types.get(l_shared), to_types.get(l_to)
+            if ft is None or tt is None:
+                continue
+            pf = _phys_dtype(ft, _nested_of(e_from))
+            pt = _phys_dtype(tt, _nested_of(e_to))
+            if ft != tt and pf == pt:
+                nested_cast[l_shared] = tt
+            elif ft == tt and pf != pt:
+                nested_layout_conflict = True
+        if nested_cast:
+            sch_from = StructType(
+                [
+                    StructField(
+                        f.name,
+                        nested_cast.get(f.name, f.dataType),
+                        f.nullable,
+                    )
+                    for f in sch_from.fields
+                ]
+            )
     from_types = {f.name: f.dataType for f in sch_from.fields}
     conflicts = sorted(
         f.name
@@ -4494,15 +4937,21 @@ def read_changes(
         # (the lookup below keys physical names; a range straddling an
         # overwrite that REUSED a retired physical for a new field id
         # would alias two logical columns onto one physical — fall back
-        # to the snapshot diff for that rare shape)
+        # to the snapshot diff for that rare shape; ditto the nested
+        # analog detected above)
         _pl: dict[str, str] = {}
+        _pe: dict[str, dict] = {}
         if map_from:
             for _l, _e in map_from["fields"].items():
                 _pl[ren_from.get(_l, _l)] = _e["physical"]
+                _pe[ren_from.get(_l, _l)] = _e
         if map_to:
             for _l, _e in map_to["fields"].items():
                 _pl[_l] = _e["physical"]
-        _dup_phys = len(set(_pl.values())) != len(_pl)
+                _pe[_l] = _e
+        _dup_phys = (
+            len(set(_pl.values())) != len(_pl) or nested_layout_conflict
+        )
         # recorded change files can be gone while their manifests
         # remain (vacuum keeps retained manifests' sets, but a manual
         # sweep / partial restore can orphan them) — the fast path is
@@ -4528,14 +4977,20 @@ def read_changes(
                     change_files_used=len(paths),
                 )
             # change files store PHYSICAL names under column mapping —
-            # field ids are stable, so one logical→physical lookup
+            # field ids are stable (and nested physicals are FROZEN
+            # across nested renames), so one logical→physical lookup
             # (to-side preferred, from-side for columns dropped since)
-            # covers every commit in the range
+            # covers every commit in the range; nested renames come
+            # back via the positional struct cast
             phys_lookup = _pl
+
+            def _cf_ptype(f):
+                return _phys_dtype(f.dataType, _nested_of(_pe.get(f.name)))
+
             cf_schema = StructType(
                 [
                     StructField(
-                        phys_lookup.get(f.name, f.name), f.dataType, True
+                        phys_lookup.get(f.name, f.name), _cf_ptype(f), True
                     )
                     for f in union_fields
                 ]
@@ -4550,11 +5005,18 @@ def read_changes(
             )
             if any(
                 phys_lookup.get(f.name, f.name) != f.name
+                or _cf_ptype(f) != f.dataType
                 for f in union_fields
             ):
                 rows = rows.select(
                     *[
-                        F.col(phys_lookup.get(f.name, f.name)).alias(f.name)
+                        (
+                            F.col(phys_lookup.get(f.name, f.name)).cast(
+                                f.dataType
+                            )
+                            if _cf_ptype(f) != f.dataType
+                            else F.col(phys_lookup.get(f.name, f.name))
+                        ).alias(f.name)
                         for f in union_fields
                     ],
                     F.col("_change_type"),
@@ -4615,11 +5077,16 @@ def read_changes(
     empty = spark.createDataFrame([], union_schema)
 
     def _apply_ren(df: DataFrame) -> DataFrame:
-        if not ren_from:
+        if not ren_from and not nested_cast:
             return df
-        return df.select(
-            *[F.col(c).alias(ren_from.get(c, c)) for c in df.columns]
-        )
+        cols = []
+        for c in df.columns:
+            tgt = ren_from.get(c, c)
+            expr = F.col(c)
+            if tgt in nested_cast:
+                expr = expr.cast(nested_cast[tgt])
+            cols.append(expr.alias(tgt))
+        return df.select(*cols)
 
     before = (
         conform(_apply_ren(_live_scan(spark, m_from, files=scope_before)))
@@ -4780,6 +5247,35 @@ def _usable_index_params(table_dir: str, key_col: str, version: int) -> dict | N
     return params
 
 
+def _resolve_probe_index(
+    table_dir: str, m: dict, key_phys: str
+) -> tuple[int, dict] | None:
+    """The version whose index dir answers probes at snapshot ``m``:
+    ``m``'s own when present, else WALK BACK through versions whose
+    FILE SET is identical to ``m``'s (metadata-only commits — rename,
+    constraint changes, column-mapping enables — change zero files, so
+    an earlier dir is exact for them; the first version with a
+    DIFFERENT file set stops the walk: its index would be stale, and a
+    stale index has false negatives). Bounded by the metadata-only run
+    length. Returns (version, params) or None (no pruning)."""
+    v = m["version"]
+    p = _usable_index_params(table_dir, key_phys, v)
+    if p is not None:
+        return v, p
+    files = set(m["files"])
+    for pv in range(v - 1, 0, -1):
+        try:
+            pm = _load_manifest(table_dir, pv)
+        except ValueError:
+            return None  # vacuumed past — cannot prove file-set equality
+        if set(pm["files"]) != files:
+            return None
+        p = _usable_index_params(table_dir, key_phys, pv)
+        if p is not None:
+            return pv, p
+    return None
+
+
 def _index_chain_dirs(
     table_dir: str, key_col: str, version: int, params: dict
 ) -> list[str] | None:
@@ -4816,7 +5312,10 @@ def index_params(
         if not vs:
             raise ValueError(f"no committed versions under {table_dir!r}")
         version = vs[-1]
-    return _usable_index_params(table_dir, key_col, version)
+    m = _load_manifest(table_dir, version)
+    kphys = _phys_names(_col_mapping(m)).get(key_col, key_col)
+    hit = _resolve_probe_index(table_dir, m, kphys)
+    return hit[1] if hit is not None else None
 
 
 def write_bloom_index(
@@ -4843,11 +5342,17 @@ def write_bloom_index(
     values — a probe hashed with different parameters than the build
     has false NEGATIVES, which would silently drop qualifying files.
     Returns the index directory path.
+
+    Under column mapping, ``key_col`` (logical) resolves to its frozen
+    PHYSICAL name here — the index dir is physical-keyed and the build
+    hashes the physical column the data files store, so
+    :func:`rename_column` never invalidates an index.
     """
     from ..operators.lake import build_file_bloom_index
 
     m = _load_manifest(table_dir, version)
     v = m["version"]
+    key_col = _phys_names(_col_mapping(m)).get(key_col, key_col)
     # Chained indexes carry this version's dir BY REFERENCE
     # (maintain_bloom_index): a later version probes the union of its
     # chain's dirs with ITS recorded geometry. Rebuilding this dir in
@@ -4936,15 +5441,28 @@ def maintain_bloom_index(
     also forces a full rebuild at the new geometry — the chain resets,
     which is the only safe way to re-tune a live index. Returns the
     version's index dir.
+
+    Under column mapping the chain lives under the column's frozen
+    PHYSICAL name (translated here via the commit's manifest; the
+    full-rebuild fallbacks pass the LOGICAL name through —
+    :func:`write_bloom_index` translates exactly once itself).
     """
     from ..operators.lake import build_file_bloom_index
 
-    params = _usable_index_params(table_dir, key_col, prior_version)
+    kphys = _phys_names(
+        _col_mapping(_load_manifest(table_dir, version))
+    ).get(key_col, key_col)
+    # resolve the prior link through metadata-only commits (a rename /
+    # constraint commit between two appends must not force a rebuild)
+    hit = _resolve_probe_index(
+        table_dir, _load_manifest(table_dir, prior_version), kphys
+    )
+    link_v, params = hit if hit is not None else (prior_version, None)
     if params is None:
         # no usable prior index to chain onto: full rebuild, at the
         # explicit geometry when given, else whatever the table last
         # recorded (walk-back inheritance), else library defaults
-        geo = _resolve_index_geometry(table_dir, key_col, prior_version, geometry)
+        geo = _resolve_index_geometry(table_dir, kphys, prior_version, geometry)
         if geo is None:
             return write_bloom_index(spark, table_dir, key_col, version=version)
         return write_bloom_index(
@@ -4958,9 +5476,9 @@ def maintain_bloom_index(
             spark, table_dir, key_col, version=version,
             m_bits=int(geometry[0]), k=int(geometry[1]),
         )
-    chain = [int(c) for c in params["chain"]] + [prior_version]
+    chain = [int(c) for c in params["chain"]] + [link_v]
     if len(chain) > max_chain or _index_chain_dirs(
-        table_dir, key_col, prior_version, params
+        table_dir, kphys, link_v, params
     ) is None:
         # compaction / missing-link rebuild keeps the RECORDED geometry:
         # resetting a tuned index to defaults would silently raise the
@@ -4968,10 +5486,10 @@ def maintain_bloom_index(
         return write_bloom_index(
             spark, table_dir, key_col, version=version, m_bits=m_bits, k=k
         )
-    out = _bloom_index_dir(table_dir, key_col, version)
+    out = _bloom_index_dir(table_dir, kphys, version)
     if new_files:
         idx = build_file_bloom_index(
-            spark, new_files, key_col, m_bits=m_bits, k=k
+            spark, new_files, kphys, m_bits=m_bits, k=k
         )
     else:
         # zero new files: one empty part file keeps the dir usable
@@ -5074,20 +5592,28 @@ def read_version_pruned(
                 or part_map[_canon(f)].get(col) in want
             ]
     prune_info: dict = {}
+    # recorded envelopes, footer stats and index dirs are all keyed by
+    # the column's frozen PHYSICAL name — translate the probe's logical
+    # names once; the exact filters below stay logical
+    _pphys = _phys_names(_col_mapping(m))
+    phys_ranges = {_pphys.get(c, c): b for c, b in ranges.items()}
     kept = prune_manifest_files(
-        spark, candidates, ranges, recorded=m.get("stats"), info=prune_info
+        spark, candidates, phys_ranges, recorded=m.get("stats"),
+        info=prune_info,
     )
     if kept and keys:
         from ..operators.lake import bloom_qualified_files
 
         types = None
         for col, vals in keys.items():
-            params = _usable_index_params(table_dir, col, v)
-            if params is None:
+            cphys = _pphys.get(col, col)
+            hit = _resolve_probe_index(table_dir, m, cphys)
+            if hit is None:
                 continue  # no usable at-rest index: no pruning
+            idx_v, params = hit
             # chained index (maintain_bloom_index): the version's dir
             # holds its commit's new-file rows; prior links complete it
-            idx_dirs = _index_chain_dirs(table_dir, col, v, params)
+            idx_dirs = _index_chain_dirs(table_dir, cphys, idx_v, params)
             if idx_dirs is None:
                 continue  # a chain link is gone (e.g. vacuumed): no pruning
             if types is None:
@@ -5253,12 +5779,28 @@ def verify_table(
             unmapped = [n for n in sch_names if n not in fields]
             if unmapped:
                 problems.append(f"schema columns without mapping: {unmapped[:5]}")
-            ids = [e["id"] for e in fields.values()]
+            ids = [e["id"] for e in fields.values()] + [
+                r["id"]
+                for e in fields.values()
+                for r in (e.get("nested") or {}).values()
+            ]
             if len(ids) != len(set(ids)):
                 problems.append("duplicate field ids")
             phys = [e["physical"] for e in fields.values()]
             if len(phys) != len(set(phys)):
                 problems.append("duplicate physical names")
+            for l, e in sorted(fields.items()):
+                # nested physicals must stay unique among siblings —
+                # keys are logical rel paths, values frozen leaf names
+                by_parent: dict[str, list[str]] = {}
+                for rel, r in (e.get("nested") or {}).items():
+                    parent = rel.rsplit(".", 1)[0] if "." in rel else ""
+                    by_parent.setdefault(parent, []).append(r["physical"])
+                for parent, ph in by_parent.items():
+                    if len(ph) != len(set(ph)):
+                        problems.append(
+                            f"duplicate nested physicals under {l}.{parent}"
+                        )
             clash = set(phys) & set(cm.get("retired") or [])
             if clash:
                 problems.append(f"active physicals also retired: {sorted(clash)[:5]}")
@@ -5304,7 +5846,12 @@ def verify_table(
         stats_cols = m.get("stats_cols") or []
         recorded = m.get("stats") or {}
         if stats_cols and recorded:
-            fresh = _stats_for_files(spark, sorted(recorded), stats_cols)
+            _fphys = _phys_names(_col_mapping(m))
+            fresh = _stats_for_files(
+                spark,
+                sorted(recorded),
+                [_fphys.get(c, c) for c in stats_cols],
+            )
             bad = [
                 f"{f}:{c}"
                 for f, env in recorded.items()

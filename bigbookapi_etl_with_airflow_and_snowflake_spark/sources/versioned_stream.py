@@ -40,11 +40,12 @@ Scale design — this is a ``DataSourceStreamReader`` (executor-parallel
   this path only triggers on hand-edited tables.
 
 Rewrite commits: a commit that RECORDED its change set at commit time
-(``change_files=True`` on the COW DML / OPTIMIZE / RESTORE paths —
-the Delta ``_change_data`` pattern, manifest key ``change_files``)
-streams EXACTLY: one task per recorded change file, rows delivered
-with their recorded ``_change_type``, carried snapshot files never
-opened; an OPTIMIZE's explicit empty set passes through as zero rows.
+(``change_files=True`` on the COW DML / MERGE / OPTIMIZE / RESTORE
+paths, ``record_changes=True`` on plain write_version — the Delta
+``_change_data`` pattern, manifest key ``change_files``) streams
+EXACTLY: one task per recorded change file, rows delivered with their
+recorded ``_change_type``, carried snapshot files never opened; an
+OPTIMIZE's explicit empty set passes through as zero rows.
 Commits that REMOVE data files or DV sidecars WITHOUT a recorded
 change set cannot be streamed exactly at file granularity (a
 rewrite's carried rows are indistinguishable from changed rows), so
@@ -148,6 +149,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             self._branch,
         )
         self._head_map = _col_mapping(m)
+        self._refuse_nested_mapping(self._head_map, "head mapping")
         # earliest retained mapped manifest: pre-mapping versions
         # resolve against ITS ids (the enable commit froze every
         # then-existing column's id), never the head's — a head field
@@ -165,6 +167,27 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     self._first_map = cm
                     break
 
+    @staticmethod
+    def _refuse_nested_mapping(eff: dict | None, where: str) -> None:
+        """Nested field renames/drops store PHYSICAL nested names in
+        every data/change file; the stream's Arrow-side conform() only
+        translates TOP-LEVEL names, so delivering such a table would
+        silently surface the wrong (or NULL) nested values. Refuse
+        loudly with the batch hatches named — same honesty rule as the
+        unrecorded-rewrite refusal."""
+        if eff and any(
+            e.get("nested") or e.get("nested_dropped")
+            for e in eff["fields"].values()
+        ):
+            raise ValueError(
+                f"change stream over a table with NESTED field "
+                f"renames/drops ({where}) is not supported — the "
+                "stream's Arrow reader translates top-level names only; "
+                "consume with the batch read_changes() (which resolves "
+                "nested renames by field id) or read_version(), or "
+                "overwrite the table to materialize the current names"
+            )
+
     def _colmap_for(self, v_map: dict | None) -> dict | None:
         """stream-logical → physical for ONE version's manifest,
         resolved by field id. None when the table is unmapped (plain
@@ -177,6 +200,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         if self._head_map is None:
             return None
         eff = v_map or self._first_map
+        self._refuse_nested_mapping(eff, "a range version's mapping")
         by_id = {e["id"]: e["physical"] for e in eff["fields"].values()}
         return {
             l: by_id.get(e["id"])

@@ -326,8 +326,6 @@ def test_rename_refusals(spark, table):
     )
     with pytest.raises(ValueError, match="partition column"):
         rename_column(table, "p", "bucket")
-    with pytest.raises(ValueError, match="stats"):
-        rename_column(table, "id", "key")
     with pytest.raises(ValueError, match="constraint"):
         rename_column(table, "v", "value")
     with pytest.raises(ValueError, match="already exists"):
@@ -344,12 +342,109 @@ def test_drop_refusals(spark, table):
         drop_column(table, "id")
 
 
-def test_indexed_column_rename_refused(spark, table):
-    write_version(
-        spark, _df(spark).coalesce(2), table, index_cols=["id"]
+# ---------------------------------------------------------------------------
+# round 13: stats + Bloom indexes survive renames (physical-keyed)
+# ---------------------------------------------------------------------------
+
+
+def test_stats_covered_column_renames_and_prunes(spark, table):
+    """rename_column on a stats-covered column succeeds (round 13 —
+    recorded envelopes are keyed by the frozen physical name); range
+    pruning under the NEW name still skips files with zero footer
+    reads, and later appends keep recording coverage."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        read_version_pruned,
     )
-    with pytest.raises(ValueError, match="Bloom index"):
-        rename_column(table, "id", "key")
+
+    write_version(
+        spark,
+        _df(spark).repartitionByRange(4, "id"),
+        table,
+        stats_cols=["id"],
+    )
+    v = rename_column(table, "id", "key")
+    m = _load_manifest(table, v)
+    assert m["stats_cols"] == ["key"]  # logical list follows the rename
+    df, info = read_version_pruned(spark, table, ranges={"key": (0, 10)})
+    assert info["files_read"] < info["files_total"]
+    assert info["footer_files"] == 0  # recorded envelopes, zero I/O
+    assert sorted(r["key"] for r in df.collect()) == list(range(11))
+    # appends under the new name keep the physical-keyed coverage
+    write_version(
+        spark,
+        _df(spark, 200, 300)
+        .withColumnRenamed("id", "key")
+        .repartitionByRange(2, "key"),
+        table,
+        mode="append",
+    )
+    df2, info2 = read_version_pruned(spark, table, ranges={"key": (250, 260)})
+    assert info2["footer_files"] == 0
+    assert info2["files_read"] < info2["files_total"]
+    assert sorted(r["key"] for r in df2.collect()) == list(range(250, 261))
+
+
+def test_indexed_column_renames_and_prunes(spark, table):
+    """rename_column on a Bloom-indexed column succeeds (round 13 —
+    index dirs are physical-keyed); equality pruning under the new
+    name probes the existing chain, and incremental maintenance keeps
+    chaining across later appends."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        index_params,
+        read_version_pruned,
+    )
+
+    write_version(spark, _df(spark).repartition(4), table, index_cols=["id"])
+    rename_column(table, "id", "key")
+    assert index_params(table, "key") is not None  # resolves via mapping
+    df, info = read_version_pruned(spark, table, keys={"key": [7]})
+    assert info["files_read"] < info["files_total"]
+    assert [r["key"] for r in df.collect()] == [7]
+    # chained maintenance under the new logical name
+    write_version(
+        spark,
+        _df(spark, 500, 520).withColumnRenamed("id", "key").coalesce(1),
+        table,
+        mode="append",
+        index_cols=["key"],
+    )
+    p = index_params(table, "key")
+    assert p is not None and p["chain"]  # chained, not rebuilt
+    df2, info2 = read_version_pruned(spark, table, keys={"key": [510]})
+    assert info2["files_read"] < info2["files_total"]
+    assert [r["key"] for r in df2.collect()] == [510]
+
+
+def test_incremental_optimize_after_rename(spark, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        optimize_table,
+    )
+
+    write_version(
+        spark, _df(spark).repartition(4), table, stats_cols=["id"]
+    )
+    rename_column(table, "id", "key")
+    res = optimize_table(
+        spark, table, cluster_by=["key"], incremental=True
+    )
+    assert res["files_rewritten"] > 0
+    got = read_version(spark, table)
+    assert sorted(r["key"] for r in got.collect()) == list(range(100))
+
+
+def test_drop_of_stats_column_scrubs_envelopes(spark, table):
+    write_version(
+        spark,
+        _df(spark).coalesce(2),
+        table,
+        stats_cols=["id", "v"],
+    )
+    v = drop_column(table, "v")
+    m = _load_manifest(table, v)
+    assert m["stats_cols"] == ["id"]
+    assert all("v" not in e for e in m["stats"].values())
+    rep = verify_table(spark, table, deep=True)
+    assert rep["ok"] and rep["checks"]["stats_envelopes"]["ok"]
 
 
 def test_partitioned_table_with_renamed_other_column(spark, table):
@@ -566,3 +661,183 @@ def test_mapped_read_adds_no_shuffle(spark, table):
     assert sorted(r["value"] for r in got.collect()) == sorted(
         i * 2 for i in range(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# round 13: NESTED field ids (struct + array-of-struct)
+# ---------------------------------------------------------------------------
+
+
+def _nested_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, {"a": 5, "b": "x"}, [{"i": 1, "n": "p"}, {"i": 2, "n": "q"}]),
+            (2, None, None),
+        ],
+        "k int, meta struct<a:int,b:string>, "
+        "items array<struct<i:int,n:string>>",
+    )
+
+
+def test_nested_rename_is_metadata_only(spark, table):
+    write_version(spark, _nested_df(spark).coalesce(1), table)
+    files_before = list(_load_manifest(table, None)["files"])
+    v = rename_column(table, "items.i", "part_id")
+    m = _load_manifest(table, v)
+    assert m["files"] == files_before  # zero files touched
+    e = m["column_mapping"]["fields"]["items"]
+    assert e["nested"]["part_id"]["physical"] == "i"
+    got = read_version(spark, table)
+    assert got.schema["items"].dataType.elementType.names == ["part_id", "n"]
+    rows = {r["k"]: r["items"] for r in got.collect()}
+    assert [x["part_id"] for x in rows[1]] == [1, 2]
+    assert rows[2] is None  # NULL arrays/structs survive the rename cast
+
+
+def test_nested_rename_deep_and_null_struct(spark, table):
+    df = spark.createDataFrame(
+        [(1, {"outer": {"x": 7}}), (2, None)],
+        "k int, nest struct<outer:struct<x:int>>",
+    )
+    write_version(spark, df.coalesce(1), table)
+    rename_column(table, "nest.outer.x", "y")
+    rename_column(table, "nest.outer", "inner")  # intermediate rename
+    m = _load_manifest(table, None)
+    nested = m["column_mapping"]["fields"]["nest"]["nested"]
+    # descendant key rode the prefix rewrite; physicals stay frozen
+    assert nested["inner"]["physical"] == "outer"
+    assert nested["inner.y"]["physical"] == "x"
+    got = {r["k"]: r["nest"] for r in read_version(spark, table).collect()}
+    assert got[1]["inner"]["y"] == 7
+    assert got[2] is None
+
+
+def test_nested_rename_time_travel_keeps_old_names(spark, table):
+    write_version(spark, _nested_df(spark).coalesce(1), table)  # v1
+    rename_column(table, "items.i", "part_id")  # v2
+    old = read_version(spark, table, version=1)
+    assert old.schema["items"].dataType.elementType.names == ["i", "n"]
+    assert read_version(spark, table).schema[
+        "items"
+    ].dataType.elementType.names == ["part_id", "n"]
+
+
+def test_append_and_dml_under_nested_rename(spark, table):
+    write_version(spark, _nested_df(spark).coalesce(1), table)  # v1
+    rename_column(table, "items.i", "part_id")  # v2
+    inc = spark.createDataFrame(
+        [(3, {"a": 7, "b": "y"}, [{"part_id": 9, "n": "r"}])],
+        "k int, meta struct<a:int,b:string>, "
+        "items array<struct<part_id:int,n:string>>",
+    )
+    write_version(spark, inc.coalesce(1), table, mode="append")  # v3
+    got = {r["k"]: r["items"] for r in read_version(spark, table).collect()}
+    assert [x["part_id"] for x in got[1]] == [1, 2]
+    assert [x["part_id"] for x in got[3]] == [9]
+    # DML rewrite: old + new files both project through the mapping
+    update_version(spark, table, "k = 1", {"k": "k + 10"})  # v4
+    got2 = {r["k"]: r["items"] for r in read_version(spark, table).collect()}
+    assert [x["part_id"] for x in got2[11]] == [1, 2]
+
+
+def test_cdf_crosses_nested_rename_by_id(spark, table):
+    """A range crossing the nested rename diffs the column AS ITSELF —
+    only real changes appear, under the to-side nested names."""
+    write_version(spark, _nested_df(spark).coalesce(1), table)  # v1
+    enable_column_mapping(table)  # v2
+    rename_column(table, "items.i", "part_id")  # v3
+    inc = spark.createDataFrame(
+        [(3, {"a": 7, "b": "y"}, [{"part_id": 9, "n": "r"}])],
+        "k int, meta struct<a:int,b:string>, "
+        "items array<struct<part_id:int,n:string>>",
+    )
+    write_version(spark, inc.coalesce(1), table, mode="append")  # v4
+    ch = read_changes(spark, table, 2, 4)
+    assert ch.schema["items"].dataType.elementType.names == ["part_id", "n"]
+    rows = ch.collect()
+    assert [(r["k"], r["_change_type"]) for r in rows] == [(3, "insert")]
+
+
+def test_change_files_fast_path_under_nested_rename(spark, table):
+    write_version(spark, _nested_df(spark).coalesce(1), table)  # v1
+    rename_column(table, "items.i", "part_id")  # v2
+    update_version(spark, table, "k = 1", {"k": "k + 10"}, change_files=True)
+    info = {}
+    rows = read_changes(spark, table, 2, 3, info=info).collect()
+    assert info["change_files_used"] >= 1
+    assert info["files_scanned_before"] == 0
+    got = sorted((r["k"], r["_change_type"]) for r in rows)
+    assert got == [(1, "delete"), (11, "insert")]
+    by_k = {r["k"]: r["items"] for r in rows}
+    assert [x["part_id"] for x in by_k[11]] == [1, 2]
+
+
+def test_nested_drop_is_metadata_only(spark, table):
+    write_version(spark, _nested_df(spark).coalesce(1), table)
+    files_before = list(_load_manifest(table, None)["files"])
+    v = drop_column(table, "meta.b")
+    m = _load_manifest(table, v)
+    assert m["files"] == files_before
+    assert m["column_mapping"]["fields"]["meta"]["nested_dropped"] == ["b"]
+    got = read_version(spark, table)
+    assert got.schema["meta"].dataType.names == ["a"]
+    # time travel still shows the dropped field
+    assert read_version(spark, table, version=1).schema[
+        "meta"
+    ].dataType.names == ["a", "b"]
+
+
+def test_nested_drop_last_field_refused(spark, table):
+    df = spark.createDataFrame([(1, {"x": 2})], "k int, s struct<x:int>")
+    write_version(spark, df.coalesce(1), table)
+    with pytest.raises(ValueError, match="last field"):
+        drop_column(table, "s.x")
+
+
+def test_nested_path_guards(spark, table):
+    write_version(spark, _nested_df(spark).coalesce(1), table)
+    with pytest.raises(ValueError, match="not found"):
+        rename_column(table, "items.zzz", "w")
+    with pytest.raises(ValueError, match="not a struct"):
+        rename_column(table, "k.x", "w")
+    with pytest.raises(ValueError, match="already exists beside"):
+        rename_column(table, "items.i", "n")
+    with pytest.raises(ValueError, match="valid nested leaf"):
+        rename_column(table, "items.i", "a.b")
+
+
+def test_stream_refuses_nested_renamed_table(spark, table):
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    write_version(spark, _nested_df(spark).coalesce(1), table)
+    rename_column(table, "items.i", "part_id")
+    with pytest.raises(ValueError, match="NESTED field"):
+        VersionedChangesStreamReader(None, {"path": table})
+
+
+def test_overwrite_restructure_resets_nested_state(spark, table):
+    write_version(spark, _nested_df(spark).coalesce(1), table)  # v1
+    rename_column(table, "items.i", "part_id")  # v2
+    drop_column(table, "meta.b")  # v3
+    # overwrite restructures both columns outright
+    new = spark.createDataFrame(
+        [(1, {"z": 1.5}, [{"q": 4}])],
+        "k int, meta struct<z:double>, items array<struct<q:int>>",
+    )
+    v = write_version(spark, new.coalesce(1), table, mode="overwrite")
+    m = _load_manifest(table, v)
+    e_items = m["column_mapping"]["fields"]["items"]
+    e_meta = m["column_mapping"]["fields"]["meta"]
+    assert not e_items.get("nested") and not e_items.get("nested_dropped")
+    assert not e_meta.get("nested") and not e_meta.get("nested_dropped")
+    got = read_version(spark, table).collect()
+    assert got[0]["items"][0]["q"] == 4
+
+
+def test_fsck_audits_nested_mapping(spark, table):
+    write_version(spark, _nested_df(spark).coalesce(1), table)
+    rename_column(table, "items.i", "part_id")
+    rep = verify_table(spark, table)
+    assert rep["ok"] and rep["checks"]["mapping_consistent"]["ok"]

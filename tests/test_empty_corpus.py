@@ -37,6 +37,7 @@ EXPECT_RAISE = {
     "bm25_topk",  # corpus stats degenerate (N = 0, avgdl undefined)
     "versioned_optimize",  # packing zero rows is a documented refusal
     "versioned_optimize_incremental",  # same empty-snapshot refusal
+    "versioned_rename_stats",  # its incremental optimize shares that refusal
     "versioned_changes_recorded",  # its COW update shares the empty-snapshot refusal
     "maintenance_advisor",  # its optimize step shares that refusal
     "versioned_scoped_dml",  # update on an empty snapshot is a documented refusal
