@@ -653,6 +653,16 @@ def _carried_mapping(base: dict | None) -> dict:
     return {"column_mapping": cm} if cm else {}
 
 
+def _qcol(name: str):
+    """Column reference by EXACT top-level name — a literal dot (legal
+    in Spark column names) must not parse as a nested path."""
+    from pyspark.sql import functions as F
+
+    if "." in name or "`" in name:
+        return F.col("`" + name.replace("`", "``") + "`")
+    return F.col(name)
+
+
 def _nested_of(entry: dict | None) -> dict:
     """A column entry's nested-field map: relative LOGICAL dotted path
     (array levels traversed transparently) → ``{"id", "physical"}``
@@ -735,18 +745,18 @@ def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
     for f in df.schema.fields:
         e = fields_map.get(f.name)
         if e is None:
-            exprs.append(F.col(f.name))
+            exprs.append(_qcol(f.name))
             continue
         phys_top = e["physical"]
         p_type = _phys_dtype(f.dataType, _nested_of(e))
         if p_type != f.dataType:
-            exprs.append(F.col(f.name).cast(p_type).alias(phys_top))
+            exprs.append(_qcol(f.name).cast(p_type).alias(phys_top))
             changed = True
         elif phys_top != f.name:
-            exprs.append(F.col(f.name).alias(phys_top))
+            exprs.append(_qcol(f.name).alias(phys_top))
             changed = True
         else:
-            exprs.append(F.col(f.name))
+            exprs.append(_qcol(f.name))
     return df.select(*exprs) if changed else df
 
 
@@ -781,7 +791,7 @@ class _MappedReader:
         if any(p != l or pt != lt for p, pt, l, lt in self._pairs):
             df = df.select(
                 *[
-                    (F.col(p).cast(lt) if pt != lt else F.col(p)).alias(l)
+                    (_qcol(p).cast(lt) if pt != lt else _qcol(p)).alias(l)
                     for p, pt, l, lt in self._pairs
                 ]
             )
@@ -834,7 +844,7 @@ def _extend_mapping(prior_map: dict, schema) -> dict:
     }
 
 
-def _rebuild_mapping(prior_map: dict, schema) -> dict:
+def _rebuild_mapping(prior_map: dict, schema, prior_schema=None) -> dict:
     """Overwrite-side mapping evolution: logical names that persist
     keep their ids and physical names (the change feed stays id-stable
     across an overwrite); vanished columns retire their physicals; new
@@ -844,34 +854,35 @@ def _rebuild_mapping(prior_map: dict, schema) -> dict:
     old manifests keep their own mappings and read their own files
     correctly. Only a clash with an ACTIVE physical (a renamed column
     still alive under another logical name) is refused. Nested-field
-    entries survive only while their logical path still resolves in
-    the new schema (an overwrite may restructure a struct outright —
-    stale nested ids must not translate the new shape); nested-drop
-    markers reset for the same reason the retired-name rule relaxes
-    here: the overwrite replaced every file, old bytes can't
-    resurrect."""
+    entries (and drop markers) survive only when the column's dataType
+    is UNCHANGED from ``prior_schema`` — an overwrite that restructures
+    a struct in ANY way resets that column's nested state outright: a
+    stale entry whose frozen physical collides with a new literal
+    sibling would stage a duplicate-field struct (and a half-matching
+    path could carry a field id onto a different field). Resetting is
+    sound for the same reason the retired-name rule relaxes here: the
+    overwrite replaced every file, so the new snapshot's nested
+    physicals ARE its logical names and old bytes can't resurrect.
+    Without ``prior_schema`` (unknown prior shape) nested state resets
+    unconditionally — conservative, never wrong."""
     new_types = {f.name: f.dataType for f in schema.fields}
     new_names = set(new_types)
+    prior_types = (
+        {f.name: f.dataType for f in prior_schema.fields}
+        if prior_schema is not None
+        else {}
+    )
 
     def _prune_nested(l: str, e: dict) -> dict:
-        nested = _nested_of(e)
-        if not nested and not e.get("nested_dropped"):
+        if not _nested_of(e) and not e.get("nested_dropped"):
             return e
-        keep = {}
-        for rel, rec in nested.items():
-            try:
-                _resolve_nested(new_types[l], rel.split("."))
-            except ValueError:
-                continue
-            keep[rel] = rec
-        out = {
+        if prior_types.get(l) == new_types[l]:
+            return e  # same shape: every entry still resolves exactly
+        return {
             k: v
             for k, v in e.items()
             if k not in ("nested", "nested_dropped")
         }
-        if keep:
-            out["nested"] = keep
-        return out
 
     fields = {
         l: _prune_nested(l, e)
@@ -1561,30 +1572,13 @@ def write_version(
         for gname in sorted(eff_gen):
             if gname not in df.columns:
                 df = df.withColumn(gname, F.expr(eff_gen[gname]))
-    rc_base: dict | None = None
     if record_changes:
         # refuse BEFORE anything stages (vacuum never reclaims an
-        # uncommitted staging); an overwrite additionally pins its base
-        # — the recorded delete set is computed against it, so a racing
-        # commit must CommitConflict, not rebase
+        # uncommitted staging); the overwrite base-pin + reshape check
+        # happens below, on the head manifest the mapping block already
+        # loads once
         _refuse_change_clash(df.columns)
-        nums_rc = _version_numbers(table_dir, branch)
-        if mode == "overwrite" and nums_rc:
-            rc_base = _load_manifest(table_dir, nums_rc[-1], branch)
-            if rc_base.get("schema") is not None:
-                prior_cols = {
-                    f["name"]
-                    for f in json.loads(rc_base["schema"])["fields"]
-                }
-                if prior_cols != set(df.columns):
-                    raise ValueError(
-                        "record_changes=True on an overwrite that changes "
-                        f"the column set (prior {sorted(prior_cols)} vs "
-                        f"incoming {sorted(df.columns)}) — a reshaping "
-                        "overwrite has no well-defined row-level change "
-                        "set; diff the snapshots with read_changes() "
-                        "instead, or conform the frame first"
-                    )
+    rc_base: dict | None = None
     if mode == "append":
         # fail-fast schema check against the current latest BEFORE any
         # data stages; build() re-derives against the commit-time prior
@@ -1648,16 +1642,48 @@ def write_version(
     # extend it (new columns get fresh field ids), overwrites rebuild
     # it carrying ids for persisting logical names; staged data files
     # store PHYSICAL names either way
-    prior_map = (
-        _col_mapping(_load_manifest(table_dir, nums_pc[-1], branch))
-        if nums_pc
-        else None
-    )
+    head_m = _load_manifest(table_dir, nums_pc[-1], branch) if nums_pc else None
+    if record_changes and mode == "overwrite" and head_m is not None:
+        # pin the base: the recorded delete set is computed against it,
+        # so a racing commit must CommitConflict, not rebase — and a
+        # reshaping overwrite (names OR types) has no well-defined
+        # row-level change set, so it refuses loudly BEFORE staging
+        # (an un-refused reshape would fail the change-set union later
+        # with the staging already on disk and unreclaimable)
+        rc_base = head_m
+        if rc_base.get("schema") is not None:
+            prior_fields = {
+                f["name"]: f["type"]
+                for f in json.loads(rc_base["schema"])["fields"]
+            }
+            new_fields = {
+                f["name"]: f["type"]
+                for f in json.loads(df.schema.json())["fields"]
+            }
+            if prior_fields != new_fields:
+                raise ValueError(
+                    "record_changes=True on an overwrite that reshapes "
+                    "the schema (prior "
+                    f"{ {k: prior_fields[k] for k in sorted(prior_fields)} } "
+                    f"vs incoming "
+                    f"{ {k: new_fields[k] for k in sorted(new_fields)} }) — "
+                    "a reshaping overwrite has no well-defined row-level "
+                    "change set; diff the snapshots with read_changes() "
+                    "instead, or conform the frame first"
+                )
+    prior_map = _col_mapping(head_m)
     if prior_map is not None:
+        from pyspark.sql.types import StructType as _PST
+
+        prior_schema = (
+            _PST.fromJson(json.loads(head_m["schema"]))
+            if head_m.get("schema")
+            else None
+        )
         eff_map = (
             _extend_mapping(prior_map, df.schema)
             if mode == "append"
-            else _rebuild_mapping(prior_map, df.schema)
+            else _rebuild_mapping(prior_map, df.schema, prior_schema)
         )
         phys = _phys_names(eff_map)
         # stats + Bloom machinery resolve logical → frozen physical at
@@ -4404,9 +4430,12 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
     if not m.get("schema"):
         raise ValueError(f"{table_dir!r} has no recorded schema")
     schema = StructType.fromJson(json.loads(m["schema"]))
-    if "." in old:
-        return _rename_nested(table_dir, m, schema, old, new)
     names = [f.name for f in schema.fields]
+    # exact top-level match wins: a literal dotted COLUMN name (legal
+    # in Spark) stays renameable; only unmatched dotted paths dispatch
+    # to the nested handler
+    if "." in old and old not in names:
+        return _rename_nested(table_dir, m, schema, old, new)
     if old not in names:
         raise ValueError(f"column {old!r} not in schema (have {names})")
     if new in names:
@@ -4550,9 +4579,10 @@ def drop_column(table_dir: str, name: str) -> int:
     if not m.get("schema"):
         raise ValueError(f"{table_dir!r} has no recorded schema")
     schema = StructType.fromJson(json.loads(m["schema"]))
-    if "." in name:
-        return _drop_nested(table_dir, m, schema, name)
     names = [f.name for f in schema.fields]
+    # exact top-level match wins (see rename_column)
+    if "." in name and name not in names:
+        return _drop_nested(table_dir, m, schema, name)
     if name not in names:
         raise ValueError(f"column {name!r} not in schema (have {names})")
     if len(names) == 1:
@@ -5789,18 +5819,36 @@ def verify_table(
             phys = [e["physical"] for e in fields.values()]
             if len(phys) != len(set(phys)):
                 problems.append("duplicate physical names")
-            for l, e in sorted(fields.items()):
-                # nested physicals must stay unique among siblings —
-                # keys are logical rel paths, values frozen leaf names
-                by_parent: dict[str, list[str]] = {}
-                for rel, r in (e.get("nested") or {}).items():
-                    parent = rel.rsplit(".", 1)[0] if "." in rel else ""
-                    by_parent.setdefault(parent, []).append(r["physical"])
-                for parent, ph in by_parent.items():
-                    if len(ph) != len(set(ph)):
-                        problems.append(
-                            f"duplicate nested physicals under {l}.{parent}"
-                        )
+            # nested physicals must stay unique among siblings — checked
+            # on the EFFECTIVE physical shape (mapped entries AND the
+            # implicit identity siblings: a renamed field's frozen
+            # physical colliding with an unrenamed literal sibling is
+            # exactly the quiet-wrong shape this audit exists for)
+            def _dup_struct_names(dt, at: str, out: list) -> None:
+                from pyspark.sql.types import ArrayType as _AT
+                from pyspark.sql.types import StructType as _STT
+
+                while isinstance(dt, _AT):
+                    dt = dt.elementType
+                if not isinstance(dt, _STT):
+                    return
+                names_ = [f.name for f in dt.fields]
+                if len(names_) != len(set(names_)):
+                    out.append(f"duplicate nested physicals under {at}")
+                for f in dt.fields:
+                    _dup_struct_names(f.dataType, f"{at}.{f.name}", out)
+
+            if m.get("schema"):
+                sch_fields = _ST.fromJson(_json.loads(m["schema"])).fields
+                for f in sch_fields:
+                    e = fields.get(f.name)
+                    if not e or not _nested_of(e):
+                        continue
+                    _dup_struct_names(
+                        _phys_dtype(f.dataType, _nested_of(e)),
+                        f.name,
+                        problems,
+                    )
             clash = set(phys) & set(cm.get("retired") or [])
             if clash:
                 problems.append(f"active physicals also retired: {sorted(clash)[:5]}")
@@ -6094,11 +6142,46 @@ def vacuum(
             if not idx.startswith("bloom_"):
                 continue
             col = idx[len("bloom_"):]
+            # pass 1: versions with their OWN dir pin it + chain links
             for v in keep:
                 params = _usable_index_params(table_dir, col, v)
                 if params is None:
                     continue
                 referenced.add((idx, v))
+                referenced.update((idx, int(c)) for c in params["chain"])
+            # pass 2: metadata-only retained versions resolve the dir
+            # their probes WALK BACK to (_resolve_probe_index) — without
+            # this, renames/constraint commits would let vacuum silently
+            # re-disable the pruning they no longer disable
+            for v in sorted(keep):
+                if _usable_index_params(table_dir, col, v) is not None:
+                    continue
+                try:
+                    hit = _resolve_probe_index(
+                        table_dir, _load_manifest(table_dir, v), col
+                    )
+                except ValueError:
+                    hit = None
+                if hit is None:
+                    continue
+                iv, params = hit
+                if iv not in keep and (idx, iv) not in referenced:
+                    # RE-HOME the dir to this (oldest-such) retained
+                    # version: post-vacuum the walk-back could no longer
+                    # PROVE file-set equality down to a dropped version's
+                    # manifest, so keeping the dir at its old number
+                    # would strand it — the move re-keys it to a version
+                    # vacuum just proved has the identical file set.
+                    # (Skipped when a retained version's chain names the
+                    # dir BY NUMBER — moving it would break that chain;
+                    # the dir then stays put and this metadata-only
+                    # version degrades to unpruned reads, conservative.)
+                    os.rename(
+                        _bloom_index_dir(table_dir, col, iv),
+                        _bloom_index_dir(table_dir, col, v),
+                    )
+                    iv = v
+                referenced.add((idx, iv))
                 referenced.update((idx, int(c)) for c in params["chain"])
     deleted = 0
     # borrowed-bytes guard: a clone_table() manifest references files

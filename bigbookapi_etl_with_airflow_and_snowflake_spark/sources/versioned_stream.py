@@ -225,7 +225,6 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 from ..sinks.versioned import _col_mapping
 
                 m = _manifest(self._table_dir, v, self._branch)
-                colmap = self._colmap_for(_col_mapping(m))
                 prev_files: set[str] = set()
                 prev_dvs: set[str] = set()
                 if "change_files" not in m and v > 1:
@@ -240,6 +239,10 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     "a batch read_version + startingVersion at the current "
                     "head"
                 ) from ex
+            # outside the try: _colmap_for's nested-mapping refusal is a
+            # permanent unsupported-feature error and must not be
+            # rewrapped as a retention gap with re-bootstrap advice
+            colmap = self._colmap_for(_col_mapping(m))
             if "change_files" in m:
                 # the commit recorded its exact change set at commit
                 # time (change_files=True on the DML / MERGE / OPTIMIZE

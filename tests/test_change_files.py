@@ -520,7 +520,7 @@ def test_append_record_changes_is_increment_only(spark, table):
 def test_overwrite_record_changes_refuses_schema_reshape(spark, table):
     write_version(spark, _df(spark, 0, 10).coalesce(1), table)
     reshaped = _df(spark, 0, 5).withColumn("extra", F.lit(1))
-    with pytest.raises(ValueError, match="column set"):
+    with pytest.raises(ValueError, match="reshapes the schema"):
         write_version(
             spark, reshaped, table, mode="overwrite", record_changes=True
         )

@@ -841,3 +841,166 @@ def test_fsck_audits_nested_mapping(spark, table):
     rename_column(table, "items.i", "part_id")
     rep = verify_table(spark, table)
     assert rep["ok"] and rep["checks"]["mapping_consistent"]["ok"]
+
+
+# ---------------------------------------------------------------------------
+# round 13 review-pass regressions
+# ---------------------------------------------------------------------------
+
+
+def test_overwrite_halfmatching_restructure_resets_nested(spark, table):
+    """A restructuring overwrite whose NEW shape still resolves a
+    renamed path must STILL reset the nested state — a stale entry
+    (part_id → physical 'i') beside a new literal sibling 'i' would
+    stage a duplicate-field struct."""
+    write_version(
+        spark,
+        spark.createDataFrame(
+            [(1, [{"i": 1, "n": "p"}])],
+            "k int, items array<struct<i:int,n:string>>",
+        ).coalesce(1),
+        table,
+    )
+    rename_column(table, "items.i", "part_id")  # entry part_id -> 'i'
+    new = spark.createDataFrame(
+        [(2, [{"part_id": 9, "i": "x"}])],
+        "k int, items array<struct<part_id:int,i:string>>",
+    )
+    v = write_version(spark, new.coalesce(1), table, mode="overwrite")
+    m = _load_manifest(table, v)
+    e = m["column_mapping"]["fields"]["items"]
+    assert not e.get("nested")  # reset, no stale entry survived
+    got = read_version(spark, table).collect()
+    assert got[0]["items"][0]["part_id"] == 9
+    assert got[0]["items"][0]["i"] == "x"
+    rep = verify_table(spark, table)
+    assert rep["ok"]
+
+
+def test_record_changes_overwrite_refuses_type_reshape(spark, table):
+    """Same column NAMES but a changed TYPE is still a reshape — the
+    pointed refusal must fire before anything stages."""
+    write_version(spark, _df(spark, 0, 10).coalesce(1), table)
+    reshaped = spark.createDataFrame(
+        [(1, 1, "not-a-long")], "id long, g long, v string"
+    )
+    with pytest.raises(ValueError, match="reshapes the schema"):
+        write_version(
+            spark, reshaped, table, mode="overwrite", record_changes=True
+        )
+    import os as _os
+
+    assert not _os.path.isdir(_os.path.join(table, "_change_data"))
+    # and no orphan staging beyond v1's own data
+    m = _load_manifest(table, 1)
+    data_root = _os.path.join(table, "data")
+    staged_dirs = set(_os.listdir(data_root))
+    referenced = {
+        _os.path.basename(_os.path.dirname(f)) for f in m["files"]
+    }
+    assert staged_dirs == referenced
+
+
+def test_stream_nested_refusal_is_not_retention_error(spark, table):
+    """A range version with nested renames must surface the NESTED
+    refusal, not get rewrapped as a vacuum-retention error with
+    re-bootstrap advice that would hit the same wall."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.versioned_stream import (
+        read_changes_stream,
+    )
+
+    write_version(spark, _nested_df(spark).coalesce(1), table)  # v1
+    rename_column(table, "items.i", "part_id")  # v2: nested state
+    # v3 overwrite restructures → head mapping clean, reader inits fine
+    write_version(
+        spark,
+        spark.createDataFrame(
+            [(5, {"a": 1, "b": "z"}, [{"q": 2}])],
+            "k int, meta struct<a:int,b:string>, items array<struct<q:int>>",
+        ).coalesce(1),
+        table,
+        mode="overwrite",
+    )
+    import uuid as _uuid
+
+    df = read_changes_stream(spark, table, starting_version=1)
+    with pytest.raises(StreamingQueryException) as ei:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(f"nref_{_uuid.uuid4().hex[:8]}")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    assert "NESTED field" in str(ei.value)
+    assert "vacuum retention" not in str(ei.value)
+
+
+def test_vacuum_keeps_walkback_index_dir(spark, table):
+    """Metadata-only commits after the last data commit must not let
+    vacuum sweep the index dir their probes walk back to."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        add_constraint,
+        read_version_pruned,
+        vacuum,
+    )
+
+    write_version(spark, _df(spark).repartition(4), table, index_cols=["id"])
+    rename_column(table, "v", "value")  # v2 metadata-only
+    add_constraint(spark, table, "pos", "id >= 0")  # v3 metadata-only
+    vacuum(table, keep_last=2)  # retains v2+v3 only — v1 drops
+    df, info = read_version_pruned(spark, table, keys={"id": [7]})
+    assert info["files_read"] < info["files_total"]  # still prunes
+    assert [r["id"] for r in df.collect()] == [7]
+
+
+def test_fsck_flags_duplicate_effective_physicals(spark, table):
+    """A hand-corrupted mapping whose renamed leaf collides with a
+    literal sibling's implicit physical must fail the audit."""
+    import json as _json
+    import os as _os
+
+    write_version(
+        spark,
+        spark.createDataFrame(
+            [(1, [{"part_id": 9, "i": "x"}])],
+            "k int, items array<struct<part_id:int,i:string>>",
+        ).coalesce(1),
+        table,
+    )
+    enable_column_mapping(table)
+    mdir = _os.path.join(table, "_versions")
+    vs = sorted(_os.listdir(mdir))
+    p = _os.path.join(mdir, vs[-1])
+    m = _json.load(open(p))
+    # simulate the pre-fix stale entry: part_id claims physical 'i'
+    m["column_mapping"]["fields"]["items"]["nested"] = {
+        "part_id": {"id": 99, "physical": "i"}
+    }
+    _os.chmod(p, 0o644)
+    with open(p, "w") as fh:
+        _json.dump(m, fh)
+    rep = verify_table(spark, table)
+    assert not rep["checks"]["mapping_consistent"]["ok"]
+    assert any(
+        "duplicate nested physicals" in pr
+        for pr in rep["checks"]["mapping_consistent"]["problems"]
+    )
+
+
+def test_literal_dotted_toplevel_column_still_renames(spark, table):
+    df = spark.range(3).select(
+        F.col("id"), F.col("id").alias("a.b")
+    )
+    write_version(spark, df.coalesce(1), table)
+    v = rename_column(table, "a.b", "ab")
+    m = _load_manifest(table, v)
+    assert "ab" in m["column_mapping"]["fields"]
+    got = read_version(spark, table)
+    assert got.columns == ["id", "ab"]
