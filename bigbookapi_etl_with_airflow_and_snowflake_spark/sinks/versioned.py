@@ -4417,11 +4417,12 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
     same metadata-only cost at any depth, zero files touched, old
     files keep reading via the frozen nested physical names (readers
     apply one positional struct cast per renamed column — a pure
-    rename, NULL-preserving). The change STREAM refuses tables with
-    nested renames (the Arrow-side translation isn't built — batch
-    ``read_changes``/``read_version`` are the named hatches);
-    ``read_changes`` itself handles ranges crossing a nested rename by
-    field id (a rename diffs as itself, never as drop+add).
+    rename, NULL-preserving). The change STREAM translates nested
+    renames too (an Arrow-side by-physical-name rebuild; only a
+    restructuring overwrite that RETYPES a shared physical leaf
+    refuses, pointedly); ``read_changes`` handles ranges crossing a
+    nested rename by field id (a rename diffs as itself, never as
+    drop+add).
 
     Returns the new version number."""
     from pyspark.sql.types import StructField, StructType

@@ -54,6 +54,16 @@ and both escape hatches: re-run the rewrite with ``change_files=True``,
 or consume the commit with the batch ``read_changes`` (which nets the
 rewrite via its multiset diff) and resume past it.
 
+Column mapping: top-level renames resolve PER VERSION by field id
+(see ``_colmap_for``); NESTED renames/drops translate through an
+Arrow-side rebuild by the leaf's frozen physical name
+(:func:`_arrow_to_target` — pyarrow's struct cast matches by name and
+refuses renames, so renamed structs reconstruct explicitly with the
+parent validity reapplied and list buffers reused). The one nested
+shape that cannot be delivered by name — a restructuring overwrite
+that RETYPES a shared physical leaf — refuses at plan time with the
+batch ``read_changes`` hatch named (``_check_physical_shapes``).
+
 The reference pipeline re-extracts the full corpus every run
 (``/root/reference/dags/``); this source is what replaces that at
 100 TB — downstream consumers see O(changed rows) per trigger, with
@@ -117,6 +127,7 @@ class _ChangePartition(InputPartition):
         dv_files: Sequence[str],
         skip_files: Sequence[str] = (),
         colmap: dict | None = None,
+        nested_maps: dict | None = None,
     ) -> None:
         self.kind = kind
         self.version = version
@@ -124,6 +135,73 @@ class _ChangePartition(InputPartition):
         self.dv_files = list(dv_files)
         self.skip_files = list(skip_files)
         self.colmap = colmap
+        # {stream_logical_top: {nested logical rel path: physical leaf}}
+        # from the HEAD mapping — nested physicals are FROZEN at
+        # creation, so one map serves every version (the per-version
+        # plan guard refuses the restructure shapes it couldn't)
+        self.nested_maps = nested_maps
+
+
+def _arrow_to_target(arr, target, nested: dict, prefix: str = ""):
+    """Convert one column's Arrow data (file PHYSICAL nested names) to
+    the stream's logical ``target`` type — pyarrow's cast matches
+    struct fields BY NAME and refuses renames, so renamed structs
+    rebuild explicitly:
+
+    - structs: each target field pulls its source child by the FROZEN
+      physical name (``nested`` maps logical rel path → physical leaf;
+      absent path = identity), missing sources NULL-fill (pre-evolution
+      files), extra sources are ignored (post-drop reads); the parent
+      validity bitmap is re-applied, so NULL structs stay NULL;
+    - lists: values convert recursively and the validity + offset
+      buffers are REUSED (zero copies of the list structure);
+    - leaves: Arrow's safe cast, same contract as the flat path.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_struct(target) and pa.types.is_struct(arr.type):
+        src_names = {f.name for f in arr.type}
+        children = []
+        for f in target:
+            rel = f"{prefix}.{f.name}" if prefix else f.name
+            phys = nested.get(rel, f.name)
+            if phys in src_names:
+                children.append(
+                    _arrow_to_target(arr.field(phys), f.type, nested, rel)
+                )
+            else:
+                children.append(pa.nulls(len(arr), type=f.type))
+        return pa.StructArray.from_arrays(
+            children,
+            names=[f.name for f in target],
+            mask=arr.is_null(),
+        )
+    if (
+        pa.types.is_list(target) or pa.types.is_large_list(target)
+    ) and (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
+        values = _arrow_to_target(
+            arr.values, target.value_type, nested, prefix
+        )
+        # rebuild at the SOURCE's offset width (its buffers), then cast
+        # if the target's list kind differs (int32 vs int64 offsets —
+        # reusing buffers across widths would misread every offset)
+        mid = (
+            pa.list_(values.type)
+            if pa.types.is_list(arr.type)
+            else pa.large_list(values.type)
+        )
+        out = pa.Array.from_buffers(
+            mid,
+            len(arr),
+            arr.buffers()[:2],
+            null_count=arr.null_count,
+            offset=arr.offset,
+            children=[values],
+        )
+        return out if out.type == target else out.cast(target)
+    return arr if arr.type == target else arr.cast(target)
 
 
 class VersionedChangesStreamReader(DataSourceStreamReader):
@@ -149,7 +227,23 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             self._branch,
         )
         self._head_map = _col_mapping(m)
-        self._refuse_nested_mapping(self._head_map, "head mapping")
+        self._head_schema_json = m.get("schema")
+        # nested renames: physical leaf names are FROZEN at creation, so
+        # the HEAD mapping's nested entries translate every version's
+        # files (flattened per column for the executor partitions); the
+        # per-version _check_physical_shapes guard refuses the
+        # restructure shapes where by-name matching could mis-type
+        self._nested_maps: dict | None = None
+        if self._head_map is not None:
+            nm = {
+                l: {
+                    rel: r["physical"]
+                    for rel, r in (e.get("nested") or {}).items()
+                }
+                for l, e in self._head_map["fields"].items()
+                if e.get("nested")
+            }
+            self._nested_maps = nm or None
         # earliest retained mapped manifest: pre-mapping versions
         # resolve against ITS ids (the enable commit froze every
         # then-existing column's id), never the head's — a head field
@@ -167,27 +261,6 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     self._first_map = cm
                     break
 
-    @staticmethod
-    def _refuse_nested_mapping(eff: dict | None, where: str) -> None:
-        """Nested field renames/drops store PHYSICAL nested names in
-        every data/change file; the stream's Arrow-side conform() only
-        translates TOP-LEVEL names, so delivering such a table would
-        silently surface the wrong (or NULL) nested values. Refuse
-        loudly with the batch hatches named — same honesty rule as the
-        unrecorded-rewrite refusal."""
-        if eff and any(
-            e.get("nested") or e.get("nested_dropped")
-            for e in eff["fields"].values()
-        ):
-            raise ValueError(
-                f"change stream over a table with NESTED field "
-                f"renames/drops ({where}) is not supported — the "
-                "stream's Arrow reader translates top-level names only; "
-                "consume with the batch read_changes() (which resolves "
-                "nested renames by field id) or read_version(), or "
-                "overwrite the table to materialize the current names"
-            )
-
     def _colmap_for(self, v_map: dict | None) -> dict | None:
         """stream-logical → physical for ONE version's manifest,
         resolved by field id. None when the table is unmapped (plain
@@ -200,12 +273,83 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         if self._head_map is None:
             return None
         eff = v_map or self._first_map
-        self._refuse_nested_mapping(eff, "a range version's mapping")
         by_id = {e["id"]: e["physical"] for e in eff["fields"].values()}
         return {
             l: by_id.get(e["id"])
             for l, e in self._head_map["fields"].items()
         }
+
+    def _check_physical_shapes(self, m: dict, v: int) -> None:
+        """Leaf-type compatibility between version ``v``'s PHYSICAL
+        column shapes and the head's, per shared physical leaf path:
+        a rename keeps the physical shape identical and a nested drop
+        leaves the head a SUBSET of the version — both read exactly by
+        frozen physical name; a restructure that RETYPES a shared leaf
+        would make the by-name Arrow rebuild cast the wrong bytes, so
+        it refuses pointedly with the batch hatch named. Skipped
+        entirely when the recorded schema + mapping are identical (the
+        overwhelmingly common microbatch)."""
+        if self._head_map is None or not getattr(
+            self, "_head_schema_json", None
+        ):
+            return
+        if not m.get("schema"):
+            return
+        from ..sinks.versioned import _col_mapping, _nested_of, _phys_dtype
+
+        v_map = _col_mapping(m)
+        if (
+            m["schema"] == self._head_schema_json
+            and v_map == self._head_map
+        ):
+            return
+        head_schema = StructType.fromJson(json.loads(self._head_schema_json))
+        v_schema = StructType.fromJson(json.loads(m["schema"]))
+        head_shapes = {
+            self._head_map["fields"][f.name]["physical"]
+            if f.name in self._head_map["fields"]
+            else f.name: _phys_dtype(
+                f.dataType, _nested_of(self._head_map["fields"].get(f.name))
+            )
+            for f in head_schema.fields
+        }
+        vf = (v_map or self._first_map or {"fields": {}})["fields"]
+        v_shapes = {
+            vf[f.name]["physical"] if f.name in vf else f.name: _phys_dtype(
+                f.dataType, _nested_of(vf.get(f.name))
+            )
+            for f in v_schema.fields
+        }
+
+        def conflicts(a, b, at: str) -> list[str]:
+            from pyspark.sql.types import ArrayType, StructType as _STT
+
+            while isinstance(a, ArrayType):
+                a = a.elementType
+            while isinstance(b, ArrayType):
+                b = b.elementType
+            if isinstance(a, _STT) and isinstance(b, _STT):
+                bt = {f.name: f.dataType for f in b.fields}
+                out: list[str] = []
+                for f in a.fields:
+                    if f.name in bt:
+                        out += conflicts(f.dataType, bt[f.name], f"{at}.{f.name}")
+                return out
+            return [] if a == b else [at]
+
+        bad = []
+        for p, ht in head_shapes.items():
+            if p in v_shapes:
+                bad += conflicts(ht, v_shapes[p], p)
+        if bad:
+            raise ValueError(
+                f"version {v} of {self._table_dir!r} holds physical "
+                f"leaf(s) {bad[:5]} under a DIFFERENT type than the "
+                "stream's head schema (a restructuring overwrite between "
+                "them) — the by-name Arrow rebuild cannot deliver this "
+                "range exactly; consume it with the batch read_changes() "
+                "and resume past it with startingVersion"
+            )
 
     # -- offset protocol ---------------------------------------------------
     def initialOffset(self) -> dict:
@@ -220,6 +364,9 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
     # -- planning (driver, manifests only) ----------------------------------
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         parts: list[InputPartition] = []
+        # planner-only constructions (tests, registry plan literals) may
+        # skip __init__ — default the mapping state like an unmapped table
+        nmaps = getattr(self, "_nested_maps", None)
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             try:
                 from ..sinks.versioned import _col_mapping
@@ -239,10 +386,11 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     "a batch read_version + startingVersion at the current "
                     "head"
                 ) from ex
-            # outside the try: _colmap_for's nested-mapping refusal is a
-            # permanent unsupported-feature error and must not be
-            # rewrapped as a retention gap with re-bootstrap advice
+            # outside the try: shape-guard refusals are permanent
+            # unsupported-feature errors and must not be rewrapped as a
+            # retention gap with re-bootstrap advice
             colmap = self._colmap_for(_col_mapping(m))
+            self._check_physical_shapes(m, v)
             if "change_files" in m:
                 # the commit recorded its exact change set at commit
                 # time (change_files=True on the DML / MERGE / OPTIMIZE
@@ -273,7 +421,10 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     )
                 for f in m["change_files"]:
                     parts.append(
-                        _ChangePartition("change", v, f, [], colmap=colmap)
+                        _ChangePartition(
+                            "change", v, f, [], colmap=colmap,
+                            nested_maps=nmaps,
+                        )
                     )
                 continue
             files = set(m["files"])
@@ -310,7 +461,10 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             added = sorted(files - prev_files)
             for f in added:
                 parts.append(
-                    _ChangePartition("insert", v, f, new_dvs, colmap=colmap)
+                    _ChangePartition(
+                        "insert", v, f, new_dvs, colmap=colmap,
+                        nested_maps=nmaps,
+                    )
                 )
             for dv in new_dvs:
                 parts.append(
@@ -318,6 +472,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                         "delete", v, None, [dv],
                         skip_files=added if added else (),
                         colmap=colmap,
+                        nested_maps=nmaps,
                     )
                 )
         return parts
@@ -351,11 +506,20 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             ``_change_type`` otherwise (recorded change files)."""
             n = tbl.num_rows
             cols = []
+            nmaps = partition.nested_maps or {}
             for name in table_fields:
                 target = out_schema.field(name).type
                 src = src_of(name)
                 if src is not None and src in tbl.schema.names:
-                    cols.append(tbl.column(src).cast(target))
+                    col = tbl.column(src)
+                    nm = nmaps.get(name)
+                    if nm or col.type != target:
+                        # nested renames (and shape deltas the plan
+                        # guard admitted: pre-evolution NULL-fill,
+                        # post-drop extras) rebuild by frozen physical
+                        # name; flat columns keep the plain safe cast
+                        col = _arrow_to_target(col, target, nm or {})
+                    cols.append(col)
                 else:  # absent at this version / in this file → NULL
                     cols.append(pa.nulls(n, type=target))
             if change is None:

@@ -806,15 +806,113 @@ def test_nested_path_guards(spark, table):
         rename_column(table, "items.i", "a.b")
 
 
-def test_stream_refuses_nested_renamed_table(spark, table):
+def test_stream_translates_nested_rename(spark, table):
+    """The change stream delivers pre-rename AND post-rename files
+    under the head's nested logical names — the Arrow-side rebuild by
+    frozen physical name (round 13), NULL structs preserved."""
+    import uuid as _uuid
+
     from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.versioned_stream import (
-        VersionedChangesStreamReader,
+        read_changes_stream,
     )
 
-    write_version(spark, _nested_df(spark).coalesce(1), table)
-    rename_column(table, "items.i", "part_id")
-    with pytest.raises(ValueError, match="NESTED field"):
-        VersionedChangesStreamReader(None, {"path": table})
+    write_version(spark, _nested_df(spark).coalesce(1), table)  # v1
+    rename_column(table, "items.i", "part_id")  # v2
+    inc = spark.createDataFrame(
+        [(3, {"a": 7, "b": "y"}, [{"part_id": 9, "n": "r"}])],
+        "k int, meta struct<a:int,b:string>, "
+        "items array<struct<part_id:int,n:string>>",
+    )
+    write_version(spark, inc.coalesce(1), table, mode="append")  # v3
+    name = f"nstr_{_uuid.uuid4().hex[:8]}"
+    q = (
+        read_changes_stream(spark, table)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = {r["k"]: r for r in spark.table(name).collect()}
+    assert got[1]["items"][0]["part_id"] == 1  # pre-rename file, new name
+    assert got[2]["items"] is None  # NULL array survived the rebuild
+    assert got[3]["items"][0]["part_id"] == 9  # post-rename file
+    assert all(r["_change_type"] == "insert" for r in got.values())
+
+
+def test_stream_translates_nested_drop(spark, table):
+    """Post-drop reads ignore the extra field still present in old
+    files — by-name subset matching in the Arrow rebuild."""
+    import uuid as _uuid
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.versioned_stream import (
+        read_changes_stream,
+    )
+
+    write_version(spark, _nested_df(spark).coalesce(1), table)  # v1
+    drop_column(table, "meta.b")  # v2
+    name = f"ndrp_{_uuid.uuid4().hex[:8]}"
+    q = (
+        read_changes_stream(spark, table)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = {r["k"]: r for r in spark.table(name).collect()}
+    assert got[1]["meta"].asDict() == {"a": 5}  # b gone, a intact
+    assert got[2]["meta"] is None
+
+
+def test_stream_refuses_retyped_physical_leaf(spark, table):
+    """A restructuring overwrite that RETYPES a shared physical leaf is
+    the one nested shape the by-name rebuild cannot deliver — pointed
+    plan-time refusal naming the batch hatch, never a retention
+    mislabel."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.versioned_stream import (
+        read_changes_stream,
+    )
+
+    write_version(spark, _nested_df(spark).coalesce(1), table)  # v1
+    enable_column_mapping(table)  # v2
+    retyped = spark.createDataFrame(
+        [(9, {"a": 1, "b": "z"}, [{"i": "now-a-string", "n": "w"}])],
+        "k int, meta struct<a:int,b:string>, "
+        "items array<struct<i:string,n:string>>",
+    )
+    # low-level hook: assert an (empty) change set so the ONLY refusal
+    # left is the shape guard itself
+    write_version(
+        spark, retyped.coalesce(1), table, mode="overwrite", change_files=[]
+    )  # v3
+    with pytest.raises(StreamingQueryException) as ei:
+        import uuid as _uuid
+
+        q = (
+            read_changes_stream(spark, table)
+            .writeStream.format("memory")
+            .queryName(f"nrt_{_uuid.uuid4().hex[:8]}")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    assert "DIFFERENT type" in str(ei.value)
+    assert "vacuum retention" not in str(ei.value)
 
 
 def test_overwrite_restructure_resets_nested_state(spark, table):
@@ -902,9 +1000,10 @@ def test_record_changes_overwrite_refuses_type_reshape(spark, table):
 
 
 def test_stream_nested_refusal_is_not_retention_error(spark, table):
-    """A range version with nested renames must surface the NESTED
-    refusal, not get rewrapped as a vacuum-retention error with
-    re-bootstrap advice that would hit the same wall."""
+    """A range crossing an unrecorded restructure must surface the
+    rewrite refusal (with the change_files hatch), not get rewrapped as
+    a vacuum-retention error with re-bootstrap advice that would hit
+    the same wall."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.versioned_stream import (
@@ -938,7 +1037,7 @@ def test_stream_nested_refusal_is_not_retention_error(spark, table):
         finally:
             q.stop()
             q.awaitTermination()
-    assert "NESTED field" in str(ei.value)
+    assert "change_files=True" in str(ei.value)
     assert "vacuum retention" not in str(ei.value)
 
 
