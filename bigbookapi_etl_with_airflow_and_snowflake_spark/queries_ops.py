@@ -6549,6 +6549,144 @@ FROM orders WHERE o_orderkey IN (2, 7)
 """
 
 
+def q_versioned_partition_rename(spark, sf):
+    """Rename of a PARTITION column (round 14 — the last name-addressed
+    refusal in column mapping, and the one a real lakehouse hits first:
+    a date/region-partitioned 100 TB table renaming its key). The
+    layout — hive shadow dir keys, recorded per-file value maps,
+    ``partition_cols`` itself — is keyed by the column's frozen
+    PHYSICAL name, so the rename is ONE manifest write and every
+    consumer resolves logical → physical: v1 writes the even orders
+    hive-partitioned by ``o_orderstatus``; v2 renames it to ``status``
+    (metadata-only); v3 appends the odd orders under the new name
+    (layout inherited through the mapping); v4 replaces the 'F'
+    partition wholesale via overwrite_partitions scoped by the NEW
+    name (prices doubled); v5 drops the 'P' partition with a
+    partition-scoped DELETE. The result summarizes the surviving
+    table per status.
+
+    Scale literals, oracle-pinned TRUE: ``partition_pruned_zero_io``
+    — an equality probe on the renamed column skipped files from the
+    manifest's value map alone (zero footer I/O, exact); ``replace_
+    carried_unopened`` — the partition overwrite dropped in-scope files
+    and carried the rest WITHOUT opening any (files_rewritten == 0:
+    O(replaced + incoming), never O(table)); ``delete_scanned_scope_
+    only`` — the scoped DELETE opened only in-scope files. The
+    surviving rows are the value hash: a mis-keyed value map would
+    either lose a partition or leak the replaced one.
+
+    Reference parity: the reference snapshots the whole corpus per run
+    (``/root/reference/dags/``, full re-extract); partition-scoped
+    backfill + rename-safe layout is what that becomes on a versioned
+    100 TB table."""
+    from .sinks.versioned import (
+        delete_version,
+        overwrite_partitions,
+        read_version,
+        read_version_pruned,
+        rename_column,
+        write_version,
+    )
+
+    d = tempfile.mkdtemp(prefix="q_partren_")
+    t = os.path.join(d, "orders_part")
+    try:
+        o = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        write_version(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 0)
+            .repartition("o_orderstatus"),
+            t,
+            partition_by=["o_orderstatus"],
+        )  # v1 — hive layout keyed by the (then-)logical name
+        rename_column(t, "o_orderstatus", "status")  # v2, metadata-only
+        write_version(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 1)
+            .withColumnRenamed("o_orderstatus", "status")
+            .repartition("status"),
+            t,
+            mode="append",
+        )  # v3 — inherits the layout under the new name
+        # probe BEFORE the replace so 'F' files are still multi-file
+        p_df, p_info = read_version_pruned(
+            spark, t, keys={"status": ["O"]}
+        )
+        partition_pruned_zero_io = (
+            p_info["partition_skipped"] > 0
+            and p_info["files_read"] < p_info["files_total"]
+            and p_info["footer_files"] == 0
+        )
+        repl = (
+            o.filter(F.col("o_orderstatus") == "F")
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                F.col("o_orderstatus").alias("status"),
+            )
+        )
+        rep = overwrite_partitions(
+            spark, repl, t, partition_scope={"status": ["F"]}
+        )  # v4 — scope resolved logical → physical
+        replace_carried_unopened = (
+            rep["files_replaced"] > 0
+            and rep["files_carried"] > 0
+            and rep["files_rewritten"] == 0
+        )
+        m_files = rep["files_carried"] + rep["files_added"]
+        res = delete_version(
+            spark, t, None, partition_scope={"status": ["P"]}
+        )  # v5 — partition-DML form under the new name
+        delete_scanned_scope_only = res["files_scanned"] < m_files
+        out = (
+            read_version(spark, t)
+            .groupBy("status")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("o_orderkey").alias("sum_key"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).alias("cents"),
+            )
+            .withColumn(
+                "partition_pruned_zero_io", F.lit(partition_pruned_zero_io)
+            )
+            .withColumn(
+                "replace_carried_unopened", F.lit(replace_carried_unopened)
+            )
+            .withColumn(
+                "delete_scanned_scope_only",
+                F.lit(delete_scanned_scope_only),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_PARTITION_RENAME = """
+WITH final AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+              ELSE o_totalprice END AS price,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderstatus <> 'P'
+)
+SELECT status, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       TRUE AS partition_pruned_zero_io,
+       TRUE AS replace_carried_unopened,
+       TRUE AS delete_scanned_scope_only
+FROM final GROUP BY status
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-sequence packing + RAG chunking (operators/packing.py)
 # ---------------------------------------------------------------------------
@@ -6758,6 +6896,10 @@ OPS_REGISTRY = {
     "versioned_nested_mapping": (
         q_versioned_nested_mapping,
         SQL_VERSIONED_NESTED_MAPPING,
+    ),
+    "versioned_partition_rename": (
+        q_versioned_partition_rename,
+        SQL_VERSIONED_PARTITION_RENAME,
     ),
     "versioned_rename_stats": (
         q_versioned_rename_stats,

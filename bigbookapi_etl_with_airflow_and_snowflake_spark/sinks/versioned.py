@@ -648,6 +648,34 @@ def _phys_names(mapping: dict | None) -> dict[str, str]:
     return {l: e["physical"] for l, e in mapping["fields"].items()}
 
 
+def _logical_names(mapping: dict | None) -> dict[str, str]:
+    """physical → current logical (empty when unmapped). Physical
+    names are unique within a mapping (creation-time logicals, never
+    reused while active), so the reverse map is well-defined."""
+    if not mapping:
+        return {}
+    return {e["physical"]: l for l, e in mapping["fields"].items()}
+
+
+def _phys_path(mapping: dict | None, col: str) -> str:
+    """Physical dotted path for a LOGICAL column name or dotted nested
+    path (identity when unmapped). An exact top-level match wins —
+    a literal dotted COLUMN name resolves as itself, mirroring
+    :func:`rename_column`'s dispatch — and only unmatched dotted
+    names walk the nested map."""
+    if not mapping:
+        return col
+    fields = mapping["fields"]
+    e = fields.get(col)
+    if e is not None or "." not in col:
+        return e["physical"] if e else col
+    parts = col.split(".")
+    top = fields.get(parts[0])
+    if top is None:
+        return col
+    return top["physical"] + "." + _phys_rel(_nested_of(top), parts[1:])
+
+
 def _carried_mapping(base: dict | None) -> dict:
     cm = _col_mapping(base)
     return {"column_mapping": cm} if cm else {}
@@ -760,6 +788,28 @@ def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
     return df.select(*exprs) if changed else df
 
 
+def _physical_schema(logical, mapping: dict | None):
+    """The PHYSICAL StructType for a logical schema under a mapping:
+    top-level and nested struct field names at their frozen
+    creation-time values (identity when unmapped) — exactly what the
+    table's data files store."""
+    from pyspark.sql.types import StructField, StructType
+
+    if not mapping:
+        return logical
+    fields_map = mapping["fields"]
+    return StructType(
+        [
+            StructField(
+                (fields_map.get(f.name) or {}).get("physical", f.name),
+                _phys_dtype(f.dataType, _nested_of(fields_map.get(f.name))),
+                f.nullable,
+            )
+            for f in logical.fields
+        ]
+    )
+
+
 class _MappedReader:
     """Drop-in for ``spark.read.schema(...)`` under column mapping:
     ``.parquet(*files)`` scans with the PHYSICAL schema (top-level and
@@ -769,20 +819,13 @@ class _MappedReader:
     cast (pure rename, NULL-preserving)."""
 
     def __init__(self, spark: SparkSession, logical, mapping: dict) -> None:
-        from pyspark.sql.types import StructField, StructType
-
-        fields_map = mapping["fields"]
         self._spark = spark
-        pairs = []
-        phys_fields = []
-        for f in logical.fields:
-            e = fields_map.get(f.name)
-            p_name = e["physical"] if e else f.name
-            p_type = _phys_dtype(f.dataType, _nested_of(e))
-            phys_fields.append(StructField(p_name, p_type, f.nullable))
-            pairs.append((p_name, p_type, f.name, f.dataType))
-        self._pairs = pairs
-        self._phys_schema = StructType(phys_fields)
+        phys_schema = _physical_schema(logical, mapping)
+        self._pairs = [
+            (p.name, p.dataType, f.name, f.dataType)
+            for p, f in zip(phys_schema.fields, logical.fields)
+        ]
+        self._phys_schema = phys_schema
 
     def parquet(self, *files):
         from pyspark.sql import functions as F
@@ -1166,16 +1209,23 @@ def _stage_partitioned(
     leaf files (how every snapshot scan works here) stay uniform with
     unpartitioned commits, and partition discovery never has to run.
     The per-file value map is parsed back from the staged paths (hive
-    %-escaping undone; the hive null sentinel maps to ``None``)."""
+    %-escaping undone; the hive null sentinel maps to ``None``).
+
+    ``cols`` are LOGICAL names; the shadow dir keys AND the returned
+    value map are keyed by the columns' frozen PHYSICAL names — the
+    partition layout is physical-addressed end to end (like recorded
+    stats and Bloom indexes), which is what lets :func:`rename_column`
+    rename a partition column as a metadata-only commit: dir names and
+    recorded maps never mention the logical name at all."""
     from pyspark.sql import functions as F
 
-    # under column mapping data files store physical names; partition
-    # columns are rename-refused, so their names stay logical==physical
     staged = _to_physical(df, mapping)
+    phys = _phys_names(mapping)
+    pcols = [phys.get(c, c) for c in cols]
     shadows = []
-    for c in cols:
-        s = f"{_PART_SHADOW}{c}"
-        staged = staged.withColumn(s, F.col(c).cast("string"))
+    for p in pcols:
+        s = f"{_PART_SHADOW}{p}"
+        staged = staged.withColumn(s, _qcol(p).cast("string"))
         shadows.append(s)
     staged.write.partitionBy(*shadows).parquet(data_dir)
     files: list[str] = []
@@ -1195,7 +1245,7 @@ def _stage_partitioned(
                 continue
             p = _canon(os.path.join(root, n))
             files.append(p)
-            parts[p] = {c: vals.get(c) for c in cols}
+            parts[p] = {c: vals.get(c) for c in pcols}
     files.sort()
     n_values = len({tuple(v.items()) for v in parts.values()})
     if n_values > _PART_MAX_VALUES:
@@ -1288,15 +1338,19 @@ def _partition_candidates(m: dict, scope: dict | None) -> list[str] | None:
     ``None`` when nothing is skippable (no scope, no recorded
     partitioning, or no scoped column is a partition column) so callers
     scan everything. Unmapped files (COW-rewritten) are always
-    candidates — conservative, never wrong. Metadata-only: zero I/O."""
+    candidates — conservative, never wrong. Metadata-only: zero I/O.
+    Scope keys are LOGICAL column names; the recorded layout is keyed
+    by frozen PHYSICAL names, so a renamed partition column keeps
+    skipping under its new name."""
     if not scope:
         return None
     pcols = set(m.get("partition_cols") or [])
     pmap = m.get("partitions") or {}
+    phys = _phys_names(_col_mapping(m))
     usable = {
-        c: {_norm_part_value(v) for v in vals}
+        phys.get(c, c): {_norm_part_value(v) for v in vals}
         for c, vals in scope.items()
-        if c in pcols
+        if phys.get(c, c) in pcols
     }
     for want in usable.values():
         if "" in want:
@@ -1594,23 +1648,25 @@ def write_version(
     # appends may not silently re-partition the table
     eff_part_by = list(partition_by) if partition_by else []
     nums_pc = _version_numbers(table_dir, branch)
-    recorded_pc = list(
-        (
-            _load_manifest(table_dir, nums_pc[-1], branch).get(
-                "partition_cols"
-            )
-            if nums_pc
-            else None
-        )
-        or []
-    )
+    pc_m = _load_manifest(table_dir, nums_pc[-1], branch) if nums_pc else None
+    recorded_pc = list((pc_m or {}).get("partition_cols") or [])
+    # the recorded layout (partition_cols + per-file value maps) is
+    # keyed by frozen PHYSICAL names — rename_column never touches it;
+    # the API speaks logical, so translate through the head mapping
+    _pc_logi = _logical_names(_col_mapping(pc_m))
+    _pc_phys = _phys_names(_col_mapping(pc_m))
     if partition_by is not None and not eff_part_by:
-        eff_part_by = recorded_pc
-    if mode == "append" and recorded_pc and eff_part_by != recorded_pc:
+        eff_part_by = [_pc_logi.get(p, p) for p in recorded_pc]
+    if (
+        mode == "append"
+        and recorded_pc
+        and [_pc_phys.get(c, c) for c in eff_part_by] != recorded_pc
+    ):
         raise ValueError(
             f"append partition_by {eff_part_by} != the table's recorded "
-            f"partition columns {recorded_pc} — partitioning is a table "
-            "layout property; overwrite to re-partition"
+            "partition columns "
+            f"{[_pc_logi.get(p, p) for p in recorded_pc]} — partitioning "
+            "is a table layout property; overwrite to re-partition"
         )
     if eff_part_by:
         _validate_partition_cols(df, eff_part_by)
@@ -1685,20 +1741,6 @@ def write_version(
             if mode == "append"
             else _rebuild_mapping(prior_map, df.schema, prior_schema)
         )
-        phys = _phys_names(eff_map)
-        # stats + Bloom machinery resolve logical → frozen physical at
-        # every read/build site, so renamed columns work there; the
-        # PARTITION layout alone stays name-addressed (hive dir keys +
-        # recorded value maps) and keeps the refusal
-        bad_named = sorted(
-            c for c in set(eff_part_by) if phys.get(c, c) != c
-        )
-        if bad_named:
-            raise ValueError(
-                f"columns {bad_named} were renamed (logical != physical) "
-                "— the partition layout addresses data files by name; "
-                "use the original name or rewrite the table"
-            )
     else:
         eff_map = None
     if eff_part_by:
@@ -1894,7 +1936,11 @@ def write_version(
             if mode == "append" and prior is not None:
                 # carried files keep their recorded partition values
                 parts = {**(prior.get("partitions") or {}), **new_parts}
-            body["partition_cols"] = eff_part_by
+            # recorded layout is PHYSICAL-keyed (frozen across renames)
+            _ppn = _phys_names(eff_map)
+            body["partition_cols"] = [
+                _ppn.get(c, c) for c in eff_part_by
+            ]
             body["partitions"] = parts
         if eff_cc:
             body["constraints"] = eff_cc
@@ -2587,6 +2633,11 @@ def overwrite_partitions(
             "(write_version partition_by) — an unpartitioned overwrite "
             "is write_version(mode='overwrite')"
         )
+    # recorded layout is PHYSICAL-keyed; the API (scope keys, incoming
+    # frame) speaks logical — translate both ways once
+    _op_phys = _phys_names(_col_mapping(base))
+    _op_logi = _logical_names(_col_mapping(base))
+    p_logical = [_op_logi.get(p, p) for p in pcols]
     gen = dict(base.get("generated_cols") or {})
     gen_validate = [(g, gen[g]) for g in sorted(gen) if g in df.columns]
     if gen:
@@ -2600,14 +2651,15 @@ def overwrite_partitions(
         # staging this raise would otherwise leak)
         _refuse_change_clash(df.columns)
     if partition_scope is None:
-        if len(pcols) != 1:
+        if len(p_logical) != 1:
             raise ValueError(
-                f"derived scope on a multi-column layout {pcols} would be "
-                "a per-column cross product — pass partition_scope "
-                "explicitly to say exactly what is replaced"
+                f"derived scope on a multi-column layout {p_logical} "
+                "would be a per-column cross product — pass "
+                "partition_scope explicitly to say exactly what is "
+                "replaced"
             )
         vals = [
-            r[0] for r in df.select(pcols[0]).distinct().collect()
+            r[0] for r in df.select(p_logical[0]).distinct().collect()
         ]
         if len(vals) > _PART_MAX_VALUES:
             raise ValueError(
@@ -2619,11 +2671,12 @@ def overwrite_partitions(
                 "incoming data is empty and no partition_scope was given "
                 "— nothing says what to replace; pass the scope explicitly"
             )
-        partition_scope = {pcols[0]: vals}
-    unknown = sorted(set(partition_scope) - set(pcols))
+        partition_scope = {p_logical[0]: vals}
+    unknown = sorted(set(partition_scope) - set(p_logical))
     if unknown:
         raise ValueError(
-            f"scope columns {unknown} are not partition columns {pcols}"
+            f"scope columns {unknown} are not partition columns "
+            f"{p_logical}"
         )
     for c, vals in partition_scope.items():
         if any(v is None or _norm_part_value(v) == "" for v in vals):
@@ -2634,7 +2687,7 @@ def overwrite_partitions(
                 "use delete_version + write_version with explicit "
                 "NULL-aware predicates instead"
             )
-    _validate_partition_cols(df, pcols)
+    _validate_partition_cols(df, p_logical)
     scope_cond = _scoped_cond(None, partition_scope)
     n_out = df.filter(~F.coalesce(scope_cond, F.lit(False))).count()
     if n_out:
@@ -2645,7 +2698,7 @@ def overwrite_partitions(
         )
     pmap = base.get("partitions") or {}
     want = {
-        c: {_norm_part_value(v) for v in vals}
+        _op_phys.get(c, c): {_norm_part_value(v) for v in vals}
         for c, vals in partition_scope.items()
     }
 
@@ -2686,7 +2739,7 @@ def overwrite_partitions(
     data_dir = os.path.join(table_dir, "data", uuid.uuid4().hex)
     try:
         new_files, new_parts = _stage_partitioned(
-            df, data_dir, pcols, _col_mapping(base)
+            df, data_dir, p_logical, _col_mapping(base)
         )
     except ValueError:
         # over-cardinality (or shadow-clash) raised AFTER the unmapped
@@ -4183,19 +4236,22 @@ _RESERVED_COLUMN_NAMES = {
 
 def _refuse_column_dependents(table_dir: str, m: dict, name: str, op: str) -> None:
     """RENAME/DROP guards for the machinery that CANNOT follow a field
-    id: the partition layout (hive dir keys + recorded value maps are
-    name-addressed) and CHECK/generated SQL expressions (free text) —
-    refuse loudly instead of letting pruning or enforcement silently
-    rot, escape hatch named. Recorded footer stats and Bloom indexes
-    are NOT refused (round 13): both are keyed by the column's frozen
-    PHYSICAL name and every read/build site resolves logical →
-    physical through the mapping, so a rename never invalidates
-    them."""
-    if name in (m.get("partition_cols") or []):
-        raise ValueError(
-            f"cannot {op} {name!r}: it is a partition column — overwrite "
-            "with a new partition_by first"
-        )
+    id: CHECK/generated SQL expressions (free text) — refuse loudly
+    instead of letting enforcement silently rot, escape hatch named.
+    Recorded footer stats, Bloom indexes (round 13) AND the partition
+    layout (round 14) are NOT rename-refused: all three are keyed by
+    the column's frozen PHYSICAL name (hive dir keys are written from
+    physicals, value maps recorded under them) and every probe/build
+    site resolves logical → physical through the mapping, so a RENAME
+    never invalidates them. DROPPING a partition column stays refused
+    — the layout cannot exist without its key."""
+    if op.startswith("drop"):
+        phys = _phys_names(_col_mapping(m)).get(name, name)
+        if phys in (m.get("partition_cols") or []):
+            raise ValueError(
+                f"cannot {op} {name!r}: it is a partition column — "
+                "overwrite with a new partition_by first"
+            )
     word = re.compile(rf"\b{re.escape(name)}\b")
     for cname, cexpr in sorted((m.get("constraints") or {}).items()):
         if word.search(cexpr):
@@ -4406,10 +4462,16 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
     manifest's logical name changes, so every old file reads correctly
     under the new name and time travel keeps each version's own names.
     Auto-enables column mapping on first use. Refused when the column
-    feeds name-addressed machinery (partition layout, CHECK/generated
-    expressions) — see :func:`_refuse_column_dependents` — or when
-    ``new`` collides with an existing column or a reserved internal
-    name.
+    feeds free-text machinery (CHECK/generated expressions) — see
+    :func:`_refuse_column_dependents` — or when ``new`` collides with
+    an existing column or a reserved internal name. PARTITION columns
+    rename too (round 14): the layout — hive dir keys, recorded
+    per-file value maps, ``partition_cols`` itself — is keyed by the
+    column's frozen PHYSICAL name, and every consumer (pruned reads,
+    DML partition_scope skipping, :func:`overwrite_partitions` scope
+    resolution, fsck's purity audit) resolves logical → physical
+    through the mapping, so a rename on a 100 TB date-partitioned
+    table is one manifest write with pruning intact.
 
     NESTED fields rename through a dotted path (``"authors.id"`` —
     array levels traverse transparently, so that addresses the ``id``
@@ -5602,11 +5664,17 @@ def read_version_pruned(
     # covers string columns stats envelopes can't. Unmapped files (e.g.
     # rewritten by a COW path) are kept — conservative, never wrong.
     candidates = m["files"]
+    # recorded envelopes, footer stats, index dirs AND the partition
+    # layout are all keyed by the column's frozen PHYSICAL name —
+    # translate the probe's logical names once; the exact filters
+    # below stay logical
+    _pphys = _phys_names(_col_mapping(m))
     part_cols = set(m.get("partition_cols") or [])
     part_map = m.get("partitions") or {}
     if keys and part_cols and part_map:
         for col, vals in keys.items():
-            if col not in part_cols:
+            cp = _pphys.get(col, col)
+            if cp not in part_cols:
                 continue
             want = {_norm_part_value(v) for v in vals}
             if "" in want:
@@ -5620,13 +5688,9 @@ def read_version_pruned(
                 f
                 for f in candidates
                 if _canon(f) not in part_map
-                or part_map[_canon(f)].get(col) in want
+                or part_map[_canon(f)].get(cp) in want
             ]
     prune_info: dict = {}
-    # recorded envelopes, footer stats and index dirs are all keyed by
-    # the column's frozen PHYSICAL name — translate the probe's logical
-    # names once; the exact filters below stay logical
-    _pphys = _phys_names(_col_mapping(m))
     phys_ranges = {_pphys.get(c, c): b for c, b in ranges.items()}
     kept = prune_manifest_files(
         spark, candidates, phys_ranges, recorded=m.get("stats"),
@@ -5974,21 +6038,26 @@ def verify_table(
             if f in file_set
         }
         if part_cols and part_map:
+            # part_cols are PHYSICAL names (what the files store) —
+            # scan with the physical schema so a renamed partition
+            # column audits against the same bytes the layout keyed
             scan = (
-                spark.read.schema(schema)
+                spark.read.schema(
+                    _physical_schema(schema, _col_mapping(m))
+                )
                 .parquet(*sorted(part_map))
                 .select(
                     F.col("_metadata.file_path").alias("__fsck_file"),
-                    *part_cols,
+                    *[_qcol(c) for c in part_cols],
                 )
             )
             aggs = []
             for c in part_cols:
                 aggs += [
-                    F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
-                    F.min(F.col(c)).cast("string").alias(f"__v_{c}"),
+                    F.countDistinct(_qcol(c)).alias(f"__nd_{c}"),
+                    F.min(_qcol(c)).cast("string").alias(f"__v_{c}"),
                     F.sum(
-                        F.col(c).isNull().cast("long")
+                        _qcol(c).isNull().cast("long")
                     ).alias(f"__nn_{c}"),
                 ]
             impure = []

@@ -324,8 +324,6 @@ def test_rename_refusals(spark, table):
         stats_cols=["id"],
         check_constraints={"pos": "v >= 0"},
     )
-    with pytest.raises(ValueError, match="partition column"):
-        rename_column(table, "p", "bucket")
     with pytest.raises(ValueError, match="constraint"):
         rename_column(table, "v", "value")
     with pytest.raises(ValueError, match="already exists"):
@@ -340,6 +338,22 @@ def test_drop_refusals(spark, table):
     write_version(spark, _df(spark).select("id").coalesce(1), table)
     with pytest.raises(ValueError, match="last column"):
         drop_column(table, "id")
+
+
+def test_drop_partition_column_refused_even_after_rename(spark, table):
+    """DROP of a partition column stays refused (the layout cannot
+    exist without its key) — including under its post-rename logical
+    name, where the physical-keyed membership check must translate."""
+    write_version(
+        spark,
+        _df(spark).withColumn("p", (F.col("id") % 2).cast("string"))
+        .repartition("p"),
+        table,
+        partition_by=["p"],
+    )
+    rename_column(table, "p", "bucket")
+    with pytest.raises(ValueError, match="partition column"):
+        drop_column(table, "bucket")
 
 
 # ---------------------------------------------------------------------------
@@ -470,6 +484,153 @@ def test_partitioned_table_with_renamed_other_column(spark, table):
     got = sorted(r["id"] for r in out.collect())
     assert got == sorted(i for i in range(120) if i % 2 == 1)
     assert out.columns == ["id", "g", "value", "p"]
+
+
+# ---------------------------------------------------------------------------
+# round 14: partition columns rename (physical-keyed layout)
+# ---------------------------------------------------------------------------
+
+
+def _part_df(spark, lo=0, hi=100):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") % 3).cast("string").alias("region"),
+    )
+
+
+def test_partition_column_renames_and_prunes(spark, table):
+    """rename_column on a PARTITION column (round 14): metadata-only,
+    the hive shadow dirs + recorded value maps are physical-keyed so
+    pruned reads under the NEW name skip files with zero I/O, appends
+    inherit the layout under the new name, and time travel keeps the
+    old name."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        read_version_pruned,
+    )
+
+    write_version(
+        spark, _part_df(spark).repartition("region"), table,
+        partition_by=["region"],
+    )  # v1
+    v = rename_column(table, "region", "zone")  # v2, metadata-only
+    m = _load_manifest(table, v)
+    assert m["partition_cols"] == ["region"]  # frozen physical key
+    assert m["mode"] == "rename_column"  # zero data files staged
+    # pruning under the NEW logical name: manifest-only, no footer I/O
+    out, info = read_version_pruned(spark, table, keys={"zone": ["1"]})
+    assert info["files_read"] < info["files_total"]
+    assert info["partition_skipped"] > 0
+    assert sorted(r["id"] for r in out.collect()) == [
+        i for i in range(100) if i % 3 == 1
+    ]
+    # append inherits the layout (logical name translated to physical)
+    write_version(
+        spark, _part_df(spark, 100, 130).withColumnRenamed("region", "zone")
+        .repartition("zone"),
+        table, mode="append",
+    )  # v3
+    m3 = _load_manifest(table, None)
+    assert m3["partition_cols"] == ["region"]
+    out3, info3 = read_version_pruned(spark, table, keys={"zone": ["2"]})
+    assert info3["partition_skipped"] > 0
+    assert sorted(r["id"] for r in out3.collect()) == [
+        i for i in range(130) if i % 3 == 2
+    ]
+    # explicit partition_by under the new name matches the layout too
+    write_version(
+        spark, _part_df(spark, 130, 140).withColumnRenamed("region", "zone")
+        .repartition("zone"),
+        table, mode="append", partition_by=["zone"],
+    )  # v4
+    # time travel: v1 reads under the ORIGINAL name
+    old = read_version(spark, table, version=1)
+    assert "region" in old.columns and "zone" not in old.columns
+
+
+def test_partition_rename_append_old_name_refused(spark, table):
+    """After the rename the OLD logical name no longer exists — an
+    append still carrying it fails the schema check loudly instead of
+    silently forking the layout."""
+    write_version(
+        spark, _part_df(spark).repartition("region"), table,
+        partition_by=["region"],
+    )
+    rename_column(table, "region", "zone")
+    with pytest.raises(Exception, match="region|schema"):
+        write_version(
+            spark, _part_df(spark, 100, 110).repartition("region"),
+            table, mode="append", partition_by=["region"],
+        )
+
+
+def test_overwrite_partitions_after_rename(spark, table):
+    """overwrite_partitions scopes by the CURRENT logical name after a
+    partition-column rename: in-scope files drop unopened, out-of-scope
+    carry unopened, and the replacement stages under the frozen
+    physical dir key."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        overwrite_partitions,
+    )
+
+    write_version(
+        spark, _part_df(spark).repartition("region"), table,
+        partition_by=["region"],
+    )
+    rename_column(table, "region", "zone")
+    repl = spark.range(1000, 1010).select(
+        F.col("id"), (F.col("id") * 2).alias("v"),
+        F.lit("1").alias("zone"),
+    )
+    rep = overwrite_partitions(
+        spark, repl, table, partition_scope={"zone": ["1"]}
+    )
+    assert rep["files_replaced"] > 0 and rep["files_rewritten"] == 0
+    cur = read_version(spark, table)
+    ids = sorted(r["id"] for r in cur.filter(F.col("zone") == "1").collect())
+    assert ids == list(range(1000, 1010))
+    n_other = cur.filter(F.col("zone") != "1").count()
+    assert n_other == sum(1 for i in range(100) if i % 3 != 1)
+    # derived scope (no partition_scope) resolves the logical name too
+    repl2 = repl.withColumn("zone", F.lit("2"))
+    rep2 = overwrite_partitions(spark, repl2, table)
+    assert rep2["files_replaced"] > 0
+    # stale scope column name refuses loudly
+    with pytest.raises(ValueError, match="not partition columns"):
+        overwrite_partitions(
+            spark, repl, table, partition_scope={"region": ["1"]}
+        )
+
+
+def test_dml_partition_scope_after_rename(spark, table):
+    """delete_version partition_scope under the renamed name still
+    skips out-of-scope files from the manifest alone."""
+    write_version(
+        spark, _part_df(spark).repartition("region"), table,
+        partition_by=["region"],
+    )
+    rename_column(table, "region", "zone")
+    res = delete_version(
+        spark, table, None, partition_scope={"zone": ["0"]}
+    )
+    assert res["n_deleted"] == sum(1 for i in range(100) if i % 3 == 0)
+    left = read_version(spark, table)
+    assert left.filter(F.col("zone") == "0").count() == 0
+    assert left.count() == 100 - res["n_deleted"]
+
+
+def test_fsck_partition_purity_after_rename(spark, table):
+    """Deep fsck's partition-purity audit scans with the PHYSICAL
+    schema, so a renamed partition column still verifies against the
+    recorded value map."""
+    write_version(
+        spark, _part_df(spark).repartition("region"), table,
+        partition_by=["region"],
+    )
+    rename_column(table, "region", "zone")
+    rep = verify_table(spark, table, deep=True)
+    assert rep["ok"], rep
+    assert rep["checks"]["partition_purity"]["ok"]
 
 
 def test_restore_change_files_across_rename(spark, table):
