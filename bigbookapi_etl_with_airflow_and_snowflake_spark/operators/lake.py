@@ -36,6 +36,11 @@ def parquet_footer_stats(
     aggregated over the file's row groups: (file, column, n_values,
     null_count, min_val, max_val) with min/max as doubles (exact for
     ints < 2⁵³ and all floats — the engine's portable stats type).
+    ``columns`` address parquet leaf columns by DOTTED PATH — a
+    top-level name (``price``) or a struct leaf (``rating.average``,
+    parquet records row-group statistics per leaf regardless of
+    nesting); leaves under repeated (list) levels use the parquet
+    path form and are not range-prunable here.
 
     The driver only LISTS file names (what any parquet reader does);
     footers are read on executors via pyarrow, ``files_per_task``
@@ -76,7 +81,7 @@ def parquet_footer_stats(
 
     if strict:
         first = pq.ParquetFile(os.path.join(base, names[0])).metadata
-        have = {first.schema.column(i).name for i in range(first.num_columns)}
+        have = {first.schema.column(i).path for i in range(first.num_columns)}
         missing = [c for c in cols if c not in have]
         if missing:
             raise ValueError(
@@ -126,7 +131,7 @@ def parquet_footer_stats(
             }
             for fname in pdf["file"]:
                 md = pq.ParquetFile(os.path.join(base, fname)).metadata
-                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
                 for c in cols:
                     if c not in idx:
                         if strict:

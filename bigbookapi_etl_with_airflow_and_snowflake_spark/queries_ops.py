@@ -6687,6 +6687,115 @@ FROM final GROUP BY status
 """
 
 
+def q_versioned_nested_stats(spark, sf):
+    """Recorded stats on a NESTED struct leaf (round 14 — Iceberg
+    records per-field stats at any depth; this brings ``stats_cols``
+    to dotted paths): parquet footers carry row-group min/max per LEAF
+    column regardless of nesting, so the envelope machinery only
+    needed dotted-path resolution (``meta.price``-shaped, the
+    reference's ``rating.average``, ``scripts/transform.py:35``). v1
+    writes the even orders with ``rating = struct(average, stars)``
+    range-clustered on ``rating.average`` and stats recorded on it;
+    v2 RENAMES the leaf to ``rating.avg`` (metadata-only — the
+    stats_cols entry follows, envelopes stay keyed by the frozen
+    physical dotted path); v3 appends the odd orders hash-scattered
+    (coverage inherits); v4 runs INCREMENTAL OPTIMIZE clustering on
+    the renamed leaf — envelope-driven selection rewrites the
+    scattered increment and carries the clustered base by identity.
+    The result summarizes a range probe on ``rating.avg`` at the head.
+
+    Scale literals, oracle-pinned TRUE: ``range_pruned_zero_footers``
+    — the probe skipped files from RECORDED envelopes alone (fewer
+    files read than total, zero footer I/O — nested pruning must stay
+    metadata-only at 100k files exactly like top-level);
+    ``optimize_partial`` — the incremental pass rewrote a strict
+    subset selected by the nested envelopes. The probe rows are the
+    value hash: a wrong dotted key loses rows or forces footers."""
+    from .sinks.versioned import (
+        optimize_table,
+        read_version_pruned,
+        rename_column,
+        write_version,
+    )
+
+    d = tempfile.mkdtemp(prefix="q_neststats_")
+    t = os.path.join(d, "orders_nested")
+    try:
+        o = _t(spark, sf, "orders").select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_totalprice").alias("average"),
+                (F.col("o_orderkey") % 5).cast("int").alias("stars"),
+            ).alias("rating"),
+        )
+        write_version(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 0)
+            .repartitionByRange(4, "rating.average"),
+            t,
+            stats_cols=["rating.average"],
+        )  # v1 — clustered, nested envelopes recorded
+        rename_column(t, "rating.average", "avg")  # v2, metadata-only
+        write_version(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 1)
+            .withColumn(
+                "rating",
+                F.struct(
+                    F.col("rating.average").alias("avg"),
+                    F.col("rating.stars").alias("stars"),
+                ),
+            )
+            .repartition(2),
+            t,
+            mode="append",
+        )  # v3 — hash-scattered on purpose, coverage inherits
+        opt = optimize_table(
+            spark, t, cluster_by=["rating.avg"], incremental=True
+        )  # v4 — selection driven by the NESTED envelopes
+        optimize_partial = (
+            opt["files_rewritten"] > 0 and opt["files_carried"] > 0
+        )
+        p_df, p_info = read_version_pruned(
+            spark, t, ranges={"rating.avg": (1000.0, 50000.0)}
+        )
+        range_pruned_zero_footers = (
+            p_info["files_read"] < p_info["files_total"]
+            and p_info["footer_files"] == 0
+        )
+        out = (
+            p_df.agg(
+                F.count("*").alias("n_rows"),
+                F.sum("o_orderkey").alias("sum_key"),
+                F.sum(
+                    F.floor(F.col("rating.avg") * 100 + 0.5).cast("long")
+                ).alias("cents"),
+                F.sum("rating.stars").cast("long").alias("sum_stars"),
+            )
+            .withColumn(
+                "range_pruned_zero_footers",
+                F.lit(range_pruned_zero_footers),
+            )
+            .withColumn("optimize_partial", F.lit(optimize_partial))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_NESTED_STATS = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(SUM(o_orderkey % 5) AS BIGINT) AS sum_stars,
+       TRUE AS range_pruned_zero_footers,
+       TRUE AS optimize_partial
+FROM orders WHERE o_totalprice BETWEEN 1000.0 AND 50000.0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-sequence packing + RAG chunking (operators/packing.py)
 # ---------------------------------------------------------------------------
@@ -6900,6 +7009,10 @@ OPS_REGISTRY = {
     "versioned_partition_rename": (
         q_versioned_partition_rename,
         SQL_VERSIONED_PARTITION_RENAME,
+    ),
+    "versioned_nested_stats": (
+        q_versioned_nested_stats,
+        SQL_VERSIONED_NESTED_STATS,
     ),
     "versioned_rename_stats": (
         q_versioned_rename_stats,

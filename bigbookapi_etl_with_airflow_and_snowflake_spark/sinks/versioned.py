@@ -788,6 +788,27 @@ def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
     return df.select(*exprs) if changed else df
 
 
+def _relaxed_dtype(dtype):
+    """A fully-NULLABLE copy of ``dtype`` (struct fields, array
+    elements, map values). Scans relax nullability regardless; cast
+    targets must too — Spark refuses casting into a NOT NULL struct
+    field, and the mapped-read cast is a rename, never a constraint."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dtype, StructType):
+        return StructType(
+            [
+                StructField(f.name, _relaxed_dtype(f.dataType), True)
+                for f in dtype.fields
+            ]
+        )
+    if isinstance(dtype, ArrayType):
+        return ArrayType(_relaxed_dtype(dtype.elementType), True)
+    if isinstance(dtype, MapType):
+        return MapType(dtype.keyType, _relaxed_dtype(dtype.valueType), True)
+    return dtype
+
+
 def _physical_schema(logical, mapping: dict | None):
     """The PHYSICAL StructType for a logical schema under a mapping:
     top-level and nested struct field names at their frozen
@@ -828,13 +849,19 @@ class _MappedReader:
         self._phys_schema = phys_schema
 
     def parquet(self, *files):
-        from pyspark.sql import functions as F
-
         df = self._spark.read.schema(self._phys_schema).parquet(*files)
         if any(p != l or pt != lt for p, pt, l, lt in self._pairs):
+            # cast to the NULLABLE form of the logical type: the scan
+            # relaxes nullability anyway, and Spark refuses a cast INTO
+            # a NOT NULL struct field — the cast is a rename, not a
+            # constraint (recorded non-null flags stay in the manifest)
             df = df.select(
                 *[
-                    (_qcol(p).cast(lt) if pt != lt else _qcol(p)).alias(l)
+                    (
+                        _qcol(p).cast(_relaxed_dtype(lt))
+                        if _relaxed_dtype(pt) != _relaxed_dtype(lt)
+                        else _qcol(p)
+                    ).alias(l)
                     for p, pt, l, lt in self._pairs
                 ]
             )
@@ -1164,14 +1191,14 @@ def _carried_stats(
     stats = {
         f: e for f, e in (base.get("stats") or {}).items() if f in keep
     }
-    # recorded envelopes are keyed by PHYSICAL column name (what the
-    # staged files store — frozen across renames, so rename_column
-    # never invalidates them); stats_cols stays logical and translates
-    # here, the one footer-pass site
-    phys = _phys_names(_col_mapping(base))
+    # recorded envelopes are keyed by PHYSICAL column name/dotted path
+    # (what the staged files store — frozen across renames, so
+    # rename_column never invalidates them); stats_cols stays logical
+    # (top-level or dotted struct leaf) and translates here
+    cm = _col_mapping(base)
     stats.update(
         _stats_for_files(
-            spark, list(new_files), [phys.get(c, c) for c in cols]
+            spark, list(new_files), [_phys_path(cm, c) for c in cols]
         )
     )
     return {"stats_cols": cols, "stats": stats}
@@ -1877,11 +1904,12 @@ def write_version(
                 or []
             )
     # footer envelopes are computed (and recorded) under PHYSICAL
-    # names — staged files store physicals, and the keys stay valid
-    # across any number of renames (physicals are frozen)
+    # names/dotted paths — staged files store physicals, and the keys
+    # stay valid across any number of renames (physicals are frozen);
+    # a dotted stats col addresses a struct LEAF (``rating.average``)
     _sphys = _phys_names(eff_map)
     new_stats = _stats_for_files(
-        spark, new_files, [_sphys.get(c, c) for c in eff_stats_cols]
+        spark, new_files, [_phys_path(eff_map, c) for c in eff_stats_cols]
     )
 
     def build(prior: dict | None) -> dict:
@@ -3676,8 +3704,9 @@ def _optimize_incremental(
             "(write_version stats_cols) — selection is envelope-driven"
         )
     stats = m.get("stats") or {}
-    # recorded envelopes are physical-keyed (rename-stable)
-    col_phys = _phys_names(_col_mapping(m)).get(col, col)
+    # recorded envelopes are physical-keyed (rename-stable); dotted
+    # logical paths resolve through the nested map too
+    col_phys = _phys_path(_col_mapping(m), col)
     envs: dict[str, tuple] = {}
     unknown: list[str] = []
     for f in m["files"]:
@@ -3816,7 +3845,7 @@ def layout_report(table_dir: str, col: str, version: int | None = None) -> dict:
     is worth its rewrite — see :func:`maintenance_plan`."""
     m = _load_manifest(table_dir, version)
     stats = m.get("stats") or {}
-    col = _phys_names(_col_mapping(m)).get(col, col)  # physical-keyed
+    col = _phys_path(_col_mapping(m), col)  # physical-keyed (dotted too)
     envs = [
         tuple(stats[f][col]) for f in m["files"]
         if f in stats and col in stats[f]
@@ -4445,11 +4474,24 @@ def _rename_nested(
         body = _metadata_only_body(m, "rename_column")
         body["schema"] = new_schema.json()
         body["column_mapping"] = new_mapping
-        body["renamed"] = {
-            "from": old,
-            "to": ".".join([top] + parts[1:-1] + [new]),
-            "id": rec["id"],
-        }
+        new_path = ".".join([top] + parts[1:-1] + [new])
+        body["renamed"] = {"from": old, "to": new_path, "id": rec["id"]}
+        scs = body.get("stats_cols") or []
+
+        def _under(c: str) -> bool:
+            # a literal-dotted top-level name is its own column and
+            # never rewrites by prefix (mirrors _phys_path dispatch)
+            if c in fields:
+                return False
+            return c == old or c.startswith(old + ".")
+
+        if any(_under(c) for c in scs):
+            # dotted stats_cols entries are LOGICAL paths and follow
+            # the rename; per-file envelopes are physical-keyed and
+            # stay valid untouched
+            body["stats_cols"] = [
+                new_path + c[len(old):] if _under(c) else c for c in scs
+            ]
         return body
 
     return _commit(table_dir, build)
@@ -4535,11 +4577,21 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
         body["schema"] = new_schema.json()
         body["column_mapping"] = new_mapping
         body["renamed"] = {"from": old, "to": new, "id": entry["id"]}
-        if old in (body.get("stats_cols") or []):
+        scs = body.get("stats_cols") or []
+
+        def _under(c: str) -> bool:
+            # exact match, or a dotted NESTED path under the renamed
+            # column (a literal-dotted top-level name never rewrites
+            # by prefix — it is its own column)
+            return c == old or (
+                c.startswith(old + ".") and c not in mapping["fields"]
+            )
+
+        if any(_under(c) for c in scs):
             # the logical list follows the rename; per-file envelopes
             # are physical-keyed and stay valid untouched
             body["stats_cols"] = [
-                new if c == old else c for c in body["stats_cols"]
+                new + c[len(old):] if _under(c) else c for c in scs
             ]
         return body
 
@@ -4610,6 +4662,33 @@ def _drop_nested(table_dir: str, m: dict, schema, name: str) -> int:
         body["schema"] = new_schema.json()
         body["column_mapping"] = new_mapping
         body["dropped"] = {"name": name, "id": dropped_id}
+        scs = body.get("stats_cols") or []
+        gone = {
+            c
+            for c in scs
+            if c not in fields
+            and (c == name or c.startswith(name + "."))
+        }
+        if gone:
+            # a dotted stats leaf under the dropped path leaves the
+            # contract; envelopes scrub by the frozen PHYSICAL path
+            full_phys = entry["physical"] + "." + phys_path
+            rest = [c for c in scs if c not in gone]
+            scrubbed = {
+                f: {
+                    c: e
+                    for c, e in ent.items()
+                    if c != full_phys
+                    and not c.startswith(full_phys + ".")
+                }
+                for f, ent in (body.get("stats") or {}).items()
+            }
+            if rest:
+                body["stats_cols"] = rest
+                body["stats"] = {f: e for f, e in scrubbed.items() if e}
+            else:
+                body.pop("stats_cols", None)
+                body.pop("stats", None)
         return body
 
     return _commit(table_dir, build)
@@ -4670,13 +4749,27 @@ def drop_column(table_dir: str, name: str) -> int:
         body["schema"] = new_schema.json()
         body["column_mapping"] = new_mapping
         body["dropped"] = {"name": name, "id": entry["id"]}
-        if name in (body.get("stats_cols") or []):
-            # the dropped column leaves the stats contract; its
-            # physical-keyed per-file envelopes scrub with it (a stale
-            # key would fail the fsck stats_envelopes audit)
-            rest = [c for c in body["stats_cols"] if c != name]
+        scs_d = body.get("stats_cols") or []
+
+        def _under(c: str) -> bool:
+            return c == name or (
+                c.startswith(name + ".") and c not in mapping["fields"]
+            )
+
+        if any(_under(c) for c in scs_d):
+            # the dropped column leaves the stats contract (dotted
+            # leaf entries under it too); its physical-keyed per-file
+            # envelopes scrub with it (a stale key would fail the
+            # fsck stats_envelopes audit)
+            rest = [c for c in scs_d if not _under(c)]
+            phys_pref = entry["physical"] + "."
             scrubbed = {
-                f: {c: e for c, e in ent.items() if c != entry["physical"]}
+                f: {
+                    c: e
+                    for c, e in ent.items()
+                    if c != entry["physical"]
+                    and not c.startswith(phys_pref)
+                }
                 for f, ent in (body.get("stats") or {}).items()
             }
             if rest:
@@ -5691,7 +5784,8 @@ def read_version_pruned(
                 or part_map[_canon(f)].get(cp) in want
             ]
     prune_info: dict = {}
-    phys_ranges = {_pphys.get(c, c): b for c, b in ranges.items()}
+    _prm = _col_mapping(m)
+    phys_ranges = {_phys_path(_prm, c): b for c, b in ranges.items()}
     kept = prune_manifest_files(
         spark, candidates, phys_ranges, recorded=m.get("stats"),
         info=prune_info,
@@ -5959,11 +6053,11 @@ def verify_table(
         stats_cols = m.get("stats_cols") or []
         recorded = m.get("stats") or {}
         if stats_cols and recorded:
-            _fphys = _phys_names(_col_mapping(m))
+            _fmap = _col_mapping(m)
             fresh = _stats_for_files(
                 spark,
                 sorted(recorded),
-                [_fphys.get(c, c) for c in stats_cols],
+                [_phys_path(_fmap, c) for c in stats_cols],
             )
             bad = [
                 f"{f}:{c}"

@@ -146,3 +146,129 @@ def test_pruned_equals_unpruned(spark, table):
         .collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 14: nested-leaf stats (dotted stats_cols)
+# ---------------------------------------------------------------------------
+
+
+def _nested_df(spark, lo=0, hi=1000):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        F.struct(
+            (F.col("id") * 0.1).alias("average"),
+            (F.col("id") % 5).cast("int").alias("count"),
+        ).alias("rating"),
+    )
+
+
+def test_nested_leaf_stats_prune_zero_footers(spark, table):
+    """stats_cols accepts a dotted struct-leaf path (the reference's
+    ``rating.average`` shape): per-file envelopes record under the
+    dotted physical path and a range probe prunes driver-side with
+    zero footer I/O."""
+    write_version(
+        spark,
+        _nested_df(spark).repartitionByRange(4, "rating.average"),
+        table,
+        stats_cols=["rating.average"],
+    )
+    m = _load_manifest(table, None)
+    assert all("rating.average" in e for e in m["stats"].values())
+    df, info = read_version_pruned(
+        spark, table, ranges={"rating.average": (0.0, 10.0)}
+    )
+    assert info["files_read"] < info["files_total"]
+    assert info["footer_files"] == 0
+    assert df.count() == 101  # 0.0 .. 10.0 inclusive at step 0.1
+
+
+def test_nested_leaf_stats_survive_nested_rename(spark, table):
+    """Renaming the covered LEAF keeps coverage: the stats_cols entry
+    follows to the new dotted path, envelopes stay keyed by the frozen
+    physical path, and pruning works under the new name."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        rename_column,
+        verify_table,
+    )
+
+    write_version(
+        spark,
+        _nested_df(spark).repartitionByRange(4, "rating.average"),
+        table,
+        stats_cols=["rating.average"],
+    )
+    rename_column(table, "rating.average", "avg")
+    m = _load_manifest(table, None)
+    assert m["stats_cols"] == ["rating.avg"]
+    df, info = read_version_pruned(
+        spark, table, ranges={"rating.avg": (50.0, 60.0)}
+    )
+    assert info["files_read"] < info["files_total"]
+    assert info["footer_files"] == 0
+    assert df.count() == 101
+    # renaming the ENCLOSING column rewrites the dotted prefix too
+    rename_column(table, "rating", "score")
+    m2 = _load_manifest(table, None)
+    assert m2["stats_cols"] == ["score.avg"]
+    df2, info2 = read_version_pruned(
+        spark, table, ranges={"score.avg": (50.0, 60.0)}
+    )
+    assert info2["files_read"] < info2["files_total"]
+    assert info2["footer_files"] == 0
+    rep = verify_table(spark, table, deep=True)
+    assert rep["ok"] and rep["checks"]["stats_envelopes"]["ok"]
+
+
+def test_nested_leaf_stats_append_and_incremental_optimize(spark, table):
+    """Coverage inherits across appends for the dotted leaf, and
+    incremental OPTIMIZE selects by its envelopes: a hash-scattered
+    append gets rewritten, the clustered base carries by identity."""
+    write_version(
+        spark,
+        _nested_df(spark).repartitionByRange(4, "rating.average"),
+        table,
+        stats_cols=["rating.average"],
+    )
+    write_version(
+        spark,
+        _nested_df(spark, 1000, 2000).repartition(3),
+        table,
+        mode="append",
+    )
+    m = _load_manifest(table, None)
+    assert all("rating.average" in e for e in m["stats"].values())
+    opt = optimize_table(
+        spark, table, cluster_by=["rating.average"], incremental=True
+    )
+    assert opt["files_rewritten"] > 0
+    assert opt["files_carried"] > 0
+    df, info = read_version_pruned(
+        spark, table, ranges={"rating.average": (150.0, 160.0)}
+    )
+    assert info["files_read"] < info["files_total"]
+    assert df.count() == 101
+
+
+def test_nested_leaf_stats_drop_scrubs(spark, table):
+    """Dropping the covered leaf (or its enclosing column) removes the
+    stats contract and scrubs the physical-keyed envelopes — fsck's
+    stats audit stays green."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        drop_column,
+        verify_table,
+    )
+
+    write_version(
+        spark,
+        _nested_df(spark).coalesce(2),
+        table,
+        stats_cols=["rating.average", "id"],
+    )
+    drop_column(table, "rating.average")
+    m = _load_manifest(table, None)
+    assert m["stats_cols"] == ["id"]
+    assert all("rating.average" not in e for e in m["stats"].values())
+    rep = verify_table(spark, table, deep=True)
+    assert rep["ok"] and rep["checks"]["stats_envelopes"]["ok"]
