@@ -1660,6 +1660,7 @@ def write_version(
         # loads once
         _refuse_change_clash(df.columns)
     rc_base: dict | None = None
+    rc_renames: dict[str, str] = {}
     if mode == "append":
         # fail-fast schema check against the current latest BEFORE any
         # data stages; build() re-derives against the commit-time prior
@@ -1735,27 +1736,73 @@ def write_version(
         # with the staging already on disk and unreclaimable)
         rc_base = head_m
         if rc_base.get("schema") is not None:
-            prior_fields = {
-                f["name"]: f["type"]
-                for f in json.loads(rc_base["schema"])["fields"]
-            }
-            new_fields = {
-                f["name"]: f["type"]
-                for f in json.loads(df.schema.json())["fields"]
-            }
+            prior_list = json.loads(rc_base["schema"])["fields"]
+            new_list = json.loads(df.schema.json())["fields"]
+            prior_fields = {f["name"]: f["type"] for f in prior_list}
+            new_fields = {f["name"]: f["type"] for f in new_list}
             if prior_fields != new_fields:
-                raise ValueError(
-                    "record_changes=True on an overwrite that reshapes "
-                    "the schema (prior "
-                    f"{ {k: prior_fields[k] for k in sorted(prior_fields)} } "
-                    f"vs incoming "
-                    f"{ {k: new_fields[k] for k in sorted(new_fields)} }) — "
-                    "a reshaping overwrite has no well-defined row-level "
-                    "change set; diff the snapshots with read_changes() "
-                    "instead, or conform the frame first"
+                # a PURE RENAME reshape has a well-defined row-level
+                # feed (round 14, closing the asymmetry with the
+                # stream's id-based translation): same arity, every
+                # persisting name keeps its type, and the leftovers
+                # pair 1:1 by position with identical types. The pairs
+                # become MAPPED renames — field ids and physical names
+                # carry, the delete side records under the NEW names —
+                # so the change stream and CDF see one field across
+                # the overwrite, exactly as if rename_column had run
+                # first. Anything else (type change, arity change,
+                # nested reshape, mismatched leftover types) refuses.
+                rm_old = [
+                    f for f in prior_list if f["name"] not in new_fields
+                ]
+                rm_new = [
+                    f for f in new_list if f["name"] not in prior_fields
+                ]
+                persisting_ok = all(
+                    new_fields[n] == t
+                    for n, t in prior_fields.items()
+                    if n in new_fields
                 )
+                if (
+                    len(prior_list) == len(new_list)
+                    and persisting_ok
+                    and len(rm_old) == len(rm_new)
+                    and rm_old
+                    and all(
+                        o["type"] == n["type"]
+                        for o, n in zip(rm_old, rm_new)
+                    )
+                ):
+                    rc_renames = {
+                        o["name"]: n["name"]
+                        for o, n in zip(rm_old, rm_new)
+                    }
+                else:
+                    raise ValueError(
+                        "record_changes=True on an overwrite that "
+                        "reshapes the schema (prior "
+                        f"{ {k: prior_fields[k] for k in sorted(prior_fields)} } "
+                        f"vs incoming "
+                        f"{ {k: new_fields[k] for k in sorted(new_fields)} }) — "
+                        "only a PURE RENAME reshape (same types, "
+                        "leftover columns pairing 1:1 by position) has "
+                        "a well-defined row-level change set; diff the "
+                        "snapshots with read_changes() instead, or "
+                        "conform the frame first"
+                    )
     prior_map = _col_mapping(head_m)
+    if rc_renames and prior_map is None and head_m.get("schema"):
+        from pyspark.sql.types import StructType as _PST0
+
+        # the rename-overwrite needs field ids to carry identity across
+        # the commit — mint the mapping from the prior schema, exactly
+        # like rename_column's auto-enable (physical = prior logical,
+        # which is what every existing file stores)
+        prior_map = _init_mapping(
+            _PST0.fromJson(json.loads(head_m["schema"]))
+        )
     if prior_map is not None:
+        from pyspark.sql.types import StructField as _PSF
         from pyspark.sql.types import StructType as _PST
 
         prior_schema = (
@@ -1763,6 +1810,26 @@ def write_version(
             if head_m.get("schema")
             else None
         )
+        if rc_renames:
+            # re-key the renamed logicals so the rebuild carries their
+            # ids + frozen physicals (and their nested state) under the
+            # new names instead of retiring them as drop+add
+            _rm_fields = dict(prior_map["fields"])
+            for _o, _n in rc_renames.items():
+                if _o in _rm_fields:
+                    _rm_fields[_n] = _rm_fields.pop(_o)
+            prior_map = {**prior_map, "fields": _rm_fields}
+            if prior_schema is not None:
+                prior_schema = _PST(
+                    [
+                        _PSF(
+                            rc_renames.get(f.name, f.name),
+                            f.dataType,
+                            f.nullable,
+                        )
+                        for f in prior_schema.fields
+                    ]
+                )
         eff_map = (
             _extend_mapping(prior_map, df.schema)
             if mode == "append"
@@ -1877,11 +1944,19 @@ def write_version(
                 )
             )
         if mode == "overwrite" and rc_base is not None and rc_base["files"]:
-            # the replaced snapshot's live rows leave the table
-            pieces.append(
-                _live_scan(spark, rc_base).withColumn(
-                    "_change_type", F.lit("delete")
+            # the replaced snapshot's live rows leave the table; under
+            # a rename-overwrite they record under the NEW logical
+            # names (one field id, one name, across the whole feed)
+            gone = _live_scan(spark, rc_base)
+            if rc_renames:
+                gone = gone.select(
+                    *[
+                        _qcol(c).alias(rc_renames.get(c, c))
+                        for c in gone.columns
+                    ]
                 )
+            pieces.append(
+                gone.withColumn("_change_type", F.lit("delete"))
             )
         if pieces:
             ch = pieces[0]
@@ -5012,6 +5087,18 @@ def read_changes(
             l: id_to_l[e["id"]]
             for l, e in map_from["fields"].items()
             if e["id"] in id_to_l and id_to_l[e["id"]] != l
+        }
+    elif map_to and not map_from and from_version > 0:
+        # PRE-MAPPING from side (e.g. the mapping was minted by a
+        # rename-overwrite inside the range): an unmapped version's
+        # logical names ARE its physical names — the to-side's frozen
+        # physicals identify the same fields, which is exactly the
+        # by-name semantics an unmapped table has
+        from_names = {f.name for f in sch_from.fields}
+        ren_from = {
+            e["physical"]: l
+            for l, e in map_to["fields"].items()
+            if e["physical"] != l and e["physical"] in from_names
         }
     if ren_from:
         from pyspark.sql.types import StructField

@@ -55,14 +55,16 @@ or consume the commit with the batch ``read_changes`` (which nets the
 rewrite via its multiset diff) and resume past it.
 
 Column mapping: top-level renames resolve PER VERSION by field id
-(see ``_colmap_for``); NESTED renames/drops translate through an
-Arrow-side rebuild by the leaf's frozen physical name
+(see ``_colmap_for``); NESTED renames/drops/retypes translate through
+an Arrow-side rebuild by the leaf's per-version physical name
 (:func:`_arrow_to_target` — pyarrow's struct cast matches by name and
 refuses renames, so renamed structs reconstruct explicitly with the
-parent validity reapplied and list buffers reused). The one nested
-shape that cannot be delivered by name — a restructuring overwrite
-that RETYPES a shared physical leaf — refuses at plan time with the
-batch ``read_changes`` hatch named (``_check_physical_shapes``).
+parent validity reapplied and list buffers reused). Nested resolution
+is PER VERSION too (``_nested_maps_for``, round 14): a restructuring
+overwrite that RETYPED a shared physical leaf — the round-13 plan-time
+refusal — now delivers old versions through Arrow's safe cast, and a
+leaf whose nested field id did not exist at a version NULL-fills
+there, the same by-id semantics as the top level.
 
 The reference pipeline re-extracts the full corpus every run
 (``/root/reference/dags/``); this source is what replaces that at
@@ -117,7 +119,11 @@ class _ChangePartition(InputPartition):
     would mis-read files when an overwrite reused a retired physical
     name for a NEW field id — the per-version id resolution makes that
     shape read NULL for the old files instead of resurrecting their
-    bytes."""
+    bytes. ``nested_maps`` applies the same rule one level down:
+    {stream column: {nested logical rel path: physical leaf name |
+    None}}, resolved PER VERSION (None = deliver NULL for that
+    subtree — the head's nested field did not exist at that
+    version)."""
 
     def __init__(
         self,
@@ -135,10 +141,11 @@ class _ChangePartition(InputPartition):
         self.dv_files = list(dv_files)
         self.skip_files = list(skip_files)
         self.colmap = colmap
-        # {stream_logical_top: {nested logical rel path: physical leaf}}
-        # from the HEAD mapping — nested physicals are FROZEN at
-        # creation, so one map serves every version (the per-version
-        # plan guard refuses the restructure shapes it couldn't)
+        # {stream_logical_top: {nested logical rel path: physical leaf
+        # | None}} — resolved PER VERSION (_nested_maps_for); the
+        # identity fast path reuses the head map (physicals are frozen
+        # within a mapping era, so same schema+mapping means the same
+        # translation)
         self.nested_maps = nested_maps
 
 
@@ -148,11 +155,13 @@ def _arrow_to_target(arr, target, nested: dict, prefix: str = ""):
     struct fields BY NAME and refuses renames, so renamed structs
     rebuild explicitly:
 
-    - structs: each target field pulls its source child by the FROZEN
-      physical name (``nested`` maps logical rel path → physical leaf;
-      absent path = identity), missing sources NULL-fill (pre-evolution
-      files), extra sources are ignored (post-drop reads); the parent
-      validity bitmap is re-applied, so NULL structs stay NULL;
+    - structs: each target field pulls its source child by the
+      per-version physical name (``nested`` maps logical rel path →
+      physical leaf, ``None`` = the field did not exist at that
+      version → NULL-fill the subtree; absent path = identity),
+      missing sources NULL-fill (pre-evolution files), extra sources
+      are ignored (post-drop reads); the parent validity bitmap is
+      re-applied, so NULL structs stay NULL;
     - lists: values convert recursively and the validity + offset
       buffers are REUSED (zero copies of the list structure);
     - leaves: Arrow's safe cast, same contract as the flat path.
@@ -167,7 +176,7 @@ def _arrow_to_target(arr, target, nested: dict, prefix: str = ""):
         for f in target:
             rel = f"{prefix}.{f.name}" if prefix else f.name
             phys = nested.get(rel, f.name)
-            if phys in src_names:
+            if phys is not None and phys in src_names:
                 children.append(
                     _arrow_to_target(arr.field(phys), f.type, nested, rel)
                 )
@@ -204,6 +213,41 @@ def _arrow_to_target(arr, target, nested: dict, prefix: str = ""):
     return arr if arr.type == target else arr.cast(target)
 
 
+def _walk_nested_nodes(dtype, nested: dict, prefix: str = "", pprefix: str = ""):
+    """Walk a column dataType's struct NODES (arrays traversed
+    transparently), yielding ``(logical rel path, leaf physical name,
+    physical dotted path, nested field id | None, shape signature)``.
+    The signature is ``(list depth, kind, scalar form)`` — enough to
+    adjudicate kind flips and leaf retypes without comparing child
+    names (children are decided at their own nodes)."""
+    from pyspark.sql.types import ArrayType
+    from pyspark.sql.types import StructType as _ST
+
+    depth0 = 0
+    cur = dtype
+    while isinstance(cur, ArrayType):
+        cur = cur.elementType
+        depth0 += 1
+    if not isinstance(cur, _ST):
+        return
+    for f in cur.fields:
+        rel = f"{prefix}.{f.name}" if prefix else f.name
+        ent = nested.get(rel) or {}
+        phys = ent.get("physical", f.name)
+        ppath = f"{pprefix}.{phys}" if pprefix else phys
+        t = f.dataType
+        d = 0
+        while isinstance(t, ArrayType):
+            t = t.elementType
+            d += 1
+        if isinstance(t, _ST):
+            sig = (d, "struct", None)
+        else:
+            sig = (d, "leaf", t.simpleString())
+        yield (rel, phys, ppath, ent.get("id"), sig)
+        yield from _walk_nested_nodes(f.dataType, nested, rel, ppath)
+
+
 class VersionedChangesStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict) -> None:
         self._table_dir = options.get("path") or options.get("tabledir")
@@ -228,11 +272,10 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         )
         self._head_map = _col_mapping(m)
         self._head_schema_json = m.get("schema")
-        # nested renames: physical leaf names are FROZEN at creation, so
-        # the HEAD mapping's nested entries translate every version's
-        # files (flattened per column for the executor partitions); the
-        # per-version _check_physical_shapes guard refuses the
-        # restructure shapes where by-name matching could mis-type
+        # nested renames: the HEAD mapping's flattened nested maps are
+        # the IDENTITY fast path (physicals are frozen within a
+        # mapping era); versions whose schema or mapping differ get a
+        # per-version map from _nested_maps_for at plan time
         self._nested_maps: dict | None = None
         if self._head_map is not None:
             nm = {
@@ -279,77 +322,122 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             for l, e in self._head_map["fields"].items()
         }
 
-    def _check_physical_shapes(self, m: dict, v: int) -> None:
-        """Leaf-type compatibility between version ``v``'s PHYSICAL
-        column shapes and the head's, per shared physical leaf path:
-        a rename keeps the physical shape identical and a nested drop
-        leaves the head a SUBSET of the version — both read exactly by
-        frozen physical name; a restructure that RETYPES a shared leaf
-        would make the by-name Arrow rebuild cast the wrong bytes, so
-        it refuses pointedly with the batch hatch named. Skipped
-        entirely when the recorded schema + mapping are identical (the
-        overwhelmingly common microbatch)."""
-        if self._head_map is None or not getattr(
-            self, "_head_schema_json", None
-        ):
-            return
-        if not m.get("schema"):
-            return
-        from ..sinks.versioned import _col_mapping, _nested_of, _phys_dtype
+    def _nested_maps_for(self, m: dict) -> dict | None:
+        """Per-VERSION nested translation maps for one manifest:
+        ``{stream column: {logical rel path: physical leaf name |
+        None}}`` (None = deliver NULL — the head's nested field did
+        not exist at that version). The identity fast path (same
+        recorded schema + mapping as the head — the overwhelmingly
+        common microbatch) reuses the head's own flattened maps at
+        zero cost. Otherwise each head nested NODE resolves against
+        the version's shape at the same PHYSICAL path, adjudicated by
+        nested field ids where both sides carry one:
+
+        - ids on both sides: equal → read (a rename diffs as itself);
+          different → NULL (a restructuring overwrite re-created the
+          field — old bytes belong to a different field);
+        - head id only (lazily-minted entry, identity version): read
+          when the node's shape matches exactly (the pre-rename era),
+          NULL when it was retyped (the id was minted after a reset);
+        - version id only: read when the version's LOGICAL rel path
+          matches the head's (same name, never renamed since), NULL
+          otherwise (the version's bytes belong to a renamed-away
+          field — reading them would resurrect it);
+        - no ids: by-name semantics — read, with a leaf RETYPE
+          delivered through Arrow's safe cast (the round-13 refusal,
+          now a translation); a kind flip (struct vs leaf, list depth)
+          is a different field → NULL.
+
+        This replaces the round-13 ``_check_physical_shapes`` plan-time
+        refusal: every shape either translates or NULL-fills with the
+        same by-id semantics the top-level ``_colmap_for`` uses."""
+        head_map = getattr(self, "_head_map", None)
+        head_schema_json = getattr(self, "_head_schema_json", None)
+        if head_map is None or not head_schema_json:
+            return getattr(self, "_nested_maps", None)
+        from ..sinks.versioned import _col_mapping, _nested_of
 
         v_map = _col_mapping(m)
-        if (
-            m["schema"] == self._head_schema_json
-            and v_map == self._head_map
-        ):
-            return
-        head_schema = StructType.fromJson(json.loads(self._head_schema_json))
+        if m.get("schema") == head_schema_json and v_map == head_map:
+            return self._nested_maps  # identity fast path
+        if not m.get("schema"):
+            return self._nested_maps
+        head_schema = StructType.fromJson(json.loads(head_schema_json))
         v_schema = StructType.fromJson(json.loads(m["schema"]))
-        head_shapes = {
-            self._head_map["fields"][f.name]["physical"]
-            if f.name in self._head_map["fields"]
-            else f.name: _phys_dtype(
-                f.dataType, _nested_of(self._head_map["fields"].get(f.name))
-            )
-            for f in head_schema.fields
+        v_map_eff = v_map or getattr(self, "_first_map", None) or {
+            "fields": {}
         }
-        vf = (v_map or self._first_map or {"fields": {}})["fields"]
-        v_shapes = {
-            vf[f.name]["physical"] if f.name in vf else f.name: _phys_dtype(
-                f.dataType, _nested_of(vf.get(f.name))
-            )
-            for f in v_schema.fields
+        v_types = {f.name: f.dataType for f in v_schema.fields}
+        v_by_id = {
+            e["id"]: (l, e) for l, e in v_map_eff["fields"].items()
         }
+        out: dict[str, dict] = {}
+        for f in head_schema.fields:
+            he = head_map["fields"].get(f.name)
+            h_nodes = list(_walk_nested_nodes(f.dataType, _nested_of(he)))
+            if not h_nodes:
+                continue  # flat column — the plain safe cast covers it
+            v_hit = v_by_id.get(he["id"]) if he else None
+            if v_hit is None or v_hit[0] not in v_types:
+                continue  # column absent at this version → colmap NULLs it
+            v_logical, v_entry = v_hit
+            if v_map is not None:
+                v_nodes = {
+                    ppath: (rel, nid, sig)
+                    for rel, _leaf, ppath, nid, sig in _walk_nested_nodes(
+                        v_types[v_logical], _nested_of(v_entry)
+                    )
+                }
+            else:
+                # PRE-MAPPING version: its schema names ARE physical
+                # names, but the effective (first mapped) manifest's
+                # nested keys are ENABLE-TIME logicals — re-key its
+                # entries by their physical path so ids attach to the
+                # right nodes (without this, a leaf renamed away and
+                # re-created by a later restructure would resurrect
+                # its pre-rename bytes under the new field's name)
+                fm_nested = _nested_of(v_entry)
+                from ..sinks.versioned import _phys_rel
 
-        def conflicts(a, b, at: str) -> list[str]:
-            from pyspark.sql.types import ArrayType, StructType as _STT
-
-            while isinstance(a, ArrayType):
-                a = a.elementType
-            while isinstance(b, ArrayType):
-                b = b.elementType
-            if isinstance(a, _STT) and isinstance(b, _STT):
-                bt = {f.name: f.dataType for f in b.fields}
-                out: list[str] = []
-                for f in a.fields:
-                    if f.name in bt:
-                        out += conflicts(f.dataType, bt[f.name], f"{at}.{f.name}")
-                return out
-            return [] if a == b else [at]
-
-        bad = []
-        for p, ht in head_shapes.items():
-            if p in v_shapes:
-                bad += conflicts(ht, v_shapes[p], p)
-        if bad:
-            raise ValueError(
-                f"version {v} of {self._table_dir!r} holds physical "
-                f"leaf(s) {bad[:5]} under a DIFFERENT type than the "
-                "stream's head schema (a restructuring overwrite between "
-                "them) — the by-name Arrow rebuild cannot deliver this "
-                "range exactly; consume it with the batch read_changes() "
-                "and resume past it with startingVersion"
-            )
+                by_ppath = {
+                    _phys_rel(fm_nested, krel.split(".")): (
+                        krel,
+                        kent["id"],
+                    )
+                    for krel, kent in fm_nested.items()
+                }
+                v_nodes = {}
+                for rel, _leaf, ppath, _nid, sig in _walk_nested_nodes(
+                    v_types[v_logical], {}
+                ):
+                    v_rel, vid = by_ppath.get(ppath, (rel, None))
+                    v_nodes[ppath] = (v_rel, vid, sig)
+            nm: dict[str, str | None] = {}
+            dead_prefixes: list[str] = []
+            for rel, leaf_phys, ppath, hid, hsig in h_nodes:
+                if any(rel.startswith(p + ".") for p in dead_prefixes):
+                    continue  # parent already NULLs the whole subtree
+                v_node = v_nodes.get(ppath)
+                if v_node is None:
+                    nm[rel] = leaf_phys  # absent → NULL-fill by name miss
+                    continue
+                v_rel, vid, vsig = v_node
+                if hid is not None and vid is not None:
+                    ok = hid == vid
+                elif hid is not None:
+                    ok = hsig == vsig
+                elif vid is not None:
+                    ok = v_rel == rel and hsig[:2] == vsig[:2]
+                else:
+                    # identity both sides: kind must agree; a leaf
+                    # retype rides Arrow's safe cast at read time
+                    ok = hsig[:2] == vsig[:2]
+                nm[rel] = leaf_phys if ok else None
+                if nm[rel] is None:
+                    dead_prefixes.append(rel)
+            if nm:
+                out[f.name] = nm
+        return out or None
 
     # -- offset protocol ---------------------------------------------------
     def initialOffset(self) -> dict:
@@ -364,9 +452,6 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
     # -- planning (driver, manifests only) ----------------------------------
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         parts: list[InputPartition] = []
-        # planner-only constructions (tests, registry plan literals) may
-        # skip __init__ — default the mapping state like an unmapped table
-        nmaps = getattr(self, "_nested_maps", None)
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             try:
                 from ..sinks.versioned import _col_mapping
@@ -386,11 +471,11 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     "a batch read_version + startingVersion at the current "
                     "head"
                 ) from ex
-            # outside the try: shape-guard refusals are permanent
-            # unsupported-feature errors and must not be rewrapped as a
-            # retention gap with re-bootstrap advice
             colmap = self._colmap_for(_col_mapping(m))
-            self._check_physical_shapes(m, v)
+            # per-version nested translation (planner-only
+            # constructions may skip __init__ — the getattr defaults
+            # inside resolve like an unmapped table)
+            nmaps = self._nested_maps_for(m)
             if "change_files" in m:
                 # the commit recorded its exact change set at commit
                 # time (change_files=True on the DML / MERGE / OPTIMIZE

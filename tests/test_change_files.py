@@ -528,6 +528,62 @@ def test_overwrite_record_changes_refuses_schema_reshape(spark, table):
     assert not os.path.isdir(os.path.join(table, "_change_data"))
 
 
+def test_overwrite_record_changes_pure_rename(spark, table):
+    """A record_changes overwrite whose column set differs ONLY by a
+    pure rename (same arity, leftover columns pair 1:1 by position
+    with identical types) is accepted as a MAPPED rename (round 14):
+    the field id and frozen physical carry, the recorded delete side
+    conforms to the NEW name, and the stream/CDF see one field across
+    the commit."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        _col_mapping,
+        _load_manifest,
+        read_version,
+    )
+
+    write_version(spark, _df(spark, 0, 10).coalesce(2), table)  # v1
+    nxt = (
+        _df(spark, 5, 15)
+        .withColumnRenamed("v", "val")
+        .coalesce(2)
+    )
+    write_version(
+        spark, nxt, table, mode="overwrite", record_changes=True
+    )  # v2 — rename v -> val inside the overwrite
+    m2 = _load_manifest(table, None)
+    cm = _col_mapping(m2)
+    assert cm is not None
+    assert cm["fields"]["val"]["physical"] == "v"  # id + physical carried
+    assert "v" not in cm["fields"]
+    rows = read_changes(spark, table, 1, 2).collect()
+    got = sorted((r["id"], r["_change_type"], r["val"]) for r in rows)
+    # identical (5..9) pairs net away; the feed speaks the NEW name
+    assert got == [(i, "delete", i * 2) for i in range(0, 5)] + [
+        (i, "insert", i * 2) for i in range(10, 15)
+    ]
+    # the stream crosses the rename-overwrite under the head name
+    got_s = _drain(
+        spark, read_changes_stream(spark, table, starting_version=0)
+    )
+    assert "val" in got_s.columns and "v" not in got_s.columns
+    # time travel keeps v1's own name
+    assert "v" in read_version(spark, table, version=1).columns
+
+
+def test_overwrite_record_changes_rename_refusals_stay(spark, table):
+    """Genuine reshapes still refuse: a retyped pairing and an
+    arity change are not renames."""
+    write_version(spark, _df(spark, 0, 10).coalesce(1), table)
+    retyped = _df(spark, 0, 5).withColumn(
+        "w", F.col("v").cast("string")
+    ).drop("v")
+    with pytest.raises(ValueError, match="reshapes the schema"):
+        write_version(
+            spark, retyped, table, mode="overwrite", record_changes=True
+        )
+    assert not os.path.isdir(os.path.join(table, "_change_data"))
+
+
 def test_record_changes_and_change_files_mutually_exclusive(spark, table):
     with pytest.raises(ValueError, match="mutually exclusive"):
         write_version(

@@ -1034,12 +1034,13 @@ def test_stream_translates_nested_drop(spark, table):
     assert got[2]["meta"] is None
 
 
-def test_stream_refuses_retyped_physical_leaf(spark, table):
-    """A restructuring overwrite that RETYPES a shared physical leaf is
-    the one nested shape the by-name rebuild cannot deliver — pointed
-    plan-time refusal naming the batch hatch, never a retention
-    mislabel."""
-    from pyspark.errors.exceptions.captured import StreamingQueryException
+def test_stream_translates_retyped_physical_leaf(spark, table):
+    """A restructuring overwrite that RETYPES a shared physical leaf —
+    the one nested shape round 13 refused at plan time — now DELIVERS:
+    nested resolution is per version (round 14), so pre-overwrite files
+    read their own shape and the leaf rides Arrow's safe cast to the
+    head type (int → string here)."""
+    import uuid as _uuid
 
     from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.versioned_stream import (
         read_changes_stream,
@@ -1052,28 +1053,80 @@ def test_stream_refuses_retyped_physical_leaf(spark, table):
         "k int, meta struct<a:int,b:string>, "
         "items array<struct<i:string,n:string>>",
     )
-    # low-level hook: assert an (empty) change set so the ONLY refusal
-    # left is the shape guard itself
+    # low-level hook: assert an (empty) change set so the stream's own
+    # translation (not a recorded change file) serves the old versions
     write_version(
         spark, retyped.coalesce(1), table, mode="overwrite", change_files=[]
     )  # v3
-    with pytest.raises(StreamingQueryException) as ei:
-        import uuid as _uuid
+    name = f"nrt_{_uuid.uuid4().hex[:8]}"
+    q = (
+        read_changes_stream(spark, table)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = {r["k"]: r for r in spark.table(name).collect()}
+    # v1 rows deliver under the head shape: the retyped leaf casts
+    assert [it.asDict() for it in got[1]["items"]] == [
+        {"i": "1", "n": "p"},
+        {"i": "2", "n": "q"},
+    ]
+    assert got[1]["meta"].asDict() == {"a": 5, "b": "x"}
+    assert got[2]["items"] is None and got[2]["meta"] is None
+    # the overwrite's recorded (empty) change set contributes nothing
+    assert 9 not in got
 
-        q = (
-            read_changes_stream(spark, table)
-            .writeStream.format("memory")
-            .queryName(f"nrt_{_uuid.uuid4().hex[:8]}")
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            q.awaitTermination()
-    assert "DIFFERENT type" in str(ei.value)
-    assert "vacuum retention" not in str(ei.value)
+
+def test_stream_nested_resurrection_nulls(spark, table):
+    """Per-version nested resolution's id guard: a leaf renamed AWAY
+    (items.i → part_id) and then re-created by a restructuring
+    overwrite under the old name is a NEW field — streaming the
+    pre-rename versions must deliver NULL for it, never the renamed
+    field's old bytes."""
+    import uuid as _uuid
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sources.versioned_stream import (
+        read_changes_stream,
+    )
+
+    write_version(spark, _nested_df(spark).coalesce(1), table)  # v1
+    rename_column(table, "items.i", "part_id")  # v2 — mints the map
+    recreated = spark.createDataFrame(
+        [(9, {"a": 1, "b": "z"}, [{"i": 77, "n": "w"}])],
+        "k int, meta struct<a:int,b:string>, "
+        "items array<struct<i:int,n:string>>",
+    )
+    write_version(
+        spark, recreated.coalesce(1), table, mode="overwrite",
+        change_files=[],
+    )  # v3 — resets nested state; 'i' is a NEW field by construction
+    name = f"nres_{_uuid.uuid4().hex[:8]}"
+    q = (
+        read_changes_stream(spark, table)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = {r["k"]: r for r in spark.table(name).collect()}
+    # v1's bytes under physical 'i' belonged to the renamed-away
+    # part_id — the head's re-created 'i' reads NULL there; 'n' is the
+    # same field throughout and keeps its values
+    assert [it.asDict() for it in got[1]["items"]] == [
+        {"i": None, "n": "p"},
+        {"i": None, "n": "q"},
+    ]
 
 
 def test_overwrite_restructure_resets_nested_state(spark, table):
