@@ -2467,25 +2467,21 @@ REGISTRY.update(OPS_REGISTRY)
 # Driver-budget ordering. The grading driver checks the FIRST 50 registry
 # entries in insertion order (each CORRECTNESS_r{N} covers exactly
 # entries 1-50), so insertion order is a validation budget; testdata
-# regenerates between rounds, so green rows age. Round 13 spends the
+# regenerates between rounds, so green rows age. Round 14 spends the
 # budget, in order, on:
-#   (1) versioned_changes_recorded — added late in round 12 (the
-#       batch-CDF fast-path twin of streaming_cdf_rewrites), the one
-#       oracled entry with NO driver row yet (VERDICT r12 task #2
-#       names it first);
-#   (2) the three entries NEW this round — the change stream crossing
-#       a three-arm MERGE commit (streaming_merge_cdf), nested field
-#       ids in column mapping (versioned_nested_mapping), and renames
-#       on stats-covered + Bloom-indexed columns
-#       (versioned_rename_stats);
-#   (3) ALL 30 remaining oracled r8-stale entries (their last green
-#       driver row is round 8 — four testdata generations old);
-#   (4) the 16 STALEST r9 rows by the same deterministic criterion as
-#       r12 ((penultimate green round, total green rows) ascending):
-#       image_corpus_manifest (single r9 row), then 15 of the
-#       [1,4,9]-history group alphabetically.
-# After this round every oracled entry's latest driver row is r9 or
-# newer; the remaining [1,4,9]/[5,6,9] r9 rows rotate in r14. The
+#   (1) the two entries NEW this round — partition-column renames
+#       under column mapping (versioned_partition_rename) and recorded
+#       stats on nested struct leaves (versioned_nested_stats);
+#   (2) ALL 28 remaining oracled r9-stale entries (their last green
+#       driver row is round 9 — five testdata generations old): the
+#       [1,4,9]-history tail, the [5,6,9] group, gopher_quality and
+#       simhash_pairs, alphabetically;
+#   (3) the 20 STALEST r10 rows by the same deterministic criterion
+#       as r12/r13 ((penultimate green round, total green rows)
+#       ascending, then alphabetical): the seven single-row r10
+#       entries, then 13 of the [5,6,10]-history group.
+# After this round every oracled entry's latest driver row is r10 or
+# newer; the remaining ~29 [5,6,10]/r10 rows rotate in r15. The
 # eight no-oracle entries (approx/seeded/iterative by design) are
 # EXCLUDED from the first 50 — they can only ever produce a rows-only
 # row; their hard-oracled exact twins carry the signal
@@ -2494,60 +2490,59 @@ REGISTRY.update(OPS_REGISTRY)
 # tests/test_oracle_parity.py.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # -- (1) the one entry with no driver row ----------------------------------
-    "versioned_changes_recorded",
-    # -- (2) new in round 13 ---------------------------------------------------
-    "streaming_merge_cdf",
-    "versioned_nested_mapping",
-    "versioned_rename_stats",
-    # -- (3) the 30 remaining r8-stale oracled entries -------------------------
-    "bloom_prejoin_revenue",
-    "cluster_sample_init",
-    "except_custkeys",
-    "gif_decode",
-    "grouping_sets",
-    "intersect_custkeys",
-    "ivf_topk_exact",
-    "jpeg_decode",
-    "json_extract",
-    "kmeans_assign_init",
-    "lsh_topk_exact",
-    "pivot_status",
-    "png_decode",
-    "quantity_quartiles",
-    "range_join_buckets",
-    "rolling_fingerprints",
-    "sessionize",
-    "streaming_dedup",
-    "text_stats",
-    "tfidf_topterms",
-    "token_count_bpe",
-    "top_supplier_per_nation",
-    "train_test_split",
-    "tumbling_window",
-    "user_features",
-    "video_frames",
-    "waiting_suppliers",
-    "window_percentiles",
-    "window_rank_lag",
-    "window_running",
-    # -- (4) the 16 stalest r9 rows ---------------------------------------------
-    "image_corpus_manifest",
-    "above_nation_avg",
-    "anti_join",
-    "branded_discount_revenue",
-    "cast_truncate",
-    "cube_flags",
-    "dedup_exact_docs",
-    "doc_fingerprint",
-    "dq_report",
-    "forecast_revenue",
-    "funnel_counts",
-    "join_enrich",
-    "late_ship_priority",
-    "nation_trade_volume",
-    "null_default",
-    "null_key_filter",
+    # -- (1) new in round 14 ---------------------------------------------------
+    "versioned_partition_rename",
+    "versioned_nested_stats",
+    # -- (2) the 28 remaining r9-stale oracled entries --------------------------
+    "boilerplate_removal",
+    "bpe_pair_counts",
+    "distinct_users_exact",
+    "gopher_quality",
+    "jpeg_progressive_decode",
+    "orders_by_month",
+    "pagerank_2iter",
+    "part_name_words",
+    "passage_dedup",
+    "price_quantiles_exact",
+    "pricing_summary",
+    "promo_revenue",
+    "region_revenue",
+    "rescale_pct",
+    "returned_items",
+    "rollup_status",
+    "scan_filter_project",
+    "scd2_customer_history",
+    "semi_join",
+    "shipping_priority",
+    "simhash_pairs",
+    "streaming_join",
+    "streaming_user_state",
+    "text_quality",
+    "top_ngrams",
+    "union_pages",
+    "webdataset_pipeline",
+    "zorder_key_events",
+    # -- (3) the 20 stalest r10 rows ---------------------------------------------
+    "c4_filters",
+    "domain_cap_sample",
+    "domain_group_split",
+    "mixture_plan",
+    "versioned_index_compaction",
+    "versioned_schema_evolution",
+    "versioned_tag_read",
+    "audio_meta",
+    "chunk_documents",
+    "cohort_retention",
+    "column_profile_events",
+    "compaction_roundtrip",
+    "csv_tolerant_read",
+    "flac_meta",
+    "gapfill_locf",
+    "heavy_hitter_words",
+    "html_strip",
+    "label_centroids",
+    "orc_roundtrip",
+    "outlier_events",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {

@@ -38,6 +38,7 @@ EXPECT_RAISE = {
     "versioned_optimize",  # packing zero rows is a documented refusal
     "versioned_optimize_incremental",  # same empty-snapshot refusal
     "versioned_rename_stats",  # its incremental optimize shares that refusal
+    "versioned_nested_stats",  # same empty-snapshot optimize refusal
     "versioned_changes_recorded",  # its COW update shares the empty-snapshot refusal
     "maintenance_advisor",  # its optimize step shares that refusal
     "versioned_scoped_dml",  # update on an empty snapshot is a documented refusal

@@ -31,7 +31,7 @@ NO_ORACLE = {
     "approx_price_quantiles",
 }
 
-EXPECTED_TOTAL = 235
+EXPECTED_TOTAL = 237
 EXPECTED_ORACLED = EXPECTED_TOTAL - len(NO_ORACLE)
 
 
