@@ -293,14 +293,17 @@ def build_file_bloom_index(
     # or a literal?): a table path containing a space then failed every
     # identity comparison and a pruned read silently dropped all files.
     # A full URI round-trips through urlparse+unquote unambiguously.
+    # key_col may be a DOTTED struct-leaf path (nested Bloom indexes,
+    # e.g. "rating.average") — alias to a stable internal name so the
+    # hash below never re-parses the path against the projected frame
     df = spark.read.parquet(*files).select(
-        F.col(key_col),
+        F.col(key_col).alias("__bloom_key"),
         F.col("_metadata.file_path").alias("file"),
     )
     seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_seed")
-    pos = F.pmod(F.xxhash64(F.col(key_col), F.col("_seed")), F.lit(m_bits))
+    pos = F.pmod(F.xxhash64(F.col("__bloom_key"), F.col("_seed")), F.lit(m_bits))
     return (
-        df.select("file", F.col(key_col), seeds)
+        df.select("file", F.col("__bloom_key"), seeds)
         .select("file", pos.alias("_pos"))
         .select(
             "file",
@@ -340,21 +343,26 @@ def bloom_qualified_files(
 
     if not len(keys):
         return set()
+    # the probe frame's column name is internal — ``key_col`` may be a
+    # dotted struct-leaf path (nested Bloom indexes) that F.col would
+    # re-parse as a path against this flat frame
     kdf = spark.createDataFrame(
-        [(x,) for x in keys], schema=StructType([StructField(key_col, key_type)])
+        [(x,) for x in keys],
+        schema=StructType([StructField("__bloom_key", key_type)]),
     )
+    kc = F.col("__bloom_key")
     seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_seed")
     probes = (
-        kdf.select(F.col(key_col), seeds)
+        kdf.select(kc, seeds)
         .select(
-            F.col(key_col),
+            kc,
             F.col("_seed"),
-            F.pmod(F.xxhash64(F.col(key_col), F.col("_seed")), F.lit(m_bits)).alias(
+            F.pmod(F.xxhash64(kc, F.col("_seed")), F.lit(m_bits)).alias(
                 "_pos"
             ),
         )
         .select(
-            F.col(key_col),
+            kc,
             F.col("_seed"),
             (F.col("_pos") / 64).cast("long").alias("word"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias(
@@ -365,7 +373,7 @@ def bloom_qualified_files(
     qualified = (
         index.join(F.broadcast(probes), "word")
         .filter(F.col("bits").bitwiseAND(F.col("_mask")) != 0)
-        .groupBy("file", key_col)
+        .groupBy("file", "__bloom_key")
         .agg(F.count_distinct("_seed").alias("_hits"))
         .filter(F.col("_hits") == k)
         .select("file")

@@ -1982,7 +1982,6 @@ def write_version(
     # names/dotted paths — staged files store physicals, and the keys
     # stay valid across any number of renames (physicals are frozen);
     # a dotted stats col addresses a struct LEAF (``rating.average``)
-    _sphys = _phys_names(eff_map)
     new_stats = _stats_for_files(
         spark, new_files, [_phys_path(eff_map, c) for c in eff_stats_cols]
     )
@@ -2091,7 +2090,7 @@ def write_version(
             )
         else:
             geo = _resolve_index_geometry(
-                table_dir, _sphys.get(col, col), v - 1, explicit
+                table_dir, _phys_path(eff_map, col), v - 1, explicit
             )
             if geo is None:
                 write_bloom_index(spark, table_dir, col, version=v)
@@ -4187,10 +4186,10 @@ def restore_version(
             _discard_staged(cf)
         raise
     index_result: dict[str, str] = {}
-    _rphys = _phys_names(_col_mapping(target))
+    _rmap = _col_mapping(target)
     for col in index_cols:
         if (
-            _resolve_probe_index(table_dir, target, _rphys.get(col, col))
+            _resolve_probe_index(table_dir, target, _phys_path(_rmap, col))
             is not None
         ):
             # the target's index covers exactly the restored file set —
@@ -4205,7 +4204,7 @@ def restore_version(
             index_result[col] = "chained"
         else:
             geo = _resolve_index_geometry(
-                table_dir, _rphys.get(col, col), v - 1, None
+                table_dir, _phys_path(_rmap, col), v - 1, None
             )
             if geo is None:
                 write_bloom_index(spark, table_dir, col, version=v)
@@ -5586,7 +5585,7 @@ def index_params(
             raise ValueError(f"no committed versions under {table_dir!r}")
         version = vs[-1]
     m = _load_manifest(table_dir, version)
-    kphys = _phys_names(_col_mapping(m)).get(key_col, key_col)
+    kphys = _phys_path(_col_mapping(m), key_col)
     hit = _resolve_probe_index(table_dir, m, kphys)
     return hit[1] if hit is not None else None
 
@@ -5625,7 +5624,7 @@ def write_bloom_index(
 
     m = _load_manifest(table_dir, version)
     v = m["version"]
-    key_col = _phys_names(_col_mapping(m)).get(key_col, key_col)
+    key_col = _phys_path(_col_mapping(m), key_col)
     # Chained indexes carry this version's dir BY REFERENCE
     # (maintain_bloom_index): a later version probes the union of its
     # chain's dirs with ITS recorded geometry. Rebuilding this dir in
@@ -5722,9 +5721,9 @@ def maintain_bloom_index(
     """
     from ..operators.lake import build_file_bloom_index
 
-    kphys = _phys_names(
-        _col_mapping(_load_manifest(table_dir, version))
-    ).get(key_col, key_col)
+    kphys = _phys_path(
+        _col_mapping(_load_manifest(table_dir, version)), key_col
+    )
     # resolve the prior link through metadata-only commits (a rename /
     # constraint commit between two appends must not force a rebuild)
     hit = _resolve_probe_index(
@@ -5882,7 +5881,7 @@ def read_version_pruned(
 
         types = None
         for col, vals in keys.items():
-            cphys = _pphys.get(col, col)
+            cphys = _phys_path(_prm, col)
             hit = _resolve_probe_index(table_dir, m, cphys)
             if hit is None:
                 continue  # no usable at-rest index: no pruning
@@ -5902,6 +5901,18 @@ def read_version_pruned(
                 else:
                     sch = spark.read.parquet(*m["files"]).schema
                 types = {f.name: f.dataType for f in sch}
+
+            def _leaf_type(c: str):
+                # dotted LOGICAL paths resolve to the nested leaf's
+                # recorded type (exact top-level names win, mirroring
+                # _phys_path); the probe must hash the type the build
+                # read from the files
+                if c in types or "." not in c:
+                    return types[c]
+                parts = c.split(".")
+                _, leaf = _resolve_nested(types[parts[0]], parts[1:])
+                return leaf.dataType
+
             try:
                 qualified = {
                     _local_path(q)
@@ -5909,7 +5920,7 @@ def read_version_pruned(
                         spark,
                         spark.read.parquet(*idx_dirs),
                         col,
-                        types[col],
+                        _leaf_type(col),
                         list(vals),
                         m_bits=int(params["m_bits"]),
                         k=int(params["k"]),

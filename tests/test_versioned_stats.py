@@ -272,3 +272,48 @@ def test_nested_leaf_stats_drop_scrubs(spark, table):
     assert all("rating.average" not in e for e in m["stats"].values())
     rep = verify_table(spark, table, deep=True)
     assert rep["ok"] and rep["checks"]["stats_envelopes"]["ok"]
+
+
+# ---------------------------------------------------------------------------
+# round 14: nested-leaf Bloom indexes (dotted index_cols)
+# ---------------------------------------------------------------------------
+
+
+def test_nested_leaf_bloom_index_prunes_and_survives_rename(spark, table):
+    """index_cols accepts a dotted struct-leaf path: the at-rest Bloom
+    chain builds over the leaf's frozen physical path, equality probes
+    under the dotted name prune files, and both the leaf rename and the
+    chained append keep working."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        rename_column,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.struct(
+            ((F.col("id") * 7) % 1999).alias("sku"),
+            F.lit("x").alias("tag"),
+        ).alias("meta"),
+    )
+    write_version(spark, df.repartition(6), table, index_cols=["meta.sku"])
+    out, info = read_version_pruned(spark, table, keys={"meta.sku": [7]})
+    assert info["files_read"] < info["files_total"]
+    assert out.count() == 1
+    rename_column(table, "meta.sku", "item")
+    out2, info2 = read_version_pruned(spark, table, keys={"meta.item": [7]})
+    assert info2["files_read"] < info2["files_total"]
+    assert out2.count() == 1
+    inc = spark.range(2000, 2400).select(
+        F.col("id"),
+        F.struct(
+            ((F.col("id") * 7) % 1999).alias("item"),
+            F.lit("y").alias("tag"),
+        ).alias("meta"),
+    )
+    write_version(
+        spark, inc.repartition(2), table, mode="append",
+        index_cols=["meta.item"],
+    )
+    out3, info3 = read_version_pruned(spark, table, keys={"meta.item": [3]})
+    assert info3["files_read"] < info3["files_total"]
+    assert out3.count() == 2  # 3*7^-1 mod 1999 appears once per range
