@@ -156,10 +156,13 @@ def semantic_dedup(
     per-pair interpreted expressions (the Catalyst-HOF form stalled at
     minutes for a 1.9k-row cluster in the 30× smoke; this kernel does
     the same cluster in milliseconds) — and it is exactly how the
-    paper computes it (per-cluster similarity matrix). Per-task memory
-    is |cluster|² floats, so a FIXED k is a scale cliff: the 100×
-    smoke measured k=8 over 200k vectors at 201s with ~5 GB sims
-    matrices per task. Pass ``target_cluster_size`` (the production
+    paper computes it (per-cluster similarity matrix, here evaluated
+    in row SLABS of ~256 MB so per-task memory is bounded regardless
+    of cluster size — round 14: the full |cluster|² materialization
+    made 100× wall time swing 137-546s with allocation luck across the
+    8 concurrent tasks; slabs also halve the FLOPs, computing only
+    columns j < i). Compute is still Σ|cluster|², so a FIXED k is a
+    scale cliff. Pass ``target_cluster_size`` (the production
     setting) and k scales with the data instead —
     ``k = max(k, ⌈n / target⌉)`` (one count job; the paper runs tens
     of thousands of clusters the same way), which bounds per-task
@@ -256,10 +259,25 @@ def semantic_dedup(
         n = np.linalg.norm(x, axis=1)
         n[n == 0] = 1.0
         xn = x / n[:, None]
-        sims = np.round(xn @ xn.T, rt)
         # greedy keep-lowest: row i drops iff some j < i (id order) has
-        # sim >= t — one strict-lower-triangle reduction, no Python loop
-        drop = ((sims >= t) & np.tri(len(ids), k=-1, dtype=bool)).any(axis=1)
+        # sim >= t — a pure existence test over the strict lower
+        # triangle, so it evaluates in ROW BLOCKS with results
+        # bit-identical to the full matrix (same products, same
+        # rounding). The full |cluster|² sims materialization was the
+        # measured variance mechanism at 100× (round 14, SCALING.md):
+        # 8 concurrent tasks × (5 GB matrix + GEMM temp + round copy)
+        # co-scheduled against executor memory, so wall time swung
+        # 137-546s with allocation luck. Slabs bound each task at
+        # ~256 MB regardless of cluster size, and only columns j < i
+        # ever compute — half the FLOPs of the square form.
+        n_rows = len(ids)
+        blk = max(128, (256 << 20) // (8 * max(n_rows, 1)))
+        drop = np.zeros(n_rows, dtype=bool)
+        for s in range(0, n_rows, blk):
+            e = min(s + blk, n_rows)
+            ge = np.round(xn[s:e] @ xn[:e].T, rt) >= t
+            ge[:, s:e] &= np.tri(e - s, k=-1, dtype=bool)
+            drop[s:e] = ge.any(axis=1)
         return pd.DataFrame(
             {
                 id_col: ids[order],
