@@ -681,6 +681,70 @@ def _carried_mapping(base: dict | None) -> dict:
     return {"column_mapping": cm} if cm else {}
 
 
+def _refuse_repeated_leaf(schema, cols, what: str) -> None:
+    """Dotted ``stats_cols`` / ``index_cols`` must reach an ATOMIC
+    struct leaf through STRUCT levels only. A path crossing an array
+    (or map) level, or ending on a non-atomic node, records metadata
+    no probe can ever use — parquet keys repeated leaves under the
+    ``list.element`` path form so footer envelopes never match, and a
+    Bloom build would hash whole arrays while probes hash scalar keys
+    — and the failure would otherwise surface LOUD-LATE at read time
+    (the exact filter refuses ``array >= scalar``) on a table that
+    paid for the dead metadata on every commit. Refuse at record/build
+    time instead. ``schema`` is the LOGICAL schema the paths address;
+    a literal-dotted top-level name is its own column (exact match
+    wins, mirroring :func:`_phys_path`) and missing names fall through
+    to the sites that already diagnose them."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    tops = {f.name: f.dataType for f in schema.fields}
+    for col in cols:
+        if col in tops or "." not in col:
+            continue
+        parts = col.split(".")
+        cur = tops.get(parts[0])
+        if cur is None:
+            continue
+        for depth, p in enumerate(parts[1:], start=1):
+            if isinstance(cur, (ArrayType, MapType)):
+                raise ValueError(
+                    f"{what} {col!r} crosses a repeated level at "
+                    f"{'.'.join(parts[:depth])!r} — dotted {what} "
+                    "paths must reach a scalar leaf through structs "
+                    "only (parquet keys repeated leaves per-element, "
+                    "so recorded envelopes/index rows could never "
+                    "match a probe)"
+                )
+            if not isinstance(cur, StructType):
+                break  # non-struct component: resolution diagnoses it
+            nxt = [f for f in cur.fields if f.name == p]
+            if not nxt:
+                break  # missing field: resolution diagnoses it
+            cur = nxt[0].dataType
+        else:
+            if isinstance(cur, (ArrayType, MapType, StructType)):
+                raise ValueError(
+                    f"{what} {col!r} addresses a non-atomic node "
+                    f"({cur.simpleString()[:40]}) — dotted {what} "
+                    "paths must end on a scalar struct leaf"
+                )
+
+
+def _refuse_repeated_leaf_m(m: dict | None, cols, what: str) -> None:
+    """:func:`_refuse_repeated_leaf` against a manifest's recorded
+    LOGICAL schema (no-op without one) — the early guard for the DML
+    and index entry points, which must refuse BEFORE staging or
+    committing (an index maintenance raise after commit would leave a
+    committed version with its index chain silently unmaintained)."""
+    if not cols or not m or not m.get("schema"):
+        return
+    from pyspark.sql.types import StructType
+
+    _refuse_repeated_leaf(
+        StructType.fromJson(json.loads(m["schema"])), cols, what
+    )
+
+
 def _qcol(name: str):
     """Column reference by EXACT top-level name — a literal dot (legal
     in Spark column names) must not parse as a nested path."""
@@ -1659,6 +1723,10 @@ def write_version(
         # happens below, on the head manifest the mapping block already
         # loads once
         _refuse_change_clash(df.columns)
+    # dotted stats/index paths validate BEFORE staging too (loud-early;
+    # inherited stats_cols were validated at their own record time)
+    _refuse_repeated_leaf(df.schema, stats_cols, "stats_cols")
+    _refuse_repeated_leaf(df.schema, index_cols, "index_cols")
     rc_base: dict | None = None
     rc_renames: dict[str, str] = {}
     if mode == "append":
@@ -2308,6 +2376,7 @@ def merge_version(
             result["change_files_added"] = len(m.get("change_files") or [])
         return result
     base = _load_manifest(table_dir, base_version)
+    _refuse_repeated_leaf_m(base, index_cols, "index_cols")
     # schema-on-write (same gate as write_version's append): refuse a
     # divergent increment unless merge_schema=True, then conform BOTH
     # sides to the union schema — without this, select(*incoming.columns)
@@ -2543,6 +2612,7 @@ def delete_version(
         raise ValueError(f"mode must be cow|mor, got {mode!r}")
     cond = _scoped_cond(predicate, partition_scope)
     base = _load_manifest(table_dir, base_version)
+    _refuse_repeated_leaf_m(base, index_cols, "index_cols")
     cand = _partition_candidates(base, partition_scope)
     scan_files = base["files"] if cand is None else cand
     if mode == "mor":
@@ -2728,6 +2798,7 @@ def overwrite_partitions(
     from pyspark.sql import functions as F
 
     base = _load_manifest(table_dir, base_version)
+    _refuse_repeated_leaf_m(base, index_cols, "index_cols")
     pcols = list(base.get("partition_cols") or [])
     if not pcols:
         raise ValueError(
@@ -3182,6 +3253,7 @@ def update_version(
         raise ValueError("update_version: empty assignments")
     cond = _scoped_cond(predicate, partition_scope)
     base = _load_manifest(table_dir, base_version)
+    _refuse_repeated_leaf_m(base, index_cols, "index_cols")
     cand = _partition_candidates(base, partition_scope)
     scan_files = base["files"] if cand is None else cand
     if not base["files"]:
@@ -3719,6 +3791,7 @@ def optimize_table(
     from pyspark.sql import functions as F
 
     m = _load_manifest(table_dir, None)
+    _refuse_repeated_leaf_m(m, index_cols, "index_cols")
     if not m["files"] or not m["n_rows"]:
         raise ValueError("optimize on an empty snapshot — nothing to pack")
     if incremental:
@@ -4102,6 +4175,7 @@ def restore_version(
             )
         version = pinned[tag]
     target = _load_manifest(table_dir, version, branch)
+    _refuse_repeated_leaf_m(target, index_cols, "index_cols")
     cf: list[str] | None = None
     if change_files:
         if branch is not None:
@@ -5624,6 +5698,7 @@ def write_bloom_index(
 
     m = _load_manifest(table_dir, version)
     v = m["version"]
+    _refuse_repeated_leaf_m(m, [key_col], "index_cols")
     key_col = _phys_path(_col_mapping(m), key_col)
     # Chained indexes carry this version's dir BY REFERENCE
     # (maintain_bloom_index): a later version probes the union of its
@@ -5721,9 +5796,9 @@ def maintain_bloom_index(
     """
     from ..operators.lake import build_file_bloom_index
 
-    kphys = _phys_path(
-        _col_mapping(_load_manifest(table_dir, version)), key_col
-    )
+    _m_here = _load_manifest(table_dir, version)
+    _refuse_repeated_leaf_m(_m_here, [key_col], "index_cols")
+    kphys = _phys_path(_col_mapping(_m_here), key_col)
     # resolve the prior link through metadata-only commits (a rename /
     # constraint commit between two appends must not force a rebuild)
     hit = _resolve_probe_index(

@@ -317,3 +317,49 @@ def test_nested_leaf_bloom_index_prunes_and_survives_rename(spark, table):
     out3, info3 = read_version_pruned(spark, table, keys={"meta.item": [3]})
     assert info3["files_read"] < info3["files_total"]
     assert out3.count() == 2  # 3*7^-1 mod 1999 appears once per range
+
+
+def test_repeated_leaf_paths_refuse_loud_early(spark, table):
+    """Dotted stats/index paths crossing an array (or ending on a
+    non-atomic node) refuse at RECORD/BUILD time — before any staging
+    — instead of recording metadata no probe can use and failing
+    loud-late at read time (the exact filter would refuse
+    ``array >= scalar`` only once a user probed)."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        write_bloom_index,
+    )
+
+    df = spark.range(50).select(
+        F.col("id"),
+        F.array(F.struct(F.col("id").alias("aid"))).alias("authors"),
+        F.struct(
+            (F.col("id") % 5).cast("int").alias("sku"),
+            F.array(F.lit("x")).alias("tags"),
+        ).alias("meta"),
+    )
+    with pytest.raises(ValueError, match="crosses a repeated level"):
+        write_version(spark, df, table, stats_cols=["authors.aid"])
+    with pytest.raises(ValueError, match="crosses a repeated level"):
+        write_version(spark, df, table, index_cols=["authors.aid"])
+    with pytest.raises(ValueError, match="non-atomic node"):
+        write_version(spark, df, table, stats_cols=["meta.tags"])
+    # nothing staged by the refusals
+    import os
+
+    assert not os.path.exists(table)
+    write_version(spark, df, table, stats_cols=["meta.sku"])
+    # direct index build and the DML entry points refuse EARLY too
+    # (an index raise after commit would strand the chain)
+    with pytest.raises(ValueError, match="crosses a repeated level"):
+        write_bloom_index(spark, table, "authors.aid")
+    v_before = _load_manifest(table, None)["version"]
+    with pytest.raises(ValueError, match="crosses a repeated level"):
+        delete_version(
+            spark, table, F.col("id") < 5, index_cols=["authors.aid"]
+        )
+    assert _load_manifest(table, None)["version"] == v_before
+    # the valid dotted leaf records and probes fine alongside
+    _, info = read_version_pruned(
+        spark, table, ranges={"meta.sku": (0.0, 1.0)}
+    )
+    assert info["footer_files"] == 0
