@@ -2239,7 +2239,17 @@ def _write_data_files(
 ) -> tuple[list[str], int]:
     """Stage ``df`` under a fresh immutable commit subdirectory; return
     (file list, row count). ``mapping``: stage under PHYSICAL names
-    (column mapping — see :func:`_to_physical`)."""
+    (column mapping — see :func:`_to_physical`).
+
+    A ZERO-row frame stages nothing: Spark emits one empty part file
+    to carry the schema, but recording it would cost a dead file in
+    the manifest forever — carried through every later commit, probed
+    by every stats/Bloom pass (an empty file has no row groups, so it
+    degrades covered reads to a footer pass) — and the manifest's own
+    ``schema`` JSON already carries the schema for file-less
+    snapshots, which every reader handles. The common producer is the
+    partition-DML form (``delete_version(predicate=None,
+    partition_scope=...)``: every scanned row dies, zero survivors)."""
     data_dir = os.path.join(table_dir, "data", uuid.uuid4().hex)
     _to_physical(df, mapping).write.parquet(data_dir)
     files = sorted(
@@ -2247,7 +2257,13 @@ def _write_data_files(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
-    return files, spark.read.parquet(data_dir).count()
+    n = spark.read.parquet(data_dir).count() if files else 0
+    if files and n == 0:
+        import shutil
+
+        shutil.rmtree(data_dir, ignore_errors=True)
+        return [], 0
+    return files, n
 
 
 def merge_version(
@@ -5194,24 +5210,41 @@ def read_changes(
     # duplicate-physical hazard — force the snapshot diff there.
     nested_cast: dict[str, object] = {}
     nested_layout_conflict = False
-    if map_from and map_to:
+    if map_to and (map_from or from_version > 0):
         from pyspark.sql.types import StructField
 
         to_types = {f.name: f.dataType for f in sch_to.fields}
         ft_types = {f.name: f.dataType for f in sch_from.fields}
-        e_from_by_id = {
-            e["id"]: (l, e) for l, e in map_from["fields"].items()
-        }
+        e_from_by_id = (
+            {e["id"]: (l, e) for l, e in map_from["fields"].items()}
+            if map_from
+            else None
+        )
         for l_to, e_to in map_to["fields"].items():
-            hit = e_from_by_id.get(e_to["id"])
-            if not hit:
-                continue
-            l_from_orig, e_from = hit
-            l_shared = ren_from.get(l_from_orig, l_from_orig)
+            if e_from_by_id is not None:
+                hit = e_from_by_id.get(e_to["id"])
+                if not hit:
+                    continue
+                l_from_orig, e_from = hit
+                l_shared = ren_from.get(l_from_orig, l_from_orig)
+                from_nested = _nested_of(e_from)
+            else:
+                # PRE-MAPPING from side (the mapping was minted inside
+                # the range): its logical names AND nested layout ARE
+                # its physical ones — the ren_from branch above already
+                # re-aliased the matched column to the to-side logical,
+                # and its nested layout compares as identity (the
+                # nested analog of that branch: a pure leaf/enclosing
+                # rename leaves the physical shape equal, so it casts;
+                # a restructure differs and refuses below)
+                l_shared = l_to if l_to in ft_types else None
+                if l_shared is None:
+                    continue
+                from_nested = {}
             ft, tt = ft_types.get(l_shared), to_types.get(l_to)
             if ft is None or tt is None:
                 continue
-            pf = _phys_dtype(ft, _nested_of(e_from))
+            pf = _phys_dtype(ft, from_nested)
             pt = _phys_dtype(tt, _nested_of(e_to))
             if ft != tt and pf == pt:
                 nested_cast[l_shared] = tt

@@ -1317,3 +1317,116 @@ def test_literal_dotted_toplevel_column_still_renames(spark, table):
     assert "ab" in m["column_mapping"]["fields"]
     got = read_version(spark, table)
     assert got.columns == ["id", "ab"]
+
+
+def test_round14_features_compose_in_one_lifecycle(spark, table):
+    """All round-14 capabilities on ONE table, because interactions are
+    where defects hide: hive partitioning + nested stats + nested Bloom
+    → partition-column rename + leaf rename + ENCLOSING rename → append
+    under the new names (layout, stats coverage and index chain all
+    inherit) → scoped partition replace + partition-scoped DELETE under
+    the new names → partition/range/Bloom pruning all metadata-only →
+    snapshot-diff CDF across every rename by field id → deep fsck."""
+    from bigbookapi_etl_with_airflow_and_snowflake_spark.sinks.versioned import (
+        delete_version,
+        overwrite_partitions,
+        read_changes,
+        read_version,
+        read_version_pruned,
+        rename_column,
+        verify_table,
+        write_version,
+    )
+
+    def frame(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.col("id"),
+                F.concat(F.lit("c"), (F.col("id") % 3).cast("string")).alias(
+                    "cat"
+                ),
+                F.struct(
+                    (F.col("id") % 100).cast("double").alias("price"),
+                    (F.col("id") % 17).cast("long").alias("sku"),
+                ).alias("meta"),
+            )
+            .repartitionByRange(3, "meta.price")
+        )
+
+    write_version(
+        spark, frame(0, 600), table, partition_by=["cat"],
+        stats_cols=["meta.price"], index_cols=["meta.sku"],
+    )  # v1
+    rename_column(table, "cat", "category")          # v2 metadata-only
+    rename_column(table, "meta.price", "cost")       # v3 metadata-only
+    rename_column(table, "meta", "info")             # v4 enclosing
+    m = _load_manifest(table, None)
+    assert m["stats_cols"] == ["info.cost"]
+    assert m["partition_cols"] == ["cat"]  # frozen physical key
+    write_version(
+        spark,
+        frame(600, 900)
+        .withColumnRenamed("cat", "category")
+        .withColumnRenamed("meta", "info")
+        .withColumn(
+            "info",
+            F.struct(
+                F.col("info.price").alias("cost"),
+                F.col("info.sku").alias("sku"),
+            ),
+        ),
+        table,
+        mode="append",
+        index_cols=["info.sku"],
+    )  # v5 — inherits layout + stats under the new names, chains index
+    repl = (
+        spark.range(0, 50)
+        .select(
+            (F.col("id") + 10_000).alias("id"),
+            F.lit("c1").alias("category"),
+            F.struct(
+                F.lit(7.0).alias("cost"), F.lit(3).cast("long").alias("sku")
+            ).alias("info"),
+        )
+    )
+    rep = overwrite_partitions(
+        spark, repl, table, partition_scope={"category": ["c1"]}
+    )  # v6 — scope under the NEW name
+    assert rep["files_replaced"] > 0 and rep["files_rewritten"] == 0
+    delete_version(
+        spark, table, None, partition_scope={"category": ["c2"]}
+    )  # v7 — drops the c2 partition wholesale
+    # pruning: partition (zero IO), nested range (zero footers), Bloom
+    _, pi = read_version_pruned(spark, table, keys={"category": ["c0"]})
+    assert pi["partition_skipped"] > 0 and pi["files_read"] < pi["files_total"]
+    _, ri = read_version_pruned(spark, table, ranges={"info.cost": (0.0, 20.0)})
+    assert ri["files_read"] < ri["files_total"] and ri["footer_files"] == 0
+    bdf, bi = read_version_pruned(spark, table, keys={"info.sku": [3]})
+    assert bdf.filter(F.col("info.sku") != 3).count() == 0
+    # final content: c0 evens/odds survive, c1 replaced, c2 gone
+    final = read_version(spark, table)
+    assert final.columns == ["id", "category", "info"]
+    got = {
+        (r["category"], r["cnt"])
+        for r in final.groupBy("category").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == {("c0", 300), ("c1", 50)}
+    # CDF v1→head NETS the endpoint snapshots across every rename by
+    # field id (the pre-mapping v1 resolves through the to-side's
+    # frozen physicals, nested layout included): v1's c1/c2 originals
+    # LEAVE (200 each — the appended c1/c2 rows entered AND left
+    # inside the range, so the net diff correctly drops them), the 50
+    # replacements and the 100 appended c0 rows ARRIVE
+    ch = read_changes(spark, table, 1, _load_manifest(table, None)["version"])
+    assert set(ch.columns) == {"id", "category", "info", "_change_type"}
+    byt = {
+        (r["_change_type"], r["category"]): r["cnt"]
+        for r in ch.groupBy("_change_type", "category")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert byt == {("delete", "c1"): 200, ("delete", "c2"): 200,
+                   ("insert", "c1"): 50, ("insert", "c0"): 100}
+    rep2 = verify_table(spark, table, deep=True)
+    assert rep2["ok"]

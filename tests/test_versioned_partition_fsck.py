@@ -124,15 +124,29 @@ def test_cow_rewrite_degrades_conservatively(spark, sf_dir, table):
     write_version(
         spark, e.repartition("event_type"), table, partition_by=["event_type"]
     )
-    # COW delete scoped to one partition: its files rewrite and lose
-    # map entries; reads stay exact, pruning stays conservative
-    delete_version(spark, table, F.col("event_type") == "view")
+    # PARTIAL COW delete inside one partition: the touched file
+    # rewrites with its surviving rows and loses its map entry; reads
+    # stay exact, pruning stays conservative
+    delete_version(
+        spark,
+        table,
+        (F.col("event_type") == "view") & (F.col("event_id") % 2 == 0),
+    )
     m = _load_manifest(table, 2)
     assert m["partition_cols"] == ["event_type"]
     assert len(m["partitions"]) < len(m["files"])  # rewritten files unmapped
     df, info = read_version_pruned(spark, table, keys={"event_type": ["click"]})
     assert df.count() == e.filter(F.col("event_type") == "click").count()
     assert info["partition_skipped"] > 0  # mapped non-click files still skip
+    # a FULL delete of a partition's rows stages NO survivor file at
+    # all (zero-row staging is dropped), so every remaining file keeps
+    # its map entry and pruning stays exact — no unmapped degradation
+    delete_version(spark, table, F.col("event_type") == "view")
+    m3 = _load_manifest(table, 3)
+    assert set(m3["partitions"]) == set(m3["files"])  # fully mapped again
+    assert read_version(spark, table).filter(
+        F.col("event_type") == "view"
+    ).count() == 0
 
 
 def test_mor_delete_applies_on_pruned_partition_read(spark, sf_dir, table):
