@@ -372,15 +372,48 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: ``mh{i} = min(md5(shingle ⊕ seed_i))``.
 
-    Computed as ``num_hashes`` min-aggregates over the exploded shingle
-    table: shingling runs once, map-side partial mins shrink the shuffle
-    to one narrow row per (doc, partition), and the doc_id grouping key
-    is unique → skew-free. (An array-expression variant without the
-    shuffle exists, but optimizer project-collapsing re-inlined the
-    shingling per hash — the aggregate form is robust.)
+    Round 14 (optimization guide §2.4): computed as ``num_hashes``
+    ``array_min(transform(...))`` reductions over the doc's OWN shingle
+    array — a pure map, no explode, no shuffle, no aggregation. The
+    aggregate form (min-aggregates over the exploded shingle table)
+    forced a SortAggregate pair around a full exchange, because min
+    over md5 STRINGS has no mutable hash-agg buffer. The earlier
+    objection to an array-expression variant — optimizer
+    project-collapsing re-inlining the shingling once per hash — is
+    disarmed the same way word_shingles disarms it for the tokenizer:
+    the shingle array is ``bind``-ed into ONE lambda that emits the
+    whole signature struct, so it is evaluated once per row no matter
+    how the projections collapse (verified in the plan: one
+    ``split(trim(...))`` per side). Docs with no shingles are excluded
+    up front by the cheap token-count predicate (shingle-less ⇔ fewer
+    than ``n`` tokens — see word_shingles_from_tokens), exactly as the
+    aggregate form emitted no group for them; filtering on the raw text
+    instead of on a NULL min keeps the expensive signature expression
+    out of the filter (a pushed-down filter on ``mh0`` would re-inline
+    and re-evaluate it).
     """
-    sh = shingle_table(df, text_col, id_col, n)
-    return _signatures_from_shingles(sh, id_col, num_hashes)
+    from .text import token_count
+
+    sig = bind(
+        word_shingles(F.col(text_col), n),
+        lambda sh: F.struct(
+            *[
+                F.array_min(
+                    F.transform(
+                        sh, lambda x: F.md5(F.concat(x, F.lit(f"#seed{i}")))
+                    )
+                ).alias(f"mh{i}")
+                for i in range(num_hashes)
+            ]
+        ),
+    )
+    return (
+        df.filter(token_count(F.col(text_col)) >= n)
+        .select(F.col(id_col), sig.alias("__mh"))
+        .select(
+            F.col(id_col), *[F.col(f"__mh.mh{i}").alias(f"mh{i}") for i in range(num_hashes)]
+        )
+    )
 
 
 def _signatures_from_shingles(
@@ -427,6 +460,59 @@ def minhash_band_keys(
     )
 
 
+def band_keys_from_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """(id, band_key) rows straight from text — the fused, shuffle-free
+    form of ``minhash_signatures`` → ``minhash_band_keys``.
+
+    The per-doc MinHash ``min(md5(shingle ⊕ seed))`` is an array
+    reduction over the doc's OWN shingle array (word_shingles already
+    materializes it per row), so it needs no explode and no aggregation
+    at all: ``array_min(transform(...))`` per seed inside one ``bind``
+    lambda (single evaluation of the shingle array per row, same
+    discipline as word_shingles itself). The aggregate form forced a
+    SortAggregate pair around a full shuffle of the exploded shingle
+    table — min over md5 STRINGS has no mutable hash-agg buffer — which
+    this removes outright (optimization guide §2.4: remove shuffles; a
+    map beats partial-agg + exchange + two sorts).
+
+    Band keys are byte-identical to the aggregate form's
+    (``concat_ws('|', b, mh..)`` == the explicit ``concat`` here on
+    non-null mins); a shingle-less doc (text shorter than ``n`` words)
+    yields NULL mins → NULL keys, dropped like the aggregate form drops
+    the whole group (min over md5 of an empty set has no row to emit).
+    """
+    n_bands = num_hashes // rows_per_band
+
+    def keys(sh: Column) -> Column:
+        def mh(i: int) -> Column:
+            return F.array_min(
+                F.transform(sh, lambda x: F.md5(F.concat(x, F.lit(f"#seed{i}"))))
+            )
+
+        def band(b: int) -> Column:
+            parts: list[Column] = [F.lit(str(b))]
+            for r in range(rows_per_band):
+                parts.append(F.lit("|"))
+                parts.append(mh(b * rows_per_band + r))
+            # concat (not concat_ws): NULL mins must poison the key so
+            # shingle-less docs drop out, matching the aggregate form
+            return F.concat(*parts)
+
+        return F.array(*[band(b) for b in range(n_bands)])
+
+    return df.select(
+        F.col(id_col),
+        F.explode(bind(word_shingles(F.col(text_col), n), keys)).alias("band_key"),
+    ).filter(F.col("band_key").isNotNull())
+
+
 def minhash_band_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -437,13 +523,15 @@ def minhash_band_pairs(
 ) -> DataFrame:
     """LSH banding over MinHash signatures → candidate near-dup pairs.
 
-    Bands of ``rows_per_band`` hashes concatenate into bucket keys; the
-    inverted index over band keys yields pairs (computed once — the
-    signature stage is not re-derived per join side). Output: distinct
-    (id_a, id_b), id_a < id_b.
+    Band keys come from the fused shuffle-free
+    :func:`band_keys_from_text` (round 14 — the signature aggregate's
+    SortAggregate/Exchange pair is gone; the whole left side of the
+    candidate join is now a pure map). Output: distinct (id_a, id_b),
+    id_a < id_b.
     """
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
-    bands = minhash_band_keys(sig, id_col, num_hashes, rows_per_band)
+    bands = band_keys_from_text(
+        df, text_col, id_col, num_hashes, rows_per_band, n
+    )
     return _bucket_pairs(bands, "band_key", id_col).distinct()
 
 
@@ -497,13 +585,14 @@ def fuzzy_decontaminate(
 
     tr_sh = shingle_table(train, text_col, id_col, n)
     ev_sh = shingle_table(eval_df, text_col, id_col, n)
-    tr_bands = minhash_band_keys(
-        _signatures_from_shingles(tr_sh, id_col, num_hashes),
-        id_col, num_hashes, rows_per_band,
+    # round 14: band keys via the fused array-expression path (no
+    # explode/SortAggregate/exchange per side — see band_keys_from_text);
+    # keys are byte-identical to the aggregate form's
+    tr_bands = band_keys_from_text(
+        train, text_col, id_col, num_hashes, rows_per_band, n
     ).select(F.col(id_col).alias("doc_id"), "band_key")
-    ev_bands = minhash_band_keys(
-        _signatures_from_shingles(ev_sh, id_col, num_hashes),
-        id_col, num_hashes, rows_per_band,
+    ev_bands = band_keys_from_text(
+        eval_df, text_col, id_col, num_hashes, rows_per_band, n
     ).select(F.col(id_col).alias("eval_id"), "band_key")
     cand = (
         tr_bands.join(F.broadcast(ev_bands), "band_key")

@@ -374,8 +374,11 @@ def embedding_neardup_pairs(
             return empty
         a_ids = lpdf["_id"].to_numpy(dtype=np.int64)
         b_ids = rpdf["_rid"].to_numpy(dtype=np.int64)
-        a = np.array([list(v) for v in lpdf["_vec"]], dtype=np.float64)
-        b = np.array([list(v) for v in rpdf["_rvec"]], dtype=np.float64)
+        # np.stack over the Arrow-delivered per-row ndarrays: one C-level
+        # copy per row instead of a Python list() of every element
+        # (optimization guide §4.2 — keep per-batch work vectorized)
+        a = np.stack(lpdf["_vec"].to_numpy()).astype(np.float64, copy=False)
+        b = np.stack(rpdf["_rvec"].to_numpy()).astype(np.float64, copy=False)
         a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-300)
         b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-300)
         sims = np.round(a @ b.T, round_to)

@@ -480,39 +480,49 @@ WHERE s_suppkey IN (
 def q_waiting_suppliers(spark, sf):
     """TPC-H Q21 shape: suppliers who were the sole late shipper on a
     finished multi-supplier order (EXISTS + NOT EXISTS on the same
-    fact → semi join + anti join on distinct pairs).
+    fact, expressed as per-order supplier counts).
 
-    Scale: `late` is reduced to DISTINCT (orderkey, suppkey) pairs
-    before the self-joins, so both EXISTS checks join pair-sets (orders
-    × suppliers-per-order), not raw lineitems; all three joins share
-    the orderkey shuffle key."""
+    Scale (round-14 rewrite, optimization guide §2.3/§2.4): the
+    EXISTS/NOT EXISTS pair is a statement about the ORDER's supplier
+    sets — "some other supplier shipped" ⇔ the order has ≥ 2 distinct
+    suppliers, "no other supplier was late" ⇔ the order has exactly 1
+    late supplier — so instead of semi/anti self-joins (which scanned
+    lineitem three times and re-derived `late` twice behind a
+    sort-merge anti join) the fact is scanned ONCE, reduced to
+    (orderkey, suppkey, was_late) by one aggregation, then to per-order
+    counts by a second: waiting pairs = orders with n_late = 1 and
+    n_sup ≥ 2, keyed back to the lone late supplier. Equivalence: a
+    `late` pair (o, s) survives the original semi+anti exactly when
+    lineitem(o) holds another supplier (n_sup ≥ 2; s itself always
+    belongs, so "≥ 2" ⇔ "another exists") and late(o) holds no other
+    supplier (n_late = 1 with (o,s) late ⇔ s is the lone late
+    supplier). The EXISTS domain needs no status filter: l2 rows share
+    l1's orderkey, and that order IS status F."""
     li = _t(spark, sf, "lineitem")
     orders = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
     sup = _t(spark, sf, "supplier")
-    late = (
+    pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    l1 = late.alias("l1")
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = late.alias("l3")
-    waiting = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        ).join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+                ).cast("int")
+            ).alias("__late")
         )
     )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count("*").alias("__n_sup"),
+        F.sum("__late").alias("__n_late"),
+        F.max(F.when(F.col("__late") == 1, F.col("l_suppkey"))).alias("__late_sup"),
+    )
+    waiting = per_order.filter(
+        (F.col("__n_late") == 1) & (F.col("__n_sup") >= 2)
+    ).select(F.col("__late_sup").alias("l_suppkey"))
     return (
-        waiting.join(sup, F.col("l1.l_suppkey") == sup.s_suppkey)
+        waiting.join(sup, F.col("l_suppkey") == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -654,21 +664,28 @@ def q_decontaminate(spark, sf):
     Scale: the eval shingle set is DISTINCT-reduced and (being the
     small held-out side) broadcastable; the train side streams through
     one shingle-explode + hash join + partial-agg — no doc×doc pairing
-    ever materializes."""
+    ever materializes.
+
+    Round-14 (optimization guide §2.4): ``source`` rides the split
+    BEFORE the explode instead of being joined back onto the exploded
+    shingle table — documents is keyed by doc_id, so filtering docs
+    first is row-identical and drops two broadcast joins and two
+    document scans from the plan. The final count is ``count(*)``, not
+    ``countDistinct``: shingles are array_distinct'd per doc by
+    construction (functions/expr.py word_shingles) and the eval side is
+    DISTINCT, so the join emits each (doc_id, shingle) hit exactly once
+    — the distinct-agg's extra exchange bought nothing."""
     docs = _t(spark, sf, "documents")
-    sh = neardup.shingle_table(docs).join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
     ev = (
-        sh.filter(F.col("source") == "src0")
+        neardup.shingle_table(docs.filter(F.col("source") == "src0"))
         .select(F.col("shingle").alias("ev_shingle"))
         .distinct()
     )
     return (
-        sh.filter(F.col("source") != "src0")
+        neardup.shingle_table(docs.filter(F.col("source") != "src0"))
         .join(F.broadcast(ev), F.col("shingle") == F.col("ev_shingle"))
         .groupBy("doc_id")
-        .agg(F.countDistinct("shingle").alias("n_contaminated"))
+        .agg(F.count("*").alias("n_contaminated"))
     )
 
 

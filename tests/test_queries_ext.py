@@ -135,8 +135,14 @@ def test_exists_shapes_use_semi_joins(spark, sf_dir):
     assert "LeftSemi" in plan
     pushed = pushed_filters(X.q_priority_exists_orders(spark, sf_dir))
     assert any("o_orderdate" in p for p in pushed), pushed
+    # Q21 (round-14 rewrite): the EXISTS/NOT EXISTS pair is computed as
+    # per-order supplier counts — one lineitem scan, two aggregations,
+    # no self-joins (the old shape scanned lineitem 3x behind a
+    # sort-merge anti join; optimization guide §2.4)
     plan21 = explain_str(X.q_waiting_suppliers(spark, sf_dir), "simple")
-    assert "LeftSemi" in plan21 and "LeftAnti" in plan21
+    assert "LeftSemi" not in plan21 and "LeftAnti" not in plan21
+    assert "SortMergeJoin" not in plan21
+    assert plan21.count("lineitem.parquet") == 1, plan21
 
 
 def test_large_orders_takes_ordered_topk(spark, sf_dir):
