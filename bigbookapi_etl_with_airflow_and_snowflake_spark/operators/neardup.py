@@ -662,9 +662,17 @@ def portable_simhash(
     DuckDB-oracle-checkable and survives infrastructure moves.
 
     Output: (id, simhash_bits) with ``simhash_bits`` a ``bits``-char
-    '0'/'1' string, MSB-first nibble order. The md5-hex array is bound
-    once per row (functions/expr.py) — the per-bit votes are array
-    filters over that slot, not ``bits`` re-hashes of the tokens.
+    '0'/'1' string, MSB-first nibble order.
+
+    Round 14 (optimization guide §1.2 step 2 — per-task work): the
+    per-bit votes are ONE ``aggregate`` fold over the md5 array with an
+    ``array<int>`` accumulator (``zip_with`` adds each token's 32 nibble
+    top-bits at once), replacing ``bits`` separate ``filter`` passes
+    that each re-traversed the whole array and allocated a filtered
+    copy plus one substring per (token, bit). Byte-identical output
+    (A/B at sf0.1: 0.90s → 0.37s for the signature stage, verified
+    row-for-row equal); simhash_pairs inherits the win — it was the
+    single slowest entry of the 100× sweep (SCALE_r14: 168 s).
     """
     if bits > 32:
         raise ValueError("md5 has 32 hex nibbles; bits must be <= 32")
@@ -674,13 +682,30 @@ def portable_simhash(
         F.transform(F.col("__toks"), lambda t: F.md5(t)).alias("__md5s"),
         F.size("__toks").alias("__n"),
     )
-    bit_cols = []
-    for i in range(1, bits + 1):
-        ones = F.size(
-            F.filter(F.col("__md5s"), lambda s: F.substring(s, i, 1) >= "8")
-        )
-        bit_cols.append(F.when(ones * 2 > F.col("__n"), "1").otherwise("0"))
-    return hashed.select(F.col(id_col), F.concat(*bit_cols).alias("simhash_bits"))
+    votes = F.aggregate(
+        # NULL text → NULL token array; the old per-bit form voted every
+        # bit '0' there (size(NULL) is NULL, when(NULL) falls through to
+        # '0') — coalesce to an empty fold so the output stays "00…0"
+        F.coalesce(F.col("__md5s"), F.array().cast("array<string>")),
+        F.expr(f"array_repeat(0, {bits})"),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(bits)),
+                lambda i: F.when(F.substring(s, i, 1) >= "8", 1).otherwise(0),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return hashed.select(
+        F.col(id_col),
+        F.concat_ws(
+            "",
+            F.transform(
+                votes, lambda v: F.when(v * 2 > F.col("__n"), "1").otherwise("0")
+            ),
+        ).alias("simhash_bits"),
+    )
 
 
 def simhash_pairs(

@@ -1900,9 +1900,16 @@ def q_part_name_editdist(spark, sf):
         F.length("p_name").alias("band"),
     )
     cand = a.join(b, "band").filter(F.col("id_a") < F.col("id_b"))
+    # round 14 (optimization guide §1.2 step 2): threshold-bounded
+    # levenshtein — the 3-arg form runs the banded O(k·n) DP with early
+    # exit and returns -1 above the bound, instead of filling the full
+    # O(n·m) matrix per candidate pair. dist >= 0 ≡ dist <= 2 exactly
+    # (verified row-identical at sf0.01; 159 s → 77 s on the 172M-pair
+    # candidate set at sf0.1). The candidate volume itself is the
+    # remaining cost — a PassJoin-style segment index is the next ring.
     return (
-        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= 2)
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b", 2))
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
 
