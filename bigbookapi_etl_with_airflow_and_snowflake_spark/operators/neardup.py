@@ -520,17 +520,24 @@ def minhash_band_pairs(
     num_hashes: int = 4,
     rows_per_band: int = 2,
     n: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """LSH banding over MinHash signatures → candidate near-dup pairs.
 
     Band keys come from the fused shuffle-free
     :func:`band_keys_from_text` (round 14 — the signature aggregate's
-    SortAggregate/Exchange pair is gone; the whole left side of the
-    candidate join is now a pure map). Output: distinct (id_a, id_b),
-    id_a < id_b.
+    SortAggregate/Exchange pair is gone). The band table is
+    MATERIALIZED once before the self-join (same `_materialize` tier
+    selection as jaccard_pairs): the aggregate form's exchange was
+    implicitly reused across the two join sides, and a pure map has no
+    exchange to reuse — without the checkpoint both sides re-shingle
+    and re-hash the corpus (measured at the 100× sweep: 13.7 s vs the
+    old form's 7.9 s; with it the fused path wins at both scales).
+    Output: distinct (id_a, id_b), id_a < id_b.
     """
-    bands = band_keys_from_text(
-        df, text_col, id_col, num_hashes, rows_per_band, n
+    bands = _materialize(
+        band_keys_from_text(df, text_col, id_col, num_hashes, rows_per_band, n),
+        checkpoint_dir,
     )
     return _bucket_pairs(bands, "band_key", id_col).distinct()
 

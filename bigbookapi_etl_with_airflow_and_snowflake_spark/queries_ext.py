@@ -1548,8 +1548,15 @@ def q_incremental_dedup(spark, sf):
     over one table (the oracle must see one deterministic dataset); the
     join itself — small side broadcast by AQE, collision-proportional
     output — is the production plan."""
-    sig = neardup.minhash_signatures(_t(spark, sf, "documents"))
-    bands = neardup.minhash_band_keys(sig)
+    # bands feed BOTH join sides; the r14 fused signature is a pure map
+    # with no exchange to reuse, so materialize once (jaccard_pairs'
+    # _materialize tier) instead of re-signing the corpus per side
+    bands = neardup._materialize(
+        neardup.minhash_band_keys(
+            neardup.minhash_signatures(_t(spark, sf, "documents"))
+        ),
+        None,
+    )
     newb = bands.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("new_id"), "band_key"
     )
@@ -1593,8 +1600,16 @@ def q_minhash_jaccard_est(spark, sf):
 
     Scale: the candidate join is the band inverted index (collision-
     proportional); signatures join back by unique doc_id — AQE picks
-    broadcast vs shuffle by actual size. No text column ever moves."""
-    sig = neardup.minhash_signatures(_t(spark, sf, "documents"))
+    broadcast vs shuffle by actual size. No text column ever moves.
+
+    The signature table is consumed FOUR times (two band sides, two
+    join-back sides); with the r14 fused map-only signature there is no
+    aggregate exchange for Spark to reuse across them, so materialize
+    it once (measured at 100×: 31.9 s un-materialized vs 17.2 s for the
+    old exchange-reusing form; materialized, the fused form wins)."""
+    sig = neardup._materialize(
+        neardup.minhash_signatures(_t(spark, sf, "documents")), None
+    )
     bands = neardup.minhash_band_keys(sig)
     a = bands.select(F.col("doc_id").alias("id_a"), "band_key")
     b = bands.select(F.col("doc_id").alias("id_b"), "band_key")
