@@ -101,9 +101,14 @@ def main() -> None:
         p0 = time.perf_counter()
         for name in BENCH_QUERIES:
             fn = registry[name]
+            # label the jobs so a UI/event-log reader can attribute
+            # stages to queries (optimization guide §1.5); thread-local,
+            # zero effect on the timed work
+            spark.sparkContext.setJobDescription(f"bench:{name}")
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            spark.sparkContext.setJobDescription(None)
             if dt < timings.get(name, float("inf")):
                 timings[name] = dt
         pass_totals.append(round(time.perf_counter() - p0, 4))

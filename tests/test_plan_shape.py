@@ -150,16 +150,19 @@ def test_global_shuffle_no_single_partition_sort(spark, sf_dir):
     assert "row_number() windowspecdefinition(shard" in plan
 
 
-def test_incremental_dedup_partial_agg_and_equi_join(spark, sf_dir):
-    """Signatures must aggregate map-side (partial_min before the
-    doc_id exchange) and the batch-vs-corpus probe must be an equi join
-    on the band key."""
+def test_incremental_dedup_materialized_bands_and_equi_join(spark, sf_dir):
+    """Round 14: signatures are the fused array-expression map (no
+    aggregate at all — the old form's partial_min/SortAggregate pair is
+    gone), materialized ONCE before feeding both join sides (a pure map
+    has no exchange for the self-join to reuse); the batch-vs-corpus
+    probe must stay an equi join on the band key."""
     from bigbookapi_etl_with_airflow_and_snowflake_spark.queries_ext import (
         q_incremental_dedup,
     )
 
     plan = explain_str(q_incremental_dedup(spark, sf_dir), "simple")
-    assert "partial_min" in plan
+    assert "Scan ExistingRDD" in plan  # the materialized band table
+    assert "partial_min" not in plan and "SortAggregate" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
