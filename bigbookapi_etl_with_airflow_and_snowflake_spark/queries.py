@@ -1877,36 +1877,101 @@ FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 
 def q_part_name_editdist(spark, sf):
     """N2 (edit-distance variant): near-identical part names by
-    Levenshtein ≤ 2. The |len(a)−len(b)| ≤ 2 lower bound on edit
-    distance becomes an **equi-join key**: side A explodes each name to
-    its ±2 length band values, side B carries its exact length — the
-    join is a hash join on ``band`` (each pair matches exactly once,
-    since B's band is a single value), never a nested-loop cartesian.
-    Length is low-cardinality, so the shuffle key is skewed by
-    construction; AQE skew-join splits the hot bands at runtime (and at
-    real corpus scale the band key extends with any edit-invariant
-    grouping available, e.g. a coarse token-count class)."""
+    Levenshtein ≤ 2, candidates from a **PassJoin segment index**
+    (Li/Deng/Feng: pigeonhole over k+1 = 3 contiguous segments).
+
+    Round-14 rewrite (optimization guide §1.2 step 1 — fix the
+    algorithm). The previous length-band equi-join admitted every pair
+    within ±2 length: 172.5M candidates at sf0.1, each paying a
+    levenshtein. Segments cut that by ~2 orders of magnitude while
+    staying EXACT:
+
+    - **Index side**: each name of length l splits into 3 deterministic
+      segments (width_i = (l+i) div 3 — sums to l; zero-width segments
+      for l < 3 are kept, matching as empty strings); one (l, i,
+      segment) key per segment.
+    - **Probe side**: 2 edits cannot touch all 3 segments, so some
+      segment of the indexed name survives UNEDITED and appears in the
+      probing name verbatim, shifted by at most the net indel count
+      (|shift| ≤ 2). The probe therefore emits, for each candidate
+      indexed length l' ∈ [len±2], each segment slot, each shift in
+      [-2, 2], the bounds-checked substring — a pure map fanout of ≤ 75
+      short keys per row (dropDuplicates folds the overlap), joined by
+      hash equi-join on (l', slot, content). Complete by pigeonhole —
+      never a recall trade.
+    - **Verify**: threshold-bounded ``levenshtein(a, b, 2)`` (banded
+      O(k·n) DP, early exit, -1 above the bound; ``dist >= 0`` ≡
+      ``dist <= 2`` exactly) on the deduped candidates.
+
+    Measured at sf0.1 (min after warm, noop sink): 159 s (length band +
+    full DP) → 77 s (+ threshold DP) → **17 s** (PassJoin candidates);
+    output row-identical at sf0.001 / sf0.01 / sf0.1 (5,515,288 rows).
+    Scale: the segment buckets replace the low-cardinality length bands
+    as shuffle keys (far finer, content-selective); AQE skew-join still
+    covers a pathological shared-segment bucket."""
+    K, NSEG = 2, 3
     p = _t(spark, sf, "part").select("p_partkey", "p_name")
-    a = p.select(
-        F.col("p_partkey").alias("id_a"),
-        F.col("p_name").alias("name_a"),
-        F.explode(
-            F.sequence(F.length("p_name") - 2, F.length("p_name") + 2)
-        ).alias("band"),
-    )
-    b = p.select(
+    l = F.length("p_name")
+    w = [((l + F.lit(i)) / NSEG).cast("int") for i in range(NSEG)]
+    starts = [F.lit(1), F.lit(1) + w[0], F.lit(1) + w[0] + w[1]]
+    idx = p.select(
         F.col("p_partkey").alias("id_b"),
         F.col("p_name").alias("name_b"),
-        F.length("p_name").alias("band"),
+        l.alias("lb"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.substring("p_name", starts[i], w[i]).alias("seg"),
+                )
+                for i in range(NSEG)
+            ])
+        ).alias("__s"),
+    ).select(
+        "id_b", "name_b", "lb",
+        F.col("__s.i").alias("i"), F.col("__s.seg").alias("seg"),
     )
-    cand = a.join(b, "band").filter(F.col("id_a") < F.col("id_b"))
-    # round 14 (optimization guide §1.2 step 2): threshold-bounded
-    # levenshtein — the 3-arg form runs the banded O(k·n) DP with early
-    # exit and returns -1 above the bound, instead of filling the full
-    # O(n·m) matrix per candidate pair. dist >= 0 ≡ dist <= 2 exactly
-    # (verified row-identical at sf0.01; 159 s → 77 s on the 172M-pair
-    # candidate set at sf0.1). The candidate volume itself is the
-    # remaining cost — a PassJoin-style segment index is the next ring.
+    lr = F.length("p_name")
+    probe_keys = []
+    for dl in range(-K, K + 1):
+        lc = lr + F.lit(dl)
+        wc = [((lc + F.lit(i)) / NSEG).cast("int") for i in range(NSEG)]
+        sc = [F.lit(1), F.lit(1) + wc[0], F.lit(1) + wc[0] + wc[1]]
+        for i in range(NSEG):
+            for d in range(-K, K + 1):
+                pos = sc[i] + F.lit(d)
+                ok = (lc >= F.lit(0)) & (pos >= 1) & (pos + wc[i] - 1 <= lr)
+                probe_keys.append(
+                    F.when(
+                        ok,
+                        F.struct(
+                            lc.alias("lb"),
+                            F.lit(i).alias("i"),
+                            F.substring("p_name", pos, wc[i]).alias("seg"),
+                        ),
+                    )
+                )
+    probe = (
+        p.select(
+            F.col("p_partkey").alias("id_a"),
+            F.col("p_name").alias("name_a"),
+            F.explode(F.array(*probe_keys)).alias("__k"),
+        )
+        .filter(F.col("__k").isNotNull())
+        .select(
+            "id_a", "name_a",
+            F.col("__k.lb").alias("lb"),
+            F.col("__k.i").alias("i"),
+            F.col("__k.seg").alias("seg"),
+        )
+        .dropDuplicates(["id_a", "lb", "i", "seg"])
+    )
+    cand = (
+        probe.join(idx, ["lb", "i", "seg"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
         cand.withColumn("dist", F.levenshtein("name_a", "name_b", 2))
         .filter(F.col("dist") >= 0)
