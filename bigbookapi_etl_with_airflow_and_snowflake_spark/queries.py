@@ -1892,13 +1892,21 @@ def q_part_name_editdist(spark, sf):
       segment) key per segment.
     - **Probe side**: 2 edits cannot touch all 3 segments, so some
       segment of the indexed name survives UNEDITED and appears in the
-      probing name verbatim, shifted by at most the net indel count
-      (|shift| ≤ 2). The probe therefore emits, for each candidate
-      indexed length l' ∈ [len±2], each segment slot, each shift in
-      [-2, 2], the bounds-checked substring — a pure map fanout of ≤ 75
-      short keys per row (dropDuplicates folds the overlap), joined by
-      hash equi-join on (l', slot, content). Complete by pigeonhole —
-      never a recall trade.
+      probing name verbatim. Round 15 tightens the shift enumeration
+      from the loose ``|shift| ≤ k`` band to the paper's
+      *multi-match-aware* substring bounds: if segment ``i``
+      (0-indexed) survives, at most ``i`` edits fall before it (each
+      shifting its start by ≤ 1) and at most ``k−i`` fall after it
+      (bounding the start from the right via the length delta Δ =
+      len(probe) − len(indexed)), so the surviving copy's start shift
+      lies in ``[max(−i, Δ−(k−i)), min(i, Δ+(k−i))]``. That cuts the
+      probe fanout from ≤ 75 to ≤ 19 keys per row (5 lengths × Σ slot
+      widths 1+3+1 at Δ=0, less at |Δ|=k) — smaller pre-join dedup
+      shuffle, fewer candidates — while staying complete: the bound
+      enumerates every start position the survival argument permits
+      (Li/Deng/Feng, PassJoin, Lemma "multi-match-aware selection";
+      locked against brute force in tests/test_editdist_passjoin.py).
+      Keys are joined by hash equi-join on (l', slot, content).
     - **Verify**: threshold-bounded ``levenshtein(a, b, 2)`` (banded
       O(k·n) DP, early exit, -1 above the bound; ``dist >= 0`` ≡
       ``dist <= 2`` exactly) on the deduped candidates.
@@ -1937,8 +1945,12 @@ def q_part_name_editdist(spark, sf):
         lc = lr + F.lit(dl)
         wc = [((lc + F.lit(i)) / NSEG).cast("int") for i in range(NSEG)]
         sc = [F.lit(1), F.lit(1) + wc[0], F.lit(1) + wc[0] + wc[1]]
+        # multi-match-aware shift bounds (see docstring): Δ = −dl here
+        # because dl is indexed-minus-probe length while the paper's Δ
+        # is probe-minus-indexed
+        delta = -dl
         for i in range(NSEG):
-            for d in range(-K, K + 1):
+            for d in range(max(-i, delta - (K - i)), min(i, delta + (K - i)) + 1):
                 pos = sc[i] + F.lit(d)
                 ok = (lc >= F.lit(0)) & (pos >= 1) & (pos + wc[i] - 1 <= lr)
                 probe_keys.append(

@@ -74,3 +74,50 @@ def test_passjoin_matches_bruteforce(spark, tmp_path):
         got.to_dict("records"),
         want.to_dict("records"),
     )
+
+
+def test_passjoin_matches_bruteforce_randomized(spark, tmp_path):
+    """Round-15 lock for the multi-match-aware shift bounds: a seeded
+    random corpus over a 3-letter alphabet (dense near-pair space, all
+    lengths 0..8 — every segment-width/shift combination the bounds
+    formula can produce for k=2) must still match brute force."""
+    import random
+
+    import pandas as pd
+
+    from bigbookapi_etl_with_airflow_and_snowflake_spark import queries as Q
+
+    rng = random.Random(15)
+    names = list(
+        {
+            "".join(rng.choice("abc") for _ in range(rng.randrange(0, 9)))
+            for _ in range(120)
+        }
+    )
+    names.sort()
+    sf_dir = str(tmp_path)
+    df = spark.createDataFrame(
+        [(i + 1, n) for i, n in enumerate(names)], "p_partkey long, p_name string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/part.parquet")
+
+    got = (
+        Q.q_part_name_editdist(spark, sf_dir)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    want_rows = []
+    for (ia, na), (ib, nb) in itertools.combinations(
+        [(i + 1, n) for i, n in enumerate(names)], 2
+    ):
+        d = _lev(na, nb)
+        if d <= 2:
+            want_rows.append((ia, ib, na, nb, d))
+    want = (
+        pd.DataFrame(want_rows, columns=["id_a", "id_b", "name_a", "name_b", "dist"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want), (len(got), len(want))
+    assert got.astype({"dist": "int64"}).equals(want.astype({"dist": "int64"}))
