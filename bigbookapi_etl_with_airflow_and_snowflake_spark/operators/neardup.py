@@ -45,7 +45,7 @@ def _threshold_dec(threshold: float) -> Column:
     return F.lit(str(t)).cast("decimal(14,12)")
 
 
-def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     """Truncate lineage so every downstream branch reuses ONE computed
     table instead of compounding re-scans (round-1's un-truncated form
     held 28 scans of the source; AQE exchange reuse collapsed none).
@@ -55,7 +55,14 @@ def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     loss mid-query recomputes nothing and fails the job; rerun it.
     A path → reliable ``.checkpoint()`` written under that directory
     (HDFS/S3 at scale): survives executor loss, the 100 TB default.
-    Both run the upstream jobs at DataFrame-construction time (eager).
+    Both run the upstream jobs at DataFrame-construction time (eager):
+    **building a plan that contains a materialization point launches
+    Spark jobs immediately** — that is the documented contract of every
+    ``checkpoint_dir``-accepting operator here (jaccard_pairs,
+    minhash_band_pairs, hamming_bits_pairs/simhash_pairs) and of the
+    q_* registry entries built on them. Public since round 15 so
+    callers outside this module select the tier instead of reaching
+    into a private helper (ADVICE r14).
     """
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=True)
@@ -78,6 +85,11 @@ def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
             stacklevel=3,
         )
     return df.checkpoint(eager=True)
+
+
+# internal alias, kept so in-module call sites and existing tests read
+# unchanged; the public name is ``materialize``
+_materialize = materialize
 
 
 def _same_checkpoint_dir(current: str, requested: str) -> bool:

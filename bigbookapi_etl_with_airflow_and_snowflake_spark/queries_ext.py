@@ -1551,7 +1551,7 @@ def q_incremental_dedup(spark, sf):
     # bands feed BOTH join sides; the r14 fused signature is a pure map
     # with no exchange to reuse, so materialize once (jaccard_pairs'
     # _materialize tier) instead of re-signing the corpus per side
-    bands = neardup._materialize(
+    bands = neardup.materialize(
         neardup.minhash_band_keys(
             neardup.minhash_signatures(_t(spark, sf, "documents"))
         ),
@@ -1607,7 +1607,7 @@ def q_minhash_jaccard_est(spark, sf):
     aggregate exchange for Spark to reuse across them, so materialize
     it once (measured at 100×: 31.9 s un-materialized vs 17.2 s for the
     old exchange-reusing form; materialized, the fused form wins)."""
-    sig = neardup._materialize(
+    sig = neardup.materialize(
         neardup.minhash_signatures(_t(spark, sf, "documents")), None
     )
     bands = neardup.minhash_band_keys(sig)
